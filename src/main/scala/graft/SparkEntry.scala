@@ -1,13 +1,27 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §2.3 for the declared
+  * inventory this map must cover, and §7.5 for the determinism rules every
+  * oracle pair follows.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query (TPC-H Q1-shaped pricing summary) on sf0.001;
+    * driver smoke-checks rows > 0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.aggPricing(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2.3. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries
+
+  /** DuckDB-equivalent SQL per key in [[queries]]; keys absent here are
+    * covered by unit/golden/streaming tests instead (oracle=no rows).
+    */
+  def oracleSql: Map[String, String] =
+    Relational.oracle
 }
