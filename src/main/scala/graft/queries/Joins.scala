@@ -1,0 +1,250 @@
+package graft.queries
+
+import graft.{Oracle, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join forms (SURVEY.md §2.3 `join_*`): equi (inner/outer/semi/anti),
+  * broadcast, theta (inequality), range (interval), and as-of.
+  *
+  * Scale notes baked into each plan:
+  *  - dimension joins use `broadcast()` or are small enough that Catalyst
+  *    broadcasts them under the default 10 MB threshold — no shuffle of the
+  *    fact side;
+  *  - fact-fact equi joins shuffle on the join key once and aggregate
+  *    map-side first where possible;
+  *  - the range join avoids a nested-loop cross product by carrying an
+  *    equi component (user_id) so Spark plans a hash/sort-merge join with
+  *    a residual range filter — the standard interval-binning trick at
+  *    100 TB;
+  *  - the as-of join is expressed as candidate-join + per-left-row
+  *    `row_number`, which AQE handles with skew splitting; a sort-merge
+  *    formulation is the scale escalation path.
+  */
+object Joins {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // -- inner equi-join ---------------------------------------------------
+    "join_inner" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .select(
+          col("o_orderkey"), col("c_name"),
+          Oracle.dec(col("o_totalprice")).as("totalprice"),
+          col("c_mktsegment"))
+        .orderBy(col("o_orderkey"))
+        .limit(100)
+    },
+
+    // -- 3-way join + aggregation (TPC-H Q3 flavour) -----------------------
+    // lineitem ⋈ orders shuffles on orderkey; customer broadcasts.
+    "join_multi" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"), "inner")
+        .join(broadcast(Tables(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(Oracle.revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // -- broadcast join of tiny dims ---------------------------------------
+    "join_broadcast" -> { (s, dir) =>
+      Tables(s, dir, "nation")
+        .join(broadcast(Tables(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"), "inner")
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .orderBy(col("n_nationkey"))
+    },
+
+    // -- left outer + null-safe aggregation --------------------------------
+    "join_left" -> { (s, dir) =>
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(Oracle.dec(col("o_totalprice"))),
+            lit(0).cast(Oracle.Money)).as("total"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // -- full outer (aggregate-then-join so both null sides can appear) ----
+    "join_full" -> { (s, dir) =>
+      val supp = Tables(s, dir, "supplier")
+        .filter(col("s_acctbal") > 5000)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          sum(Oracle.dec(col("s_acctbal"))).as("supp_bal"))
+      val cust = Tables(s, dir, "customer")
+        .filter(col("c_acctbal") > 5000)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(Oracle.dec(col("c_acctbal"))).as("cust_bal"))
+      supp.join(cust, col("s_nationkey") === col("c_nationkey"), "full_outer")
+        .select(
+          coalesce(col("s_nationkey"), col("c_nationkey")).as("nationkey"),
+          col("n_supp"), col("supp_bal"), col("n_cust"), col("cust_bal"))
+        .orderBy(col("nationkey"))
+    },
+
+    // -- left semi (EXISTS) ------------------------------------------------
+    "join_semi" -> { (s, dir) =>
+      Tables(s, dir, "customer")
+        .join(
+          Tables(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // -- left anti (NOT EXISTS) --------------------------------------------
+    // Against 'P'-status orders (every customer has SOME order in the
+    // fixtures, so the unfiltered anti join would be vacuously empty).
+    "join_anti" -> { (s, dir) =>
+      Tables(s, dir, "customer")
+        .join(
+          Tables(s, dir, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // -- theta join (inequality, equi component on brand) ------------------
+    // Same-brand pairs where p1 is strictly smaller: hash join on p_brand
+    // with a residual p_size comparison — NOT a cross product.
+    "join_theta" -> { (s, dir) =>
+      val p = Tables(s, dir, "part")
+      val p1 = p.select(col("p_brand").as("brand"), col("p_size").as("size1"))
+      val p2 = p.select(col("p_brand").as("brand2"), col("p_size").as("size2"))
+      p1.join(p2, col("brand") === col("brand2") && col("size1") < col("size2"), "inner")
+        .groupBy(col("brand"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("brand"))
+    },
+
+    // -- range (interval) join ---------------------------------------------
+    // For each 'error' event, count events by the same user within the
+    // following hour (self-pair included). Equi on user_id keeps this a
+    // hash join; the [ts, ts+1h) bound is a residual filter.
+    "join_range" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("u"), col("ts").as("t0"))
+      val all = ev.select(col("user_id").as("u2"), col("ts").as("t1"))
+      errs.join(all,
+          col("u") === col("u2") &&
+          col("t1") >= col("t0") &&
+          col("t1") < col("t0") + expr("INTERVAL 1 HOUR"),
+          "inner")
+        .groupBy(col("u").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    },
+
+    // -- as-of join ---------------------------------------------------------
+    // For each event, the latest order of the same user with
+    // o_orderdate <= ts (ties broken by highest o_orderkey). Candidate
+    // equi-join on the user key, then row_number()=1 per event.
+    "join_asof" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val ord = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      ev.join(ord,
+          col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"),
+          "inner")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_orderdate"))
+        .orderBy(col("event_id"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "join_inner" ->
+      """SELECT o_orderkey, c_name,
+        |CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin,
+
+    "join_multi" ->
+      s"""SELECT c_mktsegment,
+         |SUM(${Oracle.revenueSql("l_extendedprice", "l_discount")}) AS revenue,
+         |COUNT(*) AS n_lines
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "join_left" ->
+      """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+        |COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+
+    "join_full" ->
+      """WITH supp AS (
+        |  SELECT s_nationkey, COUNT(*) AS n_supp,
+        |         SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS supp_bal
+        |  FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey),
+        |cust AS (
+        |  SELECT c_nationkey, COUNT(*) AS n_cust,
+        |         SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS cust_bal
+        |  FROM customer WHERE c_acctbal > 5000 GROUP BY c_nationkey)
+        |SELECT COALESCE(s_nationkey, c_nationkey) AS nationkey,
+        |       n_supp, supp_bal, n_cust, cust_bal
+        |FROM supp FULL OUTER JOIN cust ON s_nationkey = c_nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_theta" ->
+      """SELECT p1.p_brand AS brand, COUNT(*) AS n_pairs
+        |FROM part p1 JOIN part p2
+        |  ON p1.p_brand = p2.p_brand AND p1.p_size < p2.p_size
+        |GROUP BY p1.p_brand ORDER BY brand""".stripMargin,
+
+    "join_range" ->
+      """SELECT e1.user_id, COUNT(*) AS n_pairs
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id
+        | AND e2.ts::TIMESTAMP >= e1.ts::TIMESTAMP
+        | AND e2.ts::TIMESTAMP < e1.ts::TIMESTAMP + INTERVAL 1 HOUR
+        |WHERE e1.event_type = 'error'
+        |GROUP BY e1.user_id ORDER BY e1.user_id""".stripMargin,
+
+    "join_asof" ->
+      """SELECT event_id, user_id, o_orderkey, o_orderdate FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+        |         ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts::TIMESTAMP)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin
+  )
+}
