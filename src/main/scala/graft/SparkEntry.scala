@@ -17,11 +17,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2.3. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Joins.queries ++ SetSort.queries
+    Relational.queries ++ Joins.queries ++ SetSort.queries ++
+      Scalars.queries ++ Windows.queries
 
   /** DuckDB-equivalent SQL per key in [[queries]]; keys absent here are
     * covered by unit/golden/streaming tests instead (oracle=no rows).
     */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Joins.oracle ++ SetSort.oracle
+    Relational.oracle ++ Joins.oracle ++ SetSort.oracle ++
+      Scalars.oracle ++ Windows.oracle
 }

@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.{Oracle, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytic window functions and pivot (SURVEY.md §2.3 `win_rank`,
+  * `win_frame`, `win_leadlag`, `win_ntile`, `pivot_wide`).
+  *
+  * Every window ORDER BY carries a unique-key tiebreak so rank/offset
+  * assignment is deterministic across engines. Partitioned windows are one
+  * shuffle on the partition key — the plan that scales; the single global
+  * window (`win_ntile`) is inherently a one-partition sort and is kept to
+  * the smallest table (customer) by design.
+  */
+object Windows {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // -- ranking functions ---------------------------------------------------
+    "win_rank" -> { (s, dir) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          Oracle.dec(col("c_acctbal")).as("acctbal"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"))
+        .orderBy(col("c_mktsegment"), col("rn"))
+    },
+
+    // -- analytic frames (running / sliding) ---------------------------------
+    "win_frame" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          Oracle.dec(col("o_totalprice")).as("totalprice"),
+          sum(Oracle.dec(col("o_totalprice")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("running_total"),
+          round(avg(col("o_totalprice")).over(w.rowsBetween(-2, 0)), 4)
+            .as("sliding_avg"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    },
+
+    // -- lead / lag -----------------------------------------------------------
+    "win_leadlag" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_v"),
+          lead(col("value"), 1).over(w).as("next_v"),
+          round(col("value") - lag(col("value"), 1).over(w), 4).as("delta"))
+        .orderBy(col("event_id"))
+    },
+
+    // -- distribution functions ----------------------------------------------
+    "win_ntile" -> { (s, dir) =>
+      val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"),
+          Oracle.dec(col("c_acctbal")).as("acctbal"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // -- pivot (wide aggregation over a fixed value list) ---------------------
+    // Fixed value list keeps the output schema static (required for the
+    // oracle and the only sane contract at scale — no driver-side distinct
+    // scan).
+    "pivot_wide" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(sum(Oracle.dec(col("value"))))
+        .orderBy(col("user_id"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "win_rank" ->
+      """SELECT c_custkey, c_mktsegment,
+        |CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+        |ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+        |ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "win_frame" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+        |SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |  (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total,
+        |ROUND(AVG(o_totalprice) OVER
+        |  (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS sliding_avg
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "win_leadlag" ->
+      """SELECT event_id, user_id, ts::TIMESTAMP AS ts, value,
+        |LAG(value, 1) OVER w AS prev_v,
+        |LEAD(value, 1) OVER w AS next_v,
+        |ROUND(value - LAG(value, 1) OVER w, 4) AS delta
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP ASC, event_id ASC)
+        |ORDER BY event_id""".stripMargin,
+
+    "win_ntile" ->
+      """SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+        |NTILE(4) OVER w AS quartile,
+        |ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |ROUND(CUME_DIST() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "pivot_wide" ->
+      """SELECT user_id,
+        |SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS click,
+        |SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS view,
+        |SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS purchase,
+        |SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS signup,
+        |SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}
