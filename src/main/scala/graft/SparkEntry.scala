@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.etl.DroneSense
 import graft.queries._
+import org.apache.spark.sql.functions.col
 
 /** Driver contract — see /root/repo/SURVEY.md §2.3 for the declared
   * inventory this map must cover, and §7.5 for the determinism rules every
@@ -18,7 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2.3. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Joins.queries ++ SetSort.queries ++
-      Scalars.queries ++ Windows.queries
+      Scalars.queries ++ Windows.queries ++ Map(
+        // Reference-parity pipeline over the embedded fixture; nested CoT
+        // structs are golden-file tested (no SQL oracle).
+        "etl_dronesense_cot" -> ((s: SparkSession, _: String) =>
+          DroneSense.toCot(DroneSense.validate(DroneSense.fixture(s)))
+            .orderBy(col("id")))
+      )
 
   /** DuckDB-equivalent SQL per key in [[queries]]; keys absent here are
     * covered by unit/golden/streaming tests instead (oracle=no rows).
