@@ -1,0 +1,264 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over `documents` and `embeddings`
+  * (SURVEY.md §2.3 `dedup_*`, `sim_topk`, `text_*`): exact + near
+  * deduplication, similarity search, text analysis, fingerprinting.
+  *
+  * These fixture-scale implementations are exact and oracle-checked; the
+  * probabilistic scale paths (MinHash-LSH banding, SimHash hamming
+  * buckets, random-hyperplane ANN) live in [[graft.operators]] and are
+  * held to fixture-equality/recall tests instead (SURVEY.md §7.5).
+  */
+object LlmOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Shared stopword list — identical literal list in the SQL texts. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  private val stopSqlList: String =
+    Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** doc_id + distinct lowercase 3-gram word shingles ("a b c"). */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+    toks.filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(col("t")) - 2),
+          i => concat_ws(" ",
+            element_at(col("t"), i),
+            element_at(col("t"), i + lit(1)),
+            element_at(col("t"), i + lit(2))))).as("s"))
+      .distinct()
+  }
+
+  /** Embedding as double array + its L2 norm (computed once per vector —
+    * pairwise joins then only need the dot product).
+    */
+  private def normalized(s: SparkSession, dir: String): DataFrame = {
+    val e = transform(col("embedding"), (x: Column) => x.cast("double"))
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), e.as("e"))
+      .withColumn("norm", sqrt(aggregate(
+        transform(col("e"), (x: Column) => x * x),
+        lit(0.0), (acc: Column, x: Column) => acc + x)))
+  }
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x: Column, y: Column) => x * y),
+      lit(0.0), (acc: Column, x: Column) => acc + x)
+
+  val queries: Map[String, Q] = Map(
+    // -- exact dedup --------------------------------------------------------
+    "dedup_exact" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
+    // -- shingle-Jaccard near-dup (exact; MinHash-LSH is the scale path) ---
+    // Shingle-explode + equi-self-join on the shingle: candidate pairs are
+    // only those sharing ≥1 shingle — already far from O(n²) on real text.
+    "dedup_neardup" -> { (s, dir) =>
+      val sh = shingles(s, dir)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = sh.alias("a")
+        .join(sh.alias("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+        .withColumn("jac", round(col("i") / (col("n1") + col("n2") - col("i")), 6))
+        .filter(col("jac") >= 0.6)
+        .select(col("d1"), col("d2"), col("jac"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    // -- brute-force cosine top-k (ANN baseline) ---------------------------
+    // Query side is tiny (vec_id < 10) → broadcast; ranking uses the
+    // ROUNDED cosine + vec_id so rank assignment is engine-independent.
+    "sim_topk" -> { (s, dir) =>
+      val n = normalized(s, dir)
+      val q = broadcast(n.select(col("vec_id").as("qid"),
+        col("e").as("qe"), col("norm").as("qnorm")))
+      val cos = q.join(n, col("vec_id") =!= col("qid") && col("qid") < 10)
+        .withColumn("c", round(dot(col("qe"), col("e")) / (col("qnorm") * col("norm")), 5))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("vec_id").asc)
+      cos.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("rn"), col("vec_id"), col("c"))
+        .orderBy(col("qid"), col("rn"))
+    },
+
+    // -- embedding-cosine near-dup -----------------------------------------
+    "dedup_embed" -> { (s, dir) =>
+      val n = normalized(s, dir)
+      val a = n.select(col("vec_id").as("v1"), col("e").as("e1"),
+        col("norm").as("norm1"), col("label").as("label1"))
+      val b = n.select(col("vec_id").as("v2"), col("e").as("e2"),
+        col("norm").as("norm2"), col("label").as("label2"))
+      a.join(b, col("v1") < col("v2"))
+        .withColumn("c", round(dot(col("e1"), col("e2")) / (col("norm1") * col("norm2")), 6))
+        .filter(col("c") >= 0.45)
+        .select(col("v1"), col("v2"), col("c"), col("label1"), col("label2"))
+        .orderBy(col("v1"), col("v2"))
+    },
+
+    // -- token counting / top-k tokens -------------------------------------
+    "text_tokens" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "" && !col("token").isInCollection(Stopwords))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)
+    },
+
+    // -- per-language corpus stats ------------------------------------------
+    "text_stats" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          min(length(col("text"))).as("min_len"),
+          max(length(col("text"))).as("max_len"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang"))
+    },
+
+    // -- per-document quality signals ----------------------------------------
+    // Token-level ratios (type-token ratio, stopword ratio) — standard
+    // corpus-quality features; explode + map-side-combined aggregation.
+    "text_quality" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val tok = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      val stats = tok.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("w")).as("n_distinct"),
+        count(when(col("w").isInCollection(Stopwords), 1)).as("n_stop"))
+      docs.select(col("doc_id"), length(col("text")).as("n_chars_real"))
+        .join(stats, "doc_id")
+        .select(
+          col("doc_id"), col("n_chars_real"), col("n_tokens"),
+          round(col("n_distinct") / col("n_tokens"), 6).as("ttr"),
+          round(col("n_stop") / col("n_tokens"), 6).as("stop_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
+    // -- document fingerprinting ---------------------------------------------
+    // Whole-doc md5 + min shingle-md5 (a 1-hash MinHash): identical docs
+    // share fp; near-identical docs usually share min_shingle_fp.
+    "text_fingerprint" -> { (s, dir) =>
+      val sh = shingles(s, dir)
+      val minSh = sh.groupBy(col("doc_id")).agg(
+        min(md5(col("s"))).as("min_shingle_fp"),
+        count(lit(1)).as("n_shingles"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+        .join(minSh, Seq("doc_id"), "left")
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "dedup_neardup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+        |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id d1, b.doc_id d2, COUNT(*) i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, jac FROM (
+        |  SELECT d1, d2, ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) jac
+        |  FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+        |             JOIN sizes s2 ON d2 = s2.doc_id)
+        |WHERE jac >= 0.6 ORDER BY d1, d2""".stripMargin,
+
+    "sim_topk" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) e,
+        |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |                                 CAST(embedding AS DOUBLE[]))) AS norm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id qid, e qe, norm qnorm FROM n WHERE vec_id < 10),
+        |cos AS (
+        |  SELECT qid, vec_id,
+        |         ROUND(list_inner_product(qe, e) / (qnorm * norm), 5) c
+        |  FROM q JOIN n ON vec_id <> qid)
+        |SELECT qid, rn, vec_id, c FROM (
+        |  SELECT qid, vec_id, c,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id ASC) rn
+        |  FROM cos)
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    "dedup_embed" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e,
+        |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |                                 CAST(embedding AS DOUBLE[]))) AS norm
+        |  FROM embeddings)
+        |SELECT v1, v2, c, label1, label2 FROM (
+        |  SELECT a.vec_id v1, b.vec_id v2,
+        |         ROUND(list_inner_product(a.e, b.e) / (a.norm * b.norm), 6) c,
+        |         a.label label1, b.label label2
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |WHERE c >= 0.45 ORDER BY v1, v2""".stripMargin,
+
+    "text_tokens" ->
+      s"""SELECT token, COUNT(*) AS n FROM (
+         |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+         |WHERE token <> '' AND token NOT IN $stopSqlList
+         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+
+    "text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars,
+        |MIN(LENGTH(text)) AS min_len, MAX(LENGTH(text)) AS max_len,
+        |COUNT(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+         |stats AS (
+         |  SELECT doc_id, COUNT(*) n_tokens, COUNT(DISTINCT w) n_distinct,
+         |         COUNT(*) FILTER (w IN $stopSqlList) n_stop
+         |  FROM tok GROUP BY doc_id)
+         |SELECT d.doc_id, LENGTH(d.text) AS n_chars_real, n_tokens,
+         |       ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS ttr,
+         |       ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio
+         |FROM documents d JOIN stats USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+        |minsh AS (
+        |  SELECT doc_id, MIN(md5(s)) min_shingle_fp, COUNT(*) n_shingles
+        |  FROM sh GROUP BY doc_id)
+        |SELECT d.doc_id, md5(d.text) AS fp, min_shingle_fp, n_shingles
+        |FROM documents d LEFT JOIN minsh USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+  )
+}
