@@ -20,7 +20,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2.3. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Joins.queries ++ SetSort.queries ++
-      Scalars.queries ++ Windows.queries ++ LlmOps.queries ++ Map(
+      Scalars.queries ++ Windows.queries ++ LlmOps.queries ++
+      ScaleOps.queries ++ Map(
         // Reference-parity pipeline over the embedded fixture; nested CoT
         // structs are golden-file tested (no SQL oracle).
         "etl_dronesense_cot" -> ((s: SparkSession, _: String) =>

@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextAnalysis
+import graft.operators.{Ann, Multimodal, MinHash, SimHash}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-path / probabilistic operators exposed as rows-only queries (no
+  * SQL oracle — they are held to fixture-equality and recall unit tests,
+  * SURVEY.md §7.5): MinHash-LSH and SimHash near-dup, hyperplane-LSH ANN,
+  * heuristic language ID, and the multimodal metadata pipeline.
+  */
+object ScaleOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tokens(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+
+  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+    toks.filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(col("t")) - 2),
+          i => concat_ws(" ",
+            element_at(col("t"), i),
+            element_at(col("t"), i + lit(1)),
+            element_at(col("t"), i + lit(2))))).as("s"))
+      .distinct()
+  }
+
+  private def normalized(s: SparkSession, dir: String): DataFrame = {
+    val e = transform(col("embedding"), (x: Column) => x.cast("double"))
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), e.as("e"))
+      .withColumn("norm", sqrt(aggregate(
+        transform(col("e"), (x: Column) => x * x),
+        lit(0.0), (acc: Column, x: Column) => acc + x)))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // MinHash-LSH near-dup, exact-verified: equals dedup_neardup up to
+    // LSH recall (tested); at 100 TB this is the only tractable path.
+    "dedup_minhash" -> { (s, dir) =>
+      MinHash.nearDuplicates(shingleRows(s, dir), threshold = 0.6)
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    // SimHash fingerprints + banded Hamming pairs (exact for dist ≤ 3).
+    "dedup_simhash" -> { (s, dir) =>
+      SimHash.nearDuplicates(tokens(s, dir), maxDist = 3, bands = 4)
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    // Hyperplane-LSH approximate top-5 neighbours for queries vec_id<10.
+    "sim_ann" -> { (s, dir) =>
+      val n = normalized(s, dir)
+      Ann.lshTopK(n.filter(col("vec_id") < 10), n, k = 5)
+        .orderBy(col("qid"), col("rn"))
+    },
+
+    // Marker-lexicon language ID + token counts per document.
+    "text_langid" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("declared_lang"),
+          TextAnalysis.languageId(col("text")).as("guessed_lang"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_tokens_ws"),
+          TextAnalysis.tokenCountBpeIsh(col("text")).as("n_tokens_bpeish"),
+          TextAnalysis.fingerprint64(col("text")).as("fp64"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Multimodal metadata pipeline over a deterministic synthetic media
+    // table (no media fixture exists): decode → meta + frame sampling.
+    "multimodal_meta" -> { (s, _) =>
+      val media = Multimodal.synthetic(s, 64)
+      val meta = Multimodal.decodeMeta(media).toDF()
+      val frames = Multimodal.sampleFrames(media).toDF()
+        .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+      meta.join(frames, Seq("media_id"), "left")
+        .orderBy(col("media_id"))
+    }
+  )
+}

@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.{Ann, Multimodal, MinHash, SimHash}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Probabilistic scale-path operators vs their exact baselines on the
+  * sf0.001 fixtures (SURVEY.md §7.5: fixture-equality + recall bounds,
+  * not oracle hashes).
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def exactPairs = SparkEntry.queries("dedup_neardup")(spark, sf)
+    .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("MinHash-LSH near-dup equals the exact shingle-Jaccard result") {
+    val lsh = SparkEntry.queries("dedup_minhash")(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = exactPairs
+    // Exact verification kills false positives; recall at the fixtures'
+    // similarity level (≥0.9 Jaccard) is ~1 with 64 hashes / 16 bands.
+    assert(lsh == exact, s"lsh=$lsh exact=$exact")
+  }
+
+  test("SimHash: identical token multisets collide; near-dups are close") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),     // identical
+      (3L, "the quick brown fox leaps over the lazy dog"),     // 1 word off
+      (4L, "completely different content about spark engines turbines")
+    ).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val fp = SimHash.fingerprints(toks).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) < java.lang.Long.bitCount(fp(1L) ^ fp(4L)))
+    val pairs = SimHash.nearDuplicates(toks, maxDist = 3, bands = 4)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("hyperplane-LSH ANN reaches usable recall vs brute force") {
+    val brute = SparkEntry.queries("sim_topk")(spark, sf)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SparkEntry.queries("sim_ann")(spark, sf)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    // Deterministic given the fixed seed; bound is intentionally loose —
+    // the fixture vectors are near-uniform random, the adversarial case
+    // for hyperplane LSH (no cluster structure to exploit). Real corpora
+    // cluster, and recall rises with `tables`.
+    assert(recall >= 0.5, s"recall@5 = $recall")
+  }
+
+  test("multimodal stub pipeline: schema, meta decode, frame explosion") {
+    val media = Multimodal.synthetic(spark, 12)
+    val meta = Multimodal.decodeMeta(media).collect()
+    assert(meta.length == 12)
+    assert(meta.forall(m => m.width >= 64 && m.height >= 48 && m.sizeBytes == 48))
+    val resized = Multimodal.decodeMeta(Multimodal.resize(media, 320, 240)).collect()
+    assert(resized.forall(m => m.width == 320 && m.height == 240))
+    assert(resized.map(m => (m.media_id, m.durationMs)).sorted
+      .sameElements(meta.map(m => (m.media_id, m.durationMs)).sorted))
+    val frames = Multimodal.sampleFrames(media).collect()
+    assert(frames.nonEmpty && frames.forall(_.feature.length == 8))
+    // deterministic: same (id, idx) ⇒ same feature
+    val again = Multimodal.sampleFrames(media).collect()
+    assert(frames.sortBy(f => (f.media_id, f.frame_idx)).map(_.feature.toSeq).toSeq
+      == again.sortBy(f => (f.media_id, f.frame_idx)).map(_.feature.toSeq).toSeq)
+  }
+
+  test("language ID picks marker languages deterministically") {
+    import spark.implicits._
+    import graft.functions.TextAnalysis
+    val df = Seq(
+      "the cat is in the house and it is warm",
+      "el perro y la casa de los vecinos",
+      "le chat est dans la maison et les jardins",
+      "der hund ist nicht in das haus und",
+      "xyzzy plugh frobnicate").toDF("text")
+    val got = df.select(TextAnalysis.languageId(col("text"))).collect().map(_.getString(0))
+    assert(got.sameElements(Array("en", "es", "fr", "de", "und")))
+  }
+}
