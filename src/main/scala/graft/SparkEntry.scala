@@ -21,7 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Joins.queries ++ SetSort.queries ++
       Scalars.queries ++ Windows.queries ++ LlmOps.queries ++
-      ScaleOps.queries ++ Map(
+      ScaleOps.queries ++ EventTime.queries ++ Udx.queries ++ Map(
         // Reference-parity pipeline over the embedded fixture; nested CoT
         // structs are golden-file tested (no SQL oracle).
         "etl_dronesense_cot" -> ((s: SparkSession, _: String) =>
@@ -34,5 +34,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Joins.oracle ++ SetSort.oracle ++
-      Scalars.oracle ++ Windows.oracle ++ LlmOps.oracle
+      Scalars.oracle ++ Windows.oracle ++ LlmOps.oracle ++
+      EventTime.oracle ++ Udx.oracle
 }

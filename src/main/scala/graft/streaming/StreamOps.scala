@@ -1,0 +1,36 @@
+package graft.streaming
+
+import graft.queries.EventTime
+import org.apache.spark.sql.DataFrame
+
+/** Structured-Streaming forms of the event-time operators (SURVEY.md §2.3
+  * `stream_ingest`, `stream_late_data`, `stream_dedup`).
+  *
+  * The transforms are the SAME functions the batch oracle checks
+  * ([[EventTime.tumblingHourly]], [[EventTime.sessions]]) — batch and
+  * streaming share one code path, so t2 indirectly covers the streaming
+  * logic (SURVEY.md §7.5 item 4). A micro-batch here ≙ one scheduled
+  * invocation of the reference connector (task.ts:87).
+  */
+object StreamOps {
+  /** One event row — the streaming-side schema of the events table. */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  /** Watermarked tumbling 1-hour aggregation (append-mode capable). */
+  def tumblingWithWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    EventTime.tumblingHourly(events.withWatermark("ts", watermark))
+
+  /** Tumbling aggregation without watermark — for complete-mode
+    * batch-equivalence checks.
+    */
+  def tumbling(events: DataFrame): DataFrame = EventTime.tumblingHourly(events)
+
+  /** Watermarked session windows per user. */
+  def sessionsWithWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    EventTime.sessions(events.withWatermark("ts", watermark))
+
+  /** Stateful streaming dedup on event_id, state bounded by watermark. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+}

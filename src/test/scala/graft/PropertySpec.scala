@@ -1,0 +1,71 @@
+package graft
+
+import graft.functions.Geo
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests (SURVEY.md §5.5): geo invariants, Jaccard bounds,
+  * sketch error bound — checked through the same column expressions the
+  * engine ships. Inputs are drawn from a fixed-seed generator (the
+  * offline dependency set has no scalatest↔scalacheck bridge, so sampling
+  * is done directly — same coverage, deterministic).
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Evaluate the two geo expressions on a literal coordinate pair. */
+  private def geo(lat1: Double, lon1: Double, lat2: Double, lon2: Double): (Double, Double) = {
+    val row = spark.range(1).select(
+      Geo.initialBearing(lit(lat1), lit(lon1), lit(lat2), lit(lon2)).as("b"),
+      Geo.haversineMeters(lit(lat1), lit(lon1), lit(lat2), lit(lon2)).as("d"))
+      .head()
+    (row.getDouble(0), row.getDouble(1))
+  }
+
+  test("bearing ∈ [0,360); distance ≥ 0, symmetric, zero at identity") {
+    val rnd = new scala.util.Random(42)
+    (1 to 30).foreach { _ =>
+      val lat1 = rnd.nextDouble() * 179.8 - 89.9
+      val lat2 = rnd.nextDouble() * 179.8 - 89.9
+      val lon1 = rnd.nextDouble() * 360 - 180
+      val lon2 = rnd.nextDouble() * 360 - 180
+      val (b, d) = geo(lat1, lon1, lat2, lon2)
+      val (_, dRev) = geo(lat2, lon2, lat1, lon1)
+      assert(b >= 0 && b < 360, s"bearing $b for ($lat1,$lon1)->($lat2,$lon2)")
+      assert(d >= 0)
+      assert(math.abs(d - dRev) <= 1e-6 * math.max(1, d)) // symmetry
+    }
+    val (_, dSelf) = geo(12.34, 56.78, 12.34, 56.78)
+    assert(dSelf == 0.0)
+  }
+
+  test("antipodal distance ≈ πR; equator quarter-turn bearing = 90°") {
+    val (_, dAnti) = geo(0, 0, 0, 180)
+    assert(math.abs(dAnti - math.Pi * Geo.EarthRadiusM) < 1.0)
+    val (b, _) = geo(0, 0, 0, 90)
+    assert(math.abs(b - 90.0) < 1e-9)
+  }
+
+  test("near-dup Jaccard values lie in (0,1] and pairs are ordered") {
+    val rows = SparkEntry.queries("dedup_neardup")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val j = r.getDouble(2)
+      assert(j > 0 && j <= 1)
+    }
+  }
+
+  test("approx_count_distinct stays within its 5% bound on orders") {
+    val row = SparkEntry.queries("approx_distinct")(spark, "/root/testdata/sf0.01").head()
+    assert(row.getBoolean(2),
+      s"approx=${row.getLong(0)} exact=${row.getLong(1)} outside 5%")
+  }
+}

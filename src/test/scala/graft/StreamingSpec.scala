@@ -1,0 +1,130 @@
+package graft
+
+import graft.queries.EventTime
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming harness (SURVEY.md §5.4): MemoryStream-driven runs of the
+  * SAME transforms the batch oracle checks, plus watermark/late-data and
+  * stateful-dedup behaviour that only exists in streaming.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
+  private def withQuery[T](q: StreamingQuery)(body: => T): T =
+    try body finally q.stop()
+
+  test("stream_ingest: streamed tumbling aggregation equals the batch run") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batchDf = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val rows = batchDf.as[Event].collect()
+
+    val input = MemoryStream[Event]
+    val q = StreamOps.tumbling(input.toDF())
+      .writeStream.format("memory").queryName("stream_ingest_out")
+      .outputMode("complete").start()
+    withQuery(q) {
+      // three micro-batches ≙ three scheduled invocations
+      rows.grouped(math.max(1, rows.length / 3)).foreach(chunk => input.addData(chunk.toSeq))
+      q.processAllAvailable()
+      val streamed = spark.table("stream_ingest_out")
+        .orderBy("wstart").collect().map(_.toSeq).toSeq
+      val batch = EventTime.tumblingHourly(batchDf)
+        .orderBy("wstart").collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+    }
+  }
+
+  test("stream_ingest: streamed session windows equal the batch run") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batchDf = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val rows = batchDf.as[Event].collect()
+
+    val input = MemoryStream[Event]
+    val q = EventTime.sessions(input.toDF())
+      .writeStream.format("memory").queryName("stream_sessions_out")
+      .outputMode("complete").start()
+    withQuery(q) {
+      input.addData(rows.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_sessions_out")
+        .orderBy("user_id", "session_start").collect().map(_.toSeq).toSeq
+      val batch = EventTime.sessions(batchDf)
+        .orderBy("user_id", "session_start").collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+    }
+  }
+
+  test("stream_late_data: events behind the watermark are dropped (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.tumblingWithWatermark(input.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    withQuery(q) {
+      // window [10:00, 11:00): two on-time events
+      input.addData(Seq(
+        Event(1, ts("2024-01-01 10:05:00"), 1, "view", 1.0),
+        Event(2, ts("2024-01-01 10:40:00"), 1, "view", 2.0)))
+      q.processAllAvailable()
+      // advance watermark past 11:00 (max ts 11:30 − 10 min = 11:20)
+      input.addData(Seq(Event(3, ts("2024-01-01 11:30:00"), 1, "view", 3.0)))
+      q.processAllAvailable()
+      // late event for the already-closed 10:00 window → must be dropped
+      input.addData(Seq(Event(4, ts("2024-01-01 10:15:00"), 1, "view", 99.0)))
+      q.processAllAvailable()
+      // flush: push watermark far ahead so the 11:00 window also emits
+      input.addData(Seq(Event(5, ts("2024-01-01 13:00:00"), 1, "view", 5.0)))
+      q.processAllAvailable()
+
+      val out = spark.table("late_out")
+        .select(col("wstart").cast("string"), col("n"), col("total").cast("string"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+
+      // 10:00 window: ONLY the two on-time events — the late 99.0 is gone.
+      assert(out("2024-01-01 10:00:00") == ((2L, "3.00")))
+      // 11:00 window: the 11:30 event; late event created no resurrection.
+      assert(out("2024-01-01 11:00:00") == ((1L, "3.00")))
+    }
+  }
+
+  test("stream_dedup: dropDuplicatesWithinWatermark keeps first arrival only") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.dedupWithinWatermark(input.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    withQuery(q) {
+      input.addData(Seq(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+        Event(1, ts("2024-01-01 10:00:30"), 1, "view", 1.0), // same batch dup
+        Event(2, ts("2024-01-01 10:01:00"), 1, "view", 2.0)))
+      q.processAllAvailable()
+      input.addData(Seq(
+        Event(2, ts("2024-01-01 10:02:00"), 1, "view", 2.0), // cross-batch dup
+        Event(3, ts("2024-01-01 10:03:00"), 1, "view", 3.0)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    }
+  }
+}
