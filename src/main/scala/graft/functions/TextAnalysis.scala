@@ -21,8 +21,15 @@ object TextAnalysis {
   /** Language guess from marker-word hits; deterministic tiebreak by the
     * declaration order above ("und" = no hits at all).
     */
-  def languageId(text: Column): Column = {
-    val toks = split(lower(text), "\\s+")
+  def languageId(text: Column): Column =
+    languageIdTokens(split(lower(text), "\\s+"))
+
+  /** [[languageId]] over a pre-tokenised column. Higher-order functions
+    * are CodegenFallback, so callers scoring many languages should
+    * materialise the token array ONCE in a projection and pass it here —
+    * otherwise every language's filter re-runs the regex split.
+    */
+  def languageIdTokens(toks: Column): Column = {
     val scores = Markers.map { case (lang, words) =>
       lang -> size(filter(toks, (t: Column) => t.isInCollection(words)))
     }

@@ -73,16 +73,18 @@ object MinHash {
   def nearDuplicates(shingles: DataFrame, threshold: Double,
                      numHashes: Int = 64, bands: Int = 16,
                      seed: Long = 42L): DataFrame = {
-    val cand = lshCandidates(signatures(shingles, numHashes, seed), bands)
-    val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // Restrict the shingle self-join to LSH candidates (semi-join pushes
-    // the candidate filter below the wide join).
-    val sh1 = shingles.select(col("doc_id").as("d1"), col("s"))
-      .join(cand.select("d1").distinct(), Seq("d1"), "left_semi")
-    val sh2 = shingles.select(col("doc_id").as("d2"), col("s"))
-      .join(cand.select("d2").distinct(), Seq("d2"), "left_semi")
-    val inter = sh1.join(sh2, Seq("s"))
-      .join(cand, Seq("d1", "d2"), "left_semi")
+    // The shingle relation feeds signatures, sizes AND verification —
+    // persist it once instead of re-running split/explode/distinct per
+    // consumer (lineage recomputation, not correctness, is the cost).
+    val sh = shingles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = lshCandidates(signatures(sh, numHashes, seed), bands)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // Verify candidates by expanding ONLY candidate pairs' shingles:
+    // cand ⋈ d1-shingles, then an equi-join on (d2, s) counts the
+    // intersection — the full shingle self-join never materialises.
+    val inter = cand
+      .join(sh.select(col("doc_id").as("d1"), col("s")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("i"))
     inter

@@ -101,16 +101,42 @@ object LlmOps {
     },
 
     // -- embedding-cosine near-dup -----------------------------------------
+    // All-pairs is inherently O(n²); the declarative BNL-join version
+    // spends its time in per-pair interpreted lambda evaluation (48 s at
+    // sf0.1). This is the one genuine per-partition-imperative case
+    // (SURVEY.md §1.3): broadcast the (small) vector table once and do
+    // primitive-double dot products partition-locally — same left-to-right
+    // summation order as the SQL fold, so results are bit-identical.
+    // At 100 TB the brute-force op is only for bounded slices; `sim_ann`
+    // (LSH) is the unbounded-scale path.
     "dedup_embed" -> { (s, dir) =>
+      import s.implicits._
       val n = normalized(s, dir)
-      val a = n.select(col("vec_id").as("v1"), col("e").as("e1"),
-        col("norm").as("norm1"), col("label").as("label1"))
-      val b = n.select(col("vec_id").as("v2"), col("e").as("e2"),
-        col("norm").as("norm2"), col("label").as("label2"))
-      a.join(b, col("v1") < col("v2"))
-        .withColumn("c", round(dot(col("e1"), col("e2")) / (col("norm1") * col("norm2")), 6))
-        .filter(col("c") >= 0.45)
-        .select(col("v1"), col("v2"), col("c"), col("label1"), col("label2"))
+      val vecs = n.select(col("vec_id"), col("label"), col("e"), col("norm"))
+        .as[(Long, Int, Array[Double], Double)]
+      val all = vecs.collect().sortBy(_._1)
+      val bc = s.sparkContext.broadcast(all)
+      val pairs = vecs.mapPartitions { it =>
+        val others = bc.value
+        it.flatMap { case (v1, label1, e1, norm1) =>
+          // binary search to the first id > v1 (others sorted by vec_id)
+          var lo = 0
+          var hi = others.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (others(mid)._1 <= v1) lo = mid + 1 else hi = mid
+          }
+          others.iterator.drop(lo).flatMap { case (v2, label2, e2, norm2) =>
+            var acc = 0.0
+            var i = 0
+            while (i < e1.length) { acc += e1(i) * e2(i); i += 1 }
+            val c = BigDecimal(acc / (norm1 * norm2))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (c >= 0.45) Some((v1, v2, c, label1, label2)) else None
+          }
+        }
+      }
+      pairs.toDF("v1", "v2", "c", "label1", "label2")
         .orderBy(col("v1"), col("v2"))
     },
 

@@ -63,12 +63,15 @@ object ScaleOps {
         .orderBy(col("qid"), col("rn"))
     },
 
-    // Marker-lexicon language ID + token counts per document.
+    // Marker-lexicon language ID + token counts per document. Tokens are
+    // materialised once — the language scorers are CodegenFallback HOFs
+    // and must not each re-run the regex split.
     "text_langid" -> { (s, dir) =>
       Tables(s, dir, "documents")
+        .withColumn("toks", split(lower(col("text")), "\\s+"))
         .select(col("doc_id"), col("lang").as("declared_lang"),
-          TextAnalysis.languageId(col("text")).as("guessed_lang"),
-          TextAnalysis.tokenCountWs(col("text")).as("n_tokens_ws"),
+          TextAnalysis.languageIdTokens(col("toks")).as("guessed_lang"),
+          size(filter(col("toks"), (t: Column) => t =!= "")).as("n_tokens_ws"),
           TextAnalysis.tokenCountBpeIsh(col("text")).as("n_tokens_bpeish"),
           TextAnalysis.fingerprint64(col("text")).as("fp64"))
         .orderBy(col("doc_id"))

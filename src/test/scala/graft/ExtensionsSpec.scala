@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.Geo
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The injected SQL functions must agree exactly with the Column-API geo
+  * expressions (same built-in math nodes underneath) and stay inside
+  * whole-stage codegen.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .withExtensions(new GraftExtensions)
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("haversine_m / initial_bearing SQL functions match the Column API") {
+    val rows = spark.sql(
+      """SELECT haversine_m(38.8895, -77.0353, 51.5007, -0.1246) AS d,
+        |       initial_bearing(38.8895, -77.0353, 51.5007, -0.1246) AS b""".stripMargin)
+      .head()
+    val viaColumns = spark.range(1).select(
+      Geo.haversineMeters(lit(38.8895), lit(-77.0353), lit(51.5007), lit(-0.1246)).as("d"),
+      Geo.initialBearing(lit(38.8895), lit(-77.0353), lit(51.5007), lit(-0.1246)).as("b"))
+      .head()
+    assert(rows.getDouble(0) == viaColumns.getDouble(0))
+    assert(rows.getDouble(1) == viaColumns.getDouble(1))
+    // sanity: DC → London is ~5.9 Mm at bearing ~51°
+    assert(math.abs(rows.getDouble(0) - 5.9e6) < 2e5)
+    assert(rows.getDouble(1) > 40 && rows.getDouble(1) < 60)
+  }
+
+  test("injected functions run over table columns inside codegen") {
+    val df = spark.range(100).selectExpr(
+      "id",
+      "haversine_m(CAST(id % 80 AS DOUBLE), CAST(id % 170 AS DOUBLE), 0.0, 0.0) AS d",
+      "initial_bearing(CAST(id % 80 AS DOUBLE), CAST(id % 170 AS DOUBLE), 0.0, 0.0) AS b")
+    // Whole-stage codegen renders as a `*(stage)` prefix in the simple
+    // plan string.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"no codegen span:\n$plan")
+    val rows = df.collect()
+    assert(rows.forall(r => r.getDouble(1) >= 0))
+    assert(rows.forall(r => r.getDouble(2) >= 0 && r.getDouble(2) < 360))
+  }
+}
