@@ -46,11 +46,11 @@ object Ann {
     * need (id, e, norm); queries should be small enough to broadcast.
     */
   def bruteTopK(queries: DataFrame, data: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("vec_id").as("qid"),
-      col("e").as("qe"), col("norm").as("qnorm")))
+    graft.functions.CosineSimilarity.register(queries.sparkSession)
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("e").as("qe")))
     val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("vec_id").asc)
     q.join(data, col("vec_id") =!= col("qid"))
-      .withColumn("c", round(dot(col("qe"), col("e")) / (col("qnorm") * col("norm")), 5))
+      .withColumn("c", round(graft.functions.CosineSimilarity(col("qe"), col("e")), 5))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("rn"), col("vec_id"), col("c"))
@@ -62,18 +62,19 @@ object Ann {
   def lshTopK(queries: DataFrame, data: DataFrame, k: Int,
               tables: Int = 16, planesPerTable: Int = 5, dim: Int = 64,
               seed: Long = 42L): DataFrame = {
+    graft.functions.CosineSimilarity.register(queries.sparkSession)
     val qb = bucketKeys(queries, tables, planesPerTable, dim, seed)
       .select(col("vec_id").as("qid"), col("e").as("qe"),
-        col("norm").as("qnorm"), col("table"), col("bucket"))
+        col("table"), col("bucket"))
     val db = bucketKeys(data, tables, planesPerTable, dim, seed)
-      .select(col("vec_id"), col("e"), col("norm"), col("table"), col("bucket"))
+      .select(col("vec_id"), col("e"), col("table"), col("bucket"))
     val cand = qb.join(db, Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("qid"))
-      .select("qid", "qe", "qnorm", "vec_id", "e", "norm")
+      .select("qid", "qe", "vec_id", "e")
       .dropDuplicates("qid", "vec_id")
     val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("vec_id").asc)
     cand
-      .withColumn("c", round(dot(col("qe"), col("e")) / (col("qnorm") * col("norm")), 5))
+      .withColumn("c", round(graft.functions.CosineSimilarity(col("qe"), col("e")), 5))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("rn"), col("vec_id"), col("c"))

@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("initial_bearing"),
       new ExpressionInfo(getClass.getName, "initial_bearing"),
       (args: Seq[Expression]) => bearingTree(args)))
+    e.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[graft.functions.CosineSimilarity].getName, "cosine_sim"),
+      (args: Seq[Expression]) => graft.functions.CosineSimilarity(args(0), args(1))))
   }
 }
 

@@ -1,0 +1,215 @@
+package graft.queries
+
+import graft.{Oracle, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second-wave coverage (SURVEY.md §2.3 extension rows): exact
+  * percentiles, first/last/nth window values, conditional scalars,
+  * bitwise scalars, cross join, SQL-text subqueries, character-n-gram
+  * near-dup and n-gram counting.
+  */
+object Extra {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** doc_id + distinct lowercase character 4-grams. */
+  private def charGrams(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .filter(length(col("t")) >= 4)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), length(col("t")) - 3),
+          i => col("t").substr(i, lit(4)))).as("s"))
+      .distinct()
+
+  val queries: Map[String, Q] = Map(
+    // -- exact percentiles (sort-based; interpolating like SQL
+    //    PERCENTILE_CONT) -------------------------------------------------
+    "agg_percentile" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("price_p25"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // -- first/last/nth window values --------------------------------------
+    "win_first_last" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          first(Oracle.dec(col("o_totalprice"))).over(w).as("first_price"),
+          last(Oracle.dec(col("o_totalprice"))).over(w).as("last_price"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    },
+
+    // -- conditional scalars -----------------------------------------------
+    "fn_cond" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 300000, "big")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("small").as("size_class"),
+          nullif(col("o_orderstatus"), lit("O")).as("non_open_status"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_or_open"),
+          least(Oracle.dec(col("o_totalprice")), lit(150000).cast(Oracle.Money)).as("capped"),
+          greatest(Oracle.dec(col("o_totalprice")), lit(1000).cast(Oracle.Money)).as("floored"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // -- bitwise scalars ----------------------------------------------------
+    "fn_bitwise" -> { (s, dir) =>
+      Tables(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          (col("p_size").bitwiseAND(lit(12))).cast("int").as("band"),
+          (col("p_size").bitwiseOR(lit(5))).cast("int").as("bor"),
+          (col("p_size").bitwiseXOR(lit(21))).cast("int").as("bxor"),
+          shiftleft(col("p_size"), 2).cast("int").as("shl"),
+          shiftright(col("p_size"), 1).cast("int").as("shr"),
+          call_function("bit_count", col("p_size")).cast("int").as("popcnt"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // -- cross join (explicit cartesian of two small dims) -------------------
+    "join_cross" -> { (s, dir) =>
+      Tables(s, dir, "region").crossJoin(Tables(s, dir, "nation"))
+        .select(col("r_regionkey"), col("r_name"), col("n_nationkey"), col("n_name"))
+        .orderBy(col("r_regionkey"), col("n_nationkey"))
+    },
+
+    // -- SQL-text path with scalar + correlated subqueries -------------------
+    // Exercises spark.sql() end to end: the engine accepts the same SQL a
+    // reference user would write.
+    "sql_subquery" -> { (s, dir) =>
+      Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c_custkey, c_name,
+          |       CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+          |FROM customer_v
+          |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer_v)
+          |  AND EXISTS (SELECT 1 FROM orders_v
+          |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // -- character-n-gram Jaccard near-dup (n-gram flavour of
+    //    dedup_neardup; robust to tokenisation differences) ---------------
+    "dedup_ngram" -> { (s, dir) =>
+      val g = charGrams(s, dir)
+      val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = g.alias("a")
+        .join(g.alias("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+        .withColumn("jac", round(col("i") / (col("n1") + col("n2") - col("i")), 6))
+        .filter(col("jac") >= 0.6)
+        .select(col("d1"), col("d2"), col("jac"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    // -- top character trigrams ---------------------------------------------
+    "text_ngram" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(lower(col("text")).as("t"))
+        .filter(length(col("t")) >= 3)
+        .select(explode(transform(
+          sequence(lit(1), length(col("t")) - 2),
+          i => col("t").substr(i, lit(3)))).as("gram"))
+        .groupBy(col("gram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram").asc)
+        .limit(20)
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 4) AS p50,
+        |ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity), 4) AS p90,
+        |ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS price_p25
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "win_first_last" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |FIRST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS first_price,
+        |LAST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS last_price,
+        |NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "fn_cond" ->
+      """SELECT o_orderkey,
+        |CASE WHEN o_totalprice > 300000 THEN 'big'
+        |     WHEN o_totalprice > 100000 THEN 'mid'
+        |     ELSE 'small' END AS size_class,
+        |NULLIF(o_orderstatus, 'O') AS non_open_status,
+        |COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+        |LEAST(CAST(o_totalprice AS DECIMAL(18,2)), CAST(150000 AS DECIMAL(18,2))) AS capped,
+        |GREATEST(CAST(o_totalprice AS DECIMAL(18,2)), CAST(1000 AS DECIMAL(18,2))) AS floored
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_bitwise" ->
+      """SELECT p_partkey,
+        |CAST(p_size & 12 AS INT) AS band,
+        |CAST(p_size | 5 AS INT) AS bor,
+        |CAST(xor(p_size, 21) AS INT) AS bxor,
+        |CAST(p_size << 2 AS INT) AS shl,
+        |CAST(p_size >> 1 AS INT) AS shr,
+        |CAST(bit_count(p_size) AS INT) AS popcnt
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+
+    "sql_subquery" ->
+      """SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+        |  AND EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "dedup_ngram" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, substring(lower(text), i, 4) s
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text) - 3)) i
+        |        FROM documents WHERE length(text) >= 4)),
+        |sizes AS (SELECT doc_id, COUNT(*) n FROM g GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id d1, b.doc_id d2, COUNT(*) i
+        |  FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, jac FROM (
+        |  SELECT d1, d2, ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) jac
+        |  FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+        |             JOIN sizes s2 ON d2 = s2.doc_id)
+        |WHERE jac >= 0.6 ORDER BY d1, d2""".stripMargin,
+
+    "text_ngram" ->
+      """SELECT gram, COUNT(*) AS n FROM (
+        |  SELECT substring(lower(text), i, 3) AS gram
+        |  FROM (SELECT text, unnest(generate_series(1, length(text) - 2)) i
+        |        FROM documents WHERE length(text) >= 3))
+        |GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin
+  )
+}

@@ -86,12 +86,14 @@ object LlmOps {
     // -- brute-force cosine top-k (ANN baseline) ---------------------------
     // Query side is tiny (vec_id < 10) → broadcast; ranking uses the
     // ROUNDED cosine + vec_id so rank assignment is engine-independent.
+    // Cosine runs through the codegen'd native expression (fused
+    // dot+norms loop) instead of interpreted HOF lambdas.
     "sim_topk" -> { (s, dir) =>
+      graft.functions.CosineSimilarity.register(s)
       val n = normalized(s, dir)
-      val q = broadcast(n.select(col("vec_id").as("qid"),
-        col("e").as("qe"), col("norm").as("qnorm")))
+      val q = broadcast(n.select(col("vec_id").as("qid"), col("e").as("qe")))
       val cos = q.join(n, col("vec_id") =!= col("qid") && col("qid") < 10)
-        .withColumn("c", round(dot(col("qe"), col("e")) / (col("qnorm") * col("norm")), 5))
+        .withColumn("c", round(graft.functions.CosineSimilarity(col("qe"), col("e")), 5))
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("vec_id").asc)
       cos.withColumn("rn", row_number().over(w))

@@ -35,6 +35,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows.getDouble(1) > 40 && rows.getDouble(1) < 60)
   }
 
+  test("cosine_sim native expression matches the fold-based formulation") {
+    val df = spark.sql(
+      """SELECT cosine_sim(CAST(array(1.0, 2.0, 3.0) AS ARRAY<DOUBLE>),
+        |                  CAST(array(3.0, 2.0, 1.0) AS ARRAY<DOUBLE>)) AS c""".stripMargin)
+    val got = df.head().getDouble(0)
+    val want = 10.0 / (math.sqrt(14.0) * math.sqrt(14.0)) // = 10/14
+    assert(got == want)
+    // identical vectors → exactly 1.0; orthogonal → exactly 0.0
+    assert(spark.sql("SELECT cosine_sim(CAST(array(1.0,0.0) AS ARRAY<DOUBLE>), CAST(array(1.0,0.0) AS ARRAY<DOUBLE>))")
+      .head().getDouble(0) == 1.0)
+    assert(spark.sql("SELECT cosine_sim(CAST(array(1.0,0.0) AS ARRAY<DOUBLE>), CAST(array(0.0,1.0) AS ARRAY<DOUBLE>))")
+      .head().getDouble(0) == 0.0)
+  }
+
   test("injected functions run over table columns inside codegen") {
     val df = spark.range(100).selectExpr(
       "id",
