@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.{AsOfJoin, Salt}
+import graft.sources.Formats
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-path join machinery and file-format surface: each alternative
+  * implementation must produce EXACTLY the baseline's rows, and the
+  * bucketed join must show a shuffle-free plan.
+  */
+class ScaleJoinSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      Files.createTempDirectory("graft-warehouse").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("sort-merge as-of join equals the window-based join_asof query") {
+    val events = Tables.events(spark, sf).select("event_id", "user_id", "ts")
+    val orders = Tables(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    // The parquet o_orderdate is TIMESTAMP_NTZ (timestamp[ms], not
+    // UTC-adjusted); the typed encoder yields TimestampType — cast for a
+    // type-identical comparison (values are UTC-naive on both paths).
+    val merge = AsOfJoin.eventsAsOfOrders(events, orders).toDF()
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp_ntz"))
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    val window = SparkEntry.queries("join_asof")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(merge.size == window.size)
+    assert(merge == window)
+  }
+
+  test("salted join returns exactly the plain join's rows") {
+    val li = Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity", "l_linenumber")
+    val o = Tables(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    val plain = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"))
+      .orderBy("l_orderkey").collect().map(_.toSeq).toSeq
+    val salted = Salt.saltedEquiJoin(li, o, "l_orderkey", "o_orderkey",
+        saltOn = col("l_orderkey") * 10000 + col("l_linenumber"), factor = 8)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"))
+      .orderBy("l_orderkey").collect().map(_.toSeq).toSeq
+    assert(salted == plain)
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    val o = Tables(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = Tables(spark, sf, "customer").select("c_custkey", "c_name")
+    o.write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_bucketed")
+    c.write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("customer_bucketed")
+    val joined = spark.sql(
+      """SELECT /*+ MERGE(o) */ c_custkey, count(*) AS n
+        |FROM orders_bucketed o JOIN customer_bucketed c
+        |  ON o.o_custkey = c.c_custkey
+        |GROUP BY c_custkey""".stripMargin)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() > 0)
+  }
+
+  test("csv/json/orc round-trip preserves data exactly") {
+    val orig = Tables(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    val want = orig.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    for (fmt <- Seq("orc", "csv", "json")) {
+      val dir = Files.createTempDirectory(s"graft-$fmt").toString + "/t"
+      Formats.write(orig, fmt, dir)
+      val got = Formats.read(spark, fmt, dir, orig.schema)
+        .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+      assert(got == want, s"$fmt round-trip diverged")
+    }
+  }
+}
