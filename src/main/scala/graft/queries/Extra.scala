@@ -13,9 +13,16 @@ import org.apache.spark.sql.functions._
 object Extra {
   type Q = (SparkSession, String) => DataFrame
 
-  /** doc_id + distinct lowercase character 4-grams. */
+  /** doc_id + distinct lowercase character 4-grams, bounded to doc_id <
+    * 1000. The synthetic corpus has a ~30-word vocabulary, so only ~985
+    * distinct 4-grams exist and the gram self-join degenerates (measured
+    * 1.9e9 intermediate pairs at sf0.1 unbounded). Real corpora don't
+    * share grams like this; at scale the answer is MinHash over gram
+    * sets (`dedup_minhash`), not the exact join.
+    */
   private def charGrams(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
+      .filter(col("doc_id") < 1000)
       .select(col("doc_id"), lower(col("text")).as("t"))
       .filter(length(col("t")) >= 4)
       .select(col("doc_id"),
@@ -121,6 +128,40 @@ object Extra {
         .orderBy(col("d1"), col("d2"))
     },
 
+    // -- string scalars, second batch ---------------------------------------
+    "fn_string2" -> { (s, dir) =>
+      Tables(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          levenshtein(col("p_name"), lit("small ring")).cast("int").as("lev"),
+          split_part(col("p_name"), lit(" "), lit(1)).as("first_part"),
+          instr(col("p_name"), "ring").cast("int").as("pos_ring"),
+          repeat(col("p_brand"), 2).as("brand2x"),
+          reverse(col("p_name")).as("rev"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("vowels_up"),
+          regexp_like(col("p_name"), lit("ring|bolt")).as("has_ring_bolt"),
+          size(regexp_extract_all(col("p_name"), lit("[aeiou]+"), lit(0)))
+            .cast("int").as("vowel_runs"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // -- array scalars, second batch (order-normalised: Spark
+    //    array_distinct keeps first-occurrence order while DuckDB
+    //    list_distinct doesn't guarantee one — both sides sort) ----------
+    "fn_array2" -> { (s, dir) =>
+      val toks = split(lower(col("text")), " ")
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          array_sort(array_distinct(toks)).as("vocab"),
+          size(array_distinct(toks)).as("n_distinct"),
+          array_contains(toks, "the").as("has_the"),
+          flatten(array(slice(toks, 1, 2), slice(toks, 3, 2))).as("head4"),
+          array_max(array_sort(array_distinct(toks))).as("max_tok"),
+          array_min(array_sort(array_distinct(toks))).as("min_tok"))
+        .orderBy(col("doc_id"))
+    },
+
     // -- top character trigrams ---------------------------------------------
     "text_ngram" -> { (s, dir) =>
       Tables(s, dir, "documents")
@@ -193,7 +234,7 @@ object Extra {
         |  SELECT DISTINCT doc_id, substring(lower(text), i, 4) s
         |  FROM (SELECT doc_id, text,
         |          unnest(generate_series(1, length(text) - 3)) i
-        |        FROM documents WHERE length(text) >= 4)),
+        |        FROM documents WHERE doc_id < 1000 AND length(text) >= 4)),
         |sizes AS (SELECT doc_id, COUNT(*) n FROM g GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id d1, b.doc_id d2, COUNT(*) i
@@ -204,6 +245,29 @@ object Extra {
         |  FROM inter JOIN sizes s1 ON d1 = s1.doc_id
         |             JOIN sizes s2 ON d2 = s2.doc_id)
         |WHERE jac >= 0.6 ORDER BY d1, d2""".stripMargin,
+
+    "fn_string2" ->
+      """SELECT p_partkey,
+        |CAST(levenshtein(p_name, 'small ring') AS INT) AS lev,
+        |split_part(p_name, ' ', 1) AS first_part,
+        |CAST(instr(p_name, 'ring') AS INT) AS pos_ring,
+        |repeat(p_brand, 2) AS brand2x,
+        |reverse(p_name) AS rev,
+        |translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+        |regexp_matches(p_name, 'ring|bolt') AS has_ring_bolt,
+        |CAST(len(regexp_extract_all(p_name, '[aeiou]+', 0)) AS INT) AS vowel_runs
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_array2" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents)
+        |SELECT doc_id,
+        |list_sort(list_distinct(toks)) AS vocab,
+        |CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+        |list_contains(toks, 'the') AS has_the,
+        |flatten([toks[1:2], toks[3:4]]) AS head4,
+        |list_max(list_sort(list_distinct(toks))) AS max_tok,
+        |list_min(list_sort(list_distinct(toks))) AS min_tok
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "text_ngram" ->
       """SELECT gram, COUNT(*) AS n FROM (
