@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbour — the
+  * coarse-quantisation alternative to hyperplane LSH ([[Ann]]):
+  * k-means-style cells, queries probe only the `nprobe` nearest cells.
+  *
+  * All DataFrame ops: centroid init is a deterministic hash-ordered
+  * sample; Lloyd iterations are (broadcast-join assign) → (posexplode +
+  * per-dimension mean) — each iteration is one shuffle of n·dim rows,
+  * run a fixed small number of times. At 100 TB you train centroids on a
+  * sample and only the single assign pass sees the full data.
+  */
+object Ivf {
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
+
+  /** Deterministic initial centroids: the `nlist` vectors with smallest
+    * xxhash64(vec_id) (a seedless, stable pseudo-random sample).
+    */
+  private def init(data: DataFrame, nlist: Int): DataFrame =
+    data.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nlist)
+      .select(monotonically_increasing_id().as("cell"), col("e").as("centroid"))
+
+  /** One Lloyd step: assign to nearest centroid, recompute means. */
+  private def step(data: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell").asc)
+    val assigned = data.crossJoin(broadcast(cents))
+      .withColumn("sim", cosine(col("e"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("e"))
+    assigned
+      .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"),
+        transform(col("pm"), (x: Column) => x.getField("m")).as("centroid"))
+  }
+
+  /** Train centroids: hash-sample init + `iters` Lloyd steps. */
+  def centroids(data: DataFrame, nlist: Int = 8, iters: Int = 2): DataFrame = {
+    graft.functions.CosineSimilarity.register(data.sparkSession)
+    var c = init(data, nlist)
+    (0 until iters).foreach(_ => c = step(data, c))
+    c
+  }
+
+  /** Assign every vector to its nearest cell. */
+  def assign(data: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell").asc)
+    data.crossJoin(broadcast(cents))
+      .withColumn("sim", cosine(col("e"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "sim", "centroid")
+  }
+
+  /** Per-query top-k over the union of the `nprobe` nearest cells. */
+  def topK(queries: DataFrame, data: DataFrame, k: Int,
+           nlist: Int = 8, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val cents = centroids(data, nlist, iters)
+    val indexed = assign(data, cents)
+    val wq = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cell").asc)
+    val probes = queries.select(col("vec_id").as("qid"), col("e").as("qe"))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", cosine(col("qe"), col("centroid")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qe"), col("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("vec_id").asc)
+    probes.join(indexed, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("c", round(cosine(col("qe"), col("e")), 5))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("vec_id"), col("c"))
+  }
+}

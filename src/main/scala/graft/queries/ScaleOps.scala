@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextAnalysis
-import graft.operators.{Ann, Multimodal, MinHash, SimHash}
+import graft.operators.{Ann, Ivf, Multimodal, MinHash, SimHash}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -60,6 +60,13 @@ object ScaleOps {
     "sim_ann" -> { (s, dir) =>
       val n = normalized(s, dir)
       Ann.lshTopK(n.filter(col("vec_id") < 10), n, k = 5)
+        .orderBy(col("qid"), col("rn"))
+    },
+
+    // IVF coarse-quantisation ANN: probe 4 of 8 cells per query.
+    "sim_ivf" -> { (s, dir) =>
+      val n = normalized(s, dir).select(col("vec_id"), col("e"))
+      Ivf.topK(n.filter(col("vec_id") < 10), n, k = 5)
         .orderBy(col("qid"), col("rn"))
     },
 

@@ -33,4 +33,31 @@ object StreamOps {
   /** Stateful streaming dedup on event_id, state bounded by watermark. */
   def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
+  /** Per-user cumulative totals emitted each micro-batch. */
+  case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom streaming state via `flatMapGroupsWithState` (the
+    * KeyValueGroupedDataset surface): per user, carry (count, sum) state
+    * across micro-batches and emit the updated running totals whenever
+    * the user appears in a batch. The state is two numbers per key —
+    * bounded by key cardinality, not event volume.
+    */
+  def runningUserTotals(events: org.apache.spark.sql.Dataset[Event])
+      : org.apache.spark.sql.Dataset[UserTotal] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), UserTotal](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0
+          var v = v0
+          batch.foreach { e => n += 1; v += e.value }
+          state.update((n, v))
+          Iterator.single(UserTotal(user, n, v))
+      }
+  }
 }

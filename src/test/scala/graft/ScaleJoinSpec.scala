@@ -54,6 +54,18 @@ class ScaleJoinSpec extends AnyFunSuite {
   }
 
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    // The suite may inherit another spec's session (getOrCreate), whose
+    // warehouse can hold orphaned locations from a previous JVM — clear
+    // both the catalog entries and the physical dirs.
+    for (t <- Seq("orders_bucketed", "customer_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+    }
     val o = Tables(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     val c = Tables(spark, sf, "customer").select("c_custkey", "c_name")
     o.write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
