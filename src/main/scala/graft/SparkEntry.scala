@@ -22,7 +22,7 @@ object SparkEntry {
     Relational.queries ++ Joins.queries ++ SetSort.queries ++
       Scalars.queries ++ Windows.queries ++ LlmOps.queries ++
       ScaleOps.queries ++ EventTime.queries ++ Udx.queries ++
-      Extra.queries ++ Map(
+      Extra.queries ++ Tpch.queries ++ Map(
         // Reference-parity pipeline over the embedded fixture; nested CoT
         // structs are golden-file tested (no SQL oracle).
         "etl_dronesense_cot" -> ((s: SparkSession, _: String) =>
@@ -36,5 +36,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Joins.oracle ++ SetSort.oracle ++
       Scalars.oracle ++ Windows.oracle ++ LlmOps.oracle ++
-      EventTime.oracle ++ Udx.oracle ++ Extra.oracle
+      EventTime.oracle ++ Udx.oracle ++ Extra.oracle ++ Tpch.oracle
 }

@@ -175,6 +175,20 @@ object DroneSense {
     rows.mkString("""{"type":"FeatureCollection","features":[""", ",", "]}")
   }
 
+  /** Streaming form of the pipeline (SURVEY.md §1.3: micro-batch ≙ one
+    * scheduled invocation of the reference, task.ts:87): watch a
+    * directory for JSON payload files, validate shape via the declared
+    * schema, run the SAME `toCot` transform. Drive with
+    * `.writeStream.foreachBatch { (batch, _) => sink(batch) }` — e.g. an
+    * [[HttpJson.sink]] POST per micro-batch, exactly the reference's
+    * submit cadence.
+    */
+  def streamFromJsonDir(spark: SparkSession, dir: String): DataFrame =
+    toCot(spark.readStream
+      .schema(droneSchema)
+      .option("multiLine", value = true)
+      .json(dir))
+
   /** The embedded test fixture (FIXTURES.md A1) as a DataFrame. */
   def fixture(spark: SparkSession): DataFrame = {
     val url = getClass.getResource("/graft/drones.json")

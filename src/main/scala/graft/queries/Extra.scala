@@ -14,7 +14,7 @@ object Extra {
   type Q = (SparkSession, String) => DataFrame
 
   /** doc_id + distinct lowercase character 4-grams, bounded to doc_id <
-    * 1000. The synthetic corpus has a ~30-word vocabulary, so only ~985
+    * 500 (= every doc at sf0.01, a fixed slice above). The synthetic corpus has a ~30-word vocabulary, so only ~985
     * distinct 4-grams exist and the gram self-join degenerates (measured
     * 1.9e9 intermediate pairs at sf0.1 unbounded). Real corpora don't
     * share grams like this; at scale the answer is MinHash over gram
@@ -22,7 +22,7 @@ object Extra {
     */
   private def charGrams(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
-      .filter(col("doc_id") < 1000)
+      .filter(col("doc_id") < 500)
       .select(col("doc_id"), lower(col("text")).as("t"))
       .filter(length(col("t")) >= 4)
       .select(col("doc_id"),
@@ -234,7 +234,7 @@ object Extra {
         |  SELECT DISTINCT doc_id, substring(lower(text), i, 4) s
         |  FROM (SELECT doc_id, text,
         |          unnest(generate_series(1, length(text) - 3)) i
-        |        FROM documents WHERE doc_id < 1000 AND length(text) >= 4)),
+        |        FROM documents WHERE doc_id < 500 AND length(text) >= 4)),
         |sizes AS (SELECT doc_id, COUNT(*) n FROM g GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id d1, b.doc_id d2, COUNT(*) i

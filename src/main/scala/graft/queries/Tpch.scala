@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.{Oracle, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TPC-H-shaped analytical pipelines adapted to the fixture schema —
+  * recognisable multi-join + aggregate + top-k workloads that exercise
+  * the whole optimizer path at once (join ordering, broadcast selection,
+  * partial aggregation, ordered limits). Q1's shape is `agg_pricing`.
+  */
+object Tpch {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Q3 shape: shipping-priority revenue for one segment, top 10.
+    "tpch_q3" -> { (s, dir) =>
+      val cutoff = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+      Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < cutoff)
+        .join(Tables(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > cutoff)
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(Oracle.revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    },
+
+    // Q5 shape: revenue per nation where the supplying and buying
+    // nations match, one region, one year — the 6-table join.
+    "tpch_q5" -> { (s, dir) =>
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        .join(Tables(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey") && col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(sum(Oracle.revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    },
+
+    // Q10 shape: revenue lost to returned items per customer, top 20.
+    "tpch_q10" -> { (s, dir) =>
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-07-01 00:00:00")))
+        .join(Tables(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey") && col("l_returnflag") === "R")
+        .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .agg(sum(Oracle.revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    },
+
+    // RANGE frame (value-based, vs win_frame's ROWS): running order count
+    // and decimal sum over a 1000-wide totalprice band per segment.
+    "win_range_frame" -> { (s, dir) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("totalprice_d"))
+        .rangeBetween(-1000L, 0L)
+      Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment"),
+          col("o_totalprice").as("totalprice_d"))
+        .withColumn("n_band", count(lit(1)).over(w))
+        .withColumn("band_sum",
+          sum(Oracle.dec(col("totalprice_d"))).over(w))
+        .select(col("o_orderkey"), col("c_mktsegment"),
+          Oracle.dec(col("totalprice_d")).as("totalprice"),
+          col("n_band"), col("band_sum"))
+        .transform(Oracle.totalOrder)
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "tpch_q3" ->
+      s"""SELECT o_orderkey, o_orderdate,
+         |SUM(${Oracle.revenueSql("l_extendedprice", "l_discount")}) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY o_orderkey, o_orderdate
+         |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "tpch_q5" ->
+      s"""SELECT n_name,
+         |SUM(${Oracle.revenueSql("l_extendedprice", "l_discount")}) AS revenue,
+         |COUNT(*) AS n_lines
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "tpch_q10" ->
+      s"""SELECT c_custkey, c_name, c_mktsegment,
+         |SUM(${Oracle.revenueSql("l_extendedprice", "l_discount")}) AS revenue,
+         |COUNT(*) AS n_items
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+         |GROUP BY c_custkey, c_name, c_mktsegment
+         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "win_range_frame" ->
+      """SELECT o_orderkey, c_mktsegment,
+        |CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+        |COUNT(*) OVER w AS n_band,
+        |SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS band_sum
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice
+        |             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey, c_mktsegment, totalprice, n_band, band_sum""".stripMargin
+  )
+}

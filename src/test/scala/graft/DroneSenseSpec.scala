@@ -83,6 +83,26 @@ class DroneSenseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { DroneSense.validate(bad) }
   }
 
+  test("streaming pipeline over a watched dir equals the batch transform") {
+    val dir = java.nio.file.Files.createTempDirectory("drones-stream").toString
+    // Stage the fixture payload as one file in the watched directory.
+    val payload = scala.io.Source.fromURL(
+      getClass.getResource("/graft/drones.json"), "UTF-8").mkString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "batch1.json"), payload)
+
+    val q = DroneSense.streamFromJsonDir(spark, dir)
+      .writeStream.format("memory").queryName("cot_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("cot_stream").orderBy(col("id"))
+      val batch = DroneSense.toCot(DroneSense.fixture(spark)).orderBy(col("id"))
+      assert(DroneSense.toFeatureCollectionJson(streamed)
+        == DroneSense.toFeatureCollectionJson(batch))
+    } finally q.stop()
+  }
+
   test("only the first truthy rtsp sensor feeds video; empty string is falsy") {
     val cot = DroneSense.toCot(DroneSense.fixture(spark)).orderBy(col("id"))
     val rows = cot.select(col("id"), col("properties.video.url").as("u")).collect()
