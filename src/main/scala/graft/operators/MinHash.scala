@@ -35,7 +35,12 @@ object MinHash {
     * Input: (doc_id, s) distinct shingle rows.
     */
   def signatures(shingles: DataFrame, numHashes: Int = 64, seed: Long = 42L): DataFrame = {
-    val h32 = xxhash64(col("s")).bitwiseAND(lit(0xFFFFFFFFL))
+    // Pre-hashed long shingles (the cheap-shuffle path) skip the rehash.
+    val isPreHashed = shingles.schema("s").dataType ==
+      org.apache.spark.sql.types.LongType
+    val h32 =
+      (if (isPreHashed) col("s") else xxhash64(col("s")))
+        .bitwiseAND(lit(0xFFFFFFFFL))
     val mins = coeffs(numHashes, seed).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(h32 * lit(a) + lit(b), lit(Prime))).as(s"m$i")
     }
@@ -76,6 +81,10 @@ object MinHash {
     // The shingle relation feeds signatures, sizes AND verification —
     // persist it once instead of re-running split/explode/distinct per
     // consumer (lineage recomputation, not correctness, is the cost).
+    // The cache lives until the ContextCleaner collects it (the returned
+    // DataFrame is lazy, so an eager unpersist here would defeat it);
+    // callers looping this in one long session should cache shingles
+    // themselves and pass the cached relation in.
     val sh = shingles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidates(signatures(sh, numHashes, seed), bands)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

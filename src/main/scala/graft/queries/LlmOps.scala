@@ -23,8 +23,12 @@ object LlmOps {
   private val stopSqlList: String =
     Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
-  /** doc_id + distinct lowercase 3-gram word shingles ("a b c"). */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, lowercase 3-gram word shingle) rows, NOT deduplicated —
+    * the ONE tokenisation both the exact path ([[shingles]]) and the
+    * MinHash path (ScaleOps `dedup_minhash`, which distincts on 64-bit
+    * hashes instead of strings) derive from, so the two can never drift.
+    */
+  private[queries] def shingleRowsRaw(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables(s, dir, "documents")
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
     toks.filter(size(col("t")) >= 3)
@@ -35,8 +39,11 @@ object LlmOps {
             element_at(col("t"), i),
             element_at(col("t"), i + lit(1)),
             element_at(col("t"), i + lit(2))))).as("s"))
-      .distinct()
   }
+
+  /** doc_id + distinct lowercase 3-gram word shingles ("a b c"). */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shingleRowsRaw(s, dir).distinct()
 
   /** Embedding as double array + its L2 norm (computed once per vector —
     * pairwise joins then only need the dot product).

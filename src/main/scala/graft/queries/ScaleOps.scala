@@ -19,19 +19,6 @@ object ScaleOps {
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
       .filter(col("w") =!= "")
 
-  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables(s, dir, "documents")
-      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
-    toks.filter(size(col("t")) >= 3)
-      .select(col("doc_id"),
-        explode(transform(
-          sequence(lit(1), size(col("t")) - 2),
-          i => concat_ws(" ",
-            element_at(col("t"), i),
-            element_at(col("t"), i + lit(1)),
-            element_at(col("t"), i + lit(2))))).as("s"))
-      .distinct()
-  }
 
   private def normalized(s: SparkSession, dir: String): DataFrame = {
     val e = transform(col("embedding"), (x: Column) => x.cast("double"))
@@ -45,8 +32,15 @@ object ScaleOps {
   val queries: Map[String, Q] = Map(
     // MinHash-LSH near-dup, exact-verified: equals dedup_neardup up to
     // LSH recall (tested); at 100 TB this is the only tractable path.
+    // Shingles are hashed to 64-bit BEFORE the distinct: every shuffle
+    // (distinct, sizes, verification join) then moves 8-byte keys
+    // instead of ~30-byte strings. Jaccard over hashed shingles equals
+    // string Jaccard up to 64-bit collisions (~n²/2^64 — negligible).
     "dedup_minhash" -> { (s, dir) =>
-      MinHash.nearDuplicates(shingleRows(s, dir), threshold = 0.6)
+      val hashedShingles = LlmOps.shingleRowsRaw(s, dir)
+        .select(col("doc_id"), xxhash64(col("s")).as("s"))
+        .distinct()
+      MinHash.nearDuplicates(hashedShingles, threshold = 0.6)
         .orderBy(col("d1"), col("d2"))
     },
 
