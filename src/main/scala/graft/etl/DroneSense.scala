@@ -59,13 +59,29 @@ object DroneSense {
   def readJson(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(droneSchema).option("multiLine", value = true).json(path)
 
-  /** Parse an in-memory JSON payload (e.g. fetched by [[HttpJson]]). */
+  /** Parse an in-memory JSON payload (e.g. fetched by [[HttpJson]]).
+    * A malformed payload FAILS LOUDLY: `from_json` alone would return
+    * null → explode to zero rows, i.e. silent data loss on a corrupt
+    * upstream response (the reference's `.typed` also throws,
+    * task.ts:119-121).
+    */
   def parseJson(spark: SparkSession, payload: String): DataFrame = {
     import spark.implicits._
+    // The declared relation is an ARRAY of records (task.ts:119).
+    // from_json would silently wrap a single JSON object into a
+    // one-element array, so the shape is asserted explicitly.
+    if (!payload.trim.startsWith("[")) {
+      throw new IllegalArgumentException(
+        s"malformed DroneSense payload (not a JSON array): ${payload.take(120)}")
+    }
+    val parsed = spark.createDataset(Seq(payload))
+      .select(from_json(col("value"), ArrayType(droneSchema)).as("arr"))
+    if (parsed.filter(col("arr").isNull).limit(1).count() > 0) {
+      throw new IllegalArgumentException(
+        s"malformed DroneSense payload (unparseable JSON): ${payload.take(120)}")
+    }
     // One top-level array → explode to one record per row, then decode.
-    spark.createDataset(Seq(payload))
-      .select(explode(from_json(col("value"), ArrayType(droneSchema))).as("r"))
-      .select(col("r.*"))
+    parsed.select(explode(col("arr")).as("r")).select(col("r.*"))
   }
 
   /** Strict schema validation ≙ `droneres.typed(...)` (task.ts:119-121):

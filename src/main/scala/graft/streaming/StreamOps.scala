@@ -37,6 +37,45 @@ object StreamOps {
   /** Per-user cumulative totals emitted each micro-batch. */
   case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
+  /** Spark 4 `transformWithState` form of [[runningUserTotals]]: the
+    * arbitrary-state API with named, schema-evolvable state variables
+    * (requires the RocksDB state store provider). Same semantics as the
+    * flatMapGroupsWithState version — both are tested to agree.
+    */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTotal] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var state: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)]("totals",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[UserTotal] = {
+      val (n0, v0) = Option(state.get()).getOrElse((0L, 0.0))
+      var n = n0
+      var v = v0
+      rows.foreach { e => n += 1; v += e.value }
+      state.update((n, v))
+      Iterator.single(UserTotal(user, n, v))
+    }
+  }
+
+  /** [[RunningTotalsProcessor]] wired onto a stream. */
+  def runningUserTotalsTws(events: org.apache.spark.sql.Dataset[Event])
+      : org.apache.spark.sql.Dataset[UserTotal] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Custom streaming state via `flatMapGroupsWithState` (the
     * KeyValueGroupedDataset surface): per user, carry (count, sum) state
     * across micro-batches and emit the updated running totals whenever

@@ -77,6 +77,17 @@ class DroneSenseSpec extends AnyFunSuite {
     assert(json == """{"type":"FeatureCollection","features":[]}""")
   }
 
+  test("malformed payload fails loudly instead of silently yielding zero rows") {
+    intercept[IllegalArgumentException] {
+      DroneSense.parseJson(spark, "this is not json")
+    }
+    intercept[IllegalArgumentException] {
+      DroneSense.parseJson(spark, """{"not": "an array"}""")
+    }
+    // empty array is VALID (empty FeatureCollection still produced)
+    assert(DroneSense.parseJson(spark, "[]").count() == 0)
+  }
+
   test("strict validation rejects records missing required fields (task.ts:119-121)") {
     val bad = DroneSense.parseJson(spark,
       """[{"callSign": "X", "sensors": []}]""")

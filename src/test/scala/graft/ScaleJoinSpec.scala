@@ -83,6 +83,24 @@ class ScaleJoinSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("partitioned writes prune partitions at the scan") {
+    val dir = Files.createTempDirectory("graft-part").toString + "/orders_by_year"
+    Tables(spark, sf, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("o_year") === 1997)
+    val scan = pruned.queryExecution.executedPlan.toString
+    // Partition filter must reach the scan; 1997 is one of ~7 year dirs.
+    assert(scan.contains("PartitionFilters: [isnotnull(o_year"),
+      s"no partition filter in scan:\n$scan")
+    val total = spark.read.parquet(dir).count()
+    val got = pruned.count()
+    assert(got > 0 && got < total)
+    val expected = Tables(spark, sf, "orders")
+      .filter(year(col("o_orderdate")) === 1997).count()
+    assert(got == expected)
+  }
+
   test("csv/json/orc round-trip preserves data exactly") {
     val orig = Tables(spark, sf, "orders")
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")

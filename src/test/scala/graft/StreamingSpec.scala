@@ -128,6 +128,31 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState (RocksDB store) matches flatMapGroupsWithState semantics") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val q = StreamOps.runningUserTotalsTws(input.toDS())
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("append").start()
+      withQuery(q) {
+        input.addData(Seq(
+          Event(1, ts("2024-01-01 10:00:00"), 7, "view", 1.5),
+          Event(2, ts("2024-01-01 10:01:00"), 7, "view", 2.5),
+          Event(3, ts("2024-01-01 10:02:00"), 9, "view", 10.0)))
+        q.processAllAvailable()
+        input.addData(Seq(Event(4, ts("2024-01-01 10:03:00"), 7, "view", 6.0)))
+        q.processAllAvailable()
+        val rows = spark.table("tws_out")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(rows == Set((7L, 2L, 4.0), (9L, 1L, 10.0), (7L, 3L, 10.0)))
+      }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream_dedup: dropDuplicatesWithinWatermark keeps first arrival only") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
