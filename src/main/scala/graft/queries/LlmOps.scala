@@ -193,6 +193,47 @@ object LlmOps {
         .orderBy(col("doc_id"))
     },
 
+    // -- higher-order array functions (transform/filter/exists/forall/
+    //    aggregate — the HOF surface itself, over real token arrays) ------
+    "fn_hof" -> { (s, dir) =>
+      val toks = split(lower(col("text")), " ")
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          transform(toks, (t: Column) => length(t).cast("int")).as("lens"),
+          filter(toks, (t: Column) => length(t) > 4).as("long_toks"),
+          exists(toks, (t: Column) => length(t) <= 2).as("has_short"),
+          forall(toks, (t: Column) => t.rlike("^[a-z]+$")).as("all_alpha"),
+          aggregate(toks, lit(0L), (acc: Column, t: Column) => acc + length(t))
+            .as("sum_lens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // -- corpus cleaning (C4-style quality gate) ----------------------------
+    // The filter-pipeline form of text_quality: keep documents whose
+    // signals fall in the configured bands, emit the verdict + reasons so
+    // the drop set is auditable (what a real training-data pipeline
+    // ships).
+    "text_clean" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val tok = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      val stats = tok.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("w")).as("n_distinct"),
+        count(when(col("w").isInCollection(Stopwords), 1)).as("n_stop"))
+      docs.join(stats, "doc_id")
+        .withColumn("ttr", round(col("n_distinct") / col("n_tokens"), 6))
+        .withColumn("stop_ratio", round(col("n_stop") / col("n_tokens"), 6))
+        .withColumn("too_short", col("n_tokens") < 30)
+        .withColumn("low_diversity", col("ttr") < 0.2)
+        .withColumn("keep",
+          !col("too_short") && !col("low_diversity"))
+        .select(col("doc_id"), col("n_tokens"), col("ttr"), col("stop_ratio"),
+          col("too_short"), col("low_diversity"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // -- document fingerprinting ---------------------------------------------
     // Whole-doc md5 + min shingle-md5 (a 1-hash MinHash): identical docs
     // share fp; near-identical docs usually share min_shingle_fp.
@@ -283,6 +324,34 @@ object LlmOps {
          |       ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio
          |FROM documents d JOIN stats USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    "fn_hof" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents)
+        |SELECT doc_id,
+        |list_transform(toks, x -> CAST(length(x) AS INT)) AS lens,
+        |list_filter(toks, x -> length(x) > 4) AS long_toks,
+        |len(list_filter(toks, x -> length(x) <= 2)) > 0 AS has_short,
+        |len(list_filter(toks, x -> NOT regexp_matches(x, '^[a-z]+$'))) = 0 AS all_alpha,
+        |CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_lens
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_clean" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+         |stats AS (
+         |  SELECT doc_id, COUNT(*) n_tokens, COUNT(DISTINCT w) n_distinct,
+         |         COUNT(*) FILTER (w IN $stopSqlList) n_stop
+         |  FROM tok GROUP BY doc_id),
+         |sig AS (
+         |  SELECT d.doc_id, n_tokens,
+         |         ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS ttr,
+         |         ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio
+         |  FROM documents d JOIN stats USING (doc_id))
+         |SELECT doc_id, n_tokens, ttr, stop_ratio,
+         |       n_tokens < 30 AS too_short,
+         |       ttr < 0.2 AS low_diversity,
+         |       NOT (n_tokens < 30) AND NOT (ttr < 0.2) AS keep
+         |FROM sig ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """WITH toks AS (

@@ -102,9 +102,9 @@ object Scalars {
         .orderBy(col("vec_id"))
     },
 
-    // -- map type (no DuckDB oracle — MAP parity is fragile; rows-only +
-    //    unit-tested). Build a map from JSON-extracted pairs, then take it
-    //    apart again.
+    // -- map type. The OUTPUT is map-free (keys/values arrays + lookup),
+    //    so it oracle-checks fine — only a raw MAP column in the result
+    //    would be fragile across engines.
     "fn_map" -> { (s, dir) =>
       Tables(s, dir, "events")
         .select(col("event_id"), col("event_type"),
@@ -185,6 +185,14 @@ object Scalars {
         |CAST(embedding[1:3] AS DOUBLE[]) AS head3,
         |ROUND(list_sum(CAST(embedding AS DOUBLE[])), 4) AS sum_dims
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "fn_map" ->
+      """SELECT event_id,
+        |['type_len', 'k'] AS ks,
+        |[CAST(LENGTH(event_type) AS INT),
+        | CAST(json_extract_string(props, '$.k') AS INT)] AS vs,
+        |CAST(json_extract_string(props, '$.k') AS INT) AS k_back
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "geo_bearing_range" ->
       s"""WITH pts AS (
