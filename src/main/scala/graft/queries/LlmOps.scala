@@ -45,6 +45,19 @@ object LlmOps {
   private def shingles(s: SparkSession, dir: String): DataFrame =
     shingleRowsRaw(s, dir).distinct()
 
+  /** Per-document token counts — the ONE definition of the corpus
+    * quality signals, shared by `text_quality` and `text_clean` so the
+    * two can never drift.
+    */
+  private def tokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("w")).as("n_distinct"),
+        count(when(col("w").isInCollection(Stopwords), 1)).as("n_stop"))
+
   /** Embedding as double array + its L2 norm (computed once per vector —
     * pairwise joins then only need the dot product).
     */
@@ -177,15 +190,9 @@ object LlmOps {
     // Token-level ratios (type-token ratio, stopword ratio) — standard
     // corpus-quality features; explode + map-side-combined aggregation.
     "text_quality" -> { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
-      val tok = docs.select(col("doc_id"),
-        explode(split(lower(col("text")), " ")).as("w"))
-      val stats = tok.groupBy(col("doc_id")).agg(
-        count(lit(1)).as("n_tokens"),
-        countDistinct(col("w")).as("n_distinct"),
-        count(when(col("w").isInCollection(Stopwords), 1)).as("n_stop"))
-      docs.select(col("doc_id"), length(col("text")).as("n_chars_real"))
-        .join(stats, "doc_id")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("n_chars_real"))
+        .join(tokenStats(s, dir), "doc_id")
         .select(
           col("doc_id"), col("n_chars_real"), col("n_tokens"),
           round(col("n_distinct") / col("n_tokens"), 6).as("ttr"),
@@ -194,43 +201,41 @@ object LlmOps {
     },
 
     // -- higher-order array functions (transform/filter/exists/forall/
-    //    aggregate — the HOF surface itself, over real token arrays) ------
+    //    aggregate — the HOF surface itself, over real token arrays).
+    //    Tokens materialise ONCE in the first projection: HOFs are
+    //    CodegenFallback and sit outside CSE, so embedding the split in
+    //    each of the five would re-run lower()+regex 5× per row.
     "fn_hof" -> { (s, dir) =>
-      val toks = split(lower(col("text")), " ")
       Tables(s, dir, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
         .select(
           col("doc_id"),
-          transform(toks, (t: Column) => length(t).cast("int")).as("lens"),
-          filter(toks, (t: Column) => length(t) > 4).as("long_toks"),
-          exists(toks, (t: Column) => length(t) <= 2).as("has_short"),
-          forall(toks, (t: Column) => t.rlike("^[a-z]+$")).as("all_alpha"),
-          aggregate(toks, lit(0L), (acc: Column, t: Column) => acc + length(t))
-            .as("sum_lens"))
+          transform(col("toks"), (t: Column) => length(t).cast("int")).as("lens"),
+          filter(col("toks"), (t: Column) => length(t) > 4).as("long_toks"),
+          exists(col("toks"), (t: Column) => length(t) <= 2).as("has_short"),
+          forall(col("toks"), (t: Column) => t.rlike("^[a-z]+$")).as("all_alpha"),
+          aggregate(col("toks"), lit(0L),
+            (acc: Column, t: Column) => acc + length(t)).as("sum_lens"))
         .orderBy(col("doc_id"))
     },
 
     // -- corpus cleaning (C4-style quality gate) ----------------------------
-    // The filter-pipeline form of text_quality: keep documents whose
-    // signals fall in the configured bands, emit the verdict + reasons so
-    // the drop set is auditable (what a real training-data pipeline
-    // ships).
+    // The filter-pipeline form of text_quality — SAME signal definitions
+    // via [[tokenStats]] — gating on all three emitted bands; verdict +
+    // per-reason flags keep the drop set auditable (what a real
+    // training-data pipeline ships).
     "text_clean" -> { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
-      val tok = docs.select(col("doc_id"),
-        explode(split(lower(col("text")), " ")).as("w"))
-      val stats = tok.groupBy(col("doc_id")).agg(
-        count(lit(1)).as("n_tokens"),
-        countDistinct(col("w")).as("n_distinct"),
-        count(when(col("w").isInCollection(Stopwords), 1)).as("n_stop"))
-      docs.join(stats, "doc_id")
+      Tables(s, dir, "documents").select(col("doc_id"))
+        .join(tokenStats(s, dir), "doc_id")
         .withColumn("ttr", round(col("n_distinct") / col("n_tokens"), 6))
         .withColumn("stop_ratio", round(col("n_stop") / col("n_tokens"), 6))
         .withColumn("too_short", col("n_tokens") < 30)
         .withColumn("low_diversity", col("ttr") < 0.2)
+        .withColumn("too_stoppy", col("stop_ratio") > 0.5)
         .withColumn("keep",
-          !col("too_short") && !col("low_diversity"))
+          !col("too_short") && !col("low_diversity") && !col("too_stoppy"))
         .select(col("doc_id"), col("n_tokens"), col("ttr"), col("stop_ratio"),
-          col("too_short"), col("low_diversity"), col("keep"))
+          col("too_short"), col("low_diversity"), col("too_stoppy"), col("keep"))
         .orderBy(col("doc_id"))
     },
 
@@ -350,7 +355,9 @@ object LlmOps {
          |SELECT doc_id, n_tokens, ttr, stop_ratio,
          |       n_tokens < 30 AS too_short,
          |       ttr < 0.2 AS low_diversity,
-         |       NOT (n_tokens < 30) AND NOT (ttr < 0.2) AS keep
+         |       stop_ratio > 0.5 AS too_stoppy,
+         |       NOT (n_tokens < 30) AND NOT (ttr < 0.2)
+         |         AND NOT (stop_ratio > 0.5) AS keep
          |FROM sig ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
