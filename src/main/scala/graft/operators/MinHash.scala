@@ -32,10 +32,24 @@ object MinHash {
   }
 
   /** doc_id, sig: array<long> of `numHashes` minhash values.
-    * Input: (doc_id, s) distinct shingle rows.
+    * Input: (doc_id, s) distinct shingle rows. Pre-hashed long shingles
+    * take the [[graft.functions.MinHashSignature]] imperative aggregate
+    * (one buffer, tight loop); string shingles take the expression
+    * formulation — both produce identical signatures (MinHashSpec).
     */
   def signatures(shingles: DataFrame, numHashes: Int = 64, seed: Long = 42L): DataFrame = {
-    // Pre-hashed long shingles (the cheap-shuffle path) skip the rehash.
+    val isPreHashed = shingles.schema("s").dataType ==
+      org.apache.spark.sql.types.LongType
+    if (isPreHashed) {
+      graft.functions.MinHashSignature.register(
+        shingles.sparkSession, numHashes, seed)
+      shingles.groupBy(col("doc_id"))
+        .agg(call_function("minhash_sig", col("s")).as("sig"))
+    } else signaturesExpr(shingles, numHashes, seed)
+  }
+
+  /** Expression formulation: `numHashes` separate min-aggregate slots. */
+  def signaturesExpr(shingles: DataFrame, numHashes: Int = 64, seed: Long = 42L): DataFrame = {
     val isPreHashed = shingles.schema("s").dataType ==
       org.apache.spark.sql.types.LongType
     val h32 =

@@ -31,6 +31,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(lsh == exact, s"lsh=$lsh exact=$exact")
   }
 
+  test("imperative MinHash signatures equal the expression formulation") {
+    import spark.implicits._
+    val shingles = Seq(
+      (1L, 111L), (1L, 222L), (1L, 333L),
+      (2L, 222L), (2L, 444L),
+      (3L, 555L)).toDF("doc_id", "s")
+    val imp = MinHash.signatures(shingles).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val expr = MinHash.signaturesExpr(shingles).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(imp == expr)
+    assert(imp(1L).length == 64)
+  }
+
   test("SimHash: identical token multisets collide; near-dups are close") {
     import spark.implicits._
     val docs = Seq(
