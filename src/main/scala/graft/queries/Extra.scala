@@ -44,6 +44,46 @@ object Extra {
         .orderBy(col("l_returnflag"))
     },
 
+    // -- boolean / conditional aggregates -----------------------------------
+    "agg_bool" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          bool_and(col("value") > 0).as("all_positive"),
+          bool_or(col("value") > 400).as("any_large"),
+          count_if(col("value") > 100).as("n_over_100"),
+          // Duplicate values exist → argmax must carry a unique tiebreak.
+          // value·1e9 + event_id is exact in double (ulp ≪ 1 at this
+          // magnitude) and orders by (value, event_id) on both engines.
+          max_by(col("event_id"), col("value") * 1e9 + col("event_id")).as("id_of_max"),
+          min_by(col("event_id"), col("value") * 1e9 - col("event_id")).as("id_of_min"))
+        .orderBy(col("event_type"))
+    },
+
+    // -- correlation / covariance -------------------------------------------
+    "agg_corr" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          // covar magnitude ~1e5: round(…,2) keeps well clear of the
+          // engines' differing co-moment accumulation orders.
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qp"),
+          round(var_samp(col("l_quantity")), 4).as("var_q"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // -- cryptographic hash scalars ------------------------------------------
+    "fn_hash" -> { (s, dir) =>
+      Tables(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          md5(col("c_name")).as("name_md5"),
+          sha2(col("c_name"), 256).as("name_sha256"),
+          length(md5(col("c_name"))).as("md5_len"))
+        .orderBy(col("c_custkey"))
+    },
+
     // -- first/last/nth window values --------------------------------------
     "win_first_last" -> { (s, dir) =>
       val w = Window.partitionBy(col("o_custkey"))
@@ -184,6 +224,29 @@ object Extra {
         |ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity), 4) AS p90,
         |ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS price_p25
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_bool" ->
+      """SELECT event_type,
+        |BOOL_AND(value > 0) AS all_positive,
+        |BOOL_OR(value > 400) AS any_large,
+        |COUNT(*) FILTER (value > 100) AS n_over_100,
+        |MAX_BY(event_id, value * 1e9 + event_id) AS id_of_max,
+        |MIN_BY(event_id, value * 1e9 - event_id) AS id_of_min
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_corr" ->
+      """SELECT l_returnflag,
+        |ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_qp,
+        |ROUND(VAR_SAMP(l_quantity), 4) AS var_q
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "fn_hash" ->
+      """SELECT c_custkey,
+        |md5(c_name) AS name_md5,
+        |sha256(c_name) AS name_sha256,
+        |CAST(LENGTH(md5(c_name)) AS INT) AS md5_len
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "win_first_last" ->
       """SELECT o_orderkey, o_custkey, o_orderdate,

@@ -27,18 +27,24 @@ object LlmOps {
     * the ONE tokenisation both the exact path ([[shingles]]) and the
     * MinHash path (ScaleOps `dedup_minhash`, which distincts on 64-bit
     * hashes instead of strings) derive from, so the two can never drift.
+    *
+    * Typed `flatMap` rather than `explode(transform(sequence(...)))`:
+    * the HOF formulation interprets three `element_at` + `concat_ws`
+    * expression trees per shingle (CodegenFallback), where this compiles
+    * to a plain Scala loop. Output rows are identical.
     */
   private[queries] def shingleRowsRaw(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables(s, dir, "documents")
+    import s.implicits._
+    Tables(s, dir, "documents")
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
-    toks.filter(size(col("t")) >= 3)
-      .select(col("doc_id"),
-        explode(transform(
-          sequence(lit(1), size(col("t")) - 2),
-          i => concat_ws(" ",
-            element_at(col("t"), i),
-            element_at(col("t"), i + lit(1)),
-            element_at(col("t"), i + lit(2))))).as("s"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (id, t) =>
+        if (t.length < 3) Iterator.empty
+        else (0 to t.length - 3).iterator.map { i =>
+          (id, s"${t(i)} ${t(i + 1)} ${t(i + 2)}")
+        }
+      }
+      .toDF("doc_id", "s")
   }
 
   /** doc_id + distinct lowercase 3-gram word shingles ("a b c"). */
