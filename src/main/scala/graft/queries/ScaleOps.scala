@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextAnalysis
-import graft.operators.{Ann, Ivf, Multimodal, MinHash, SimHash}
+import graft.operators.{Ann, Ivf, Multimodal, MinHash, Sampling, SimHash}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -55,6 +55,25 @@ object ScaleOps {
       val n = normalized(s, dir)
       Ann.lshTopK(n.filter(col("vec_id") < 10), n, k = 5)
         .orderBy(col("qid"), col("rn"))
+    },
+
+    // Reproducible hash-bucket sampling + deterministic 3-way split:
+    // per lang, original count, ~30% sample count, and the train/val/
+    // test assignment counts. Stable across runs/partitionings by
+    // construction (rows-only: DuckDB's hash differs by design).
+    "sample_hash" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val sampled = Sampling.bernoulli(docs, col("doc_id"), 0.3)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+      val splits = docs
+        .withColumn("split", Sampling.split(col("doc_id"), 0.8, 0.1))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count_if(col("split") === "train").as("n_train"),
+          count_if(col("split") === "val").as("n_val"),
+          count_if(col("split") === "test").as("n_test"))
+      splits.join(sampled, Seq("lang"), "left").orderBy(col("lang"))
     },
 
     // IVF coarse-quantisation ANN: probe 4 of 8 cells per query.

@@ -108,6 +108,29 @@ class ScaleOpsSpec extends AnyFunSuite {
       == again.sortBy(f => (f.media_id, f.frame_idx)).map(_.feature.toSeq).toSeq)
   }
 
+  test("hash sampling is reproducible, partition-invariant, and near-rate") {
+    import graft.operators.Sampling
+    val docs = graft.Tables(spark, sf, "documents")
+    val a = Sampling.bernoulli(docs, col("doc_id"), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.bernoulli(docs.repartition(7), col("doc_id"), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "sample changed under repartitioning")
+    val rate = a.size.toDouble / docs.count()
+    assert(rate > 0.2 && rate < 0.4, s"rate $rate far from 0.3")
+    // split is a partition of the id space
+    val splits = docs.withColumn("sp", Sampling.split(col("doc_id"), 0.8, 0.1))
+      .groupBy("sp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet == Set("train", "val", "test"))
+    assert(splits.values.sum == docs.count())
+    assert(splits("train") > splits("val"))
+    // stratified: zh fully dropped, others near default rate
+    val strat = Sampling.stratified(docs, col("doc_id"), col("lang"),
+      Map("zh" -> 0.0), defaultFraction = 0.5)
+    assert(strat.filter(col("lang") === "zh").count() == 0)
+    assert(strat.count() > 0)
+  }
+
   test("language ID picks marker languages deterministically") {
     import spark.implicits._
     import graft.functions.TextAnalysis
