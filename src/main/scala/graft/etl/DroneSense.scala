@@ -91,12 +91,11 @@ object DroneSense {
   def validate(df: DataFrame): DataFrame = {
     val required = droneSchema.fields.filterNot(_.nullable).map(_.name)
     val anyNull = required.map(col(_).isNull).reduce(_ || _)
-    val bad = df.filter(anyNull)
-    val n = bad.limit(1).count()
-    if (n > 0) {
-      val sample = bad.limit(5).toJSON.collect().mkString("\n")
+    // One job: collect up to 5 offenders and branch on emptiness.
+    val sample = df.filter(anyNull).limit(5).toJSON.collect()
+    if (sample.nonEmpty) {
       throw new IllegalArgumentException(
-        s"DroneSense payload failed schema validation; sample offenders:\n$sample")
+        s"DroneSense payload failed schema validation; sample offenders:\n${sample.mkString("\n")}")
     }
     df
   }

@@ -32,6 +32,13 @@ object Ann {
     */
   def bucketKeys(df: DataFrame, tables: Int = 16, planesPerTable: Int = 5,
                  dim: Int = 64, seed: Long = 42L): DataFrame = {
+    // A dim mismatch would make zip_with null-pad, every projection null,
+    // and every row land in bucket 0 of every table — i.e. a silent full
+    // cross-product downstream. Fail fast instead (one cheap head probe).
+    df.select(size(col("e"))).head(1).foreach { r =>
+      require(r.getInt(0) == dim,
+        s"embedding dim ${r.getInt(0)} != configured dim $dim")
+    }
     val ps = planes(tables, planesPerTable, dim, seed)
     val bucketCols = ps.map { table =>
       table.zipWithIndex.map { case (plane, j) =>

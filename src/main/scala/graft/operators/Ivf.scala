@@ -26,7 +26,10 @@ object Ivf {
       .limit(nlist)
       .select(monotonically_increasing_id().as("cell"), col("e").as("centroid"))
 
-  /** One Lloyd step: assign to nearest centroid, recompute means. */
+  /** One Lloyd step: assign to nearest centroid, recompute means. Cells
+    * that win no vectors KEEP their previous centroid (a dropped cell
+    * would silently shrink the index below nlist).
+    */
   private def step(data: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell").asc)
     val assigned = data.crossJoin(broadcast(cents))
@@ -34,22 +37,31 @@ object Ivf {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("cell"), col("e"))
-    assigned
+    val means = assigned
       .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
       .agg(avg(col("v")).as("m"))
       .groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cell"),
-        transform(col("pm"), (x: Column) => x.getField("m")).as("centroid"))
+        transform(col("pm"), (x: Column) => x.getField("m")).as("new_centroid"))
+    cents.join(means, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("new_centroid"), col("centroid")).as("centroid"))
   }
 
-  /** Train centroids: hash-sample init + `iters` Lloyd steps. */
+  /** Train centroids: hash-sample init + `iters` Lloyd steps. The result
+    * is MATERIALISED (collected and re-created — nlist rows) so the
+    * iterative training lineage is not re-executed by every downstream
+    * consumer (assign + probes would otherwise each re-run all steps).
+    */
   def centroids(data: DataFrame, nlist: Int = 8, iters: Int = 2): DataFrame = {
     graft.functions.CosineSimilarity.register(data.sparkSession)
     var c = init(data, nlist)
     (0 until iters).foreach(_ => c = step(data, c))
-    c
+    val spark = data.sparkSession
+    spark.createDataFrame(
+      java.util.Arrays.asList(c.collect(): _*), c.schema)
   }
 
   /** Assign every vector to its nearest cell. */

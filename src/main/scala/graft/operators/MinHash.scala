@@ -65,7 +65,11 @@ object MinHash {
         array((0 until numHashes).map(i => col(s"m$i")).toIndexedSeq: _*).as("sig"))
   }
 
-  /** Distinct candidate pairs (d1 < d2) sharing at least one LSH band. */
+  /** Distinct candidate pairs (d1 < d2) sharing at least one LSH band.
+    * `bands` must divide the signature length — integer division would
+    * otherwise silently drop trailing hashes from the banding and void
+    * the (1 − s^r)^b false-negative bound.
+    */
   def lshCandidates(sigs: DataFrame, bands: Int = 16): DataFrame = {
     val buckets = sigs.select(
       col("doc_id"),
@@ -92,6 +96,8 @@ object MinHash {
   def nearDuplicates(shingles: DataFrame, threshold: Double,
                      numHashes: Int = 64, bands: Int = 16,
                      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     // The shingle relation feeds signatures, sizes AND verification —
     // persist it once instead of re-running split/explode/distinct per
     // consumer (lineage recomputation, not correctness, is the cost).

@@ -15,7 +15,11 @@ import org.apache.spark.sql.functions._
 object Sampling {
   private val Buckets = 1000000L
 
-  /** Stable per-row bucket in [0, 1e6) from the id column and seed. */
+  /** Stable per-row bucket in [0, 1e6) from the id column and seed.
+    * CONTRACT: `id` must be non-null — all null ids hash to one constant
+    * bucket (xxhash64 skips null inputs), so the whole null class would
+    * be kept or dropped wholesale, skewing rates and splits.
+    */
   def bucket(id: Column, seed: Long): Column =
     pmod(xxhash64(id, lit(seed)), lit(Buckets))
 

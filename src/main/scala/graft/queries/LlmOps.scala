@@ -76,10 +76,6 @@ object LlmOps {
         lit(0.0), (acc: Column, x: Column) => acc + x)))
   }
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x: Column, y: Column) => x * y),
-      lit(0.0), (acc: Column, x: Column) => acc + x)
-
   val queries: Map[String, Q] = Map(
     // -- exact dedup --------------------------------------------------------
     "dedup_exact" -> { (s, dir) =>
