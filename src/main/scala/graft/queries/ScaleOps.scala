@@ -83,17 +83,21 @@ object ScaleOps {
         .orderBy(col("qid"), col("rn"))
     },
 
-    // Marker-lexicon language ID + token counts per document. Tokens are
-    // materialised once — the language scorers are CodegenFallback HOFs
-    // and must not each re-run the regex split.
+    // Marker-lexicon language ID + token counts per document. Bulk form:
+    // one explode + broadcast-join + argmax pass over the corpus instead
+    // of five interpreted HOF scans per row (per-row Column fn exists for
+    // single-value use; the two agree — ScaleOpsSpec).
     "text_langid" -> { (s, dir) =>
-      Tables(s, dir, "documents")
+      val docs = Tables(s, dir, "documents")
+      docs
         .withColumn("toks", split(lower(col("text")), "\\s+"))
         .select(col("doc_id"), col("lang").as("declared_lang"),
-          TextAnalysis.languageIdTokens(col("toks")).as("guessed_lang"),
           size(filter(col("toks"), (t: Column) => t =!= "")).as("n_tokens_ws"),
           TextAnalysis.tokenCountBpeIsh(col("text")).as("n_tokens_bpeish"),
           TextAnalysis.fingerprint64(col("text")).as("fp64"))
+        .join(TextAnalysis.languageIdBulk(docs, "doc_id", "text"), "doc_id")
+        .select(col("doc_id"), col("declared_lang"), col("guessed_lang"),
+          col("n_tokens_ws"), col("n_tokens_bpeish"), col("fp64"))
         .orderBy(col("doc_id"))
     },
 

@@ -143,4 +143,15 @@ class ScaleOpsSpec extends AnyFunSuite {
     val got = df.select(TextAnalysis.languageId(col("text"))).collect().map(_.getString(0))
     assert(got.sameElements(Array("en", "es", "fr", "de", "und")))
   }
+
+  test("bulk language ID agrees with the per-row Column function") {
+    import graft.functions.TextAnalysis
+    val docs = graft.Tables(spark, sf, "documents")
+    val perRow = docs.select(col("doc_id"),
+        TextAnalysis.languageId(col("text")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bulk = TextAnalysis.languageIdBulk(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bulk == perRow)
+  }
 }
