@@ -41,6 +41,31 @@ object Oracle {
   def revenueSql(price: String, disc: String): String =
     s"CAST(CAST($price AS DECIMAL(18,2)) * CAST(1 - $disc AS DECIMAL(18,2)) AS DECIMAL(18,4))"
 
+  /** Final-projection representation cast for DECIMAL outputs.
+    *
+    * The driver hash-compares STRINGIFIED pandas frames: a Spark DECIMAL
+    * parquet column loads as `decimal.Decimal` (str `'138014.00'`, trailing
+    * zeros kept) while DuckDB's pandas export is float64 (`'138014.0'`) —
+    * so value-identical results hash-mismatch (25 round-1 queries).
+    * Keep the exact decimal math INTERNALLY, but cast every decimal output
+    * column to DOUBLE in the final projection on BOTH engine sides
+    * ([[outSql]]); values were verified bit-identical as doubles. NULL
+    * decimals also align (both sides become float64 NaN).
+    */
+  def out(c: Column): Column = c.cast("double")
+
+  /** SQL text equivalent of [[out]] for the DuckDB oracle. */
+  def outSql(e: String): String = s"CAST($e AS DOUBLE)"
+
+  /** Array/struct outputs crash the driver's pandas row-sort (`unhashable
+    * type: numpy.ndarray/dict`) — serialize them to JSON text in the final
+    * projection. String/int/bool arrays round-trip identically through
+    * Spark's `to_json` and DuckDB's `to_json`; float arrays must be
+    * fixed-scale-formatted first (see fn_array's head3) because the two
+    * engines' shortest-double printers are not guaranteed to agree.
+    */
+  def json(c: Column): Column = to_json(c)
+
   /** Total order over every column — required for hash-comparison because
     * the synthetic fixtures do NOT have TPC-H key uniqueness (verified:
     * (l_orderkey, l_linenumber) has ~12k duplicate pairs at sf0.01).

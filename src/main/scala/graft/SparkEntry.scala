@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.DroneSense
 import graft.queries._
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, to_json}
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 
 /** Driver contract — see /root/repo/SURVEY.md §2.3 for the declared
   * inventory this map must cover, and §7.5 for the determinism rules every
@@ -24,10 +25,21 @@ object SparkEntry {
       ScaleOps.queries ++ EventTime.queries ++ Udx.queries ++
       Extra.queries ++ Tpch.queries ++ Map(
         // Reference-parity pipeline over the embedded fixture; nested CoT
-        // structs are golden-file tested (no SQL oracle).
-        "etl_dronesense_cot" -> ((s: SparkSession, _: String) =>
-          DroneSense.toCot(DroneSense.validate(DroneSense.fixture(s)))
-            .orderBy(col("id")))
+        // structs are golden-file tested (no SQL oracle). The driver dump
+        // still row-sorts no-oracle results, and its pandas comparator
+        // crashes on struct cells — so nested columns are JSON-serialized
+        // HERE only (the typed frame stays the library surface, golden-
+        // tested in DroneSenseSpec).
+        "etl_dronesense_cot" -> ((s: SparkSession, _: String) => {
+          val cot = DroneSense.toCot(DroneSense.validate(DroneSense.fixture(s)))
+          cot.select(cot.schema.fields.map { f =>
+            f.dataType match {
+              case _: StructType | _: ArrayType | _: MapType =>
+                to_json(col(f.name)).as(f.name)
+              case _ => col(f.name)
+            }
+          }.toIndexedSeq: _*).orderBy(col("id"))
+        })
       )
 
   /** DuckDB-equivalent SQL per key in [[queries]]; keys absent here are

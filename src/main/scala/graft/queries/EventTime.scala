@@ -22,7 +22,7 @@ object EventTime {
   def tumblingHourly(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour").as("w"))
-      .agg(count(lit(1)).as("n"), sum(Oracle.dec(col("value"))).as("total"))
+      .agg(count(lit(1)).as("n"), Oracle.out(sum(Oracle.dec(col("value")))).as("total"))
       .select(col("w.start").as("wstart"), col("w.end").as("wend"),
         col("n"), col("total"))
 
@@ -30,7 +30,7 @@ object EventTime {
   def sessions(events: DataFrame): DataFrame =
     events
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
-      .agg(count(lit(1)).as("n"), sum(Oracle.dec(col("value"))).as("total"))
+      .agg(count(lit(1)).as("n"), Oracle.out(sum(Oracle.dec(col("value")))).as("total"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n"), col("total"))
 
@@ -44,7 +44,7 @@ object EventTime {
     "win_sliding" -> { (s, dir) =>
       Tables(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
-        .agg(count(lit(1)).as("n"), sum(Oracle.dec(col("value"))).as("total"))
+        .agg(count(lit(1)).as("n"), Oracle.out(sum(Oracle.dec(col("value")))).as("total"))
         .select(col("w.start").as("wstart"), col("w.end").as("wend"),
           col("n"), col("total"))
         .orderBy(col("wstart"))
@@ -64,7 +64,7 @@ object EventTime {
     "win_tumbling" ->
       """SELECT date_trunc('hour', ts::TIMESTAMP) AS wstart,
         |date_trunc('hour', ts::TIMESTAMP) + INTERVAL 1 HOUR AS wend,
-        |COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS total
+        |COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY wstart""".stripMargin,
 
     "win_sliding" ->
@@ -78,7 +78,7 @@ object EventTime {
         |  UNION ALL
         |  SELECT w0 - INTERVAL 30 MINUTE, value FROM e)
         |SELECT wstart, wstart + INTERVAL 1 HOUR AS wend,
-        |       COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS total
+        |       COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM assigned GROUP BY wstart ORDER BY wstart""".stripMargin,
 
     "win_session" ->
@@ -96,7 +96,7 @@ object EventTime {
         |  FROM d)
         |SELECT user_id, MIN(t) AS session_start,
         |       MAX(t) + INTERVAL 30 MINUTE AS session_end,
-        |       COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS total
+        |       COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin
   )

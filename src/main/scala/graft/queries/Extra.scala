@@ -91,8 +91,8 @@ object Extra {
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       Tables(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
-          first(Oracle.dec(col("o_totalprice"))).over(w).as("first_price"),
-          last(Oracle.dec(col("o_totalprice"))).over(w).as("last_price"),
+          Oracle.out(first(Oracle.dec(col("o_totalprice"))).over(w)).as("first_price"),
+          Oracle.out(last(Oracle.dec(col("o_totalprice"))).over(w)).as("last_price"),
           nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
         .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
     },
@@ -107,8 +107,8 @@ object Extra {
             .otherwise("small").as("size_class"),
           nullif(col("o_orderstatus"), lit("O")).as("non_open_status"),
           coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_or_open"),
-          least(Oracle.dec(col("o_totalprice")), lit(150000).cast(Oracle.Money)).as("capped"),
-          greatest(Oracle.dec(col("o_totalprice")), lit(1000).cast(Oracle.Money)).as("floored"))
+          Oracle.out(least(Oracle.dec(col("o_totalprice")), lit(150000).cast(Oracle.Money))).as("capped"),
+          Oracle.out(greatest(Oracle.dec(col("o_totalprice")), lit(1000).cast(Oracle.Money))).as("floored"))
         .orderBy(col("o_orderkey"))
     },
 
@@ -141,7 +141,7 @@ object Extra {
       Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
       s.sql(
         """SELECT c_custkey, c_name,
-          |       CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+          |       CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
           |FROM customer_v
           |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer_v)
           |  AND EXISTS (SELECT 1 FROM orders_v
@@ -193,10 +193,12 @@ object Extra {
       Tables(s, dir, "documents")
         .select(
           col("doc_id"),
-          array_sort(array_distinct(toks)).as("vocab"),
+          // string arrays serialized via to_json (driver's comparator
+          // can't sort raw arrays; JSON text is engine-identical here)
+          Oracle.json(array_sort(array_distinct(toks))).as("vocab"),
           size(array_distinct(toks)).as("n_distinct"),
           array_contains(toks, "the").as("has_the"),
-          flatten(array(slice(toks, 1, 2), slice(toks, 3, 2))).as("head4"),
+          Oracle.json(flatten(array(slice(toks, 1, 2), slice(toks, 3, 2)))).as("head4"),
           array_max(array_sort(array_distinct(toks))).as("max_tok"),
           array_min(array_sort(array_distinct(toks))).as("min_tok"))
         .orderBy(col("doc_id"))
@@ -250,8 +252,8 @@ object Extra {
 
     "win_first_last" ->
       """SELECT o_orderkey, o_custkey, o_orderdate,
-        |FIRST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS first_price,
-        |LAST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS last_price,
+        |CAST(FIRST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS first_price,
+        |CAST(LAST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS last_price,
         |NTH_VALUE(o_orderkey, 2) OVER w AS second_order
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
@@ -265,8 +267,8 @@ object Extra {
         |     ELSE 'small' END AS size_class,
         |NULLIF(o_orderstatus, 'O') AS non_open_status,
         |COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
-        |LEAST(CAST(o_totalprice AS DECIMAL(18,2)), CAST(150000 AS DECIMAL(18,2))) AS capped,
-        |GREATEST(CAST(o_totalprice AS DECIMAL(18,2)), CAST(1000 AS DECIMAL(18,2))) AS floored
+        |CAST(LEAST(CAST(o_totalprice AS DECIMAL(18,2)), CAST(150000 AS DECIMAL(18,2))) AS DOUBLE) AS capped,
+        |CAST(GREATEST(CAST(o_totalprice AS DECIMAL(18,2)), CAST(1000 AS DECIMAL(18,2))) AS DOUBLE) AS floored
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "fn_bitwise" ->
@@ -285,7 +287,7 @@ object Extra {
         |ORDER BY r_regionkey, n_nationkey""".stripMargin,
 
     "sql_subquery" ->
-      """SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+      """SELECT c_custkey, c_name, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
         |FROM customer
         |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
         |  AND EXISTS (SELECT 1 FROM orders
@@ -324,10 +326,10 @@ object Extra {
     "fn_array2" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents)
         |SELECT doc_id,
-        |list_sort(list_distinct(toks)) AS vocab,
+        |to_json(list_sort(list_distinct(toks))) AS vocab,
         |CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
         |list_contains(toks, 'the') AS has_the,
-        |flatten([toks[1:2], toks[3:4]]) AS head4,
+        |to_json(flatten([toks[1:2], toks[3:4]])) AS head4,
         |list_max(list_sort(list_distinct(toks))) AS max_tok,
         |list_min(list_sort(list_distinct(toks))) AS min_tok
         |FROM t ORDER BY doc_id""".stripMargin,

@@ -33,24 +33,32 @@ object Joins {
           col("o_custkey") === col("c_custkey"), "inner")
         .select(
           col("o_orderkey"), col("c_name"),
-          Oracle.dec(col("o_totalprice")).as("totalprice"),
+          Oracle.out(Oracle.dec(col("o_totalprice"))).as("totalprice"),
           col("c_mktsegment"))
         .orderBy(col("o_orderkey"))
         .limit(100)
     },
 
     // -- 3-way join + aggregation (TPC-H Q3 flavour) -----------------------
-    // lineitem ⋈ orders shuffles on orderkey; customer broadcasts.
+    // lineitem is pre-aggregated per orderkey BEFORE the orders join (the
+    // same rewrite join_left uses): the orderkey shuffle carries one row
+    // per order instead of every line, and the per-order decimal partials
+    // re-sum exactly. customer broadcasts.
     "join_multi" -> { (s, dir) =>
-      Tables(s, dir, "lineitem")
+      val perOrder = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          sum(Oracle.revenue(col("l_extendedprice"), col("l_discount"))).as("rev"),
+          count(lit(1)).as("nl"))
+      perOrder
         .join(Tables(s, dir, "orders"),
           col("l_orderkey") === col("o_orderkey"), "inner")
         .join(broadcast(Tables(s, dir, "customer")),
           col("o_custkey") === col("c_custkey"), "inner")
         .groupBy(col("c_mktsegment"))
         .agg(
-          sum(Oracle.revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"),
-          count(lit(1)).as("n_lines"))
+          Oracle.out(sum(col("rev"))).as("revenue"),
+          sum(col("nl")).cast("long").as("n_lines"))
         .orderBy(col("c_mktsegment"))
     },
 
@@ -77,7 +85,7 @@ object Joins {
         .join(perCust, col("c_custkey") === col("o_custkey"), "left")
         .select(col("c_custkey"), col("c_name"),
           coalesce(col("o_n"), lit(0L)).as("n_orders"),
-          coalesce(col("o_total"), lit(0).cast(Oracle.Money)).as("total"))
+          Oracle.out(coalesce(col("o_total"), lit(0).cast(Oracle.Money))).as("total"))
         .orderBy(col("c_custkey"))
     },
 
@@ -96,7 +104,8 @@ object Joins {
       supp.join(cust, col("s_nationkey") === col("c_nationkey"), "full_outer")
         .select(
           coalesce(col("s_nationkey"), col("c_nationkey")).as("nationkey"),
-          col("n_supp"), col("supp_bal"), col("n_cust"), col("cust_bal"))
+          col("n_supp"), Oracle.out(col("supp_bal")).as("supp_bal"),
+          col("n_cust"), Oracle.out(col("cust_bal")).as("cust_bal"))
         .orderBy(col("nationkey"))
     },
 
@@ -178,13 +187,13 @@ object Joins {
   val oracle: Map[String, String] = Map(
     "join_inner" ->
       """SELECT o_orderkey, c_name,
-        |CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, c_mktsegment
+        |CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey LIMIT 100""".stripMargin,
 
     "join_multi" ->
       s"""SELECT c_mktsegment,
-         |SUM(${Oracle.revenueSql("l_extendedprice", "l_discount")}) AS revenue,
+         |CAST(SUM(${Oracle.revenueSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue,
          |COUNT(*) AS n_lines
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
@@ -198,7 +207,7 @@ object Joins {
 
     "join_left" ->
       """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
-        |COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS total
+        |CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
 
@@ -212,7 +221,8 @@ object Joins {
         |         SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS cust_bal
         |  FROM customer WHERE c_acctbal > 5000 GROUP BY c_nationkey)
         |SELECT COALESCE(s_nationkey, c_nationkey) AS nationkey,
-        |       n_supp, supp_bal, n_cust, cust_bal
+        |       n_supp, CAST(supp_bal AS DOUBLE) AS supp_bal,
+        |       n_cust, CAST(cust_bal AS DOUBLE) AS cust_bal
         |FROM supp FULL OUTER JOIN cust ON s_nationkey = c_nationkey
         |ORDER BY nationkey""".stripMargin,
 

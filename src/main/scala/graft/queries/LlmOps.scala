@@ -212,8 +212,10 @@ object LlmOps {
         .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
         .select(
           col("doc_id"),
-          transform(col("toks"), (t: Column) => length(t).cast("int")).as("lens"),
-          filter(col("toks"), (t: Column) => length(t) > 4).as("long_toks"),
+          graft.Oracle.json(
+            transform(col("toks"), (t: Column) => length(t).cast("int"))).as("lens"),
+          graft.Oracle.json(
+            filter(col("toks"), (t: Column) => length(t) > 4)).as("long_toks"),
           exists(col("toks"), (t: Column) => length(t) <= 2).as("has_short"),
           forall(col("toks"), (t: Column) => t.rlike("^[a-z]+$")).as("all_alpha"),
           aggregate(col("toks"), lit(0L),
@@ -335,8 +337,8 @@ object LlmOps {
     "fn_hof" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents)
         |SELECT doc_id,
-        |list_transform(toks, x -> CAST(length(x) AS INT)) AS lens,
-        |list_filter(toks, x -> length(x) > 4) AS long_toks,
+        |to_json(list_transform(toks, x -> CAST(length(x) AS INT))) AS lens,
+        |to_json(list_filter(toks, x -> length(x) > 4)) AS long_toks,
         |len(list_filter(toks, x -> length(x) <= 2)) > 0 AS has_short,
         |len(list_filter(toks, x -> NOT regexp_matches(x, '^[a-z]+$'))) = 0 AS all_alpha,
         |CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_lens

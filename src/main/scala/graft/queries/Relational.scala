@@ -25,7 +25,7 @@ object Relational {
         Tables(s, dir, "lineitem")
           .select(
             col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-            Oracle.revenue(col("l_extendedprice"), col("l_discount")).as("revenue")))
+            Oracle.out(Oracle.revenue(col("l_extendedprice"), col("l_discount"))).as("revenue")))
         .limit(100)
     },
 
@@ -89,7 +89,7 @@ object Relational {
         .agg(
           grouping_id().cast("long").as("gid"),
           count(lit(1)).as("n"),
-          sum(Oracle.dec(col("o_totalprice"))).as("total"))
+          Oracle.out(sum(Oracle.dec(col("o_totalprice")))).as("total"))
         .orderBy(col("gid"), col("c_mktsegment"), col("o_orderstatus"))
     },
 
@@ -99,7 +99,7 @@ object Relational {
         .agg(
           grouping_id().cast("long").as("gid"),
           count(lit(1)).as("n"),
-          sum(Oracle.dec(col("o_totalprice"))).as("total"))
+          Oracle.out(sum(Oracle.dec(col("o_totalprice")))).as("total"))
         .orderBy(col("gid"), col("c_mktsegment"), col("o_orderstatus"))
     },
 
@@ -111,7 +111,7 @@ object Relational {
         .agg(
           grouping_id().cast("long").as("gid"),
           count(lit(1)).as("n"),
-          sum(Oracle.dec(col("o_totalprice"))).as("total"))
+          Oracle.out(sum(Oracle.dec(col("o_totalprice")))).as("total"))
         .orderBy(col("gid"), col("c_mktsegment"), col("o_orderstatus"))
     }
   )
@@ -131,9 +131,9 @@ object Relational {
       .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(Oracle.dec(col("l_quantity"))).as("sum_qty"),
-        sum(Oracle.dec(col("l_extendedprice"))).as("sum_base_price"),
-        sum(Oracle.revenue(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"),
+        Oracle.out(sum(Oracle.dec(col("l_quantity")))).as("sum_qty"),
+        Oracle.out(sum(Oracle.dec(col("l_extendedprice")))).as("sum_base_price"),
+        Oracle.out(sum(Oracle.revenue(col("l_extendedprice"), col("l_discount")))).as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -141,7 +141,7 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "scan_project" ->
       s"""SELECT l_orderkey, l_linenumber, l_quantity,
-         |${Oracle.revenueSql("l_extendedprice", "l_discount")} AS revenue
+         |${Oracle.outSql(Oracle.revenueSql("l_extendedprice", "l_discount"))} AS revenue
          |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, revenue
          |LIMIT 100""".stripMargin,
 
@@ -158,9 +158,9 @@ object Relational {
 
     "agg_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-         |SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-         |SUM(${Oracle.revenueSql("l_extendedprice", "l_discount")}) AS sum_disc_price,
+         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |CAST(SUM(${Oracle.revenueSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS sum_disc_price,
          |ROUND(AVG(l_quantity), 4) AS avg_qty,
          |COUNT(*) AS count_order
          |FROM lineitem
@@ -182,7 +182,7 @@ object Relational {
     "agg_rollup" ->
       """SELECT c_mktsegment, o_orderstatus,
         |CAST(GROUPING(c_mktsegment, o_orderstatus) AS BIGINT) AS gid,
-        |COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY ROLLUP(c_mktsegment, o_orderstatus)
         |ORDER BY gid, c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
@@ -190,7 +190,7 @@ object Relational {
     "agg_cube" ->
       """SELECT c_mktsegment, o_orderstatus,
         |CAST(GROUPING(c_mktsegment, o_orderstatus) AS BIGINT) AS gid,
-        |COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY CUBE(c_mktsegment, o_orderstatus)
         |ORDER BY gid, c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
@@ -198,7 +198,7 @@ object Relational {
     "agg_grouping_sets" ->
       """SELECT c_mktsegment, o_orderstatus,
         |CAST(GROUPING(c_mktsegment, o_orderstatus) AS BIGINT) AS gid,
-        |COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
         |ORDER BY gid, c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin

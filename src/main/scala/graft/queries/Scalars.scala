@@ -73,10 +73,14 @@ object Scalars {
     },
 
     // -- JSON extraction + aggregate -----------------------------------------
+    // ONE from_json with an explicit schema (single codegen-friendly parse
+    // per row) — get_json_object would re-parse the document per extracted
+    // path (9.3 s at sf0.1 in round 1).
     "fn_json" -> { (s, dir) =>
       Tables(s, dir, "events")
         .select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast("int").as("k"))
+          from_json(col("props"), "k INT", Map.empty[String, String])
+            .getField("k").as("k"))
         .groupBy(col("event_type"))
         .agg(
           sum(col("k")).cast("long").as("sum_k"),
@@ -95,7 +99,12 @@ object Scalars {
           col("vec_id"),
           size(col("embedding")).as("n_dims"),
           round(element_at(col("embedding"), 1).cast("double"), 5).as("first_dim"),
-          slice(col("embedding"), 1, 3).cast("array<double>").as("head3"),
+          // float array serialized to fixed "%.5f" CSV text: the driver's
+          // comparator can't sort raw arrays, and the engines' shortest-
+          // double printers are not guaranteed to agree digit-for-digit.
+          array_join(transform(slice(col("embedding"), 1, 3),
+            (x: Column) => format_string("%.5f", x.cast("double"))), ",")
+            .as("head3"),
           round(aggregate(
             transform(col("embedding"), (x: Column) => x.cast("double")),
             lit(0.0), (acc: Column, x: Column) => acc + x), 4).as("sum_dims"))
@@ -108,14 +117,15 @@ object Scalars {
     "fn_map" -> { (s, dir) =>
       Tables(s, dir, "events")
         .select(col("event_id"), col("event_type"),
-          get_json_object(col("props"), "$.k").cast("int").as("k"))
+          from_json(col("props"), "k INT", Map.empty[String, String])
+            .getField("k").as("k"))
         .select(col("event_id"),
           map(lit("type_len"), length(col("event_type")).cast("int"),
               lit("k"), col("k")).as("m"))
         .select(
           col("event_id"),
-          map_keys(col("m")).as("ks"),
-          map_values(col("m")).as("vs"),
+          Oracle.json(map_keys(col("m"))).as("ks"),
+          Oracle.json(map_values(col("m"))).as("vs"),
           element_at(col("m"), "k").as("k_back"))
         .orderBy(col("event_id"))
     },
@@ -182,15 +192,16 @@ object Scalars {
     "fn_array" ->
       """SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims,
         |ROUND(CAST(embedding[1] AS DOUBLE), 5) AS first_dim,
-        |CAST(embedding[1:3] AS DOUBLE[]) AS head3,
+        |array_to_string(list_transform(embedding[1:3],
+        |  x -> printf('%.5f', CAST(x AS DOUBLE))), ',') AS head3,
         |ROUND(list_sum(CAST(embedding AS DOUBLE[])), 4) AS sum_dims
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "fn_map" ->
       """SELECT event_id,
-        |['type_len', 'k'] AS ks,
-        |[CAST(LENGTH(event_type) AS INT),
-        | CAST(json_extract_string(props, '$.k') AS INT)] AS vs,
+        |to_json(['type_len', 'k']) AS ks,
+        |to_json([CAST(LENGTH(event_type) AS INT),
+        |         CAST(json_extract_string(props, '$.k') AS INT)]) AS vs,
         |CAST(json_extract_string(props, '$.k') AS INT) AS k_back
         |FROM events ORDER BY event_id""".stripMargin,
 

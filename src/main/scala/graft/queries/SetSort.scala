@@ -21,11 +21,11 @@ object SetSort {
     "set_union_all" -> { (s, dir) =>
       val c = Tables(s, dir, "customer").select(
         col("c_name").as("name"),
-        Oracle.dec(col("c_acctbal")).as("acctbal"),
+        Oracle.out(Oracle.dec(col("c_acctbal"))).as("acctbal"),
         lit("cust").as("tag"))
       val p = Tables(s, dir, "supplier").select(
         col("s_name").as("name"),
-        Oracle.dec(col("s_acctbal")).as("acctbal"),
+        Oracle.out(Oracle.dec(col("s_acctbal"))).as("acctbal"),
         lit("supp").as("tag"))
       Oracle.totalOrder(c.unionAll(p))
     },
@@ -61,7 +61,7 @@ object SetSort {
     "sort_multi" -> { (s, dir) =>
       Tables(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"),
-          Oracle.dec(col("o_totalprice")).as("totalprice"), col("o_orderdate"))
+          Oracle.out(Oracle.dec(col("o_totalprice"))).as("totalprice"), col("o_orderdate"))
         .orderBy(col("totalprice").desc, col("o_orderkey").asc,
           col("o_custkey").asc, col("o_orderdate").asc)
         .limit(50)
@@ -77,7 +77,7 @@ object SetSort {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("p_brand"), col("rn"), col("p_partkey"), col("p_name"),
-          Oracle.dec(col("p_retailprice")).as("retailprice"))
+          Oracle.out(Oracle.dec(col("p_retailprice"))).as("retailprice"))
         .orderBy(col("p_brand"), col("rn"))
     }
   )
@@ -85,10 +85,10 @@ object SetSort {
   val oracle: Map[String, String] = Map(
     "set_union_all" ->
       """SELECT * FROM (
-        |  SELECT c_name AS name, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+        |  SELECT c_name AS name, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
         |         'cust' AS tag FROM customer
         |  UNION ALL
-        |  SELECT s_name, CAST(s_acctbal AS DECIMAL(18,2)), 'supp' FROM supplier)
+        |  SELECT s_name, CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE), 'supp' FROM supplier)
         |ORDER BY name, acctbal, tag""".stripMargin,
 
     "set_union_distinct" ->
@@ -108,7 +108,7 @@ object SetSort {
 
     "sort_multi" ->
       """SELECT o_orderkey, o_custkey,
-        |CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, o_orderdate
+        |CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice, o_orderdate
         |FROM orders
         |ORDER BY totalprice DESC, o_orderkey ASC, o_custkey ASC, o_orderdate ASC
         |LIMIT 50""".stripMargin,
@@ -116,7 +116,7 @@ object SetSort {
     "topk_group" ->
       """SELECT p_brand, rn, p_partkey, p_name, retailprice FROM (
         |  SELECT p_brand, p_partkey, p_name,
-        |         CAST(p_retailprice AS DECIMAL(18,2)) AS retailprice,
+        |         CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS retailprice,
         |         ROW_NUMBER() OVER (PARTITION BY p_brand
         |           ORDER BY p_retailprice DESC, p_partkey ASC, p_name ASC) AS rn
         |  FROM part)

@@ -23,7 +23,7 @@ object Tpch {
         .join(Tables(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .filter(col("l_shipdate") > cutoff)
         .groupBy(col("o_orderkey"), col("o_orderdate"))
-        .agg(sum(Oracle.revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+        .agg(Oracle.out(sum(Oracle.revenue(col("l_extendedprice"), col("l_discount")))).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey").asc)
         .limit(10)
     },
@@ -43,7 +43,7 @@ object Tpch {
         .join(broadcast(Tables(s, dir, "region")),
           col("n_regionkey") === col("r_regionkey") && col("r_name") === "ASIA")
         .groupBy(col("n_name"))
-        .agg(sum(Oracle.revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"),
+        .agg(Oracle.out(sum(Oracle.revenue(col("l_extendedprice"), col("l_discount")))).as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy(col("revenue").desc, col("n_name").asc)
     },
@@ -57,7 +57,7 @@ object Tpch {
         .join(Tables(s, dir, "lineitem"),
           col("o_orderkey") === col("l_orderkey") && col("l_returnflag") === "R")
         .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-        .agg(sum(Oracle.revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"),
+        .agg(Oracle.out(sum(Oracle.revenue(col("l_extendedprice"), col("l_discount")))).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)
@@ -77,8 +77,8 @@ object Tpch {
         .withColumn("band_sum",
           sum(Oracle.dec(col("totalprice_d"))).over(w))
         .select(col("o_orderkey"), col("c_mktsegment"),
-          Oracle.dec(col("totalprice_d")).as("totalprice"),
-          col("n_band"), col("band_sum"))
+          Oracle.out(Oracle.dec(col("totalprice_d"))).as("totalprice"),
+          col("n_band"), Oracle.out(col("band_sum")).as("band_sum"))
         .transform(Oracle.totalOrder)
     }
   )
@@ -86,7 +86,7 @@ object Tpch {
   val oracle: Map[String, String] = Map(
     "tpch_q3" ->
       s"""SELECT o_orderkey, o_orderdate,
-         |SUM(${Oracle.revenueSql("l_extendedprice", "l_discount")}) AS revenue
+         |CAST(SUM(${Oracle.revenueSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue
          |FROM customer
          |JOIN orders ON c_custkey = o_custkey
          |JOIN lineitem ON o_orderkey = l_orderkey
@@ -98,7 +98,7 @@ object Tpch {
 
     "tpch_q5" ->
       s"""SELECT n_name,
-         |SUM(${Oracle.revenueSql("l_extendedprice", "l_discount")}) AS revenue,
+         |CAST(SUM(${Oracle.revenueSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue,
          |COUNT(*) AS n_lines
          |FROM customer
          |JOIN orders ON c_custkey = o_custkey
@@ -113,7 +113,7 @@ object Tpch {
 
     "tpch_q10" ->
       s"""SELECT c_custkey, c_name, c_mktsegment,
-         |SUM(${Oracle.revenueSql("l_extendedprice", "l_discount")}) AS revenue,
+         |CAST(SUM(${Oracle.revenueSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue,
          |COUNT(*) AS n_items
          |FROM customer
          |JOIN orders ON c_custkey = o_custkey
@@ -126,9 +126,9 @@ object Tpch {
 
     "win_range_frame" ->
       """SELECT o_orderkey, c_mktsegment,
-        |CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+        |CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
         |COUNT(*) OVER w AS n_band,
-        |SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS band_sum
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS band_sum
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice
         |             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)

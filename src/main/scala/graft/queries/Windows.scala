@@ -24,7 +24,7 @@ object Windows {
         .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
       Tables(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"),
-          Oracle.dec(col("c_acctbal")).as("acctbal"),
+          Oracle.out(Oracle.dec(col("c_acctbal"))).as("acctbal"),
           row_number().over(w).as("rn"),
           rank().over(w).as("rk"),
           dense_rank().over(w).as("drk"))
@@ -37,9 +37,9 @@ object Windows {
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
       Tables(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
-          Oracle.dec(col("o_totalprice")).as("totalprice"),
-          sum(Oracle.dec(col("o_totalprice")))
-            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          Oracle.out(Oracle.dec(col("o_totalprice"))).as("totalprice"),
+          Oracle.out(sum(Oracle.dec(col("o_totalprice")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
             .as("running_total"),
           round(avg(col("o_totalprice")).over(w.rowsBetween(-2, 0)), 4)
             .as("sliding_avg"))
@@ -63,7 +63,7 @@ object Windows {
       val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
       Tables(s, dir, "customer")
         .select(col("c_custkey"),
-          Oracle.dec(col("c_acctbal")).as("acctbal"),
+          Oracle.out(Oracle.dec(col("c_acctbal"))).as("acctbal"),
           ntile(4).over(w).as("quartile"),
           round(percent_rank().over(w), 6).as("pct_rank"),
           round(cume_dist().over(w), 6).as("cume"))
@@ -78,7 +78,7 @@ object Windows {
       Tables(s, dir, "events")
         .groupBy(col("user_id"))
         .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
-        .agg(sum(Oracle.dec(col("value"))))
+        .agg(Oracle.out(sum(Oracle.dec(col("value")))))
         .orderBy(col("user_id"))
     }
   )
@@ -86,7 +86,7 @@ object Windows {
   val oracle: Map[String, String] = Map(
     "win_rank" ->
       """SELECT c_custkey, c_mktsegment,
-        |CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+        |CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
         |ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
@@ -94,10 +94,10 @@ object Windows {
 
     "win_frame" ->
       """SELECT o_orderkey, o_custkey, o_orderdate,
-        |CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
-        |SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
         |  (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total,
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
         |ROUND(AVG(o_totalprice) OVER
         |  (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
         |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS sliding_avg
@@ -114,7 +114,7 @@ object Windows {
         |ORDER BY event_id""".stripMargin,
 
     "win_ntile" ->
-      """SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+      """SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
         |NTILE(4) OVER w AS quartile,
         |ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
         |ROUND(CUME_DIST() OVER w, 6) AS cume
@@ -124,11 +124,11 @@ object Windows {
 
     "pivot_wide" ->
       """SELECT user_id,
-        |SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS click,
-        |SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS view,
-        |SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS purchase,
-        |SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS signup,
-        |SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS error
+        |CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+        |CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view,
+        |CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+        |CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+        |CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -99,9 +99,10 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
 
       // 10:00 window: ONLY the two on-time events — the late 99.0 is gone.
-      assert(out("2024-01-01 10:00:00") == ((2L, "3.00")))
+      // (total is DOUBLE since the Oracle.out representation cast.)
+      assert(out("2024-01-01 10:00:00") == ((2L, "3.0")))
       // 11:00 window: the 11:30 event; late event created no resurrection.
-      assert(out("2024-01-01 11:00:00") == ((1L, "3.00")))
+      assert(out("2024-01-01 11:00:00") == ((1L, "3.0")))
     }
   }
 

@@ -6,43 +6,37 @@ Usage: python3 tools/check.py <sfDir> <outDir> [query...]
 Runs AFTER `graft.Verify` has dumped <outDir>/<name>/ parquet and
 <outDir>/oracle_sql.json. Binds bare table names as DuckDB views over
 <sfDir>/<name>.parquet, executes each oracle SQL, and compares against the
-Spark parquet dump: row count, column-name set (sorted), and cell-by-cell
-values (exact; floats flagged with max-abs-diff when not exact).
+Spark parquet dump THE WAY THE DRIVER DOES (round-1 lesson: the old
+float-canonicalizing compare passed 69 locally while the driver scored 40):
+
+  - both sides load into pandas (Spark parquet via pandas.read_parquet, the
+    oracle via duckdb .df()) — so a Spark DECIMAL column becomes object
+    dtype of decimal.Decimal (str '138014.00') while DuckDB's becomes
+    float64 (str '138014.0'): STRING-level compare keeps that a FAIL;
+  - columns sorted by name, then rows sorted by all columns
+    (pandas sort_values — crashes on ndarray/dict cells exactly like the
+    driver's comparator, reported as ERR);
+  - cells compared as strings (df.astype(str)), mirroring the driver hash.
 
 Dev-only tool — NOT part of the shipped library.
 """
-import sys, json, glob, math
-from decimal import Decimal
+import sys, json, glob, traceback
 
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(v):
-    if v is None:
-        return None
-    if isinstance(v, Decimal):
-        return float(v)
-    if isinstance(v, float):
-        return v
-    if isinstance(v, (list, tuple)):
-        return tuple(canon(x) for x in v)
-    return v
-
-
-def eq(a, b):
-    a, b = canon(a), canon(b)
-    if a is None or b is None:
-        return a is b
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return a == b
-    if isinstance(a, tuple) and isinstance(b, tuple):
-        return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
-    return a == b
+def normalize(df):
+    """Driver-style canonical frame: columns sorted by name, rows sorted by
+    every column, cells stringified. Raises on unhashable cells (arrays/
+    structs) just like the driver's pandas sort."""
+    cols = sorted(df.columns)
+    df = df[cols]
+    df = df.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    return df.astype(str)
 
 
 def main():
@@ -64,44 +58,47 @@ def main():
             n_fail += 1
             continue
         try:
-            duck = con.execute(sql).fetchall()
-            dcols = [d[0] for d in con.description]
+            duck = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        spark = con.execute(
-            f"SELECT * FROM read_parquet({files!r})").fetchall()
-        scols = [d[0] for d in con.description]
-        if sorted(scols) != sorted(dcols):
-            print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+        try:
+            spark = pd.concat([pd.read_parquet(f) for f in files],
+                              ignore_index=True)
+        except Exception as e:
+            print(f"FAIL {name}: spark parquet read error: {e}")
+            n_fail += 1
+            continue
+        if sorted(spark.columns) != sorted(duck.columns):
+            print(f"FAIL {name}: columns spark={sorted(spark.columns)} "
+                  f"duck={sorted(duck.columns)}")
             n_fail += 1
             continue
         if len(spark) != len(duck):
             print(f"FAIL {name}: rows spark={len(spark)} duck={len(duck)}")
             n_fail += 1
             continue
-        # reorder both to sorted-column order (driver sorts cols by name)
-        sidx = [scols.index(c) for c in sorted(scols)]
-        didx = [dcols.index(c) for c in sorted(dcols)]
-        bad = None
-        maxdiff = 0.0
-        for i, (srow, drow) in enumerate(zip(spark, duck)):
-            for j, (si, di) in enumerate(zip(sidx, didx)):
-                a, b = srow[si], drow[di]
-                if not eq(a, b):
-                    if bad is None:
-                        bad = (i, sorted(scols)[j], a, b)
-                    ca, cb = canon(a), canon(b)
-                    if isinstance(ca, float) and isinstance(cb, float):
-                        maxdiff = max(maxdiff, abs(ca - cb))
-        if bad:
-            print(f"FAIL {name}: first mismatch row {bad[0]} col {bad[1]}: "
-                  f"spark={bad[2]!r} duck={bad[3]!r} (maxfloatdiff={maxdiff:g})")
+        try:
+            s, d = normalize(spark), normalize(duck)
+        except Exception:
+            print(f"ERR  {name}: comparator crash (driver would err too): "
+                  f"{traceback.format_exc().splitlines()[-1]}")
             n_fail += 1
-        else:
+            continue
+        if s.equals(d):
             print(f"PASS {name} ({len(spark)} rows)")
             n_pass += 1
+        else:
+            neq = (s != d)
+            cells = int(neq.to_numpy().sum())
+            # first mismatching cell for the report
+            loc = next(((i, c) for c in s.columns for i in s.index[neq[c]]),
+                       None)
+            i, c = loc
+            print(f"FAIL {name}: {cells} cells differ; first row {i} col {c}: "
+                  f"spark={s.at[i, c]!r} duck={d.at[i, c]!r}")
+            n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
