@@ -14,8 +14,9 @@ import org.apache.spark.sql.types.{ArrayType, StructType}
   *
   * Source: one GET = one full snapshot of the relation, fetched
   * driver-side and parallelised immediately — the honest Spark shape for
-  * an API that returns a single JSON array. A partitioned DataSource V2
-  * is the right escalation once the upstream API supports offset reads;
+  * an API that returns a single JSON array. The partitioned escalation
+  * for offset-capable APIs is [[graft.sources.HttpTableProvider]]
+  * (`spark.read.format("graft-http")` — N executors page in parallel);
   * for file-shaped inputs `spark.read.json/parquet` already scales.
   *
   * Sink: partition-parallel POSTs via `foreachPartition`. DELIVERY IS

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** MinHash + LSH banding — the 100 TB-scale path for shingle-Jaccard near
@@ -69,11 +70,22 @@ object MinHash {
     * `bands` must divide the signature length — integer division would
     * otherwise silently drop trailing hashes from the banding and void
     * the (1 − s^r)^b false-negative bound.
+    *
+    * `maxBucketSize` guards the self-join against hot band keys: a bucket
+    * of k docs contributes k·(k−1)/2 pairs, so one skewed key (boilerplate
+    * corpora, adversarial shingles, degenerate vocabularies) goes
+    * quadratic. Buckets above the cap are dropped WHOLE (truncating would
+    * be partition-order-dependent) — standard LSH practice; the recall
+    * loss is confined to docs whose every matching band is oversized,
+    * and [[droppedBuckets]] reports how many buckets the cap removed.
     */
-  def lshCandidates(sigs: DataFrame, bands: Int = 16): DataFrame = {
-    val buckets = sigs.select(
-      col("doc_id"),
-      posexplode(bandKeys(col("sig"), bands)).as(Seq("band", "key")))
+  def lshCandidates(sigs: DataFrame, bands: Int = 16,
+                    maxBucketSize: Int = 500, numHashes: Int = 64): DataFrame = {
+    val w = Window.partitionBy(col("band"), col("key"))
+    val buckets = bucketRows(sigs, bands, numHashes)
+      .withColumn("bsz", count(lit(1)).over(w))
+      .filter(col("bsz") <= maxBucketSize)
+      .select(col("doc_id"), col("band"), col("key"))
     buckets.alias("a")
       .join(buckets.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -82,12 +94,32 @@ object MinHash {
       .distinct()
   }
 
-  /** Per band, one hash over that band's slice of the signature. */
-  private def bandKeys(sig: Column, bands: Int): Column = {
-    // r rows per band, derived from the runtime array size.
-    val r = size(sig) / bands
-    transform(sequence(lit(0), lit(bands - 1)),
-      (j: Column) => hash(j, slice(sig, j * r + 1, r)))
+  /** (doc_id, band, key) bucket assignment rows. */
+  private def bucketRows(sigs: DataFrame, bands: Int, numHashes: Int): DataFrame =
+    sigs.select(
+      col("doc_id"),
+      posexplode(bandKeys(col("sig"), bands, numHashes)).as(Seq("band", "key")))
+
+  /** Number of band buckets the `maxBucketSize` cap removes — cheap
+    * observability for the recall/cost trade (run on cached signatures).
+    */
+  def droppedBuckets(sigs: DataFrame, bands: Int, maxBucketSize: Int,
+                     numHashes: Int = 64): Long =
+    bucketRows(sigs, bands, numHashes)
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucketSize)
+      .count()
+
+  /** Per band, one hash over that band's slice of the signature. Built as
+    * a STATIC array of `bands` expressions (plan-time constants) rather
+    * than `transform(sequence(...), …)`: higher-order functions are
+    * CodegenFallback, so the static form keeps the banding inside
+    * whole-stage codegen.
+    */
+  private def bandKeys(sig: Column, bands: Int, numHashes: Int): Column = {
+    val r = numHashes / bands
+    array((0 until bands).map(j =>
+      hash(lit(j), slice(sig, j * r + 1, r))).toIndexedSeq: _*)
   }
 
   /** End-to-end: candidates verified against the exact shingle Jaccard.
@@ -95,18 +127,21 @@ object MinHash {
     */
   def nearDuplicates(shingles: DataFrame, threshold: Double,
                      numHashes: Int = 64, bands: Int = 16,
-                     seed: Long = 42L): DataFrame = {
+                     seed: Long = 42L, maxBucketSize: Int = 500): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     // The shingle relation feeds signatures, sizes AND verification —
     // persist it once instead of re-running split/explode/distinct per
-    // consumer (lineage recomputation, not correctness, is the cost).
-    // The cache lives until the ContextCleaner collects it (the returned
-    // DataFrame is lazy, so an eager unpersist here would defeat it);
-    // callers looping this in one long session should cache shingles
-    // themselves and pass the cached relation in.
+    // consumer. The result is materialised EAGERLY (localCheckpoint) so
+    // both caches can be released before returning: near-dup output is
+    // pairs-above-threshold, orders of magnitude smaller than the shingle
+    // relation at any scale, so holding the result and dropping the
+    // intermediates is the right memory trade (round-1 leak: the shingle
+    // cache lived until the ContextCleaner got around to it).
     val sh = shingles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = lshCandidates(signatures(sh, numHashes, seed), bands)
+    val sigs = signatures(sh, numHashes, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = lshCandidates(sigs, bands, maxBucketSize, numHashes)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // Verify candidates by expanding ONLY candidate pairs' shingles:
     // cand ⋈ d1-shingles, then an equi-join on (d2, s) counts the
@@ -116,11 +151,20 @@ object MinHash {
       .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("i"))
-    inter
+    val out = inter
       .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
       .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .withColumn("jac", round(col("i") / (col("n1") + col("n2") - col("i")), 6))
       .filter(col("jac") >= threshold)
       .select(col("d1"), col("d2"), col("jac"))
+      .localCheckpoint() // eager: executes the pipeline, cuts lineage
+    val dropped = droppedBuckets(sigs, bands, maxBucketSize, numHashes)
+    if (dropped > 0)
+      org.apache.logging.log4j.LogManager.getLogger(getClass)
+        .warn(s"minhash LSH: $dropped band buckets over maxBucketSize=" +
+          s"$maxBucketSize were dropped (recall loss possible)")
+    sigs.unpersist(false)
+    sh.unpersist(false)
+    out
   }
 }

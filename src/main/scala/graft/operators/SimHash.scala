@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SimHash — 64-bit similarity fingerprints for near-dup detection at
@@ -40,16 +41,28 @@ object SimHash {
 
   /** Pairs (d1 < d2) with Hamming distance ≤ maxDist. Exact (pigeonhole)
     * when maxDist ≤ bands − 1.
+    *
+    * `maxBucketSize` mirrors [[MinHash.lshCandidates]]: one hot band
+    * chunk (near-identical boilerplate corpora hash to the same 16-bit
+    * slice) makes the self-join quadratic, so oversized buckets are
+    * dropped whole. For d ≤ bands−1 exactness this is the ONE source of
+    * false negatives — and only for docs whose every matching chunk is
+    * hot.
     */
-  def nearDuplicates(tokens: DataFrame, maxDist: Int = 3, bands: Int = 4): DataFrame = {
+  def nearDuplicates(tokens: DataFrame, maxDist: Int = 3, bands: Int = 4,
+                     maxBucketSize: Int = 500): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
     val fp = fingerprints(tokens)
+    val w = Window.partitionBy(col("band"), col("key"))
     val keyed = fp.select(col("doc_id"), col("sim"),
       posexplode(array((0 until bands).map(j =>
         shiftright(col("sim"), j * width).bitwiseAND(lit(mask))).toIndexedSeq: _*))
         .as(Seq("band", "key")))
+      .withColumn("bsz", count(lit(1)).over(w))
+      .filter(col("bsz") <= maxBucketSize)
+      .select(col("doc_id"), col("sim"), col("band"), col("key"))
     keyed.alias("a")
       .join(keyed.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

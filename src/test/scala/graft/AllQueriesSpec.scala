@@ -34,4 +34,13 @@ class AllQueriesSpec extends AnyFunSuite {
       assert(n > 0, s"$name returned no rows")
     }
   }
+
+  test("scan_project plans as TakeOrderedAndProject (top-k, no global sort)") {
+    val df = queries.Relational.queries("scan_project")(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
+    assert(!plan.contains("GlobalLimit"), "sort+limit did not fuse")
+  }
 }

@@ -1,0 +1,101 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.HttpServer
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partitioned HTTP DataSource V2 ([[graft.sources.HttpTableProvider]])
+  * against a local paged fake server: full-relation round-trip, strided
+  * partitioning, header forwarding, and end-of-data detection.
+  */
+class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private val TotalRows = 257 // deliberately not a multiple of pageSize
+
+  private var server: HttpServer = _
+  private var port: Int = 0
+  private val requests = new AtomicInteger(0)
+  @volatile private var lastApiKey: String = ""
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = {
+    // Offset-paginated JSON API: GET /rows?offset=O&limit=L returns up to
+    // L of the 257 fixture rows starting at O, as a JSON array.
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/rows", exchange => {
+      requests.incrementAndGet()
+      lastApiKey = Option(exchange.getRequestHeaders.getFirst("X-API-KEY")).getOrElse("")
+      val q = Option(exchange.getRequestURI.getQuery).getOrElse("")
+      val params = q.split("&").filter(_.contains("="))
+        .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+      val off = params.getOrElse("offset", "0").toLong
+      val lim = params.getOrElse("limit", "100").toInt
+      val rows = (off until math.min(off + lim, TotalRows.toLong)).map { i =>
+        s"""{"id": $i, "name": "row-$i", "score": ${i * 0.5}}"""
+      }
+      val body = rows.mkString("[", ",", "]").getBytes("UTF-8")
+      exchange.getResponseHeaders.add("Content-Type", "application/json")
+      exchange.sendResponseHeaders(200, body.length.toLong)
+      exchange.getResponseBody.write(body)
+      exchange.close()
+    })
+    server.start()
+    port = server.getAddress.getPort
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop(0)
+    spark.stop()
+  }
+
+  private def read(pageSize: Int, numPartitions: Int) =
+    spark.read.format("graft-http")
+      .option("url", s"http://127.0.0.1:$port/rows")
+      .option("schema", "id LONG, name STRING, score DOUBLE")
+      .option("pageSize", pageSize.toString)
+      .option("numPartitions", numPartitions.toString)
+      .option("header.X-API-KEY", "test-key")
+      .load()
+
+  test("reads the full paged relation exactly once") {
+    val df = read(pageSize = 50, numPartitions = 4)
+    assert(df.count() === TotalRows)
+    assert(df.select(countDistinct(col("id"))).head.getLong(0) === TotalRows)
+    val row = df.filter(col("id") === 123).head
+    assert(row.getString(1) === "row-123")
+    assert(row.getDouble(2) === 61.5)
+  }
+
+  test("plans one input partition per numPartitions and forwards headers") {
+    val df = read(pageSize = 50, numPartitions = 3)
+    assert(df.rdd.getNumPartitions === 3)
+    df.count()
+    assert(lastApiKey === "test-key")
+  }
+
+  test("short first page ends every reader (no infinite paging)") {
+    requests.set(0)
+    val df = read(pageSize = 1000, numPartitions = 4)
+    assert(df.count() === TotalRows)
+    // each of the 4 strided readers issues exactly one request: page 0 is
+    // short (257 < 1000) for partition 0, pages 1–3 are empty AND short.
+    assert(requests.get() === 4)
+  }
+
+  test("filters and projections compose on top of the source") {
+    val df = read(pageSize = 64, numPartitions = 2)
+      .filter(col("id") % 2 === 0)
+      .select(col("id"), (col("score") * 2).as("s2"))
+    assert(df.count() === 129)
+    assert(df.agg(max("s2")).head.getDouble(0) === 256.0)
+  }
+}
