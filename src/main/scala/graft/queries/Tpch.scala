@@ -63,6 +63,57 @@ object Tpch {
         .limit(20)
     },
 
+    // Q12 shape: per linestatus, how many lines belong to high- vs
+    // low-priority orders in one ship-year (CASE-sum inside one agg pass;
+    // the orderkey join is the only shuffle).
+    "tpch_q12" -> { (s, dir) =>
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(hi, 1L).otherwise(0L)).cast("long").as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).cast("long").as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    },
+
+    // Q14 shape: promo-type revenue share per ship-year. Revenue stays
+    // exact decimal through both sums; the percentage divides as double.
+    "tpch_q14" -> { (s, dir) =>
+      val rev = Oracle.revenue(col("l_extendedprice"), col("l_discount"))
+      val zero = lit(0).cast(Oracle.Money4)
+      Tables(s, dir, "lineitem")
+        .join(broadcast(Tables(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(year(col("l_shipdate")).cast("int").as("ship_year"))
+        .agg(
+          round(lit(100) * Oracle.out(sum(when(col("p_type") === "PROMO", rev).otherwise(zero))) /
+            Oracle.out(sum(rev)), 6).as("promo_pct"),
+          Oracle.out(sum(rev)).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("ship_year"))
+    },
+
+    // Q18 shape: large-quantity orders (HAVING-subquery flavour). The
+    // per-order quantity aggregate is computed ONCE and reused as both
+    // the filter and the output column — no second lineitem pass, no IN
+    // subquery re-scan.
+    "tpch_q18" -> { (s, dir) =>
+      val perOrder = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      perOrder
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), Oracle.out(Oracle.dec(col("o_totalprice"))).as("totalprice"),
+          col("sum_qty"))
+        .orderBy(col("totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    },
+
     // RANGE frame (value-based, vs win_frame's ROWS): running order count
     // and decimal sum over a 1000-wide totalprice band per segment.
     "win_range_frame" -> { (s, dir) =>
@@ -123,6 +174,35 @@ object Tpch {
          |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
          |GROUP BY c_custkey, c_name, c_mktsegment
          |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "tpch_q12" ->
+      """SELECT l_linestatus,
+        |CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "tpch_q14" ->
+      s"""SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+         |ROUND(100 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+         |    THEN ${Oracle.revenueSql("l_extendedprice", "l_discount")}
+         |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         |  / CAST(SUM(${Oracle.revenueSql("l_extendedprice", "l_discount")}) AS DOUBLE), 6) AS promo_pct,
+         |CAST(SUM(${Oracle.revenueSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue,
+         |COUNT(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY ship_year ORDER BY ship_year""".stripMargin,
+
+    "tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice, sum_qty
+        |FROM (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
 
     "win_range_frame" ->
       """SELECT o_orderkey, c_mktsegment,

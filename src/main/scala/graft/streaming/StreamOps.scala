@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.queries.EventTime
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Structured-Streaming forms of the event-time operators (SURVEY.md §2.3
   * `stream_ingest`, `stream_late_data`, `stream_dedup`).
@@ -33,6 +34,32 @@ object StreamOps {
   /** Stateful streaming dedup on event_id, state bounded by watermark. */
   def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join (the canonical streaming enrichment):
+    * for each 'error' event, the same user's 'click' events in the
+    * preceding `window`. Both sides carry watermarks and the join
+    * condition bounds event time on BOTH ends, so Spark can size and
+    * expire the join state — unbounded-state stream joins are rejected
+    * in append mode by design. A self-joined single source is still a
+    * true stream-stream join (two stateful sides).
+    */
+  def errorClickJoin(events: DataFrame, watermark: String = "10 minutes",
+                     window: String = "10 minutes"): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("u_err"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("u_click"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    errors.join(clicks,
+      col("u_err") === col("u_click") &&
+        col("click_ts") >= col("err_ts") - expr(s"INTERVAL $window") &&
+        col("click_ts") <= col("err_ts"))
+      .select(col("err_id"), col("u_err").as("user_id"), col("err_ts"),
+        col("click_id"), col("click_ts"))
+  }
 
   /** Per-user cumulative totals emitted each micro-batch. */
   case class UserTotal(user_id: Long, n_events: Long, total_value: Double)

@@ -106,6 +106,48 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_join: stream-stream interval join matches batch, state bounded") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.errorClickJoin(input.toDF(), "10 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("join_out")
+      .outputMode("append").start()
+    withQuery(q) {
+      input.addData(Seq(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 10:04:00"), 7, "click", 1.0),
+        Event(3, ts("2024-01-01 10:05:00"), 7, "error", 0.0), // joins 1,2
+        Event(4, ts("2024-01-01 10:04:30"), 8, "click", 1.0),
+        Event(5, ts("2024-01-01 10:20:00"), 8, "error", 0.0), // click too old
+        Event(6, ts("2024-01-01 10:06:00"), 9, "error", 0.0))) // no click
+      q.processAllAvailable()
+      // push both watermarks far ahead so all joinable pairs emit
+      input.addData(Seq(
+        Event(7, ts("2024-01-01 12:00:00"), 7, "click", 1.0),
+        Event(8, ts("2024-01-01 12:00:00"), 7, "error", 0.0)))
+      q.processAllAvailable()
+      val out = spark.table("join_out")
+        .select(col("err_id"), col("click_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out === Set((3L, 1L), (3L, 2L), (8L, 7L)))
+      // the batch form of the same join agrees (same condition, no state)
+      val batch = StreamOps.errorClickJoin(
+        spark.createDataset(Seq(
+          Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+          Event(2, ts("2024-01-01 10:04:00"), 7, "click", 1.0),
+          Event(3, ts("2024-01-01 10:05:00"), 7, "error", 0.0),
+          Event(4, ts("2024-01-01 10:04:30"), 8, "click", 1.0),
+          Event(5, ts("2024-01-01 10:20:00"), 8, "error", 0.0),
+          Event(6, ts("2024-01-01 10:06:00"), 9, "error", 0.0),
+          Event(7, ts("2024-01-01 12:00:00"), 7, "click", 1.0),
+          Event(8, ts("2024-01-01 12:00:00"), 7, "error", 0.0))).toDF())
+        .select(col("err_id"), col("click_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch === out)
+    }
+  }
+
   test("flatMapGroupsWithState carries per-user totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
