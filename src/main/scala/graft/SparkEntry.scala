@@ -23,7 +23,7 @@ object SparkEntry {
     Relational.queries ++ Joins.queries ++ SetSort.queries ++
       Scalars.queries ++ Windows.queries ++ LlmOps.queries ++
       ScaleOps.queries ++ EventTime.queries ++ Udx.queries ++
-      Extra.queries ++ Tpch.queries ++ Embeddings.queries ++ Map(
+      Extra.queries ++ Extra2.queries ++ Tpch.queries ++ Embeddings.queries ++ Map(
         // Reference-parity pipeline over the embedded fixture; nested CoT
         // structs are golden-file tested (no SQL oracle). The driver dump
         // still row-sorts no-oracle results, and its pandas comparator
@@ -48,6 +48,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Joins.oracle ++ SetSort.oracle ++
       Scalars.oracle ++ Windows.oracle ++ LlmOps.oracle ++
-      EventTime.oracle ++ Udx.oracle ++ Extra.oracle ++ Tpch.oracle ++
-      Embeddings.oracle
+      EventTime.oracle ++ Udx.oracle ++ Extra.oracle ++ Extra2.oracle ++
+      Tpch.oracle ++ Embeddings.oracle
 }
