@@ -40,6 +40,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[graft.functions.CosineSimilarity].getName, "cosine_sim"),
       (args: Seq[Expression]) => graft.functions.CosineSimilarity(args(0), args(1))))
+    // Native as-of join: marker predicate + planner strategy (AsOfJoinPlan)
+    e.injectFunction((
+      FunctionIdentifier("asof_latest"),
+      new ExpressionInfo(classOf[AsOfLatest].getName, "asof_latest"),
+      (args: Seq[Expression]) => AsOfLatest(args)))
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 

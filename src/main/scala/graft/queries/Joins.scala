@@ -163,6 +163,24 @@ object Joins {
         .orderBy(col("user_id"))
     },
 
+    // -- as-of join, native plan form ---------------------------------------
+    // Same semantics as join_asof below, but planned as the custom
+    // single-pass sort-merge operator (marker predicate → strategy →
+    // AsOfJoinExec; graft.plans.AsOfJoinPlan) — one shuffle+sort per
+    // side, no candidate materialisation. Checked against the SAME
+    // DuckDB oracle as the window form.
+    "join_asof_native" -> { (s, dir) =>
+      graft.plans.Asof.register(s)
+      graft.plans.Asof.join(
+        Tables(s, dir, "events").select(col("event_id"), col("user_id"), col("ts")),
+        Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        leftKey = col("user_id"), rightKey = col("o_custkey"),
+        leftTime = col("ts"), rightTime = col("o_orderdate"),
+        rightTieBreak = col("o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_orderdate"))
+        .orderBy(col("event_id"))
+    },
+
     // -- as-of join ---------------------------------------------------------
     // For each event, the latest order of the same user with
     // o_orderdate <= ts (ties broken by highest o_orderkey). Candidate
@@ -252,6 +270,15 @@ object Joins {
         | AND e2.ts::TIMESTAMP < e1.ts::TIMESTAMP + INTERVAL 1 HOUR
         |WHERE e1.event_type = 'error'
         |GROUP BY e1.user_id ORDER BY e1.user_id""".stripMargin,
+
+    "join_asof_native" ->
+      """SELECT event_id, user_id, o_orderkey, o_orderdate FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+        |         ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts::TIMESTAMP)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "join_asof" ->
       """SELECT event_id, user_id, o_orderkey, o_orderdate FROM (

@@ -49,6 +49,26 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getDouble(0) == 0.0)
   }
 
+  test("native as-of join (strategy + exec) is row-identical to the window form") {
+    val sf = "/root/testdata/sf0.001"
+    val events = Tables.events(spark, sf).select(col("event_id"), col("user_id"), col("ts"))
+    val orders = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val df = graft.plans.Asof.join(events, orders,
+      leftKey = col("user_id"), rightKey = col("o_custkey"),
+      leftTime = col("ts"), rightTime = col("o_orderdate"),
+      rightTieBreak = col("o_orderkey"))
+      .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_orderdate"))
+    // the custom strategy must have planned the custom operator
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      df.queryExecution.executedPlan.toString)
+    val got = df.orderBy(col("event_id")).collect().map(_.toSeq).toSeq
+    val want = queries.Joins.queries("join_asof")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.size == want.size, s"${got.size} vs ${want.size}")
+    assert(got == want)
+  }
+
   test("injected functions run over table columns inside codegen") {
     val df = spark.range(100).selectExpr(
       "id",
