@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Binned range join — the scale path for interval joins with NO equi
+  * key. `join_range` keeps a hash join only because user_id rides along
+  * as an equi component; drop the key and Spark's only plan is a
+  * broadcast-nested-loop — O(n·m) at any scale.
+  *
+  * Binning restores an equi key: time is cut into `binSeconds` buckets,
+  * each probe row replicates into every bucket its window [t0, t0+len)
+  * can touch (⌈len/bin⌉+1 buckets — bounded, chosen by the caller), the
+  * build side lands in exactly ONE bucket, and the join is a plain hash
+  * join on the bucket id with the exact predicate as a residual filter.
+  * Each (probe, build) pair meets in at most one bucket (the build row's
+  * own), so no dedup pass is needed. This is the classic interval-
+  * binning rewrite every range-join engine implements natively.
+  */
+object RangeJoin {
+  /** For each `probe` row, the `build` rows with
+    * `probeTime <= buildTime < probeTime + windowSeconds`, joined WITHOUT
+    * an equi key. Output: all probe columns + build columns.
+    * `binSeconds` defaults to the window length (2 bins per probe row).
+    */
+  def window(probe: DataFrame, probeTime: Column,
+             build: DataFrame, buildTime: Column,
+             windowSeconds: Long, binSeconds: Long = 0L): DataFrame = {
+    val bin = if (binSeconds > 0) binSeconds else windowSeconds
+    val nBins = (windowSeconds + bin - 1) / bin + 1
+    val pBin = floor(unix_timestamp(probeTime) / bin).cast("long")
+    val probeBinned = probe.withColumn("__bin",
+      explode(sequence(pBin, pBin + lit(nBins - 1))))
+    val buildBinned = build.withColumn("__bin",
+      floor(unix_timestamp(buildTime) / bin).cast("long"))
+    probeBinned.join(buildBinned, Seq("__bin"))
+      .filter(buildTime >= probeTime &&
+        buildTime < probeTime + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .drop("__bin")
+  }
+}

@@ -163,6 +163,25 @@ object Joins {
         .orderBy(col("user_id"))
     },
 
+    // -- range join WITHOUT an equi key (binned) -----------------------------
+    // For each 'error' event: how many events — ANY user — land in the
+    // following hour. No equi component exists, so the naive plan is a
+    // nested loop; the binning rewrite (graft.operators.RangeJoin) makes
+    // it a hash join on the time bucket. Oracle runs the plain theta
+    // join — same rows, quadratic plan only on DuckDB's side.
+    "join_range_binned" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("ts").as("t0"))
+      graft.operators.RangeJoin.window(
+          errs, col("t0"),
+          ev.select(col("ts").as("t1")), col("t1"),
+          windowSeconds = 3600L)
+        .groupBy(col("err_id"))
+        .agg(count(lit(1)).as("n_nearby"))
+        .orderBy(col("err_id"))
+    },
+
     // -- as-of join, native plan form ---------------------------------------
     // Same semantics as join_asof below, but planned as the custom
     // single-pass sort-merge operator (marker predicate → strategy →
@@ -270,6 +289,14 @@ object Joins {
         | AND e2.ts::TIMESTAMP < e1.ts::TIMESTAMP + INTERVAL 1 HOUR
         |WHERE e1.event_type = 'error'
         |GROUP BY e1.user_id ORDER BY e1.user_id""".stripMargin,
+
+    "join_range_binned" ->
+      """SELECT e1.event_id AS err_id, COUNT(*) AS n_nearby
+        |FROM events e1 JOIN events e2
+        |  ON e2.ts::TIMESTAMP >= e1.ts::TIMESTAMP
+        | AND e2.ts::TIMESTAMP < e1.ts::TIMESTAMP + INTERVAL 1 HOUR
+        |WHERE e1.event_type = 'error'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "join_asof_native" ->
       """SELECT event_id, user_id, o_orderkey, o_orderdate FROM (

@@ -58,7 +58,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("join_range and join_theta plan as hash/sort-merge joins, not BNL") {
-    for (q <- Seq("join_range", "join_theta")) {
+    for (q <- Seq("join_range", "join_theta", "join_range_binned")) {
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$q degenerated to a nested-loop/cartesian plan:\n$p")
