@@ -23,6 +23,60 @@ object ConnectedComponents {
     * undirected; isolated vertices don't appear (join the vertex set
     * back if they must).
     */
+  /** Large-star/small-star alternating rounds (Kiveris et al.) — the
+    * long-chain escalation of [[components]]: each round roughly squares
+    * path lengths, so convergence is O(log diameter) rounds instead of
+    * O(diameter). Same output contract as [[components]].
+    *
+    * large-star: every node u emits (v → m) for its LARGER neighbours v,
+    * where m = min(N(u) ∪ {u}) — big nodes hook onto the local minimum.
+    * small-star: every node u emits (v → m) for its smaller neighbours
+    * AND itself — flattening partial stars. Both are one groupBy + one
+    * join per round; the edge set monotonically contracts toward
+    * (node → component-root) stars.
+    */
+  def componentsStar(edges: DataFrame, maxIterations: Int = 20): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = sym.groupBy(col("src"))
+        .agg(least(col("src"), min(col("dst"))).as("m"))
+      sym.join(m, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient every edge big→small, then hook small neighbours + self
+      // onto the per-node minimum
+      val directed = e.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val m = directed.groupBy(col("src"))
+        .agg(least(col("src"), min(col("dst"))).as("m"))
+      val viaNbr = directed.join(m, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+      val self = m.select(col("src"), col("m").as("dst"))
+      viaNbr.union(self).filter(col("src") =!= col("dst")).distinct()
+    }
+    var e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIterations) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // converged when the star set is stable (same canonical edge set)
+      converged = next.count() == e.count() &&
+        next.except(e).limit(1).count() == 0
+      e = next
+      round += 1
+    }
+    // stars are (child → root); roots label themselves
+    val children = e.select(col("src").as("v"), col("dst").as("c"))
+    val roots = e.select(col("dst").as("v")).distinct()
+      .withColumn("c", col("v"))
+    children.union(roots).distinct()
+  }
+
   def components(edges: DataFrame, maxIterations: Int = 20): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))

@@ -22,6 +22,25 @@ class ScaleOpsSpec extends AnyFunSuite {
   private def exactPairs = SparkEntry.queries("dedup_neardup")(spark, sf)
     .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("large-star/small-star components equal min-label propagation") {
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    // a long chain (worst case for hash-to-min), a clique, an isolated
+    // pair, plus the real near-dup graph
+    val chain = (0L until 50L).map(i => (i, i + 1))
+    val clique = for (a <- 100L to 104L; b <- (a + 1) to 104L) yield (a, b)
+    val pair = Seq((200L, 201L))
+    val edges = (chain ++ clique ++ pair).toDF("src", "dst")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(norm(ConnectedComponents.componentsStar(edges)) ===
+      norm(ConnectedComponents.components(edges, maxIterations = 60)))
+    val nd = SparkEntry.queries("dedup_neardup")(spark, sf)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    assert(norm(ConnectedComponents.componentsStar(nd)) ===
+      norm(ConnectedComponents.components(nd)))
+  }
+
   test("MinHash-LSH near-dup equals the exact shingle-Jaccard result") {
     val lsh = SparkEntry.queries("dedup_minhash")(spark, sf)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
