@@ -54,6 +54,38 @@ object Extra2 {
         .orderBy(col("bucket"))
     },
 
+    // -- date/time scalars, second batch -------------------------------------
+    "fn_datetime2" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          make_date(lit(1995), month(col("o_orderdate")), lit(15)).as("mid_month"),
+          add_months(col("o_orderdate"), 2).as("plus2m"),
+          weekofyear(col("o_orderdate")).cast("int").as("iso_week"),
+          quarter(col("o_orderdate")).cast("int").as("q"),
+          dayofweek(col("o_orderdate")).cast("int").as("dow"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+          date_trunc("quarter", col("o_orderdate")).as("q_start"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // -- null / NaN semantics -------------------------------------------------
+    // NaN is constructed explicitly (big values become NaN) so isnan /
+    // nanvl / null-vs-NaN distinctions are all exercised.
+    "fn_null" -> { (s, dir) =>
+      val nanny = when(col("value") > 250, lit(Double.NaN)).otherwise(col("value"))
+      val holey = nullif(col("event_type"), lit("error"))
+      Tables(s, dir, "events")
+        .select(
+          col("event_id"),
+          isnan(nanny).as("is_nan"),
+          nanvl(nanny, lit(-1.0)).as("nan_repaired"),
+          holey.isNull.as("was_error"),
+          nvl(holey, lit("(none)")).as("type_or_none"),
+          nvl2(holey, lit("ok"), lit("err")).as("nvl2_class"))
+        .orderBy(col("event_id"))
+    },
+
     // -- ANSI-safe scalars (null on failure, never an error) -----------------
     "fn_try" -> { (s, dir) =>
       Tables(s, dir, "orders")
@@ -90,6 +122,31 @@ object Extra2 {
       """SELECT CAST(FLOOR(l_quantity / 5) AS BIGINT) AS bucket,
         |COUNT(*) AS n, MIN(l_quantity) AS lo, MAX(l_quantity) AS hi
         |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "fn_datetime2" ->
+      """SELECT o_orderkey,
+        |make_date(1995, CAST(month(o_orderdate) AS INT), 15) AS mid_month,
+        |CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+        |CAST(quarter(o_orderdate) AS INT) AS q,
+        |CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |strftime(o_orderdate, '%Y-%m') AS ym,
+        |CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS q_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_null" ->
+      """WITH t AS (
+        |  SELECT event_id,
+        |    CASE WHEN value > 250 THEN CAST('NaN' AS DOUBLE) ELSE value END AS nanny,
+        |    NULLIF(event_type, 'error') AS holey
+        |  FROM events)
+        |SELECT event_id,
+        |isnan(nanny) AS is_nan,
+        |CASE WHEN isnan(nanny) THEN -1.0 ELSE nanny END AS nan_repaired,
+        |holey IS NULL AS was_error,
+        |COALESCE(holey, '(none)') AS type_or_none,
+        |CASE WHEN holey IS NOT NULL THEN 'ok' ELSE 'err' END AS nvl2_class
+        |FROM t ORDER BY event_id""".stripMargin,
 
     "fn_try" ->
       """SELECT o_orderkey,
