@@ -81,6 +81,11 @@ object MinHash {
     */
   def lshCandidates(sigs: DataFrame, bands: Int = 16,
                     maxBucketSize: Int = 500, numHashes: Int = 64): DataFrame = {
+    // numHashes MUST equal the signature length `sigs` was built with —
+    // the static banding can't see the runtime array size, and a
+    // mismatch silently mis-bands (voiding the (1−s^r)^b bound).
+    require(numHashes >= bands && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     val w = Window.partitionBy(col("band"), col("key"))
     val buckets = bucketRows(sigs, bands, numHashes)
       .withColumn("bsz", count(lit(1)).over(w))

@@ -169,7 +169,12 @@ case class AsOfJoinExec(
               if (c < 0) { rBuf.next(); lastKey = null; lastRight = null }
               else if (c == 0) {
                 val rtRow = rTimeProj(head)
-                if (!rtRow.isNullAt(0) && timeOrd.compare(rtRow, ltRow) <= 0) {
+                if (rtRow.isNullAt(0)) {
+                  // null time never matches — CONSUME it (nulls sort
+                  // first, so stopping here would stall the cursor and
+                  // hide every later valid row of this key)
+                  rBuf.next()
+                } else if (timeOrd.compare(rtRow, ltRow) <= 0) {
                   lastKey = rkRow.copy()
                   lastRight = rBuf.next().copy()
                 } else continue = false

@@ -69,6 +69,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("native as-of join skips NULL right times without stalling the cursor") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // nulls sort FIRST under ascending order — the null-time row heads
+    // the key group and must be consumed, not treated as a stop signal
+    val rights = Seq(
+      (1L, Option.empty[java.sql.Timestamp], 90L),
+      (1L, Some(t("2024-01-01 00:10:00")), 91L),
+      (2L, Some(t("2024-01-01 00:30:00")), 92L))
+      .toDF("rkey", "rtime", "rid")
+    val lefts = Seq(
+      (1L, t("2024-01-01 00:20:00"), 10L),
+      (2L, t("2024-01-01 00:20:00"), 11L)) // before its only right row
+      .toDF("lkey", "ltime", "lid")
+    val out = graft.plans.Asof.join(lefts, rights,
+        col("lkey"), col("rkey"), col("ltime"), col("rtime"), col("rid"))
+      .select(col("lid"), col("rid")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet === Set((10L, 91L))) // lid=11 unmatched; null time ignored
+  }
+
   test("injected functions run over table columns inside codegen") {
     val df = spark.range(100).selectExpr(
       "id",

@@ -75,9 +75,9 @@ class PlanSpec extends AnyFunSuite {
 
   test("join_multi pre-aggregates lineitem before the orders join") {
     val p = plan("join_multi")
-    // the per-orderkey partial aggregate must sit below the first join
-    val aggIdx = p.indexOf("partial_sum")
-    val joinIdx = math.max(p.indexOf("SortMergeJoin"), p.indexOf("BroadcastHashJoin"))
-    assert(aggIdx >= 0 && joinIdx >= 0, p)
+    // the per-orderkey aggregate is the rewrite's signature: without it
+    // the only aggregates are keyed on c_mktsegment (above the joins)
+    assert(p.contains("HashAggregate(keys=[l_orderkey"),
+      s"no per-orderkey pre-aggregation in:\n$p")
   }
 }
