@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextAnalysis
-import graft.operators.{Ann, Ivf, Multimodal, MinHash, Sampling, SimHash}
+import graft.operators.{Ann, ConnectedComponents, Ivf, Multimodal, MinHash, Sampling, SimHash}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -19,6 +19,14 @@ object ScaleOps {
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
       .filter(col("w") =!= "")
 
+
+  /** (doc_id, 64-bit-hashed distinct shingle) — the MinHash input: every
+    * downstream shuffle moves 8-byte keys instead of ~30-byte strings.
+    */
+  private def hashedShingles(s: SparkSession, dir: String): DataFrame =
+    LlmOps.shingleRowsRaw(s, dir)
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+      .distinct()
 
   private def normalized(s: SparkSession, dir: String): DataFrame = {
     val e = transform(col("embedding"), (x: Column) => x.cast("double"))
@@ -37,11 +45,21 @@ object ScaleOps {
     // instead of ~30-byte strings. Jaccard over hashed shingles equals
     // string Jaccard up to 64-bit collisions (~n²/2^64 — negligible).
     "dedup_minhash" -> { (s, dir) =>
-      val hashedShingles = LlmOps.shingleRowsRaw(s, dir)
-        .select(col("doc_id"), xxhash64(col("s")).as("s"))
-        .distinct()
-      MinHash.nearDuplicates(hashedShingles, threshold = 0.6)
+      MinHash.nearDuplicates(hashedShingles(s, dir), threshold = 0.6)
         .orderBy(col("d1"), col("d2"))
+    },
+
+    // The FULL scale dedup pipeline: MinHash-LSH pairs → large-star/
+    // small-star connected components → cluster id + canonical doc.
+    // Equals the exact dedup_cluster up to LSH recall (tested equal on
+    // the fixtures, where recall is 1).
+    "dedup_minhash_cluster" -> { (s, dir) =>
+      val edges = MinHash.nearDuplicates(hashedShingles(s, dir), threshold = 0.6)
+        .select(col("d1").as("src"), col("d2").as("dst"))
+      ConnectedComponents.componentsStar(edges)
+        .select(col("v").as("doc_id"), col("c").as("cluster_id"),
+          (col("v") === col("c")).as("is_canonical"))
+        .orderBy(col("doc_id"))
     },
 
     // SimHash fingerprints + banded Hamming pairs (exact for dist ≤ 3).

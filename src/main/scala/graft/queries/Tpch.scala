@@ -63,6 +63,22 @@ object Tpch {
         .limit(20)
     },
 
+    // Q6 shape: forecasted revenue change — a pure scan+filter+agg with
+    // every predicate parquet-pushable; the whole query is one partial+
+    // final aggregate, zero joins.
+    "tpch_q6" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_discount").between(0.02, 0.04) &&
+          col("l_quantity") < 24)
+        .agg(
+          Oracle.out(sum(Oracle.dec(col("l_extendedprice")) * Oracle.dec(col("l_discount"))))
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
     // Q12 shape: per linestatus, how many lines belong to high- vs
     // low-priority orders in one ship-year (CASE-sum inside one agg pass;
     // the orderkey join is the only shuffle).
@@ -174,6 +190,17 @@ object Tpch {
          |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
          |GROUP BY c_custkey, c_name, c_mktsegment
          |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "tpch_q6" ->
+      """SELECT
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.04
+        |  AND l_quantity < 24""".stripMargin,
 
     "tpch_q12" ->
       """SELECT l_linestatus,

@@ -41,6 +41,15 @@ class ScaleOpsSpec extends AnyFunSuite {
       norm(ConnectedComponents.components(nd)))
   }
 
+  test("dedup_minhash_cluster equals the exact dedup_cluster labels") {
+    def labels(q: String) = SparkEntry.queries(q)(spark, sf)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH recall is 1 on the fixtures (pair-equality test below), so the
+    // cluster labels must agree exactly too.
+    assert(labels("dedup_minhash_cluster") === labels("dedup_cluster"))
+  }
+
   test("MinHash-LSH near-dup equals the exact shingle-Jaccard result") {
     val lsh = SparkEntry.queries("dedup_minhash")(spark, sf)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

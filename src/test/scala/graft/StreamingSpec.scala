@@ -106,6 +106,31 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("foreachBatch sink: every micro-batch lands exactly once in parquet") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft-fb").toString
+    val input = MemoryStream[Event]
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    withQuery(q) {
+      input.addData(Seq(Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0)))
+      q.processAllAvailable()
+      input.addData(Seq(
+        Event(2, ts("2024-01-01 10:01:00"), 1, "view", 2.0),
+        Event(3, ts("2024-01-01 10:02:00"), 2, "click", 3.0)))
+      q.processAllAvailable()
+      val out = spark.read.parquet(outDir)
+      assert(out.count() === 3)
+      assert(out.select(countDistinct(col("batch_id"))).head.getLong(0) === 2)
+      assert(out.select(sum(col("value"))).head.getDouble(0) === 6.0)
+    }
+  }
+
   test("stream_join: stream-stream interval join matches batch, state bounded") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
