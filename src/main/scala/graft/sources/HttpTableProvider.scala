@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JSONOptions, Jac
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -68,7 +69,7 @@ private[sources] class HttpTable(schema: StructType, props: Map[String, String])
   override def name(): String = s"graft-http:${props.getOrElse("url", "?")}"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
@@ -80,6 +81,7 @@ private[sources] class HttpTable(schema: StructType, props: Map[String, String])
         Option(options.get("offsetParam")).getOrElse("offset")
       private val limitParam =
         Option(options.get("limitParam")).getOrElse("limit")
+      private val countUrl = Option(options.get("countUrl"))
       private val headers = options.asScala.collect {
         case (k, v) if k.startsWith("header.") => k.stripPrefix("header.") -> v
       }.toMap
@@ -95,7 +97,138 @@ private[sources] class HttpTable(schema: StructType, props: Map[String, String])
       override def createReaderFactory(): PartitionReaderFactory =
         new HttpReaderFactory(url, schema.toDDL, pageSize,
           offsetParam, limitParam, headers)
+
+      // -- streaming (micro-batch) form --------------------------------
+      // Incremental ingestion from a GROWING offset API: each trigger
+      // reads [committed, current-total) exactly once, with the row
+      // offset checkpointed as the stream position. Requires `countUrl`
+      // (an endpoint returning the current total row count as a plain
+      // integer) — the standard cheap-watermark contract for offset
+      // APIs; rows must be append-only and immutable below the count.
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new HttpMicroBatchStream(
+          url,
+          countUrl.getOrElse(throw new IllegalArgumentException(
+            "graft-http streaming requires a 'countUrl' option")),
+          schema.toDDL, pageSize, numPartitions, offsetParam, limitParam, headers)
     }
+}
+
+/** Stream offset = number of rows already ingested. */
+private[sources] case class HttpRowOffset(rows: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = rows.toString
+}
+
+private[sources] class HttpMicroBatchStream(
+    url: String, countUrl: String, schemaDdl: String, pageSize: Int,
+    numPartitions: Int, offsetParam: String, limitParam: String,
+    headers: Map[String, String]) extends MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def currentCount(): Long = {
+    val b = HttpRequest.newBuilder(URI.create(countUrl)).GET()
+      .timeout(Duration.ofSeconds(30))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val resp = HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(30))
+      .build().send(b.build(), HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() / 100 == 2,
+      s"graft-http count GET $countUrl failed: HTTP ${resp.statusCode()}")
+    resp.body().trim.toLong
+  }
+
+  override def initialOffset(): Offset = HttpRowOffset(0L)
+  override def latestOffset(): Offset = HttpRowOffset(currentCount())
+  override def deserializeOffset(json: String): Offset =
+    HttpRowOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[HttpRowOffset].rows
+    val hi = end.asInstanceOf[HttpRowOffset].rows
+    val total = math.max(0L, hi - lo)
+    if (total == 0) Array.empty
+    else {
+      val n = math.min(numPartitions.toLong, total).toInt
+      val per = total / n
+      val rem = total % n
+      // contiguous row ranges, remainder spread over the first `rem`
+      var cursor = lo
+      Array.tabulate(n) { i =>
+        val len = per + (if (i < rem) 1 else 0)
+        val p = HttpRangePartition(cursor, cursor + len)
+        cursor += len
+        p: InputPartition
+      }
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new HttpRangeReaderFactory(url, schemaDdl, pageSize,
+      offsetParam, limitParam, headers)
+}
+
+/** Exact row range [startRow, endRow) for one micro-batch partition. */
+private[sources] case class HttpRangePartition(startRow: Long, endRow: Long)
+    extends InputPartition
+
+private[sources] class HttpRangeReaderFactory(
+    url: String, schemaDdl: String, pageSize: Int,
+    offsetParam: String, limitParam: String, headers: Map[String, String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[HttpRangePartition]
+    new HttpRangeReader(url, schemaDdl, pageSize, offsetParam, limitParam,
+      headers, p.startRow, p.endRow)
+  }
+}
+
+/** Pages through an exact [startRow, endRow) range with limit-capped
+  * requests — exactly-once per planned range (the range came from
+  * checkpointed offsets).
+  */
+private[sources] class HttpRangeReader(
+    url: String, schemaDdl: String, pageSize: Int,
+    offsetParam: String, limitParam: String, headers: Map[String, String],
+    startRow: Long, endRow: Long)
+    extends PartitionReader[InternalRow] {
+
+  private val schema = StructType.fromDDL(schemaDdl)
+  private val parser = new JacksonParser(
+    schema, new JSONOptions(Map.empty[String, String], "UTC", ""),
+    allowArrayAsStructs = true, Seq.empty)
+  private val client = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(30)).build()
+
+  private var cursor = startRow
+  private var rows: Iterator[InternalRow] = Iterator.empty
+
+  override def next(): Boolean = {
+    while (!rows.hasNext && cursor < endRow) {
+      val lim = math.min(pageSize.toLong, endRow - cursor)
+      val sep = if (url.contains("?")) "&" else "?"
+      val pageUrl = s"$url$sep$offsetParam=$cursor&$limitParam=$lim"
+      val b = HttpRequest.newBuilder(URI.create(pageUrl)).GET()
+        .timeout(Duration.ofSeconds(60))
+      headers.foreach { case (k, v) => b.header(k, v) }
+      val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() / 100 == 2,
+        s"graft-http GET $pageUrl failed: HTTP ${resp.statusCode()}")
+      val fetched = parser.parse[String](resp.body(),
+        CreateJacksonParser.string(_: JsonFactory, _: String),
+        UTF8String.fromString).toSeq
+      require(fetched.nonEmpty || lim == 0,
+        s"graft-http: server returned no rows for committed range at offset $cursor")
+      cursor += fetched.size
+      rows = fetched.iterator
+    }
+    rows.hasNext
+  }
+
+  override def get(): InternalRow = rows.next()
+  override def close(): Unit = ()
 }
 
 /** Strided page range: this partition owns pages idx, idx+stride, … */

@@ -15,6 +15,8 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val TotalRows = 257 // deliberately not a multiple of pageSize
+  // mutable size for the streaming test (append-only growth)
+  private val liveRows = new AtomicInteger(TotalRows)
 
   private var server: HttpServer = _
   private var port: Int = 0
@@ -39,11 +41,19 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
       val off = params.getOrElse("offset", "0").toLong
       val lim = params.getOrElse("limit", "100").toInt
-      val rows = (off until math.min(off + lim, TotalRows.toLong)).map { i =>
+      val cap = math.max(TotalRows, liveRows.get).toLong
+      val rows = (off until math.min(off + lim, cap)).map { i =>
         s"""{"id": $i, "name": "row-$i", "score": ${i * 0.5}}"""
       }
       val body = rows.mkString("[", ",", "]").getBytes("UTF-8")
       exchange.getResponseHeaders.add("Content-Type", "application/json")
+      exchange.sendResponseHeaders(200, body.length.toLong)
+      exchange.getResponseBody.write(body)
+      exchange.close()
+    })
+    // current row count — the streaming source's cheap watermark
+    server.createContext("/count", exchange => {
+      val body = liveRows.get.toString.getBytes("UTF-8")
       exchange.sendResponseHeaders(200, body.length.toLong)
       exchange.getResponseBody.write(body)
       exchange.close()
@@ -89,6 +99,33 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // each of the 4 strided readers issues exactly one request: page 0 is
     // short (257 < 1000) for partition 0, pages 1–3 are empty AND short.
     assert(requests.get() === 4)
+  }
+
+  test("micro-batch streaming reads append-only growth exactly once") {
+    liveRows.set(TotalRows)
+    val stream = spark.readStream.format("graft-http")
+      .option("url", s"http://127.0.0.1:$port/rows")
+      .option("countUrl", s"http://127.0.0.1:$port/count")
+      .option("schema", "id LONG, name STRING, score DOUBLE")
+      .option("pageSize", "50")
+      .option("numPartitions", "3")
+      .load()
+    val q = stream.writeStream.format("memory").queryName("http_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val afterFirst = spark.table("http_stream_out")
+      assert(afterFirst.count() === TotalRows)
+      // server grows; the next trigger must ingest ONLY the delta
+      liveRows.set(TotalRows + 43)
+      q.processAllAvailable()
+      val out = spark.table("http_stream_out")
+      assert(out.count() === TotalRows + 43)
+      assert(out.select(countDistinct(col("id"))).head.getLong(0) === TotalRows + 43)
+    } finally {
+      q.stop()
+      liveRows.set(TotalRows)
+    }
   }
 
   test("filters and projections compose on top of the source") {
