@@ -156,6 +156,13 @@ object LlmOps {
       val n = normalized(s, dir)
       val vecs = n.select(col("vec_id"), col("label"), col("e"), col("norm"))
         .as[(Long, Int, Array[Double], Double)]
+      // Driver-memory guard: this baseline broadcasts the WHOLE vector
+      // table, so it is only valid for bounded slices. Fail fast with
+      // the escalation path named instead of OOMing the driver.
+      val nVecs = vecs.count()
+      require(nVecs <= 1000000,
+        s"dedup_embed is the bounded all-pairs baseline ($nVecs vectors > 1e6); " +
+          "use sim_ann (hyperplane LSH) or sim_ivf for unbounded corpora")
       val all = vecs.collect().sortBy(_._1)
       val bc = s.sparkContext.broadcast(all)
       val pairs = vecs.mapPartitions { it =>
