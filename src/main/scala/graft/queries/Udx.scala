@@ -80,6 +80,24 @@ object Udx {
         .select(col("approx_custs"), col("exact_custs"),
           (abs(col("approx_custs") - col("exact_custs")) <=
             col("exact_custs") * 0.05).as("within_5pct"))
+    },
+
+    // -- quantile sketch (GK / approx_percentile) — like approx_distinct:
+    //    approximate by design, so rows-only with a self-checking rank
+    //    bound (accuracy 1000 ⇒ rank error ≤ n/1000; self-check uses the
+    //    VALUE gap against the exact percentile instead, bounded loosely).
+    "approx_percentile" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("p50_approx"),
+          round(col("p50_exact"), 4).as("p50_exact"), col("n"),
+          (abs(col("p50_approx") - col("p50_exact")) <=
+            col("p50_exact") * 0.02).as("within_2pct"))
+        .orderBy(col("l_returnflag"))
     }
   )
 

@@ -68,4 +68,14 @@ class PropertySpec extends AnyFunSuite {
     assert(row.getBoolean(2),
       s"approx=${row.getLong(0)} exact=${row.getLong(1)} outside 5%")
   }
+
+  test("approx_percentile stays within 2% of the exact median per group") {
+    val rows = SparkEntry.queries("approx_percentile")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(4),
+        s"${r.getString(0)}: approx=${r.getDouble(1)} exact=${r.getDouble(2)} outside 2%")
+    }
+  }
 }
