@@ -23,6 +23,15 @@ object ConnectedComponents {
     * undirected; isolated vertices don't appear (join the vertex set
     * back if they must).
     */
+  /** The ONE cluster-output projection shared by `dedup_cluster` and
+    * `dedup_minhash_cluster` (their equality test depends on both using
+    * the same canonical-doc rule): component label → cluster id, the
+    * minimum doc is the canonical one.
+    */
+  def clusterLabels(labels: DataFrame): DataFrame =
+    labels.select(col("v").as("doc_id"), col("c").as("cluster_id"),
+      (col("v") === col("c")).as("is_canonical"))
+
   /** Large-star/small-star alternating rounds (Kiveris et al.) — the
     * long-chain escalation of [[components]]: each round roughly squares
     * path lengths, so convergence is O(log diameter) rounds instead of

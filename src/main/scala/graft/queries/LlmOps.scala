@@ -117,9 +117,8 @@ object LlmOps {
     "dedup_cluster" -> { (s, dir) =>
       val edges = nearDupPairs(s, dir)
         .select(col("d1").as("src"), col("d2").as("dst"))
-      graft.operators.ConnectedComponents.components(edges)
-        .select(col("v").as("doc_id"), col("c").as("cluster_id"),
-          (col("v") === col("c")).as("is_canonical"))
+      graft.operators.ConnectedComponents.clusterLabels(
+          graft.operators.ConnectedComponents.components(edges))
         .orderBy(col("doc_id"))
     },
 
@@ -158,10 +157,10 @@ object LlmOps {
         .as[(Long, Int, Array[Double], Double)]
       // Driver-memory guard: this baseline broadcasts the WHOLE vector
       // table, so it is only valid for bounded slices. Fail fast with
-      // the escalation path named instead of OOMing the driver.
-      val nVecs = vecs.count()
-      require(nVecs <= 1000000,
-        s"dedup_embed is the bounded all-pairs baseline ($nVecs vectors > 1e6); " +
+      // the escalation path named instead of OOMing the driver —
+      // limit+count so the guard itself never scans an unbounded corpus.
+      require(vecs.limit(1000001).count() <= 1000000,
+        "dedup_embed is the bounded all-pairs baseline (> 1e6 vectors); " +
           "use sim_ann (hyperplane LSH) or sim_ivf for unbounded corpora")
       val all = vecs.collect().sortBy(_._1)
       val bc = s.sparkContext.broadcast(all)

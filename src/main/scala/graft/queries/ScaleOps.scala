@@ -56,9 +56,7 @@ object ScaleOps {
     "dedup_minhash_cluster" -> { (s, dir) =>
       val edges = MinHash.nearDuplicates(hashedShingles(s, dir), threshold = 0.6)
         .select(col("d1").as("src"), col("d2").as("dst"))
-      ConnectedComponents.componentsStar(edges)
-        .select(col("v").as("doc_id"), col("c").as("cluster_id"),
-          (col("v") === col("c")).as("is_canonical"))
+      ConnectedComponents.clusterLabels(ConnectedComponents.componentsStar(edges))
         .orderBy(col("doc_id"))
     },
 

@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JSONOptions, Jac
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -105,12 +105,16 @@ private[sources] class HttpTable(schema: StructType, props: Map[String, String])
       // (an endpoint returning the current total row count as a plain
       // integer) — the standard cheap-watermark contract for offset
       // APIs; rows must be append-only and immutable below the count.
+      // `maxRowsPerTrigger` caps each batch (admission control) so a
+      // large backlog drains in checkpointable increments instead of
+      // one giant first batch.
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new HttpMicroBatchStream(
           url,
           countUrl.getOrElse(throw new IllegalArgumentException(
             "graft-http streaming requires a 'countUrl' option")),
-          schema.toDDL, pageSize, numPartitions, offsetParam, limitParam, headers)
+          schema.toDDL, pageSize, numPartitions, offsetParam, limitParam,
+          headers, options.getLong("maxRowsPerTrigger", 0L))
     }
 }
 
@@ -123,23 +127,53 @@ private[sources] case class HttpRowOffset(rows: Long)
 private[sources] class HttpMicroBatchStream(
     url: String, countUrl: String, schemaDdl: String, pageSize: Int,
     numPartitions: Int, offsetParam: String, limitParam: String,
-    headers: Map[String, String]) extends MicroBatchStream {
+    headers: Map[String, String], maxRowsPerTrigger: Long)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   import org.apache.spark.sql.connector.read.streaming.Offset
+
+  // one client for the stream's lifetime — latestOffset fires every
+  // trigger and must not churn connection pools on the driver
+  private val client = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(30)).build()
 
   private def currentCount(): Long = {
     val b = HttpRequest.newBuilder(URI.create(countUrl)).GET()
       .timeout(Duration.ofSeconds(30))
     headers.foreach { case (k, v) => b.header(k, v) }
-    val resp = HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(30))
-      .build().send(b.build(), HttpResponse.BodyHandlers.ofString())
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
     require(resp.statusCode() / 100 == 2,
       s"graft-http count GET $countUrl failed: HTTP ${resp.statusCode()}")
     resp.body().trim.toLong
   }
 
   override def initialOffset(): Offset = HttpRowOffset(0L)
-  override def latestOffset(): Offset = HttpRowOffset(currentCount())
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxRowsPerTrigger > 0) ReadLimit.maxRows(maxRowsPerTrigger)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = start.asInstanceOf[HttpRowOffset].rows
+    val cnt = currentCount()
+    // a shrinking count means the upstream broke the append-only
+    // contract (stale replica, recount) — moving the offset backwards
+    // would re-ingest rows as duplicates later, so fail loudly instead
+    require(cnt >= lo,
+      s"graft-http: countUrl reports $cnt rows but $lo are committed — " +
+        "append-only contract broken (stale replica / upstream recount?)")
+    val hi = limit match {
+      case r: ReadMaxRows => math.min(cnt, lo + r.maxRows())
+      case _ => cnt
+    }
+    HttpRowOffset(hi)
+  }
+
+  // with SupportsAdmissionControl the engine calls the 2-arg form
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) should be called instead")
+
   override def deserializeOffset(json: String): Offset =
     HttpRowOffset(json.trim.toLong)
   override def commit(end: Offset): Unit = ()
@@ -148,7 +182,8 @@ private[sources] class HttpMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[HttpRowOffset].rows
     val hi = end.asInstanceOf[HttpRowOffset].rows
-    val total = math.max(0L, hi - lo)
+    require(hi >= lo, s"graft-http: offset range went backwards ($hi < $lo)")
+    val total = hi - lo
     if (total == 0) Array.empty
     else {
       val n = math.min(numPartitions.toLong, total).toInt
@@ -185,6 +220,36 @@ private[sources] class HttpRangeReaderFactory(
   }
 }
 
+/** Shared per-reader fetch plumbing (one HttpClient + JacksonParser;
+  * one GET per page) for the batch and streaming readers — the retry/
+  * auth/timeout policy lives in exactly one place.
+  */
+private[sources] class HttpPageFetcher(
+    url: String, schemaDdl: String,
+    offsetParam: String, limitParam: String, headers: Map[String, String]) {
+  private val parser = new JacksonParser(
+    StructType.fromDDL(schemaDdl),
+    new JSONOptions(Map.empty[String, String], "UTC", ""),
+    allowArrayAsStructs = true, Seq.empty)
+  private val client = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(30)).build()
+
+  /** GET one page: rows [offset, offset+limit) as parsed InternalRows. */
+  def fetch(offset: Long, limit: Long): Seq[InternalRow] = {
+    val sep = if (url.contains("?")) "&" else "?"
+    val pageUrl = s"$url$sep$offsetParam=$offset&$limitParam=$limit"
+    val b = HttpRequest.newBuilder(URI.create(pageUrl)).GET()
+      .timeout(Duration.ofSeconds(60))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() / 100 == 2,
+      s"graft-http GET $pageUrl failed: HTTP ${resp.statusCode()}")
+    parser.parse[String](resp.body(),
+      CreateJacksonParser.string(_: JsonFactory, _: String),
+      UTF8String.fromString).toSeq
+  }
+}
+
 /** Pages through an exact [startRow, endRow) range with limit-capped
   * requests — exactly-once per planned range (the range came from
   * checkpointed offsets).
@@ -195,31 +260,16 @@ private[sources] class HttpRangeReader(
     startRow: Long, endRow: Long)
     extends PartitionReader[InternalRow] {
 
-  private val schema = StructType.fromDDL(schemaDdl)
-  private val parser = new JacksonParser(
-    schema, new JSONOptions(Map.empty[String, String], "UTC", ""),
-    allowArrayAsStructs = true, Seq.empty)
-  private val client = HttpClient.newBuilder()
-    .connectTimeout(Duration.ofSeconds(30)).build()
-
+  private val fetcher =
+    new HttpPageFetcher(url, schemaDdl, offsetParam, limitParam, headers)
   private var cursor = startRow
   private var rows: Iterator[InternalRow] = Iterator.empty
 
   override def next(): Boolean = {
     while (!rows.hasNext && cursor < endRow) {
-      val lim = math.min(pageSize.toLong, endRow - cursor)
-      val sep = if (url.contains("?")) "&" else "?"
-      val pageUrl = s"$url$sep$offsetParam=$cursor&$limitParam=$lim"
-      val b = HttpRequest.newBuilder(URI.create(pageUrl)).GET()
-        .timeout(Duration.ofSeconds(60))
-      headers.foreach { case (k, v) => b.header(k, v) }
-      val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
-      require(resp.statusCode() / 100 == 2,
-        s"graft-http GET $pageUrl failed: HTTP ${resp.statusCode()}")
-      val fetched = parser.parse[String](resp.body(),
-        CreateJacksonParser.string(_: JsonFactory, _: String),
-        UTF8String.fromString).toSeq
-      require(fetched.nonEmpty || lim == 0,
+      val fetched = fetcher.fetch(cursor, math.min(pageSize.toLong, endRow - cursor))
+      // the range came from committed offsets, so the rows MUST exist
+      require(fetched.nonEmpty,
         s"graft-http: server returned no rows for committed range at offset $cursor")
       cursor += fetched.size
       rows = fetched.iterator
@@ -252,34 +302,15 @@ private[sources] class HttpPartitionReader(
     firstPage: Int, stride: Int)
     extends PartitionReader[InternalRow] {
 
-  private val schema = StructType.fromDDL(schemaDdl)
-  private val parser = new JacksonParser(
-    schema, new JSONOptions(Map.empty[String, String], "UTC", ""),
-    allowArrayAsStructs = true, Seq.empty)
-  private val client = HttpClient.newBuilder()
-    .connectTimeout(Duration.ofSeconds(30)).build()
-
+  private val fetcher =
+    new HttpPageFetcher(url, schemaDdl, offsetParam, limitParam, headers)
   private var page = firstPage
   private var exhausted = false
   private var rows: Iterator[InternalRow] = Iterator.empty
 
-  private def fetchPage(p: Int): Seq[InternalRow] = {
-    val sep = if (url.contains("?")) "&" else "?"
-    val pageUrl = s"$url$sep$offsetParam=${p.toLong * pageSize}&$limitParam=$pageSize"
-    val b = HttpRequest.newBuilder(URI.create(pageUrl)).GET()
-      .timeout(Duration.ofSeconds(60))
-    headers.foreach { case (k, v) => b.header(k, v) }
-    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
-    require(resp.statusCode() / 100 == 2,
-      s"graft-http GET $pageUrl failed: HTTP ${resp.statusCode()}")
-    parser.parse[String](resp.body(),
-      CreateJacksonParser.string(_: JsonFactory, _: String),
-      UTF8String.fromString).toSeq
-  }
-
   override def next(): Boolean = {
     while (!rows.hasNext && !exhausted) {
-      val fetched = fetchPage(page)
+      val fetched = fetcher.fetch(page.toLong * pageSize, pageSize.toLong)
       // A short page is the end of the relation: every later page —
       // anyone's stride — is empty, so this reader can stop.
       if (fetched.size < pageSize) exhausted = true

@@ -128,6 +128,28 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("maxRowsPerTrigger drains a backlog in capped micro-batches") {
+    liveRows.set(TotalRows)
+    val stream = spark.readStream.format("graft-http")
+      .option("url", s"http://127.0.0.1:$port/rows")
+      .option("countUrl", s"http://127.0.0.1:$port/count")
+      .option("schema", "id LONG, name STRING, score DOUBLE")
+      .option("pageSize", "50")
+      .option("numPartitions", "2")
+      .option("maxRowsPerTrigger", "100")
+      .load()
+    val q = stream.writeStream.format("memory").queryName("http_capped_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("http_capped_out")
+      assert(out.count() === TotalRows)
+      // 257 rows at ≤100/trigger ⇒ at least 3 non-empty batches
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 3, s"expected ≥3 capped batches, saw $batches")
+    } finally q.stop()
+  }
+
   test("filters and projections compose on top of the source") {
     val df = read(pageSize = 64, numPartitions = 2)
       .filter(col("id") % 2 === 0)
