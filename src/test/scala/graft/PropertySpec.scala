@@ -69,6 +69,54 @@ class PropertySpec extends AnyFunSuite {
       s"approx=${row.getLong(0)} exact=${row.getLong(1)} outside 5%")
   }
 
+  test("native as-of join equals the window formulation on random ties-heavy data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // small key/time domains force duplicate keys, duplicate times, and
+    // exact left-time==right-time ties — the walk's hard cases
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val rights = (1 to 300).map { i =>
+      (rnd.nextInt(8).toLong, ts(rnd.nextInt(40)), i.toLong)
+    }.toDF("rkey", "rtime", "rid")
+    val lefts = (1 to 200).map { i =>
+      (rnd.nextInt(10).toLong, ts(rnd.nextInt(40)), (1000 + i).toLong)
+    }.toDF("lkey", "ltime", "lid")
+    graft.plans.Asof.register(spark) // plain session — runtime path
+    val native = graft.plans.Asof.join(lefts, rights,
+        col("lkey"), col("rkey"), col("ltime"), col("rtime"), col("rid"))
+      .select(col("lid"), col("rid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lid"))
+      .orderBy(col("rtime").desc, col("rid").desc)
+    val windowed = lefts.join(rights,
+        col("lkey") === col("rkey") && col("rtime") <= col("ltime"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("lid"), col("rid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native === windowed)
+  }
+
+  test("binned range join equals the plain interval join on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // timestamps straddle bin boundaries incl. exact-boundary values
+    val probe = (1 to 150).map(i => (i.toLong, ts(rnd.nextInt(7200).toLong)))
+      .toDF("pid", "t0")
+    val build = (1 to 300).map(i => (i.toLong, ts(rnd.nextInt(7200).toLong)))
+      .toDF("bid", "t1")
+    val binned = graft.operators.RangeJoin.window(
+        probe, col("t0"), build, col("t1"), windowSeconds = 600L, binSeconds = 450L)
+      .select(col("pid"), col("bid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = probe.join(build,
+        col("t1") >= col("t0") &&
+        col("t1") < col("t0") + expr("INTERVAL 600 SECONDS"))
+      .select(col("pid"), col("bid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(binned === plain)
+  }
+
   test("approx_percentile stays within 2% of the exact median per group") {
     val rows = SparkEntry.queries("approx_percentile")(spark, "/root/testdata/sf0.01")
       .collect()
