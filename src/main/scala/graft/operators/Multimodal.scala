@@ -52,6 +52,15 @@ object Multimodal {
       val rnd = new scala.util.Random(mediaId * 31 + frameIdx)
       Array.fill(dim)(rnd.nextFloat())
     }
+
+    /** Deterministic fake whole-media embedding: seeded by the PAYLOAD
+      * content (not the id), so byte-identical media embed identically —
+      * the property content-dedup via ANN relies on.
+      */
+    def mediaFeature(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val rnd = new scala.util.Random(java.util.Arrays.hashCode(bytes).toLong)
+      Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    }
   }
 
   /** Decode metadata for every media row — partition-local, batched. */
@@ -94,6 +103,26 @@ object Multimodal {
         r.copy(bytes = FakeCodec.encodeHeader(width, height, dur, payload))
       }
     }
+  }
+
+  /** Whole-media feature extraction: payload → embedding column (stub; a
+    * real impl runs a vision/audio encoder with per-partition model
+    * loading — the setup comment in [[decodeMeta]] applies doubly here).
+    * The output's (id, Array[Float]) shape composes directly with
+    * [[Ann]]/[[Ivf]]: media → embedding → LSH buckets is the content
+    * dedup / retrieval path for image/audio corpora at 100 TB.
+    */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 8): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition encoder/model setup would go here
+      rows.map { r =>
+        // feature from the DECODED payload (header stripped): resized or
+        // re-encoded headers must not change content identity
+        val payload = java.util.Arrays.copyOfRange(r.bytes, 16, r.bytes.length)
+        (r.media_id, FakeCodec.mediaFeature(payload, dim))
+      }
+    }.toDF("media_id", "embedding")
   }
 
   /** Deterministic synthetic media table for tests/demos. */

@@ -136,6 +136,28 @@ class ScaleOpsSpec extends AnyFunSuite {
       == again.sortBy(f => (f.media_id, f.frame_idx)).map(_.feature.toSeq).toSeq)
   }
 
+  test("multimodal feature extraction is content-keyed and composes with ANN") {
+    import spark.implicits._
+    val media = Multimodal.synthetic(spark, 30)
+    val feats = Multimodal.extractFeatures(media, dim = 64)
+    assert(feats.count() === 30)
+    // content identity: resizing (header-only change) must NOT move the
+    // embedding — features key on the decoded payload, not the envelope
+    val resizedFeats =
+      Multimodal.extractFeatures(Multimodal.resize(media, 10, 10), dim = 64)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(m(feats) === m(resizedFeats))
+    // composes with the ANN path: embedding column feeds Ann.lshTopK
+    val e = feats.select(col("media_id").as("vec_id"),
+      transform(col("embedding"), (x: org.apache.spark.sql.Column) => x.cast("double")).as("e"))
+      .withColumn("norm", sqrt(aggregate(
+        transform(col("e"), (x: org.apache.spark.sql.Column) => x * x),
+        lit(0.0), (acc: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column) => acc + x)))
+    val topk = Ann.lshTopK(e.filter(col("vec_id") < 3), e, k = 3)
+    assert(topk.count() > 0)
+  }
+
   test("hash sampling is reproducible, partition-invariant, and near-rate") {
     import graft.operators.Sampling
     val docs = graft.Tables(spark, sf, "documents")
