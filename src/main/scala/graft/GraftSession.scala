@@ -21,13 +21,14 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
 
-  /** Build (or join) the session and ensure the function pack is present
-    * even when an existing session is returned by getOrCreate (whose
-    * builder extensions would be ignored).
+  /** Build (or join) the session and ensure the function pack AND the
+    * as-of join operator are present even when an existing session is
+    * returned by getOrCreate (whose builder extensions would be ignored).
     */
   def getOrCreate(master: String = "local[*]"): SparkSession = {
     val spark = builder(master).getOrCreate()
     graft.functions.CosineSimilarity.register(spark)
+    graft.plans.Asof.register(spark)
     spark
   }
 }
