@@ -149,6 +149,24 @@ object Extra {
           |ORDER BY c_custkey""".stripMargin)
     },
 
+    // -- SQL-text path with chained CTEs -------------------------------------
+    // The WITH-clause surface (sql_subquery covers scalar/correlated
+    // subqueries); IDENTICAL SQL text runs on both engines.
+    "sql_cte" -> { (s, dir) =>
+      Tables(s, dir, "customer").createOrReplaceTempView("customer_v2")
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_v2")
+      s.sql(
+        """WITH seg AS (
+          |  SELECT c_custkey, c_mktsegment FROM customer_v2),
+          |big AS (
+          |  SELECT o_custkey, COUNT(*) AS n FROM orders_v2
+          |  WHERE o_totalprice > 200000 GROUP BY o_custkey)
+          |SELECT c_mktsegment, CAST(SUM(n) AS BIGINT) AS n_big,
+          |       COUNT(*) AS n_cust
+          |FROM seg JOIN big ON c_custkey = o_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    },
+
     // -- character-n-gram Jaccard near-dup (n-gram flavour of
     //    dedup_neardup; robust to tokenisation differences) ---------------
     "dedup_ngram" -> { (s, dir) =>
@@ -319,6 +337,17 @@ object Extra {
         |  AND EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
+
+    "sql_cte" ->
+      """WITH seg AS (
+        |  SELECT c_custkey, c_mktsegment FROM customer),
+        |big AS (
+        |  SELECT o_custkey, COUNT(*) AS n FROM orders
+        |  WHERE o_totalprice > 200000 GROUP BY o_custkey)
+        |SELECT c_mktsegment, CAST(SUM(n) AS BIGINT) AS n_big,
+        |       COUNT(*) AS n_cust
+        |FROM seg JOIN big ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "dedup_ngram" ->
       """WITH g AS (

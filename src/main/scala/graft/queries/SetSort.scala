@@ -55,6 +55,20 @@ object SetSort {
         .orderBy(col("nationkey"))
     },
 
+    // -- bag-semantics set ops (ALL variants keep duplicates) --------------
+    // suppliers' nation keys removed once-per-occurrence from customers'
+    "set_except_all" -> { (s, dir) =>
+      Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .exceptAll(Tables(s, dir, "supplier").select(col("s_nationkey")))
+        .orderBy(col("nationkey"))
+    },
+
+    "set_intersect_all" -> { (s, dir) =>
+      Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersectAll(Tables(s, dir, "supplier").select(col("s_nationkey")))
+        .orderBy(col("nationkey"))
+    },
+
     // -- multi-key sort + limit (global TakeOrderedAndProject) -------------
     // DESC first key with full ASC tiebreak so the LIMIT edge is
     // deterministic even with duplicate totalprice values.
@@ -104,6 +118,16 @@ object SetSort {
     "set_except" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal > 8000
+        |ORDER BY nationkey""".stripMargin,
+
+    "set_except_all" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT ALL SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "set_intersect_all" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT ALL SELECT s_nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
 
     "sort_multi" ->
