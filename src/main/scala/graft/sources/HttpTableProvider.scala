@@ -223,10 +223,17 @@ private[sources] class HttpRangeReaderFactory(
 /** Shared per-reader fetch plumbing (one HttpClient + JacksonParser;
   * one GET per page) for the batch and streaming readers — the retry/
   * auth/timeout policy lives in exactly one place.
+  *
+  * Transient failures (5xx, 429, connection errors) retry with
+  * exponential backoff before surfacing — a page fetch failing
+  * permanently fails the TASK, and Spark's task retry would re-read the
+  * whole partition; cheap request-level retries absorb blips first.
+  * 4xx (other than 429) never retries: the request itself is wrong.
   */
 private[sources] class HttpPageFetcher(
     url: String, schemaDdl: String,
-    offsetParam: String, limitParam: String, headers: Map[String, String]) {
+    offsetParam: String, limitParam: String, headers: Map[String, String],
+    maxRetries: Int = 3, backoffMs: Long = 200L) {
   private val parser = new JacksonParser(
     StructType.fromDDL(schemaDdl),
     new JSONOptions(Map.empty[String, String], "UTC", ""),
@@ -241,10 +248,32 @@ private[sources] class HttpPageFetcher(
     val b = HttpRequest.newBuilder(URI.create(pageUrl)).GET()
       .timeout(Duration.ofSeconds(60))
     headers.foreach { case (k, v) => b.header(k, v) }
-    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
-    require(resp.statusCode() / 100 == 2,
-      s"graft-http GET $pageUrl failed: HTTP ${resp.statusCode()}")
-    parser.parse[String](resp.body(),
+    val req = b.build()
+    var attempt = 0
+    var body: String = null
+    while (body == null) {
+      val outcome =
+        try {
+          val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+          val code = resp.statusCode()
+          if (code / 100 == 2) Right(resp.body())
+          else if (code == 429 || code / 100 == 5)
+            Left(s"HTTP $code") // transient: server-side / throttled
+          else throw new IllegalStateException(
+            s"graft-http GET $pageUrl failed: HTTP $code") // caller bug
+        } catch {
+          case e: java.io.IOException => Left(e.toString) // connection blip
+        }
+      outcome match {
+        case Right(ok) => body = ok
+        case Left(err) =>
+          attempt += 1
+          if (attempt > maxRetries) throw new IllegalStateException(
+            s"graft-http GET $pageUrl failed after $maxRetries retries: $err")
+          Thread.sleep(backoffMs * (1L << (attempt - 1)))
+      }
+    }
+    parser.parse[String](body,
       CreateJacksonParser.string(_: JsonFactory, _: String),
       UTF8String.fromString).toSeq
   }

@@ -21,6 +21,7 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var server: HttpServer = _
   private var port: Int = 0
   private val requests = new AtomicInteger(0)
+  private val flakyCounter = new AtomicInteger(0)
   @volatile private var lastApiKey: String = ""
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -50,6 +51,27 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       exchange.sendResponseHeaders(200, body.length.toLong)
       exchange.getResponseBody.write(body)
       exchange.close()
+    })
+    // flaky variant: every 3rd request 503s — exercises the fetcher's
+    // request-level retry (Spark task retries would re-read partitions)
+    server.createContext("/flaky", exchange => {
+      if (flakyCounter.incrementAndGet() % 3 == 0) {
+        exchange.sendResponseHeaders(503, -1)
+        exchange.close()
+      } else {
+        val q = Option(exchange.getRequestURI.getQuery).getOrElse("")
+        val params = q.split("&").filter(_.contains("="))
+          .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+        val off = params.getOrElse("offset", "0").toLong
+        val lim = params.getOrElse("limit", "100").toInt
+        val rows = (off until math.min(off + lim, TotalRows.toLong)).map { i =>
+          s"""{"id": $i, "name": "row-$i", "score": ${i * 0.5}}"""
+        }
+        val body = rows.mkString("[", ",", "]").getBytes("UTF-8")
+        exchange.sendResponseHeaders(200, body.length.toLong)
+        exchange.getResponseBody.write(body)
+        exchange.close()
+      }
     })
     // current row count — the streaming source's cheap watermark
     server.createContext("/count", exchange => {
@@ -99,6 +121,18 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // each of the 4 strided readers issues exactly one request: page 0 is
     // short (257 < 1000) for partition 0, pages 1–3 are empty AND short.
     assert(requests.get() === 4)
+  }
+
+  test("request-level retries absorb transient 503s (flaky server)") {
+    val df = spark.read.format("graft-http")
+      .option("url", s"http://127.0.0.1:$port/flaky")
+      .option("schema", "id LONG, name STRING, score DOUBLE")
+      .option("pageSize", "50")
+      .option("numPartitions", "2")
+      .load()
+    // every 3rd request fails; with 3 retries every page still lands
+    assert(df.count() === TotalRows)
+    assert(df.select(countDistinct(col("id"))).head.getLong(0) === TotalRows)
   }
 
   test("micro-batch streaming reads append-only growth exactly once") {
