@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Round-2 driver bench still showed parsed:null: the forked run's stdout is
+// routed through sbt's logger, so the final summary JSON line came out as
+// "[info] {...}" — unparseable as a bare JSON line. StdoutOutput passes the
+// forked process's stdout through verbatim.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
