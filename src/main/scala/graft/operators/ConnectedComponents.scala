@@ -71,12 +71,20 @@ object ConnectedComponents {
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
     var round = 0
     var converged = false
+    var eFp = fingerprint(e, "src", "dst")
     while (!converged && round < maxIterations) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      // converged when the star set is stable (same canonical edge set)
-      converged = next.count() == e.count() &&
-        next.except(e).limit(1).count() == 0
+      // Converged when the star set is stable (same canonical edge set).
+      // The exact set-equality check (`except` = another full distinct
+      // shuffle) runs per ROUND, so gate it behind an order-independent
+      // one-row fingerprint (count + bit_xor of row hashes — one map-side
+      // agg job): differing fingerprints prove the sets differ and skip
+      // the expensive check; equal fingerprints are confirmed exactly, so
+      // a collision can never yield a wrong result, only one extra check.
+      val nextFp = fingerprint(next, "src", "dst")
+      converged = nextFp == eFp && next.except(e).limit(1).count() == 0
       e = next
+      eFp = nextFp
       round += 1
     }
     // stars are (child → root); roots label themselves
@@ -84,6 +92,19 @@ object ConnectedComponents {
     val roots = e.select(col("dst").as("v")).distinct()
       .withColumn("c", col("v"))
     children.union(roots).distinct()
+  }
+
+  /** Order-independent one-row digest of a 2-column frame: (row count,
+    * bit_xor of per-row xxhash64). Computed with one map-side-combining
+    * agg job — no shuffle of the data itself. bit_xor (not sum) because
+    * ANSI mode makes `sum(BIGINT)` overflow an error, while xor is
+    * closed, commutative, and order-independent.
+    */
+  private def fingerprint(df: DataFrame, a: String, b: String): (Long, Long) = {
+    val r = df.agg(
+      count(lit(1)).as("n"),
+      coalesce(bit_xor(xxhash64(col(a), col(b))), lit(0L)).as("x")).head()
+    (r.getLong(0), r.getLong(1))
   }
 
   def components(edges: DataFrame, maxIterations: Int = 20): DataFrame = {
@@ -95,6 +116,7 @@ object ConnectedComponents {
       .localCheckpoint()
     var round = 0
     var converged = false
+    var labelsFp = fingerprint(labels, "v", "c")
     while (!converged && round < maxIterations) {
       val viaNbr = sym.join(labels, sym("dst") === labels("v"))
         .groupBy(col("src")).agg(min(col("c")).as("nc"))
@@ -102,12 +124,17 @@ object ConnectedComponents {
         .select(labels("v").as("v"),
           least(col("c"), coalesce(col("nc"), col("c"))).as("c"))
         .localCheckpoint()
-      val changed = next.alias("n")
-        .join(labels.alias("o"), col("n.v") === col("o.v"))
-        .filter(col("n.c") =!= col("o.c"))
-        .limit(1).count()
+      // Same fingerprint gate as componentsStar: only run the exact
+      // changed-rows join when the one-row digest says "maybe equal".
+      val nextFp = fingerprint(next, "v", "c")
+      converged = nextFp == labelsFp && {
+        next.alias("n")
+          .join(labels.alias("o"), col("n.v") === col("o.v"))
+          .filter(col("n.c") =!= col("o.c"))
+          .limit(1).count() == 0
+      }
       labels = next
-      converged = changed == 0
+      labelsFp = nextFp
       round += 1
     }
     labels
