@@ -1,0 +1,365 @@
+package graft.queries
+
+import graft.{Oracle, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 surface expansion (all DuckDB-oracle-checked).
+  *
+  * Four more TPC-H query shapes adapted to the reduced fixture schema
+  * (no commitdate/receiptdate/container/phone columns — the SHAPES are
+  * what matter: EXISTS semi-join, nation-pair volume, disjunctive
+  * pushdown, scalar-subquery threshold + anti-join), plus the
+  * distribution window family, arg-max / filtered aggregates, and four
+  * corpus operators a training-data pipeline needs (URL parsing, URL
+  * canonicalization dedup, document-frequency IDF, per-label embedding
+  * centroids, lexical diversity).
+  *
+  * Determinism rules follow SURVEY.md §7.5 / `Oracle`: exact decimal
+  * math internally, DOUBLE casts only in the final projection, rounds
+  * only on genuinely-float outputs, and a total ORDER BY.
+  */
+object Extra3 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Synthetic URL per document — the fixture has no URL column, so both
+    * engines derive the same one from (source, doc_id). `doc_id % 100`
+    * in the path makes same-source documents collide on purpose: that is
+    * what dedup_url canonicalization is for.
+    */
+  private val urlCol: Column = concat(
+    lit("https://"), col("source"), lit(".example.com/docs/"),
+    (col("doc_id") % 100).cast("string"),
+    lit("?id="), col("doc_id").cast("string"), lit("&utm_source=feed"))
+
+  private val urlSql: String =
+    "'https://' || source || '.example.com/docs/' || CAST(doc_id % 100 AS VARCHAR)" +
+      " || '?id=' || CAST(doc_id AS VARCHAR) || '&utm_source=feed'"
+
+  val queries: Map[String, Q] = Map(
+    // -- TPC-H Q4 shape: EXISTS correlated subquery → left-semi join ------
+    // (reference fixture has no commitdate/receiptdate; the "late line"
+    // predicate becomes "has a returned line" — same plan shape).
+    "tpch_q4" -> { (s, dir) =>
+      val orders = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val returned = Tables(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      orders
+        .join(returned, orders("o_orderkey") === returned("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // -- TPC-H Q7 shape: nation-pair shipping volume by year --------------
+    // Both nation dims are pre-filtered to the two nations BEFORE the
+    // join (the pair-OR can't be pushed through the join by Catalyst, but
+    // its IN-superset can be applied manually) and broadcast; the only
+    // shuffle is lineitem ⋈ orders.
+    "tpch_q7" -> { (s, dir) =>
+      val nations = Seq("NATION_18", "NATION_19")
+      val n1 = Tables(s, dir, "nation").filter(col("n_name").isin(nations: _*))
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables(s, dir, "nation").filter(col("n_name").isin(nations: _*))
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+          (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(
+          Oracle.out(sum(Oracle.revenue(col("l_extendedprice"), col("l_discount"))))
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // -- TPC-H Q19 shape: disjunction of conjunctive predicate groups -----
+    // (container → p_type on this fixture). The point is the plan: part
+    // broadcasts, and the disjunction stays a single codegen'd filter —
+    // no union-of-three-scans.
+    "tpch_q19" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .join(broadcast(Tables(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#12" && col("p_type") === "ECONOMY" &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_size").between(20, 30) && col("l_quantity") >= 40))
+        .agg(
+          Oracle.out(sum(Oracle.revenue(col("l_extendedprice"), col("l_discount"))))
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // -- TPC-H Q22 shape: scalar-subquery threshold + anti-join -----------
+    // (cntrycode → c_mktsegment; "no orders at all" → "no orders since
+    // 2000", because every fixture customer has SOME order — a 0-row
+    // result would be a degenerate check). The threshold is computed as
+    // exact-decimal sum ÷ count in DOUBLE on both sides so the comparison
+    // boundary is bit-identical; the one-row aggregate broadcasts.
+    "tpch_q22" -> { (s, dir) =>
+      val cust = Tables(s, dir, "customer")
+      val thr = cust.filter(col("c_acctbal") > 0)
+        .agg((Oracle.out(sum(Oracle.dec(col("c_acctbal")))) / count(lit(1))).as("thr"))
+      cust
+        .join(Tables(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(thr))
+        .filter(col("c_acctbal") > col("thr"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          Oracle.out(sum(Oracle.dec(col("c_acctbal")))).as("totacctbal"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // -- distribution windows: percent_rank / cume_dist -------------------
+    // No rounding: (rank−1)/(n−1) and k/n divide the same small integers
+    // on both engines — bit-identical doubles. Unique tiebreak in the
+    // window order makes rank positions deterministic.
+    "win_dist" -> { (s, dir) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // -- arg-max/arg-min (max_by/min_by) ----------------------------------
+    // Deterministic tie-break: the comparand packs (price, orderkey) into
+    // one BIGINT — exact because price is DECIMAL(18,2)·10⁷ (integer) and
+    // orderkey < 10⁷.
+    "agg_argmax" -> { (s, dir) =>
+      val packed = (Oracle.dec(col("l_extendedprice")) * 10000000)
+        .cast("long") + col("l_orderkey")
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          max_by(col("l_orderkey"), packed).as("best_order"),
+          min_by(col("l_orderkey"), packed).as("worst_order"),
+          Oracle.out(max(Oracle.dec(col("l_extendedprice")))).as("max_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // -- filtered aggregates (FILTER clause / count_if) -------------------
+    "agg_filtered" -> { (s, dir) =>
+      val shipped97 = col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          count_if(col("l_returnflag") === "R").as("n_returned"),
+          Oracle.out(sum(when(shipped97, Oracle.dec(col("l_quantity")))))
+            .as("qty_recent"),
+          Oracle.out(sum(when(col("l_discount") > 0.05,
+            Oracle.revenue(col("l_extendedprice"), col("l_discount")))))
+            .as("rev_discounted"))
+        .orderBy(col("l_linestatus"))
+    },
+
+    // -- URL parsing over the documents corpus ----------------------------
+    // Same RE2-compatible regexes on both engines (Java regex ⊇ RE2 for
+    // these patterns).
+    "fn_url" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("url", urlCol)
+        .select(col("doc_id"), col("url"),
+          regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"),
+          regexp_extract(col("url"), "^https?://[^/]+([^?#]*)", 1).as("path"),
+          regexp_extract(col("url"), "[?&]id=([0-9]+)", 1).cast("long").as("qid"),
+          regexp_extract(col("url"), "[?&]utm_source=([^&#]+)", 1).as("utm"))
+        .orderBy(col("doc_id"))
+    },
+
+    // -- URL canonicalization dedup ---------------------------------------
+    // canonical form = scheme+host+path with the query/fragment and any
+    // trailing slash stripped; groups >1 are the duplicate clusters, the
+    // minimum doc_id is canonical (same rule as dedup_cluster).
+    "dedup_url" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("canon",
+          regexp_replace(regexp_replace(lower(urlCol), "[?#].*$", ""), "/$", ""))
+        .groupBy(col("canon"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canonical_doc"))
+        .filter(col("n_dups") > 1)
+        .orderBy(col("canon"))
+    },
+
+    // -- corpus document frequency / IDF ----------------------------------
+    // One explode of per-doc DISTINCT tokens + one groupBy; the corpus
+    // size joins in as a broadcast one-row aggregate (never a collect).
+    "text_idf" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      docs
+        .select(explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("doc_freq"))
+        .crossJoin(broadcast(total))
+        .select(col("tok"), col("doc_freq"),
+          round(log(col("n_docs").cast("double") / col("doc_freq")), 5).as("idf"))
+        .orderBy(col("doc_freq").desc, col("tok"))
+        .limit(30)
+    },
+
+    // -- per-label embedding centroids ------------------------------------
+    // posexplode → (label, dim) average: the distributed form of "mean
+    // vector per class" (the seed step of k-means / class prototypes).
+    // round(5) absorbs the cross-engine double-summation order (avg error
+    // ~1e-13 on unit-scale floats, 5-dp tie window 5e-6).
+    "embed_centroid" -> { (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("x").cast("double")), 5).as("mean_x"),
+          count(lit(1)).as("n"))
+        .orderBy(col("label"), col("pos"))
+    },
+
+    // -- lexical diversity (type-token ratio, hapax rate) -----------------
+    // All ratios divide exact integers → bit-identical doubles, no round.
+    "text_diversity" -> { (s, dir) =>
+      val toks = split(lower(col("text")), " ")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_types"),
+          (size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks"))).as("ttr"),
+          (aggregate(col("toks"), lit(0L),
+            (acc: Column, x: Column) => acc + length(x)).cast("double") /
+            size(col("toks"))).as("avg_word_len"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "tpch_q7" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+         |CAST(SUM(${Oracle.revenueSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue,
+         |COUNT(*) AS n_lines
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+         |   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+         |GROUP BY supp_nation, cust_nation, l_year
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "tpch_q19" ->
+      s"""SELECT
+         |CAST(SUM(${Oracle.revenueSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue,
+         |COUNT(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 1 AND 20)
+         |   OR (p_brand = 'Brand#12' AND p_type = 'ECONOMY'
+         |       AND l_quantity BETWEEN 10 AND 30)
+         |   OR (p_size BETWEEN 20 AND 30 AND l_quantity >= 40)""".stripMargin,
+
+    "tpch_q22" ->
+      """SELECT c_mktsegment, COUNT(*) AS numcust,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |                   FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "win_dist" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+        |                     ORDER BY c_acctbal, c_custkey) AS pct_rank,
+        |CUME_DIST() OVER (PARTITION BY c_mktsegment
+        |                  ORDER BY c_acctbal, c_custkey) AS cdist
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "agg_argmax" ->
+      """SELECT l_returnflag,
+        |arg_max(l_orderkey, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 10000000 AS BIGINT) + l_orderkey) AS best_order,
+        |arg_min(l_orderkey, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 10000000 AS BIGINT) + l_orderkey) AS worst_order,
+        |CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+        |COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_filtered" ->
+      s"""SELECT l_linestatus, COUNT(*) AS n,
+         |COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+         |     FILTER (WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00') AS DOUBLE) AS qty_recent,
+         |CAST(SUM(${Oracle.revenueSql("l_extendedprice", "l_discount")})
+         |     FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS rev_discounted
+         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "fn_url" ->
+      s"""SELECT doc_id, $urlSql AS url,
+         |regexp_extract($urlSql, '^https?://([^/]+)', 1) AS host,
+         |regexp_extract($urlSql, '^https?://[^/]+([^?#]*)', 1) AS path,
+         |CAST(regexp_extract($urlSql, '[?&]id=([0-9]+)', 1) AS BIGINT) AS qid,
+         |regexp_extract($urlSql, '[?&]utm_source=([^&#]+)', 1) AS utm
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_url" ->
+      s"""WITH c AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(lower($urlSql), '[?#].*$$', ''), '/$$', '') AS canon
+         |FROM documents)
+         |SELECT canon, COUNT(*) AS n_dups, MIN(doc_id) AS canonical_doc
+         |FROM c GROUP BY canon HAVING COUNT(*) > 1 ORDER BY canon""".stripMargin,
+
+    "text_idf" ->
+      """WITH t AS (SELECT unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+        |           FROM documents),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT tok, COUNT(*) AS doc_freq,
+        |ROUND(ln(CAST(n_docs AS DOUBLE) / COUNT(*)), 5) AS idf
+        |FROM t, n WHERE tok <> ''
+        |GROUP BY tok, n_docs ORDER BY doc_freq DESC, tok LIMIT 30""".stripMargin,
+
+    "embed_centroid" ->
+      """WITH t AS (SELECT label,
+        |  unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |  unnest(range(len(embedding))) AS pos
+        |FROM embeddings)
+        |SELECT label, pos, ROUND(AVG(x), 5) AS mean_x, COUNT(*) AS n
+        |FROM t GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "text_diversity" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |CAST(len(toks) AS INT) AS n_tokens,
+        |CAST(len(list_distinct(toks)) AS INT) AS n_types,
+        |CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        |CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) AS avg_word_len
+        |FROM t ORDER BY doc_id""".stripMargin
+  )
+}
