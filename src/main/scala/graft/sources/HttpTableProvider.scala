@@ -72,50 +72,127 @@ private[sources] class HttpTable(schema: StructType, props: Map[String, String])
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
-      private val url = options.get("url")
-      require(url != null, "graft-http requires a 'url' option")
-      private val pageSize = options.getInt("pageSize", 1000)
-      private val numPartitions = options.getInt("numPartitions", 4)
-      private val offsetParam =
-        Option(options.get("offsetParam")).getOrElse("offset")
-      private val limitParam =
-        Option(options.get("limitParam")).getOrElse("limit")
-      private val countUrl = Option(options.get("countUrl"))
-      private val headers = options.asScala.collect {
-        case (k, v) if k.startsWith("header.") => k.stripPrefix("header.") -> v
-      }.toMap
+    new HttpScanBuilder(schema, options)
+}
 
-      override def build(): Scan = this
-      override def readSchema(): StructType = schema
-      override def toBatch: Batch = this
+/** Scan builder with the three pushdowns an offset-paged REST source can
+  * honour:
+  *
+  *  - **column pruning** ([[SupportsPushDownRequiredColumns]]): the
+  *    executor-side JacksonParser decodes ONLY the required fields, and —
+  *    when `fieldsParam` is set — the field list is forwarded to the API
+  *    (`…&fields=a,b`) so the payload shrinks at the server.
+  *  - **filter pushdown** ([[SupportsPushDownFilters]]), ADVISORY: simple
+  *    equality filters on columns listed in `pushFilterColumns` become
+  *    query params (`…&name=x`). Every filter is still returned to Spark
+  *    for re-evaluation, so a server that ignores or half-applies the
+  *    param cannot corrupt results — pushdown only shrinks transfer.
+  *    Batch only: the streaming offset is a row count over the UNfiltered
+  *    relation, so filter params would corrupt the stream's positions.
+  *  - **limit pushdown** ([[SupportsPushDownLimit]]), partial: each
+  *    strided reader stops after `limit` rows and caps its page requests,
+  *    so `.limit(10)` fetches one small page per partition instead of the
+  *    whole relation. Spark keeps the global limit (isPartiallyPushed).
+  */
+private[sources] class HttpScanBuilder(
+    fullSchema: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with Scan with Batch
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters
+    with SupportsPushDownLimit {
+  import org.apache.spark.sql.sources.{EqualTo, Filter}
 
-      override def planInputPartitions(): Array[InputPartition] =
-        Array.tabulate(numPartitions)(i =>
-          HttpInputPartition(i, numPartitions): InputPartition)
+  private val url = options.get("url")
+  require(url != null, "graft-http requires a 'url' option")
+  private val pageSize = options.getInt("pageSize", 1000)
+  private val numPartitions = options.getInt("numPartitions", 4)
+  private val offsetParam =
+    Option(options.get("offsetParam")).getOrElse("offset")
+  private val limitParam =
+    Option(options.get("limitParam")).getOrElse("limit")
+  private val countUrl = Option(options.get("countUrl"))
+  private val fieldsParam = Option(options.get("fieldsParam"))
+  private val pushCols: Set[String] = Option(options.get("pushFilterColumns"))
+    .map(_.split(",").iterator.map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
+    .getOrElse(Set.empty)
+  private val headers = options.asScala.collect {
+    case (k, v) if k.startsWith("header.") => k.stripPrefix("header.") -> v
+  }.toMap
 
-      override def createReaderFactory(): PartitionReaderFactory =
-        new HttpReaderFactory(url, schema.toDDL, pageSize,
-          offsetParam, limitParam, headers)
+  private var requiredSchema: StructType = fullSchema
+  private var pushedEq: Array[Filter] = Array.empty
+  private var limit: Int = -1
 
-      // -- streaming (micro-batch) form --------------------------------
-      // Incremental ingestion from a GROWING offset API: each trigger
-      // reads [committed, current-total) exactly once, with the row
-      // offset checkpointed as the stream position. Requires `countUrl`
-      // (an endpoint returning the current total row count as a plain
-      // integer) — the standard cheap-watermark contract for offset
-      // APIs; rows must be append-only and immutable below the count.
-      // `maxRowsPerTrigger` caps each batch (admission control) so a
-      // large backlog drains in checkpointable increments instead of
-      // one giant first batch.
-      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new HttpMicroBatchStream(
-          url,
-          countUrl.getOrElse(throw new IllegalArgumentException(
-            "graft-http streaming requires a 'countUrl' option")),
-          schema.toDDL, pageSize, numPartitions, offsetParam, limitParam,
-          headers, options.getLong("maxRowsPerTrigger", 0L))
+  override def pruneColumns(required: StructType): Unit = {
+    val names = required.fieldNames.toSet
+    val kept = fullSchema.fields.filter(f => names.contains(f.name))
+    // A fully-empty projection (e.g. count(*)) still needs one field for
+    // the JSON decoder to emit one row per record; Spark projects the
+    // surplus column away above the scan.
+    requiredSchema =
+      if (kept.nonEmpty) StructType(kept) else StructType(fullSchema.fields.take(1))
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushedEq = filters.filter {
+      case EqualTo(att, v) =>
+        pushCols.contains(att.toLowerCase) && (v match {
+          case _: String | _: java.lang.Number | _: java.lang.Boolean => true
+          case _ => false
+        })
+      case _ => false
     }
+    filters // ALL filters stay post-scan: server filtering is advisory
+  }
+  override def pushedFilters(): Array[Filter] = pushedEq
+
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** Pre-encoded extra query-string fragments ("k=v"). */
+  private def extraQuery(withFilters: Boolean): Seq[String] = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val fields = fieldsParam.toSeq.map { p =>
+      s"${enc(p)}=${enc(requiredSchema.fieldNames.mkString(","))}"
+    }
+    val filts =
+      if (withFilters) pushedEq.toSeq.collect {
+        case EqualTo(att, v) => s"${enc(att)}=${enc(v.toString)}"
+      } else Seq.empty
+    fields ++ filts
+  }
+
+  override def build(): Scan = this
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array.tabulate(numPartitions)(i =>
+      HttpInputPartition(i, numPartitions): InputPartition)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new HttpReaderFactory(url, requiredSchema.toDDL, pageSize,
+      offsetParam, limitParam, headers, extraQuery(withFilters = true), limit)
+
+  // -- streaming (micro-batch) form ------------------------------------
+  // Incremental ingestion from a GROWING offset API: each trigger reads
+  // [committed, current-total) exactly once, with the row offset
+  // checkpointed as the stream position. Requires `countUrl` (an
+  // endpoint returning the current total row count as a plain integer)
+  // — the standard cheap-watermark contract for offset APIs; rows must
+  // be append-only and immutable below the count. `maxRowsPerTrigger`
+  // caps each batch (admission control) so a large backlog drains in
+  // checkpointable increments instead of one giant first batch.
+  // Column pruning (and fieldsParam) applies; filter/limit params do NOT
+  // — stream offsets index the unfiltered relation.
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new HttpMicroBatchStream(
+      url,
+      countUrl.getOrElse(throw new IllegalArgumentException(
+        "graft-http streaming requires a 'countUrl' option")),
+      requiredSchema.toDDL, pageSize, numPartitions, offsetParam, limitParam,
+      headers, options.getLong("maxRowsPerTrigger", 0L),
+      extraQuery(withFilters = false))
 }
 
 /** Stream offset = number of rows already ingested. */
@@ -127,7 +204,8 @@ private[sources] case class HttpRowOffset(rows: Long)
 private[sources] class HttpMicroBatchStream(
     url: String, countUrl: String, schemaDdl: String, pageSize: Int,
     numPartitions: Int, offsetParam: String, limitParam: String,
-    headers: Map[String, String], maxRowsPerTrigger: Long)
+    headers: Map[String, String], maxRowsPerTrigger: Long,
+    extraQuery: Seq[String] = Seq.empty)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   import org.apache.spark.sql.connector.read.streaming.Offset
@@ -202,7 +280,7 @@ private[sources] class HttpMicroBatchStream(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new HttpRangeReaderFactory(url, schemaDdl, pageSize,
-      offsetParam, limitParam, headers)
+      offsetParam, limitParam, headers, extraQuery)
 }
 
 /** Exact row range [startRow, endRow) for one micro-batch partition. */
@@ -211,12 +289,13 @@ private[sources] case class HttpRangePartition(startRow: Long, endRow: Long)
 
 private[sources] class HttpRangeReaderFactory(
     url: String, schemaDdl: String, pageSize: Int,
-    offsetParam: String, limitParam: String, headers: Map[String, String])
+    offsetParam: String, limitParam: String, headers: Map[String, String],
+    extraQuery: Seq[String] = Seq.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[HttpRangePartition]
     new HttpRangeReader(url, schemaDdl, pageSize, offsetParam, limitParam,
-      headers, p.startRow, p.endRow)
+      headers, p.startRow, p.endRow, extraQuery)
   }
 }
 
@@ -233,6 +312,7 @@ private[sources] class HttpRangeReaderFactory(
 private[sources] class HttpPageFetcher(
     url: String, schemaDdl: String,
     offsetParam: String, limitParam: String, headers: Map[String, String],
+    extraQuery: Seq[String] = Seq.empty,
     maxRetries: Int = 3, backoffMs: Long = 200L) {
   private val parser = new JacksonParser(
     StructType.fromDDL(schemaDdl),
@@ -244,7 +324,8 @@ private[sources] class HttpPageFetcher(
   /** GET one page: rows [offset, offset+limit) as parsed InternalRows. */
   def fetch(offset: Long, limit: Long): Seq[InternalRow] = {
     val sep = if (url.contains("?")) "&" else "?"
-    val pageUrl = s"$url$sep$offsetParam=$offset&$limitParam=$limit"
+    val extras = extraQuery.map("&" + _).mkString
+    val pageUrl = s"$url$sep$offsetParam=$offset&$limitParam=$limit$extras"
     val b = HttpRequest.newBuilder(URI.create(pageUrl)).GET()
       .timeout(Duration.ofSeconds(60))
     headers.foreach { case (k, v) => b.header(k, v) }
@@ -286,11 +367,12 @@ private[sources] class HttpPageFetcher(
 private[sources] class HttpRangeReader(
     url: String, schemaDdl: String, pageSize: Int,
     offsetParam: String, limitParam: String, headers: Map[String, String],
-    startRow: Long, endRow: Long)
+    startRow: Long, endRow: Long, extraQuery: Seq[String] = Seq.empty)
     extends PartitionReader[InternalRow] {
 
   private val fetcher =
-    new HttpPageFetcher(url, schemaDdl, offsetParam, limitParam, headers)
+    new HttpPageFetcher(url, schemaDdl, offsetParam, limitParam, headers,
+      extraQuery)
   private var cursor = startRow
   private var rows: Iterator[InternalRow] = Iterator.empty
 
@@ -316,35 +398,52 @@ private[sources] case class HttpInputPartition(idx: Int, stride: Int)
 
 private[sources] class HttpReaderFactory(
     url: String, schemaDdl: String, pageSize: Int,
-    offsetParam: String, limitParam: String, headers: Map[String, String])
+    offsetParam: String, limitParam: String, headers: Map[String, String],
+    extraQuery: Seq[String] = Seq.empty, limit: Int = -1)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[HttpInputPartition]
     new HttpPartitionReader(url, schemaDdl, pageSize, offsetParam, limitParam,
-      headers, p.idx, p.stride)
+      headers, p.idx, p.stride, extraQuery, limit)
   }
 }
 
 private[sources] class HttpPartitionReader(
     url: String, schemaDdl: String, pageSize: Int,
     offsetParam: String, limitParam: String, headers: Map[String, String],
-    firstPage: Int, stride: Int)
+    firstPage: Int, stride: Int,
+    extraQuery: Seq[String] = Seq.empty, limit: Int = -1)
     extends PartitionReader[InternalRow] {
 
   private val fetcher =
-    new HttpPageFetcher(url, schemaDdl, offsetParam, limitParam, headers)
+    new HttpPageFetcher(url, schemaDdl, offsetParam, limitParam, headers,
+      extraQuery)
   private var page = firstPage
+  private var emitted = 0L
   private var exhausted = false
   private var rows: Iterator[InternalRow] = Iterator.empty
 
   override def next(): Boolean = {
     while (!rows.hasNext && !exhausted) {
-      val fetched = fetcher.fetch(page.toLong * pageSize, pageSize.toLong)
-      // A short page is the end of the relation: every later page —
-      // anyone's stride — is empty, so this reader can stop.
-      if (fetched.size < pageSize) exhausted = true
-      page += stride
-      rows = fetched.iterator
+      // Pushed limit: this partition never needs more than `limit` rows
+      // (Spark applies the global limit above), so cap the page request
+      // and stop once reached. Page OFFSETS stay pageSize-strided — a
+      // capped request just leaves the rest of that page unread.
+      val want =
+        if (limit >= 0) math.min(pageSize.toLong, limit - emitted) else pageSize.toLong
+      if (want <= 0) { exhausted = true }
+      else {
+        val fetched = fetcher.fetch(page.toLong * pageSize, want)
+        // A response shorter than the full page size is the end of the
+        // relation: every later page — anyone's stride — is empty, so
+        // this reader can stop. (A limit-capped request is always
+        // "short"; that conservatively stops after the capped page,
+        // which is exactly the pushed-limit behavior.)
+        if (fetched.size < pageSize) exhausted = true
+        page += stride
+        emitted += fetched.size
+        rows = fetched.iterator
+      }
     }
     rows.hasNext
   }

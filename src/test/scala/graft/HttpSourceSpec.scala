@@ -3,6 +3,8 @@ package graft
 import java.net.InetSocketAddress
 import java.util.concurrent.atomic.AtomicInteger
 
+import scala.jdk.CollectionConverters._
+
 import com.sun.net.httpserver.HttpServer
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -23,6 +25,8 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val requests = new AtomicInteger(0)
   private val flakyCounter = new AtomicInteger(0)
   @volatile private var lastApiKey: String = ""
+  private val seenQueries =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -38,14 +42,20 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       requests.incrementAndGet()
       lastApiKey = Option(exchange.getRequestHeaders.getFirst("X-API-KEY")).getOrElse("")
       val q = Option(exchange.getRequestURI.getQuery).getOrElse("")
+      seenQueries.add(q)
       val params = q.split("&").filter(_.contains("="))
         .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
       val off = params.getOrElse("offset", "0").toLong
       val lim = params.getOrElse("limit", "100").toInt
       val cap = math.max(TotalRows, liveRows.get).toLong
-      val rows = (off until math.min(off + lim, cap)).map { i =>
-        s"""{"id": $i, "name": "row-$i", "score": ${i * 0.5}}"""
-      }
+      // optional server-side equality filter on `name` — exercises the
+      // advisory filter pushdown (offsets then index the FILTERED rows)
+      val nameFilter = params.get("name")
+        .map(v => java.net.URLDecoder.decode(v, "UTF-8"))
+      val all = (0L until cap).map(i => (i, s"row-$i"))
+      val filtered = nameFilter.fold(all)(n => all.filter(_._2 == n))
+      val rows = filtered.slice(off.toInt, math.min(off + lim, filtered.size.toLong).toInt)
+        .map { case (i, nm) => s"""{"id": $i, "name": "$nm", "score": ${i * 0.5}}""" }
       val body = rows.mkString("[", ",", "]").getBytes("UTF-8")
       exchange.getResponseHeaders.add("Content-Type", "application/json")
       exchange.sendResponseHeaders(200, body.length.toLong)
@@ -182,6 +192,86 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       val batches = q.recentProgress.count(_.numInputRows > 0)
       assert(batches >= 3, s"expected ≥3 capped batches, saw $batches")
     } finally q.stop()
+  }
+
+  private def scanReadSchema(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.readSchema()
+    }.get
+
+  test("column pruning reaches the scan and forwards the fields param") {
+    seenQueries.clear()
+    val df = spark.read.format("graft-http")
+      .option("url", s"http://127.0.0.1:$port/rows")
+      .option("schema", "id LONG, name STRING, score DOUBLE")
+      .option("pageSize", "100").option("numPartitions", "2")
+      .option("fieldsParam", "fields")
+      .load()
+      .select(col("name"))
+    assert(scanReadSchema(df).fieldNames.toSeq === Seq("name"))
+    val names = df.collect() // execute THIS plan (count() would re-plan
+    assert(names.length === TotalRows) // with an all-pruned projection)
+    assert(names.map(_.getString(0)).contains("row-123"))
+    assert(seenQueries.asScala.exists(_.contains("fields=name")),
+      s"no fields param in: ${seenQueries.asScala.take(3)}")
+  }
+
+  test("count(*) still works with an all-columns-pruned projection") {
+    val df = spark.read.format("graft-http")
+      .option("url", s"http://127.0.0.1:$port/rows")
+      .option("schema", "id LONG, name STRING, score DOUBLE")
+      .option("pageSize", "100").option("numPartitions", "2")
+      .load()
+    assert(df.agg(count(lit(1))).head.getLong(0) === TotalRows)
+  }
+
+  test("advisory equality-filter pushdown shrinks transfer, Spark re-filters") {
+    seenQueries.clear()
+    requests.set(0)
+    val df = spark.read.format("graft-http")
+      .option("url", s"http://127.0.0.1:$port/rows")
+      .option("schema", "id LONG, name STRING, score DOUBLE")
+      .option("pageSize", "1000").option("numPartitions", "2")
+      .option("pushFilterColumns", "name")
+      .load()
+      .filter(col("name") === "row-42")
+    val out = df.collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 42)
+    // the param reached the server (transfer = 1 row, not 257)
+    assert(seenQueries.asScala.exists(_.contains("name=row-42")),
+      s"no pushed filter param in: ${seenQueries.asScala.take(3)}")
+  }
+
+  test("unpushable filters are NOT sent and still evaluate correctly") {
+    seenQueries.clear()
+    val df = spark.read.format("graft-http")
+      .option("url", s"http://127.0.0.1:$port/rows")
+      .option("schema", "id LONG, name STRING, score DOUBLE")
+      .option("pageSize", "1000").option("numPartitions", "2")
+      .option("pushFilterColumns", "name")
+      .load()
+      .filter(col("score") > 100.0) // score not in pushFilterColumns
+    assert(df.count() === 56) // ids 201..256 have score > 100
+    assert(!seenQueries.asScala.exists(_.contains("score")),
+      "score filter must not be pushed")
+  }
+
+  test("pushed limit caps page requests instead of reading the relation") {
+    seenQueries.clear()
+    requests.set(0)
+    val df = spark.read.format("graft-http")
+      .option("url", s"http://127.0.0.1:$port/rows")
+      .option("schema", "id LONG, name STRING, score DOUBLE")
+      .option("pageSize", "100").option("numPartitions", "1")
+      .load()
+      .limit(7)
+    assert(df.collect().length === 7)
+    // one partition, one capped request: limit=7 went to the server
+    assert(seenQueries.asScala.exists(_.contains("limit=7")),
+      s"no capped limit in: ${seenQueries.asScala.take(5)}")
+    assert(requests.get() === 1)
   }
 
   test("filters and projections compose on top of the source") {
