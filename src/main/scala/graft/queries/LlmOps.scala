@@ -111,6 +111,25 @@ object LlmOps {
       nearDupPairs(s, dir).orderBy(col("d1"), col("d2"))
     },
 
+    // -- edit-distance verification of candidate pairs --------------------
+    // The verification step a pipeline runs when shingle Jaccard alone is
+    // not trusted: levenshtein over a fixed prefix, on CANDIDATE pairs
+    // only — the quadratic-cost function never sees more than the pair
+    // list. `sim` divides two exact ints, so both engines produce the
+    // identical double with no rounding.
+    "text_editdist" -> { (s, dir) =>
+      val prefix = Tables(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 120).as("t"))
+      val dist = levenshtein(col("t1"), col("t2"))
+      nearDupPairs(s, dir)
+        .join(prefix.select(col("doc_id").as("d1"), col("t").as("t1")), "d1")
+        .join(prefix.select(col("doc_id").as("d2"), col("t").as("t2")), "d2")
+        .select(col("d1"), col("d2"), col("jac"), dist.as("dist"),
+          (lit(1.0) - dist.cast("double") /
+            greatest(length(col("t1")), length(col("t2")))).as("sim"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
     // -- duplicate clusters + canonical doc (the step AFTER pair finding) --
     // Near-dup pairs → connected components → cluster id = min doc_id;
     // a real pipeline keeps is_canonical and drops the rest.
@@ -303,26 +322,45 @@ object LlmOps {
     }
   )
 
+  /** The near-dup pair CTE chain as SQL text (no ORDER BY) — shared by
+    * the dedup_neardup and text_editdist oracles exactly as
+    * [[nearDupPairs]] is shared on the Spark side.
+    */
+  private val nearDupPairsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') t FROM documents),
+      |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+      |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id d1, b.doc_id d2, COUNT(*) i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (SELECT d1, d2, jac FROM (
+      |  SELECT d1, d2, ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) jac
+      |  FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+      |             JOIN sizes s2 ON d2 = s2.doc_id)
+      |WHERE jac >= 0.6)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
 
     "dedup_neardup" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') t FROM documents),
-        |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
-        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
-        |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id d1, b.doc_id d2, COUNT(*) i
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT d1, d2, jac FROM (
-        |  SELECT d1, d2, ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) jac
-        |  FROM inter JOIN sizes s1 ON d1 = s1.doc_id
-        |             JOIN sizes s2 ON d2 = s2.doc_id)
-        |WHERE jac >= 0.6 ORDER BY d1, d2""".stripMargin,
+      s"""$nearDupPairsSql
+         |SELECT d1, d2, jac FROM pairs ORDER BY d1, d2""".stripMargin,
+
+    "text_editdist" ->
+      s"""$nearDupPairsSql
+         |SELECT d1, d2, jac,
+         |levenshtein(substr(ta.text, 1, 120), substr(tb.text, 1, 120)) AS dist,
+         |1.0 - CAST(levenshtein(substr(ta.text, 1, 120), substr(tb.text, 1, 120)) AS DOUBLE)
+         |      / greatest(length(substr(ta.text, 1, 120)), length(substr(tb.text, 1, 120))) AS sim
+         |FROM pairs
+         |JOIN documents ta ON d1 = ta.doc_id
+         |JOIN documents tb ON d2 = tb.doc_id
+         |ORDER BY d1, d2""".stripMargin,
 
     "sim_topk" ->
       """WITH n AS (

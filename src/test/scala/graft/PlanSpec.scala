@@ -80,4 +80,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate(keys=[l_orderkey"),
       s"no per-orderkey pre-aggregation in:\n$p")
   }
+
+  test("tpch_q4 plans the EXISTS as a semi join, not a distinct+inner") {
+    val p = plan("tpch_q4")
+    assert(p.contains("LeftSemi"), s"no semi join in:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]")
+      || p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter not pushed to the lineitem scan:\n$p")
+  }
+
+  test("tpch_q7 broadcasts all four dims; lineitem-orders is the only big shuffle") {
+    val p = plan("tpch_q7")
+    // supplier, customer, and both nation copies broadcast
+    assert(p.split("BroadcastHashJoin").length - 1 >= 4,
+      s"expected >=4 broadcast joins in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("tpch_q19 keeps the disjunction one filter over one broadcast join") {
+    val p = plan("tpch_q19")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // no union-of-scans rewrite: lineitem is scanned exactly once
+    assert(p.split("Scan parquet").length - 1 === 2,
+      s"expected exactly 2 scans (lineitem, part) in:\n$p")
+  }
+
+  test("tpch_q22 plans the NOT EXISTS as an anti join with a one-row broadcast threshold") {
+    val p = plan("tpch_q22")
+    assert(p.contains("LeftAnti"), s"no anti join in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"threshold should broadcast (one-row cross join):\n$p")
+  }
+
+  test("text_idf keeps the corpus-size join broadcast (no collect, no shuffle of one row)") {
+    val p = plan("text_idf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"corpus count should broadcast:\n$p")
+  }
 }
