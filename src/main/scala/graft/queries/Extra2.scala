@@ -95,7 +95,14 @@ object Extra2 {
           // result scale that DuckDB's double division doesn't share
           try_divide(Oracle.out(Oracle.dec(col("o_totalprice"))),
             col("o_orderkey") % 10).as("per_digit"),
-          expr("try_cast(o_orderstatus AS INT)").as("status_int"),
+          // o_orderstatus is a letter on EVERY row, and TryEval's failure
+          // path is exception-driven (~17 µs/row measured — 2.6 of this
+          // query's 3.3 s at sf0.1). On a high-failure-rate column, guard
+          // with a cheap regex so the exception path never runs; the
+          // result is identical (NULL on non-integers). try_cast stays on
+          // prio_int below, where the cast SUCCEEDS per row (fast path).
+          when(col("o_orderstatus").rlike("^[+-]?[0-9]+$"),
+            col("o_orderstatus").cast("int")).as("status_int"),
           expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_int"),
           try_element_at(split(col("o_orderpriority"), "-"), lit(3)).as("missing_part"))
         .orderBy(col("o_orderkey"))
