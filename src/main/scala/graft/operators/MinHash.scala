@@ -23,11 +23,14 @@ import org.apache.spark.sql.functions._
   * P(miss | s=0.6) ≈ 0.11 — tune bands to the threshold as usual.
   */
 object MinHash {
-  /** Mersenne prime 2^61 − 1: modulus for the hash permutations. */
-  private val Prime = (1L << 61) - 1
+  /** Mersenne prime 2^61 − 1: modulus for the hash permutations.
+    * Shared with [[StreamingMinHash]] so stream and batch signatures are
+    * bit-identical.
+    */
+  private[operators] val Prime = (1L << 61) - 1
 
   /** Deterministic permutation coefficients from a fixed seed. */
-  private def coeffs(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+  private[operators] def coeffs(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(numHashes)((rnd.nextInt(Int.MaxValue).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
   }
