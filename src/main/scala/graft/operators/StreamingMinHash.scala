@@ -25,10 +25,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * State: one `List[Long]` of doc ids per (band, key) bucket, capped at
   * `maxBucketSize` (a hot bucket is quadratic in emissions AND
-  * unbounded in state — the cap bounds both; arrivals beyond the cap
-  * join the bucket's pair emissions but are not stored). Candidate
-  * pairs can repeat across bands/batches by construction — the caller
-  * dedups downstream (`dropDuplicates` in batch verification, or
+  * unbounded in state — the cap bounds both: a full bucket stops
+  * emitting and storing entirely, the streaming analogue of the batch
+  * path's drop-oversized-buckets-whole; below the cap the two paths
+  * emit identical pair sets). Candidate pairs can repeat across
+  * bands/batches by construction — the caller dedups downstream
+  * (`dropDuplicates` in batch verification, or
   * `dropDuplicatesWithinWatermark` when candidates carry event time) —
   * same contract as the batch `lshCandidates` before its `distinct()`.
   */
@@ -44,9 +46,22 @@ object StreamingMinHash {
     * of the batch shingle→hash→min pipeline.
     */
   def signature(text: String, numHashes: Int = 64, seed: Long = 42L): Array[Long] = {
-    val t = text.toLowerCase.split(" ", -1)
     val cs = MinHash.coeffs(numHashes, seed)
-    val sig = Array.fill(numHashes)(Long.MaxValue)
+    signatureWith(text, cs.map(_._1).toArray, cs.map(_._2).toArray)
+  }
+
+  /** [[signature]] with pre-hoisted permutation coefficient arrays —
+    * the per-row form (coefficients are constants of (numHashes, seed);
+    * recomputing the RNG-derived Seq per document and destructuring
+    * boxed tuples per shingle would dominate the hot loop).
+    */
+  private def signatureWith(text: String, a: Array[Long], b: Array[Long]): Array[Long] = {
+    // Locale.ROOT: SQL lower() lowercases locale-independently; default-
+    // locale toLowerCase would break signature equality on e.g. tr_TR
+    // JVMs (dotless-i), silently diverging stream from batch.
+    val t = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+    val n = a.length
+    val sig = Array.fill(n)(Long.MaxValue)
     if (t.length >= 3) {
       // distinct shingles, hashed exactly like xxhash64(col) in SQL
       val seen = new java.util.HashSet[String]()
@@ -57,8 +72,8 @@ object StreamingMinHash {
           val h64 = XxHash64Function.hash(UTF8String.fromString(s), StringType, 42L)
           val h32 = h64 & 0xFFFFFFFFL
           var j = 0
-          cs.foreach { case (a, b) =>
-            val v = (h32 * a + b) % MinHash.Prime
+          while (j < n) {
+            val v = (h32 * a(j) + b(j)) % MinHash.Prime
             if (v < sig(j)) sig(j) = v
             j += 1
           }
@@ -90,9 +105,11 @@ object StreamingMinHash {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     import docs.sparkSession.implicits._
+    val cs = MinHash.coeffs(numHashes, seed)
+    val (ca, cb) = (cs.map(_._1).toArray, cs.map(_._2).toArray)
     docs
       .flatMap { d =>
-        val sig = signature(d.text, numHashes, seed)
+        val sig = signatureWith(d.text, ca, cb)
         if (sig.forall(_ == Long.MaxValue)) Iterator.empty // no shingles
         else bandKeys(sig, bands).iterator.zipWithIndex
           .map { case (k, j) => Banded(d.doc_id, j, k) }
@@ -104,14 +121,19 @@ object StreamingMinHash {
           var seen = state.getOption.getOrElse(List.empty)
           val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
           rows.foreach { b =>
-            if (!seen.contains(b.doc_id)) {
+            // Hot-bucket guard, aligned with the batch cap's intent
+            // (batch drops oversized buckets WHOLE; a stream cannot
+            // retract already-emitted pairs, so it stops the bucket at
+            // the cap instead): once full, arrivals neither emit nor
+            // store — emissions AND state are both bounded by cap²/2
+            // per bucket. Below the cap the two paths emit identical
+            // pair sets. Which docs fill the bucket first follows
+            // arrival order — inherent to any online operator.
+            if (seen.size < maxBucketSize && !seen.contains(b.doc_id)) {
               seen.foreach { other =>
                 out += CandidatePair(math.min(b.doc_id, other), math.max(b.doc_id, other))
               }
-              // the cap bounds BOTH state size and future emissions —
-              // an over-cap arrival still pairs with the stored docs
-              // (above) but is not remembered
-              if (seen.size < maxBucketSize) seen = b.doc_id :: seen
+              seen = b.doc_id :: seen
             }
           }
           state.update(seen)

@@ -98,11 +98,14 @@ object Extra2 {
           // o_orderstatus is a letter on EVERY row, and TryEval's failure
           // path is exception-driven (~17 µs/row measured — 2.6 of this
           // query's 3.3 s at sf0.1). On a high-failure-rate column, guard
-          // with a cheap regex so the exception path never runs; the
-          // result is identical (NULL on non-integers). try_cast stays on
+          // with a cheap regex so the exception path never runs. The
+          // guard mirrors try_cast semantics: trims first (try_cast
+          // accepts ' 7'), and bounds digits to 9 so a regex-passing
+          // value can never overflow Int (ANSI cast would THROW there,
+          // where try_cast returns NULL). try_cast itself stays on
           // prio_int below, where the cast SUCCEEDS per row (fast path).
-          when(col("o_orderstatus").rlike("^[+-]?[0-9]+$"),
-            col("o_orderstatus").cast("int")).as("status_int"),
+          when(trim(col("o_orderstatus")).rlike("^[+-]?[0-9]{1,9}$"),
+            trim(col("o_orderstatus")).cast("int")).as("status_int"),
           expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_int"),
           try_element_at(split(col("o_orderpriority"), "-"), lit(3)).as("missing_part"))
         .orderBy(col("o_orderkey"))

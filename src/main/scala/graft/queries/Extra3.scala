@@ -141,11 +141,13 @@ object Extra3 {
 
     // -- arg-max/arg-min (max_by/min_by) ----------------------------------
     // Deterministic tie-break: the comparand packs (price, orderkey) into
-    // one BIGINT — exact because price is DECIMAL(18,2)·10⁷ (integer) and
-    // orderkey < 10⁷.
+    // one BIGINT as cents·10⁷ + orderkey — price ordering strictly
+    // dominates (adjacent prices differ by ≥1 cent = 10⁷ packed units >
+    // any orderkey < 10⁷), orderkey breaks exact-price ties. Exact:
+    // cents < 1.1e7 ⇒ packed < 1.1e14 ≪ 2⁶³.
     "agg_argmax" -> { (s, dir) =>
-      val packed = (Oracle.dec(col("l_extendedprice")) * 10000000)
-        .cast("long") + col("l_orderkey")
+      val packed = (Oracle.dec(col("l_extendedprice")) * 100)
+        .cast("long") * 10000000L + col("l_orderkey")
       Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
@@ -306,8 +308,8 @@ object Extra3 {
 
     "agg_argmax" ->
       """SELECT l_returnflag,
-        |arg_max(l_orderkey, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 10000000 AS BIGINT) + l_orderkey) AS best_order,
-        |arg_min(l_orderkey, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 10000000 AS BIGINT) + l_orderkey) AS worst_order,
+        |arg_max(l_orderkey, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000 + l_orderkey) AS best_order,
+        |arg_min(l_orderkey, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000 + l_orderkey) AS worst_order,
         |CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
         |COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

@@ -22,8 +22,11 @@ object ScaleOps {
 
   /** (doc_id, 64-bit-hashed distinct shingle) — the MinHash input: every
     * downstream shuffle moves 8-byte keys instead of ~30-byte strings.
+    * `private[graft]` so StreamingMinHashSpec asserts stream parity
+    * against THIS production pipeline, not a hand-copied twin that could
+    * drift.
     */
-  private def hashedShingles(s: SparkSession, dir: String): DataFrame =
+  private[graft] def hashedShingles(s: SparkSession, dir: String): DataFrame =
     LlmOps.shingleRowsRaw(s, dir)
       .select(col("doc_id"), xxhash64(col("s")).as("s"))
       .distinct()

@@ -85,8 +85,13 @@ private[sources] class HttpTable(schema: StructType, props: Map[String, String])
   *  - **filter pushdown** ([[SupportsPushDownFilters]]), ADVISORY: simple
   *    equality filters on columns listed in `pushFilterColumns` become
   *    query params (`…&name=x`). Every filter is still returned to Spark
-  *    for re-evaluation, so a server that ignores or half-applies the
-  *    param cannot corrupt results — pushdown only shrinks transfer.
+  *    for re-evaluation, so a server that returns EXTRA rows cannot
+  *    corrupt results — pushdown only shrinks transfer. Re-evaluation
+  *    cannot restore rows a non-conforming server OMITS, so listing a
+  *    column in `pushFilterColumns` is a contract: the server must apply
+  *    that param as exact equality on the value's canonical string form,
+  *    identically on every page (same stability assumption as offset
+  *    pagination itself). When in doubt, leave the column unlisted.
   *    Batch only: the streaming offset is a row count over the UNfiltered
   *    relation, so filter params would corrupt the stream's positions.
   *  - **limit pushdown** ([[SupportsPushDownLimit]]), partial: each

@@ -43,10 +43,17 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("AQE splits the hot partition of a skewed sort-merge join at runtime") {
     import spark.implicits._
-    val prev = Map(
-      "spark.sql.adaptive.enabled" -> spark.conf.get("spark.sql.adaptive.enabled"),
-      "spark.sql.autoBroadcastJoinThreshold" ->
-        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    // save/restore EVERY conf this test sets — leaked AQE thresholds
+    // would silently change partition coalescing for later tests in the
+    // shared session
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -65,7 +72,10 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
       val finalPlan = joined.queryExecution.executedPlan.toString
       assert(finalPlan.contains("skew=true"),
         s"AQE did not mark the skewed join; final plan:\n$finalPlan")
-    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("salting divides the hot key's reducer load by the salt factor") {

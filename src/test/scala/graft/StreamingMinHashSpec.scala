@@ -31,20 +31,8 @@ class StreamingMinHashSpec extends AnyFunSuite {
       .collect().toSeq.sortBy(_.doc_id)
   }
 
-  /** Batch shingles hashed exactly as ScaleOps.hashedShingles. */
-  private def batchShingles = {
-    import spark.implicits._
-    Tables(spark, sf, "documents")
-      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
-      .as[(Long, Seq[String])]
-      .flatMap { case (id, t) =>
-        if (t.length < 3) Iterator.empty
-        else (0 to t.length - 3).iterator.map(i => (id, s"${t(i)} ${t(i + 1)} ${t(i + 2)}"))
-      }
-      .toDF("doc_id", "s")
-      .select(col("doc_id"), xxhash64(col("s")).as("s"))
-      .distinct()
-  }
+  /** The REAL batch pipeline input (not a copy that could drift). */
+  private def batchShingles = graft.queries.ScaleOps.hashedShingles(spark, sf)
 
   test("row-local streaming signature is bit-identical to the batch signature") {
     val batch = MinHash.signatures(batchShingles)
