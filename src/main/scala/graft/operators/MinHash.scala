@@ -130,12 +130,91 @@ object MinHash {
       hash(lit(j), slice(sig, j * r + 1, r))).toIndexedSeq: _*)
   }
 
+  /** Row-local MinHash signature of one document's text — word-3-gram
+    * shingles, `xxhash64` (the exact function the SQL expression calls),
+    * 32-bit truncation, (a·h+b) mod p mins — computed in one tight loop
+    * over the row. BIT-IDENTICAL to [[signatures]] over the corresponding
+    * shingle relation (StreamingMinHashSpec equality test); shared by the
+    * streaming operator and [[signaturesLocal]].
+    */
+  private[operators] def rowLocalSignature(
+      text: String, a: Array[Long], b: Array[Long]): Array[Long] = {
+    // Locale.ROOT: SQL lower() lowercases locale-independently; default-
+    // locale toLowerCase would silently diverge on e.g. tr_TR JVMs.
+    val t = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+    val n = a.length
+    val sig = Array.fill(n)(Long.MaxValue)
+    if (t.length >= 3) {
+      val seen = new java.util.HashSet[String]()
+      var i = 0
+      while (i <= t.length - 3) {
+        val s = s"${t(i)} ${t(i + 1)} ${t(i + 2)}"
+        if (seen.add(s)) {
+          val h64 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+              org.apache.spark.sql.types.StringType, 42L)
+          val h32 = h64 & 0xFFFFFFFFL
+          var j = 0
+          while (j < n) {
+            val v = (h32 * a(j) + b(j)) % Prime
+            if (v < sig(j)) sig(j) = v
+            j += 1
+          }
+        }
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** Signatures computed PER ROW from the raw text — zero shuffle (the
+    * [[signatures]] path shuffles the whole shingle relation into a
+    * grouped aggregate; this one is a map). Docs with no shingles
+    * (<3 tokens) are dropped, matching [[signatures]] (their shingle
+    * relation has no rows). The CPU trade: the text tokenizes once more
+    * per row, but a full shuffle of the corpus's largest intermediate
+    * disappears — the right trade at any scale where the shingle
+    * relation dominates (always).
+    */
+  def signaturesLocal(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      numHashes: Int = 64, seed: Long = 42L): DataFrame = {
+    val cs = coeffs(numHashes, seed)
+    val (a, b) = (cs.map(_._1).toArray, cs.map(_._2).toArray)
+    val sigUdf = udf((text: String) =>
+      if (text == null) null else rowLocalSignature(text, a, b))
+    docs.select(col(idCol).as("doc_id"), sigUdf(col(textCol)).as("sig"))
+      .filter(col("sig").isNotNull && element_at(col("sig"), 1) =!= Long.MaxValue)
+  }
+
+  /** End-to-end near-dup from raw documents: row-local signatures (no
+    * signature shuffle) + the shared candidates/exact-verify core.
+    * `shingles` must be the hashed-shingle relation of the SAME docs
+    * (still needed for sizes + exact-Jaccard verification).
+    */
+  def nearDuplicatesFromText(docs: DataFrame, shingles: DataFrame,
+                             threshold: Double, numHashes: Int = 64,
+                             bands: Int = 16, seed: Long = 42L,
+                             maxBucketSize: Int = 500): DataFrame =
+    verifiedPairs(shingles, signaturesLocal(docs, numHashes = numHashes, seed = seed),
+      threshold, numHashes, bands, maxBucketSize)
+
   /** End-to-end: candidates verified against the exact shingle Jaccard.
     * `shingles` must be the same (doc_id, s) relation used for signatures.
     */
   def nearDuplicates(shingles: DataFrame, threshold: Double,
                      numHashes: Int = 64, bands: Int = 16,
-                     seed: Long = 42L, maxBucketSize: Int = 500): DataFrame = {
+                     seed: Long = 42L, maxBucketSize: Int = 500): DataFrame =
+    verifiedPairs(shingles, null, threshold, numHashes, bands, maxBucketSize, seed)
+
+  /** The shared LSH-candidates + exact-verify core. `sigsOrNull == null`
+    * means "aggregate signatures from the shingle relation" (the
+    * classic path); a non-null frame (doc_id, sig) is used as-is (the
+    * row-local path).
+    */
+  private def verifiedPairs(shingles: DataFrame, sigsOrNull: DataFrame,
+                            threshold: Double, numHashes: Int, bands: Int,
+                            maxBucketSize: Int, seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     // The shingle relation feeds signatures, sizes AND verification —
@@ -147,7 +226,7 @@ object MinHash {
     // intermediates is the right memory trade (round-1 leak: the shingle
     // cache lived until the ContextCleaner got around to it).
     val sh = shingles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = signatures(sh, numHashes, seed)
+    val sigs = (if (sigsOrNull == null) signatures(sh, numHashes, seed) else sigsOrNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidates(sigs, bands, maxBucketSize, numHashes)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

@@ -1,10 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types.StringType
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Streaming near-duplicate detection — the MinHash-LSH candidate stage
   * as an incremental operator: as documents arrive, each one's LSH band
@@ -51,38 +48,13 @@ object StreamingMinHash {
   }
 
   /** [[signature]] with pre-hoisted permutation coefficient arrays —
-    * the per-row form (coefficients are constants of (numHashes, seed);
-    * recomputing the RNG-derived Seq per document and destructuring
-    * boxed tuples per shingle would dominate the hot loop).
+    * the per-row form shared with the batch zero-shuffle path
+    * ([[MinHash.rowLocalSignature]]; coefficients are constants of
+    * (numHashes, seed), so recomputing them per document would dominate
+    * the hot loop).
     */
-  private def signatureWith(text: String, a: Array[Long], b: Array[Long]): Array[Long] = {
-    // Locale.ROOT: SQL lower() lowercases locale-independently; default-
-    // locale toLowerCase would break signature equality on e.g. tr_TR
-    // JVMs (dotless-i), silently diverging stream from batch.
-    val t = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
-    val n = a.length
-    val sig = Array.fill(n)(Long.MaxValue)
-    if (t.length >= 3) {
-      // distinct shingles, hashed exactly like xxhash64(col) in SQL
-      val seen = new java.util.HashSet[String]()
-      var i = 0
-      while (i <= t.length - 3) {
-        val s = s"${t(i)} ${t(i + 1)} ${t(i + 2)}"
-        if (seen.add(s)) {
-          val h64 = XxHash64Function.hash(UTF8String.fromString(s), StringType, 42L)
-          val h32 = h64 & 0xFFFFFFFFL
-          var j = 0
-          while (j < n) {
-            val v = (h32 * a(j) + b(j)) % MinHash.Prime
-            if (v < sig(j)) sig(j) = v
-            j += 1
-          }
-        }
-        i += 1
-      }
-    }
-    sig
-  }
+  private def signatureWith(text: String, a: Array[Long], b: Array[Long]): Array[Long] =
+    MinHash.rowLocalSignature(text, a, b)
 
   /** Band keys of a signature (bands slices of r values each). The key
     * only needs to be deterministic WITHIN this operator — pair equality

@@ -43,12 +43,16 @@ object ScaleOps {
   val queries: Map[String, Q] = Map(
     // MinHash-LSH near-dup, exact-verified: equals dedup_neardup up to
     // LSH recall (tested); at 100 TB this is the only tractable path.
-    // Shingles are hashed to 64-bit BEFORE the distinct: every shuffle
-    // (distinct, sizes, verification join) then moves 8-byte keys
-    // instead of ~30-byte strings. Jaccard over hashed shingles equals
-    // string Jaccard up to 64-bit collisions (~n²/2^64 — negligible).
+    // Signatures are computed ROW-LOCALLY from the text (zero shuffle —
+    // the aggregate formulation shuffles the whole shingle relation;
+    // proven bit-identical in StreamingMinHashSpec/ScaleOpsSpec); the
+    // hashed shingle relation is still built for sizes + exact verify,
+    // with 8-byte keys so every remaining shuffle moves longs, not
+    // ~30-byte strings. Jaccard over hashed shingles equals string
+    // Jaccard up to 64-bit collisions (~n²/2^64 — negligible).
     "dedup_minhash" -> { (s, dir) =>
-      MinHash.nearDuplicates(hashedShingles(s, dir), threshold = 0.6)
+      MinHash.nearDuplicatesFromText(
+          Tables(s, dir, "documents"), hashedShingles(s, dir), threshold = 0.6)
         .orderBy(col("d1"), col("d2"))
     },
 
@@ -57,7 +61,8 @@ object ScaleOps {
     // Equals the exact dedup_cluster up to LSH recall (tested equal on
     // the fixtures, where recall is 1).
     "dedup_minhash_cluster" -> { (s, dir) =>
-      val edges = MinHash.nearDuplicates(hashedShingles(s, dir), threshold = 0.6)
+      val edges = MinHash.nearDuplicatesFromText(
+          Tables(s, dir, "documents"), hashedShingles(s, dir), threshold = 0.6)
         .select(col("d1").as("src"), col("d2").as("dst"))
       ConnectedComponents.clusterLabels(ConnectedComponents.componentsStar(edges))
         .orderBy(col("doc_id"))

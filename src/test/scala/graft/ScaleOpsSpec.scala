@@ -59,6 +59,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(lsh == exact, s"lsh=$lsh exact=$exact")
   }
 
+  test("row-local near-dup path equals the aggregate-signature path exactly") {
+    import org.apache.spark.sql.functions.col
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("d1", "d2", "jac").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sh = graft.queries.ScaleOps.hashedShingles(spark, sf)
+    val viaAgg = pairs(MinHash.nearDuplicates(sh, threshold = 0.6))
+    val viaLocal = pairs(MinHash.nearDuplicatesFromText(
+      Tables(spark, sf, "documents"), sh, threshold = 0.6))
+    assert(viaAgg.nonEmpty)
+    assert(viaLocal === viaAgg,
+      "zero-shuffle signature path diverged from the aggregate path")
+  }
+
   test("imperative MinHash signatures equal the expression formulation") {
     import spark.implicits._
     val shingles = Seq(
