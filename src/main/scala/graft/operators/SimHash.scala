@@ -35,9 +35,64 @@ object SimHash {
       .select(col("doc_id"), bits.reduce(_.bitwiseOR(_)).as("sim"))
   }
 
+  /** Row-local fingerprint of one document's text — same tokenisation as
+    * the `tokens` feed (lowercase, split on ' ', empties dropped,
+    * multiplicity kept), same `xxhash64`, same ±1/sign rule, computed in
+    * one loop over the row. The ±1 accumulation is an integer sum, so
+    * order of accumulation cannot change the result — bit-identical to
+    * [[fingerprints]] by construction (equality-tested in ScaleOpsSpec).
+    * Returns null for token-less docs (the grouped form has no row for
+    * them).
+    */
+  private[operators] def fingerprintLocal(text: String): java.lang.Long = {
+    val t = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+    val acc = new Array[Long](64)
+    var any = false
+    t.foreach { w =>
+      if (w.nonEmpty) {
+        any = true
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(org.apache.spark.unsafe.types.UTF8String.fromString(w),
+            org.apache.spark.sql.types.StringType, 42L)
+        var i = 0
+        while (i < 64) {
+          if (((h >> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+          i += 1
+        }
+      }
+    }
+    if (!any) null
+    else {
+      var sim = 0L
+      var i = 0
+      while (i < 64) { if (acc(i) > 0) sim |= (1L << i); i += 1 }
+      java.lang.Long.valueOf(sim)
+    }
+  }
+
+  /** Fingerprints computed PER ROW from raw text — zero shuffle (the
+    * grouped form shuffles the whole token relation into a 64-slot
+    * aggregate). SimHash needs nothing else per doc, so the entire
+    * pipeline before the band self-join becomes a map.
+    */
+  def fingerprintsLocal(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val fpUdf = udf((text: String) =>
+      if (text == null) null else fingerprintLocal(text))
+    docs.select(col(idCol).as("doc_id"), fpUdf(col(textCol)).as("sim"))
+      .filter(col("sim").isNotNull)
+  }
+
   /** Hamming distance between two fingerprints. */
   def hamming(a: Column, b: Column): Column =
     call_function("bit_count", a.bitwiseXOR(b))
+
+  /** [[nearDuplicates]] from raw documents via the zero-shuffle
+    * [[fingerprintsLocal]].
+    */
+  def nearDuplicatesFromText(docs: DataFrame, maxDist: Int = 3, bands: Int = 4,
+                             maxBucketSize: Int = 500): DataFrame =
+    pairsFromFingerprints(fingerprintsLocal(docs), maxDist, bands, maxBucketSize)
 
   /** Pairs (d1 < d2) with Hamming distance ≤ maxDist. Exact (pigeonhole)
     * when maxDist ≤ bands − 1.
@@ -50,11 +105,14 @@ object SimHash {
     * hot.
     */
   def nearDuplicates(tokens: DataFrame, maxDist: Int = 3, bands: Int = 4,
-                     maxBucketSize: Int = 500): DataFrame = {
+                     maxBucketSize: Int = 500): DataFrame =
+    pairsFromFingerprints(fingerprints(tokens), maxDist, bands, maxBucketSize)
+
+  private def pairsFromFingerprints(fp: DataFrame, maxDist: Int, bands: Int,
+                                    maxBucketSize: Int): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val fp = fingerprints(tokens)
     val w = Window.partitionBy(col("band"), col("key"))
     val keyed = fp.select(col("doc_id"), col("sim"),
       posexplode(array((0 until bands).map(j =>

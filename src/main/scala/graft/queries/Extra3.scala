@@ -125,6 +125,23 @@ object Extra3 {
         .orderBy(col("c_mktsegment"))
     },
 
+    // -- TPC-H Q13 shape: customer order-count distribution ---------------
+    // LEFT join with an extra join-side predicate (not a WHERE — null-
+    // extended customers must survive), then a second aggregation over
+    // the first's results. count(o_orderkey) counts non-null only, so
+    // order-less customers land in the c_count=0 bucket.
+    "tpch_q13" -> { (s, dir) =>
+      val perCust = Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
     // -- distribution windows: percent_rank / cume_dist -------------------
     // No rounding: (rank−1)/(n−1) and k/n divide the same small integers
     // on both engines — bit-identical doubles. Unique tiebreak in the
@@ -297,6 +314,14 @@ object Extra3 {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "tpch_q13" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
     "win_dist" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,

@@ -69,8 +69,11 @@ object ScaleOps {
     },
 
     // SimHash fingerprints + banded Hamming pairs (exact for dist ≤ 3).
+    // Fingerprints are row-local (zero shuffle before the band join —
+    // equality-tested against the grouped form in ScaleOpsSpec).
     "dedup_simhash" -> { (s, dir) =>
-      SimHash.nearDuplicates(tokens(s, dir), maxDist = 3, bands = 4)
+      SimHash.nearDuplicatesFromText(Tables(s, dir, "documents"),
+          maxDist = 3, bands = 4)
         .orderBy(col("d1"), col("d2"))
     },
 

@@ -73,6 +73,19 @@ class ScaleOpsSpec extends AnyFunSuite {
       "zero-shuffle signature path diverged from the aggregate path")
   }
 
+  test("row-local SimHash fingerprints equal the grouped-aggregate form") {
+    import org.apache.spark.sql.functions.{col, explode, lower, split}
+    val toks = Tables(spark, sf, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val grouped = SimHash.fingerprints(toks).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = SimHash.fingerprintsLocal(Tables(spark, sf, "documents"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(grouped.nonEmpty)
+    assert(local === grouped)
+  }
+
   test("imperative MinHash signatures equal the expression formulation") {
     import spark.implicits._
     val shingles = Seq(
