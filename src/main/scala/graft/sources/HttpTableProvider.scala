@@ -120,6 +120,15 @@ private[sources] class HttpScanBuilder(
   private val pushCols: Set[String] = Option(options.get("pushFilterColumns"))
     .map(_.split(",").iterator.map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
     .getOrElse(Set.empty)
+  /** Optional server-side param name per column:
+    * `option("filterParam.name", "name_eq")` sends `name_eq=x` instead
+    * of `name=x` — APIs rarely name their filter params after the
+    * response fields.
+    */
+  private val paramNames: Map[String, String] = options.asScala.collect {
+    case (k, v) if k.startsWith("filterparam.") =>
+      k.stripPrefix("filterparam.").toLowerCase -> v
+  }.toMap
   private val headers = options.asScala.collect {
     case (k, v) if k.startsWith("header.") => k.stripPrefix("header.") -> v
   }.toMap
@@ -162,7 +171,9 @@ private[sources] class HttpScanBuilder(
     }
     val filts =
       if (withFilters) pushedEq.toSeq.collect {
-        case EqualTo(att, v) => s"${enc(att)}=${enc(v.toString)}"
+        case EqualTo(att, v) =>
+          val p = paramNames.getOrElse(att.toLowerCase, att)
+          s"${enc(p)}=${enc(v.toString)}"
       } else Seq.empty
     fields ++ filts
   }

@@ -49,8 +49,9 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       val lim = params.getOrElse("limit", "100").toInt
       val cap = math.max(TotalRows, liveRows.get).toLong
       // optional server-side equality filter on `name` — exercises the
-      // advisory filter pushdown (offsets then index the FILTERED rows)
-      val nameFilter = params.get("name")
+      // advisory filter pushdown (offsets then index the FILTERED rows);
+      // `name_eq` is the renamed-param variant (filterParam.name option)
+      val nameFilter = params.get("name").orElse(params.get("name_eq"))
         .map(v => java.net.URLDecoder.decode(v, "UTF-8"))
       val all = (0L until cap).map(i => (i, s"row-$i"))
       val filtered = nameFilter.fold(all)(n => all.filter(_._2 == n))
@@ -242,6 +243,21 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the param reached the server (transfer = 1 row, not 257)
     assert(seenQueries.asScala.exists(_.contains("name=row-42")),
       s"no pushed filter param in: ${seenQueries.asScala.take(3)}")
+  }
+
+  test("filterParam.<col> renames the pushed query param") {
+    seenQueries.clear()
+    val df = spark.read.format("graft-http")
+      .option("url", s"http://127.0.0.1:$port/rows")
+      .option("schema", "id LONG, name STRING, score DOUBLE")
+      .option("pageSize", "1000").option("numPartitions", "1")
+      .option("pushFilterColumns", "name")
+      .option("filterParam.name", "name_eq")
+      .load()
+      .filter(col("name") === "row-7")
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(7L))
+    assert(seenQueries.asScala.exists(_.contains("name_eq=row-7")),
+      s"renamed param missing in: ${seenQueries.asScala.take(3)}")
   }
 
   test("unpushable filters are NOT sent and still evaluate correctly") {
