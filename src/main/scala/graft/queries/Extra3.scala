@@ -250,6 +250,31 @@ object Extra3 {
         .orderBy(col("label"), col("pos"))
     },
 
+    // -- binary codecs: hex / base64 / byte lengths -----------------------
+    "fn_codec" -> { (s, dir) =>
+      Tables(s, dir, "part")
+        .select(col("p_partkey"),
+          hex(col("p_name")).as("hex_name"),
+          base64(col("p_name").cast("binary")).as("b64_name"),
+          octet_length(col("p_name")).cast("int").as("n_bytes"),
+          bit_length(col("p_name")).cast("int").as("n_bits"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // -- linear-regression aggregates -------------------------------------
+    // Rounds follow agg_corr's convention: wide-magnitude moments round
+    // coarse (slope/intercept), [0,1] stats round fine (r2).
+    "agg_regr" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 2).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // -- lexical diversity (type-token ratio, hapax rate) -----------------
     // All ratios divide exact integers → bit-identical doubles, no round.
     "text_diversity" -> { (s, dir) =>
@@ -379,6 +404,22 @@ object Extra3 {
         |FROM embeddings)
         |SELECT label, pos, ROUND(AVG(x), 5) AS mean_x, COUNT(*) AS n
         |FROM t GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "fn_codec" ->
+      """SELECT p_partkey,
+        |hex(p_name) AS hex_name,
+        |to_base64(encode(p_name)) AS b64_name,
+        |CAST(octet_length(encode(p_name)) AS INT) AS n_bytes,
+        |CAST(bit_length(p_name) AS INT) AS n_bits
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "agg_regr" ->
+      """SELECT l_returnflag,
+        |ROUND(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
+        |ROUND(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+        |ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |regr_count(l_extendedprice, l_quantity) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "text_diversity" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
