@@ -37,6 +37,20 @@ object Extra3 {
     "'https://' || source || '.example.com/docs/' || CAST(doc_id % 100 AS VARCHAR)" +
       " || '?id=' || CAST(doc_id AS VARCHAR) || '&utm_source=feed'"
 
+  /** The ONE lateral SQL text, parameterized only by table names (Spark
+    * runs it over temp views, DuckDB over the parquet views) — the two
+    * engines execute the same statement.
+    */
+  private[queries] def lateralSql(region: String, nation: String, supplier: String): String =
+    s"""SELECT r_name, n_name, n_suppliers FROM $region,
+       |LATERAL (
+       |  SELECT n_name, COUNT(s_suppkey) AS n_suppliers
+       |  FROM $nation JOIN $supplier ON s_nationkey = n_nationkey
+       |  WHERE n_regionkey = r_regionkey
+       |  GROUP BY n_name
+       |  ORDER BY n_suppliers DESC, n_name LIMIT 2
+       |) ORDER BY r_name, n_suppliers DESC, n_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // -- TPC-H Q4 shape: EXISTS correlated subquery → left-semi join ------
     // (reference fixture has no commitdate/receiptdate; the "late line"
@@ -250,6 +264,34 @@ object Extra3 {
         .orderBy(col("label"), col("pos"))
     },
 
+    // -- correlated LATERAL subquery (SQL-text path) ----------------------
+    // Per-region top-2 nations by supplier count via a correlated
+    // LATERAL — the IDENTICAL SQL text runs on both engines (the window
+    // formulation of top-k-per-group is topk_group; this exercises the
+    // correlated-subquery planner path: Spark rewrites it to a
+    // DomainJoin → window, DuckDB to a dependent join).
+    "sql_lateral" -> { (s, dir) =>
+      Tables(s, dir, "region").createOrReplaceTempView("region_v3")
+      Tables(s, dir, "nation").createOrReplaceTempView("nation_v3")
+      Tables(s, dir, "supplier").createOrReplaceTempView("supplier_v3")
+      s.sql(Extra3.lateralSql("region_v3", "nation_v3", "supplier_v3"))
+    },
+
+    // -- null-safe equality join (<=> / IS NOT DISTINCT FROM) -------------
+    // Region 0 maps to NULL: a plain equi-join silently drops the NULL
+    // bucket; the null-safe join keeps it as a first-class key. Spark
+    // plans EqualNullSafe as a hash-join key (coalesced), not a BNL.
+    "join_nullsafe" -> { (s, dir) =>
+      val x = Tables(s, dir, "nation")
+        .select(col("n_nationkey"), nullif(col("n_regionkey"), lit(0)).as("rk"))
+      val a = x.select(col("n_nationkey").as("k1"), col("rk").as("rk1"))
+      val b = x.select(col("n_nationkey").as("k2"), col("rk").as("rk2"))
+      a.join(b, col("rk1") <=> col("rk2") && col("k1") < col("k2"))
+        .groupBy(col("rk1").as("rk"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("rk").asc_nulls_first)
+    },
+
     // -- binary codecs: hex / base64 / byte lengths -----------------------
     "fn_codec" -> { (s, dir) =>
       Tables(s, dir, "part")
@@ -404,6 +446,15 @@ object Extra3 {
         |FROM embeddings)
         |SELECT label, pos, ROUND(AVG(x), 5) AS mean_x, COUNT(*) AS n
         |FROM t GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "sql_lateral" -> lateralSql("region", "nation", "supplier"),
+
+    "join_nullsafe" ->
+      """WITH x AS (SELECT n_nationkey, nullif(n_regionkey, 0) rk FROM nation)
+        |SELECT a.rk AS rk, COUNT(*) AS n_pairs
+        |FROM x a JOIN x b ON a.rk IS NOT DISTINCT FROM b.rk
+        |                 AND a.n_nationkey < b.n_nationkey
+        |GROUP BY a.rk ORDER BY rk NULLS FIRST""".stripMargin,
 
     "fn_codec" ->
       """SELECT p_partkey,
