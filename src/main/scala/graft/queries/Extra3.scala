@@ -317,6 +317,24 @@ object Extra3 {
         .orderBy(col("l_returnflag"))
     },
 
+    // -- heavy hitters via the SpaceSaving sketch -------------------------
+    // Bounded-memory top tokens (functions.TopKSketch). At capacity 256
+    // over this fixture's ~36-word vocabulary the sketch NEVER evicts,
+    // so it is provably exact and DuckDB-oracle-checkable; SketchSpec
+    // exercises the lossy regime (capacity < distinct) and the
+    // distributed-merge bounds.
+    "text_topk_tokens" -> { (s, dir) =>
+      graft.functions.TopKSketch.register(s)
+      Tables(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .agg(call_function("topk_sketch", col("tok")).as("sk"))
+        .select(explode(col("sk")).as(Seq("tok", "ce")))
+        .select(col("tok"), element_at(col("ce"), 1).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20)
+    },
+
     // -- lexical diversity (type-token ratio, hapax rate) -----------------
     // All ratios divide exact integers → bit-identical doubles, no round.
     "text_diversity" -> { (s, dir) =>
@@ -471,6 +489,11 @@ object Extra3 {
         |ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
         |regr_count(l_extendedprice, l_quantity) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "text_topk_tokens" ->
+      """SELECT tok, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+        |WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
 
     "text_diversity" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
