@@ -40,6 +40,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[graft.functions.CosineSimilarity].getName, "cosine_sim"),
       (args: Seq[Expression]) => graft.functions.CosineSimilarity(args(0), args(1))))
+    // Sketch aggregates, session-wide (the temp-function registration in
+    // their companions covers ad-hoc sessions; extension users get them
+    // without any register() call)
+    e.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSignature].getName, "minhash_sig"),
+      (args: Seq[Expression]) => graft.functions.MinHashSignature(args.head)))
+    e.injectFunction((
+      FunctionIdentifier("topk_sketch"),
+      new ExpressionInfo(classOf[graft.functions.TopKSketch].getName, "topk_sketch"),
+      (args: Seq[Expression]) => graft.functions.TopKSketch(args.head)))
     // Native as-of join: marker predicate + planner strategy (AsOfJoinPlan)
     e.injectFunction((
       FunctionIdentifier("asof_latest"),

@@ -264,6 +264,48 @@ object Extra3 {
         .orderBy(col("label"), col("pos"))
     },
 
+    // -- TPC-H Q15 shape: scalar-max over an aggregated CTE ---------------
+    // Top revenue supplier(s): the per-supplier revenue aggregate is
+    // computed ONCE and consumed twice (join + scalar max) — exact
+    // decimal totals make the max-equality comparison engine-safe.
+    "tpch_q15" -> { (s, dir) =>
+      val rev = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(Oracle.revenue(col("l_extendedprice"), col("l_discount")))
+          .as("total_rev"))
+      val top = rev.agg(max(col("total_rev")).as("m"))
+      Tables(s, dir, "supplier")
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .crossJoin(broadcast(top))
+        .filter(col("total_rev") === col("m"))
+        .select(col("s_suppkey"), col("s_name"),
+          Oracle.out(col("total_rev")).as("total_rev"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // -- TPC-H Q17 shape: correlated per-group average threshold ----------
+    // Lines below 20% of their part's average quantity. The correlated
+    // scalar subquery decorrelates to a per-part aggregate joined back;
+    // the threshold divides exact-integer-valued doubles, so the
+    // boundary is bit-identical on both engines.
+    "tpch_q17" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val thr = li.groupBy(col("l_partkey").as("t_partkey"))
+        .agg((avg(col("l_quantity")) * 0.2).as("q_thr"))
+      li.join(broadcast(Tables(s, dir, "part")
+          .filter(col("p_brand") === "Brand#11")),
+          col("l_partkey") === col("p_partkey"))
+        .join(thr, col("l_partkey") === col("t_partkey"))
+        .filter(col("l_quantity") < col("q_thr"))
+        .agg(
+          // divide as DOUBLE on both sides (DuckDB's decimal ÷ decimal
+          // picks its own result scale — SURVEY §7.4 trap)
+          (Oracle.out(sum(Oracle.dec(col("l_extendedprice")))) / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    },
+
     // -- correlated LATERAL subquery (SQL-text path) ----------------------
     // Per-region top-2 nations by supplier count via a correlated
     // LATERAL — the IDENTICAL SQL text runs on both engines (the window
@@ -464,6 +506,29 @@ object Extra3 {
         |FROM embeddings)
         |SELECT label, pos, ROUND(AVG(x), 5) AS mean_x, COUNT(*) AS n
         |FROM t GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "tpch_q15" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |         SUM(${Oracle.revenueSql("l_extendedprice", "l_discount")}) AS total_rev
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "tpch_q17" ->
+      """SELECT
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#11'
+        |  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
 
     "sql_lateral" -> lateralSql("region", "nation", "supplier"),
 
