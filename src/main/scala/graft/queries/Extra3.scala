@@ -306,6 +306,61 @@ object Extra3 {
           count(lit(1)).as("n_lines"))
     },
 
+    // -- TPC-H Q8 shape: market share (ratio of conditional sums) ---------
+    // NATION_18's share of ASIA-customer volume per year. Both sums are
+    // exact decimals; the ratio divides their DOUBLE casts, so the
+    // boundary is engine-identical.
+    "tpch_q8" -> { (s, dir) =>
+      val n1 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+      val n2 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val zero = lit(0).cast(Oracle.Money4)
+      val vol = Oracle.revenue(col("l_extendedprice"), col("l_discount"))
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(Tables(s, dir, "region")), col("c_rk") === col("r_regionkey"))
+        .join(broadcast(Tables(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          (Oracle.out(sum(when(col("supp_nation") === "NATION_18", vol).otherwise(zero))) /
+            Oracle.out(sum(vol))).as("mkt_share"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("o_year"))
+    },
+
+    // -- TPC-H Q21 shape: double existence predicate ----------------------
+    // Suppliers solely responsible for a returned line in multi-supplier
+    // finalized orders. The EXISTS / NOT-EXISTS pair decorrelates to ONE
+    // per-order aggregate (distinct suppliers, distinct returning
+    // suppliers, returned-line count) — a single pass over lineitem
+    // instead of two correlated re-scans; provably equivalent because
+    // "no OTHER supplier returned" ⟺ "exactly one distinct returning
+    // supplier, and it is this one".
+    "tpch_q21" -> { (s, dir) =>
+      val perOrder = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+            .as("n_r_supp"),
+          count(when(col("l_returnflag") === "R", 1)).as("n_r_lines"),
+          max(when(col("l_returnflag") === "R", col("l_suppkey"))).as("r_supp"))
+        .filter(col("n_supp") > 1 && col("n_r_supp") === 1)
+      perOrder
+        .join(Tables(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(broadcast(Tables(s, dir, "supplier")), col("r_supp") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(sum(col("n_r_lines")).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+
     // -- correlated LATERAL subquery (SQL-text path) ----------------------
     // Per-region top-2 nations by supplier count via a correlated
     // LATERAL — the IDENTICAL SQL text runs on both engines (the window
@@ -529,6 +584,39 @@ object Extra3 {
         |  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
         |                    FROM lineitem l2
         |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+
+    "tpch_q8" ->
+      s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+         |CAST(SUM(CASE WHEN n2.n_name = 'NATION_18'
+         |     THEN ${Oracle.revenueSql("l_extendedprice", "l_discount")}
+         |     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         |  / CAST(SUM(${Oracle.revenueSql("l_extendedprice", "l_discount")}) AS DOUBLE)
+         |  AS mkt_share,
+         |COUNT(*) AS n_lines
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |JOIN region ON n1.n_regionkey = r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "tpch_q21" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
 
     "sql_lateral" -> lateralSql("region", "nation", "supplier"),
 
