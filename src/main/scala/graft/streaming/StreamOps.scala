@@ -103,6 +103,73 @@ object StreamOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** A closed session emitted by [[SessionCloseProcessor]]. */
+  case class ClosedSession(user_id: Long, n_events: Long,
+                           start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp)
+
+  /** Timer-driven session close — the event-time TIMER surface of
+    * `transformWithState` (the one stateful-API feature the
+    * running-totals processor doesn't exercise): each user's state
+    * carries (count, first, last); every batch re-arms one timer at
+    * `last + gap`, and when the WATERMARK passes it the session is
+    * emitted and cleared. This is the arbitrary-state formulation of
+    * `win_session`/`EventTime.sessions` for pipelines that need to act
+    * at close time (emit, write, alert) rather than aggregate after the
+    * fact.
+    */
+  class SessionCloseProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, ClosedSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var state: ValueState[(Long, Long, Long)] = _ // (n, first, last) ms
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long, Long)]("session",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[ClosedSession] = {
+      var (n, first, last) = Option(state.get()).getOrElse((0L, Long.MaxValue, 0L))
+      rows.foreach { e =>
+        val t = e.ts.getTime
+        n += 1
+        if (t < first) first = t
+        if (t > last) last = t
+      }
+      state.update((n, first, last))
+      // one armed timer per key: re-arm at the new session end
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(last + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      val out = Option(state.get()).map { case (n, first, last) =>
+        ClosedSession(user, n, new java.sql.Timestamp(first), new java.sql.Timestamp(last))
+      }
+      state.clear()
+      out.iterator
+    }
+  }
+
+  /** [[SessionCloseProcessor]] wired onto a watermarked stream. */
+  def sessionClose(events: org.apache.spark.sql.Dataset[Event],
+                   gap: String = "1 minute", watermark: String = "1 second")
+      : org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val ms = gapMs.days * 86400000L + gapMs.microseconds / 1000L
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionCloseProcessor(ms),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Custom streaming state via `flatMapGroupsWithState` (the
     * KeyValueGroupedDataset surface): per user, carry (count, sum) state
     * across micro-batches and emit the updated running totals whenever

@@ -196,6 +196,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("event-time timers close sessions when the watermark passes the gap") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val q = StreamOps.sessionClose(input.toDS(), gap = "1 minute")
+        .writeStream.format("memory").queryName("session_close_out")
+        .outputMode("append").start()
+      withQuery(q) {
+        input.addData(Seq(
+          Event(1, ts("2024-01-01 10:00:00"), 7, "view", 1.0),
+          Event(2, ts("2024-01-01 10:00:30"), 7, "view", 1.0),
+          Event(3, ts("2024-01-01 10:00:10"), 9, "view", 1.0)))
+        q.processAllAvailable()
+        // sessions still open: watermark hasn't passed last+gap
+        assert(spark.table("session_close_out").isEmpty)
+        // a much later event advances the max event time...
+        input.addData(Seq(Event(4, ts("2024-01-01 10:10:00"), 99, "view", 1.0)))
+        q.processAllAvailable()
+        // ...and the NEXT batch runs with the advanced watermark, firing
+        // the expired timers for users 7 and 9
+        input.addData(Seq(Event(5, ts("2024-01-01 10:10:01"), 99, "view", 1.0)))
+        q.processAllAvailable()
+        val closed = spark.table("session_close_out")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(closed.get(7L).contains(2L), s"user 7 session wrong: $closed")
+        assert(closed.get(9L).contains(1L), s"user 9 session wrong: $closed")
+      }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("transformWithState (RocksDB store) matches flatMapGroupsWithState semantics") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
