@@ -35,6 +35,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows.getDouble(1) > 40 && rows.getDouble(1) < 60)
   }
 
+  test("sketch aggregates are available session-wide via the extensions") {
+    import spark.implicits._
+    // topk_sketch: exact regime over 3 distinct items
+    val topk = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(1)("c"))
+      .toDF("item").createOrReplaceTempView("ext_items")
+    val counts = spark.sql(
+      "SELECT explode(topk_sketch(item)) AS (item, ce) FROM ext_items")
+      .select(col("item"), element_at(col("ce"), 1))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("a" -> 5L, "b" -> 3L, "c" -> 1L))
+    // minhash_sig: same values as the operator-registered function
+    Seq((1L, 111L), (1L, 222L)).toDF("doc_id", "s").createOrReplaceTempView("ext_sh")
+    val sig = spark.sql(
+      "SELECT minhash_sig(s) AS sig FROM ext_sh GROUP BY doc_id")
+      .head().getSeq[Long](0)
+    assert(sig.length === 64 && sig.forall(_ != Long.MaxValue))
+  }
+
   test("cosine_sim native expression matches the fold-based formulation") {
     val df = spark.sql(
       """SELECT cosine_sim(CAST(array(1.0, 2.0, 3.0) AS ARRAY<DOUBLE>),
