@@ -45,6 +45,8 @@ case class TopKSketch(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.HashMap[String, Array[Long]]] {
 
+  require(capacity >= 1, s"topk_sketch capacity must be >= 1, got $capacity")
+
   override def createAggregationBuffer(): mutable.HashMap[String, Array[Long]] =
     mutable.HashMap.empty
 
@@ -91,7 +93,14 @@ case class TopKSketch(
         case _ =>
       }
     }
-    while (out.size > capacity) evictMin(out)
+    if (out.size > capacity) {
+      // one sort instead of O(capacity) full-map evictMin scans; keep
+      // the SAME deterministic order evictMin uses: (count asc, key asc)
+      // evicted first ⇔ keep (count desc, key desc) head
+      val keep = out.toSeq.sortBy { case (k, v) => (v(0), k) }.reverse.take(capacity)
+      out.clear()
+      keep.foreach { case (k, v) => out.put(k, v) }
+    }
     out
   }
 
@@ -147,10 +156,30 @@ case class TopKSketch(
 }
 
 object TopKSketch {
-  /** Register `topk_sketch(item)` in the session (idempotent). */
+  /** SQL builder: `topk_sketch(item)` or `topk_sketch(item, capacity)`
+    * with a literal int capacity. Extra/non-literal arguments FAIL
+    * rather than being silently dropped (a user passing a large
+    * capacity and getting lossy 256-capacity estimates would have no
+    * way to notice).
+    */
+  def fromArgs(exprs: Seq[Expression], defaultCapacity: Int): TopKSketch =
+    exprs match {
+      case Seq(item) => TopKSketch(item, defaultCapacity)
+      case Seq(item, cap) if cap.foldable =>
+        cap.eval() match {
+          case i: Int => TopKSketch(item, i)
+          case l: Long => TopKSketch(item, math.toIntExact(l))
+          case other => throw new IllegalArgumentException(
+            s"topk_sketch capacity must be an integer literal, got $other")
+        }
+      case _ => throw new IllegalArgumentException(
+        "usage: topk_sketch(item[, capacity_literal])")
+    }
+
+  /** Register `topk_sketch(item[, capacity])` in the session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession, capacity: Int = 256): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_sketch",
-      exprs => TopKSketch(exprs.head, capacity),
+      exprs => fromArgs(exprs, capacity),
       "scala_udf")
 }

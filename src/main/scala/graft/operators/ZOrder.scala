@@ -24,7 +24,14 @@ object ZOrder {
     require(hi > lo, s"normalize needs hi > lo (got $lo, $hi)")
     val max = (1L << bits) - 1
     val scaled = (c.cast("double") - lit(lo)) / lit(hi - lo) * lit(max.toDouble)
-    least(greatest(floor(scaled).cast("long"), lit(0L)), lit(max))
+    // NULL/NaN dimensions land in the TOP bucket, explicitly (greatest()
+    // SKIPS nulls, so without this guard a null row would silently
+    // clamp to bucket 0 and cluster with the lo end, widening those
+    // files' min/max ranges — defeating the file skipping this operator
+    // exists for). The top bucket keeps null rows together and away
+    // from the dense range.
+    when(c.isNull || isnan(c.cast("double")), lit(max))
+      .otherwise(least(greatest(floor(scaled).cast("long"), lit(0L)), lit(max)))
   }
 
   /** Bit-interleaved z-value of already-normalised long columns (each in
@@ -34,9 +41,13 @@ object ZOrder {
     require(dims.nonEmpty, "zvalue needs at least one dimension")
     require(bits * dims.size <= 63,
       s"bits ($bits) × dims (${dims.size}) must fit a long")
+    // cast to long defensively: int-typed dims would wrap shift amounts
+    // mod 32 (Java int shift semantics) and corrupt the interleave for
+    // any target bit position ≥ 32
+    val longDims = dims.map(_.cast("long"))
     val terms = for {
       b <- 0 until bits
-      (d, i) <- dims.zipWithIndex
+      (d, i) <- longDims.zipWithIndex
     } yield shiftleft(
       shiftright(d, b).bitwiseAND(lit(1L)), b * dims.size + i)
     terms.reduce((a, c) => a.bitwiseOR(c))
@@ -50,10 +61,14 @@ object ZOrder {
     */
   def cluster(df: DataFrame, dims: Seq[(Column, Double, Double)],
               numPartitions: Int, bits: Int = 16): DataFrame = {
+    // collision-proof temp column: withColumn would silently OVERWRITE a
+    // user column named "_z" and the trailing drop would delete it
+    var zCol = "_z"
+    while (df.columns.contains(zCol)) zCol += "_"
     val z = zvalue(dims.map { case (c, lo, hi) => normalize(c, lo, hi, bits) }, bits)
-    df.withColumn("_z", z)
-      .repartitionByRange(numPartitions, col("_z"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_z")
+    df.withColumn(zCol, z)
+      .repartitionByRange(numPartitions, col(zCol))
+      .sortWithinPartitions(col(zCol))
+      .drop(zCol)
   }
 }

@@ -46,11 +46,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[graft.functions.MinHashSignature].getName, "minhash_sig"),
-      (args: Seq[Expression]) => graft.functions.MinHashSignature(args.head)))
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "usage: minhash_sig(hashed_shingle)")
+        graft.functions.MinHashSignature(args.head)
+      }))
     e.injectFunction((
       FunctionIdentifier("topk_sketch"),
       new ExpressionInfo(classOf[graft.functions.TopKSketch].getName, "topk_sketch"),
-      (args: Seq[Expression]) => graft.functions.TopKSketch(args.head)))
+      (args: Seq[Expression]) => graft.functions.TopKSketch.fromArgs(args, 256)))
     // Native as-of join: marker predicate + planner strategy (AsOfJoinPlan)
     e.injectFunction((
       FunctionIdentifier("asof_latest"),

@@ -163,7 +163,12 @@ object StreamOps {
     import events.sparkSession.implicits._
     val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    // month-bearing intervals have no fixed millisecond length — a
+    // "1 month" gap would silently become 0 ms; reject it loudly
+    require(gapMs.months == 0,
+      s"sessionClose gap must be day-time ('$gap' has months); use days/hours/minutes")
     val ms = gapMs.days * 86400000L + gapMs.microseconds / 1000L
+    require(ms > 0, s"sessionClose gap must be positive, got '$gap'")
     events.withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .transformWithState(new SessionCloseProcessor(ms),

@@ -66,6 +66,19 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("a literal capacity argument is honored, junk arities fail loudly") {
+    import spark.implicits._
+    TopKSketch.register(spark)
+    Seq("a", "a", "b", "c", "d", "e").toDF("item")
+      .createOrReplaceTempView("cap_items")
+    val n = spark.sql("SELECT topk_sketch(item, 2) AS sk FROM cap_items")
+      .select(explode(col("sk"))).count()
+    assert(n === 2, "capacity literal ignored")
+    intercept[Exception] {
+      spark.sql("SELECT topk_sketch(item, 2, 3) FROM cap_items").collect()
+    }
+  }
+
   test("text_topk_tokens oracle query runs and ranks the fixture head") {
     val out = SparkEntry.queries("text_topk_tokens")(spark, "/root/testdata/sf0.001")
       .collect()
