@@ -111,6 +111,30 @@ object LlmOps {
       nearDupPairs(s, dir).orderBy(col("d1"), col("d2"))
     },
 
+    // -- benchmark decontamination ----------------------------------------
+    // The training-data hygiene op: flag corpus documents sharing too
+    // many shingles with a benchmark/eval set (stand-in here: docs with
+    // doc_id < 10). The benchmark shingle set is SMALL by nature, so it
+    // broadcasts — at 100 TB the corpus streams past it with no shuffle
+    // of corpus shingles. Contamination ratio divides exact ints.
+    "text_decontaminate" -> { (s, dir) =>
+      val sh = shingles(s, dir)
+      val bench = broadcast(sh.filter(col("doc_id") < 10)
+        .select(col("s")).distinct())
+      val corpus = sh.filter(col("doc_id") >= 10)
+      val perDoc = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      val overlap = corpus.join(bench, "s")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      perDoc.join(overlap, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          (coalesce(col("n_overlap"), lit(0L)).cast("double") /
+            col("n_shingles")).as("contamination"),
+          (coalesce(col("n_overlap"), lit(0L)).cast("double") /
+            col("n_shingles") >= 0.5).as("flagged"))
+        .orderBy(col("doc_id"))
+    },
+
     // -- edit-distance verification of candidate pairs --------------------
     // The verification step a pipeline runs when shingle Jaccard alone is
     // not trusted: levenshtein over a fixed prefix, on CANDIDATE pairs
@@ -350,6 +374,23 @@ object LlmOps {
     "dedup_neardup" ->
       s"""$nearDupPairsSql
          |SELECT d1, d2, jac FROM pairs ORDER BY d1, d2""".stripMargin,
+
+    "text_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
+        |corpus AS (SELECT doc_id, s FROM sh WHERE doc_id >= 10),
+        |per_doc AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id),
+        |ov AS (SELECT doc_id, COUNT(*) AS n_overlap
+        |       FROM corpus JOIN bench USING (s) GROUP BY doc_id)
+        |SELECT p.doc_id, p.n_shingles,
+        |COALESCE(ov.n_overlap, 0) AS n_overlap,
+        |CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / p.n_shingles AS contamination,
+        |CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / p.n_shingles >= 0.5 AS flagged
+        |FROM per_doc p LEFT JOIN ov ON p.doc_id = ov.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
 
     "text_editdist" ->
       s"""$nearDupPairsSql
