@@ -226,8 +226,18 @@ object MinHash {
     // intermediates is the right memory trade (round-1 leak: the shingle
     // cache lived until the ContextCleaner got around to it).
     val sh = shingles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = (if (sigsOrNull == null) signatures(sh, numHashes, seed) else sigsOrNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Persist (and later unpersist) the signature frame ONLY when it was
+    // built here: unpersisting a caller-supplied frame would evict the
+    // caller's own cache as a side effect. The row-local path's sigs are
+    // a zero-shuffle projection of docs, so recomputing them for the
+    // second consumer (droppedBuckets) costs one map pass — cheaper than
+    // risking a caller cache eviction.
+    val ownSigs = sigsOrNull == null
+    val sigs =
+      if (ownSigs)
+        signatures(sh, numHashes, seed)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sigsOrNull
     val cand = lshCandidates(sigs, bands, maxBucketSize, numHashes)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // Verify candidates by expanding ONLY candidate pairs' shingles:
@@ -250,7 +260,7 @@ object MinHash {
       org.apache.logging.log4j.LogManager.getLogger(getClass)
         .warn(s"minhash LSH: $dropped band buckets over maxBucketSize=" +
           s"$maxBucketSize were dropped (recall loss possible)")
-    sigs.unpersist(false)
+    if (ownSigs) sigs.unpersist(false)
     sh.unpersist(false)
     out
   }

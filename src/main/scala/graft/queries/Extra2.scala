@@ -98,14 +98,16 @@ object Extra2 {
           // o_orderstatus is a letter on EVERY row, and TryEval's failure
           // path is exception-driven (~17 µs/row measured — 2.6 of this
           // query's 3.3 s at sf0.1). On a high-failure-rate column, guard
-          // with a cheap regex so the exception path never runs. The
-          // guard mirrors try_cast semantics: trims first (try_cast
-          // accepts ' 7'), and bounds digits to 9 so a regex-passing
-          // value can never overflow Int (ANSI cast would THROW there,
-          // where try_cast returns NULL). try_cast itself stays on
-          // prio_int below, where the cast SUCCEEDS per row (fast path).
-          when(trim(col("o_orderstatus")).rlike("^[+-]?[0-9]{1,9}$"),
-            trim(col("o_orderstatus")).cast("int")).as("status_int"),
+          // with a cheap regex so the exception path only runs on rows
+          // that are at least all-digits. The guard must not CHANGE
+          // try_cast semantics: up to 10 digits may still fit Int
+          // (1000000000..2147483647), so the guarded branch uses
+          // try_cast itself — overflowing 10-digit strings yield NULL
+          // exactly as unguarded try_cast would, in-range ones keep
+          // their value. 11+ digits always overflow → the guard's NULL
+          // is already try_cast's answer, no exception path needed.
+          when(trim(col("o_orderstatus")).rlike("^[+-]?[0-9]{1,10}$"),
+            expr("try_cast(trim(o_orderstatus) AS INT)")).as("status_int"),
           expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_int"),
           try_element_at(split(col("o_orderpriority"), "-"), lit(3)).as("missing_part"))
         .orderBy(col("o_orderkey"))

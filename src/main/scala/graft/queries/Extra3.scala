@@ -342,14 +342,22 @@ object Extra3 {
     // "no OTHER supplier returned" ⟺ "exactly one distinct returning
     // supplier, and it is this one".
     "tpch_q21" -> { (s, dir) =>
-      val perOrder = Tables(s, dir, "lineitem")
+      // Two-level aggregation instead of a double countDistinct: Spark
+      // plans two DISTINCT aggregates as an Expand (3 replicas of every
+      // lineitem row through the shuffle — at 100 TB that triples the
+      // dominant shuffle). Grouping by (order, supplier) first gets full
+      // map-side combine on the raw scan, and the per-order distinct
+      // counts become plain counts over the already-distinct keys.
+      val perSupp = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(count(when(col("l_returnflag") === "R", 1)).as("r_lines"))
+      val perOrder = perSupp
         .groupBy(col("l_orderkey"))
         .agg(
-          countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-            .as("n_r_supp"),
-          count(when(col("l_returnflag") === "R", 1)).as("n_r_lines"),
-          max(when(col("l_returnflag") === "R", col("l_suppkey"))).as("r_supp"))
+          count(lit(1)).as("n_supp"),
+          count(when(col("r_lines") > 0, 1)).as("n_r_supp"),
+          sum(col("r_lines")).as("n_r_lines"),
+          max(when(col("r_lines") > 0, col("l_suppkey"))).as("r_supp"))
         .filter(col("n_supp") > 1 && col("n_r_supp") === 1)
       perOrder
         .join(Tables(s, dir, "orders").filter(col("o_orderstatus") === "F")

@@ -83,15 +83,22 @@ private[sources] class HttpTable(schema: StructType, props: Map[String, String])
   *    when `fieldsParam` is set — the field list is forwarded to the API
   *    (`…&fields=a,b`) so the payload shrinks at the server.
   *  - **filter pushdown** ([[SupportsPushDownFilters]]), ADVISORY: simple
-  *    equality filters on columns listed in `pushFilterColumns` become
-  *    query params (`…&name=x`). Every filter is still returned to Spark
+  *    comparison filters on columns listed in `pushFilterColumns` become
+  *    query params — equality as `…&name=x`, ranges with an operator
+  *    suffix (`…&id_gt=5`, `id_gte`, `id_lt`, `id_lte`), and IN lists as
+  *    a comma-joined `…&name_in=a,b` (skipped when any value itself
+  *    contains a comma — the encoding would be ambiguous). Every filter
+  *    is still returned to Spark
   *    for re-evaluation, so a server that returns EXTRA rows cannot
   *    corrupt results — pushdown only shrinks transfer. Re-evaluation
   *    cannot restore rows a non-conforming server OMITS, so listing a
   *    column in `pushFilterColumns` is a contract: the server must apply
-  *    that param as exact equality on the value's canonical string form,
+  *    those params on the value's canonical string form (numeric ranges
+  *    numerically, equality/IN as exact string match),
   *    identically on every page (same stability assumption as offset
   *    pagination itself). When in doubt, leave the column unlisted.
+  *    `filterParam.<col>` renames the BASE param; the operator suffixes
+  *    append to the renamed base (`filterParam.id=key` → `key_gte=5`).
   *    Batch only: the streaming offset is a row count over the UNfiltered
   *    relation, so filter params would corrupt the stream's positions.
   *  - **limit pushdown** ([[SupportsPushDownLimit]]), partial: each
@@ -105,7 +112,8 @@ private[sources] class HttpScanBuilder(
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with SupportsPushDownLimit {
-  import org.apache.spark.sql.sources.{EqualTo, Filter}
+  import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
+    GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 
   private val url = options.get("url")
   require(url != null, "graft-http requires a 'url' option")
@@ -134,7 +142,7 @@ private[sources] class HttpScanBuilder(
   }.toMap
 
   private var requiredSchema: StructType = fullSchema
-  private var pushedEq: Array[Filter] = Array.empty
+  private var pushedAdvisory: Array[Filter] = Array.empty
   private var limit: Int = -1
 
   override def pruneColumns(required: StructType): Unit = {
@@ -147,18 +155,33 @@ private[sources] class HttpScanBuilder(
       if (kept.nonEmpty) StructType(kept) else StructType(fullSchema.fields.take(1))
   }
 
+  /** Only values with an unambiguous canonical string form are pushed —
+    * never dates/timestamps/binary, whose server-side parse is a guess.
+    */
+  private def pushableValue(v: Any): Boolean = v match {
+    case _: String | _: java.lang.Number | _: java.lang.Boolean => true
+    case _ => false
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushedEq = filters.filter {
-      case EqualTo(att, v) =>
-        pushCols.contains(att.toLowerCase) && (v match {
-          case _: String | _: java.lang.Number | _: java.lang.Boolean => true
-          case _ => false
-        })
+    def pushable(att: String, v: Any) =
+      pushCols.contains(att.toLowerCase) && pushableValue(v)
+    pushedAdvisory = filters.filter {
+      case EqualTo(att, v)            => pushable(att, v)
+      case GreaterThan(att, v)        => pushable(att, v)
+      case GreaterThanOrEqual(att, v) => pushable(att, v)
+      case LessThan(att, v)           => pushable(att, v)
+      case LessThanOrEqual(att, v)    => pushable(att, v)
+      case In(att, vs) =>
+        // comma is the list separator — a value containing one would be
+        // indistinguishable from two values; leave such filters unpushed
+        pushCols.contains(att.toLowerCase) && vs.nonEmpty &&
+          vs.forall(v => pushableValue(v) && !v.toString.contains(","))
       case _ => false
     }
     filters // ALL filters stay post-scan: server filtering is advisory
   }
-  override def pushedFilters(): Array[Filter] = pushedEq
+  override def pushedFilters(): Array[Filter] = pushedAdvisory
 
   override def pushLimit(l: Int): Boolean = { limit = l; true }
   override def isPartiallyPushed(): Boolean = true
@@ -169,11 +192,20 @@ private[sources] class HttpScanBuilder(
     val fields = fieldsParam.toSeq.map { p =>
       s"${enc(p)}=${enc(requiredSchema.fieldNames.mkString(","))}"
     }
+    def base(att: String) = paramNames.getOrElse(att.toLowerCase, att)
     val filts =
-      if (withFilters) pushedEq.toSeq.collect {
-        case EqualTo(att, v) =>
-          val p = paramNames.getOrElse(att.toLowerCase, att)
-          s"${enc(p)}=${enc(v.toString)}"
+      if (withFilters) pushedAdvisory.toSeq.collect {
+        case EqualTo(att, v) => s"${enc(base(att))}=${enc(v.toString)}"
+        case GreaterThan(att, v) =>
+          s"${enc(base(att) + "_gt")}=${enc(v.toString)}"
+        case GreaterThanOrEqual(att, v) =>
+          s"${enc(base(att) + "_gte")}=${enc(v.toString)}"
+        case LessThan(att, v) =>
+          s"${enc(base(att) + "_lt")}=${enc(v.toString)}"
+        case LessThanOrEqual(att, v) =>
+          s"${enc(base(att) + "_lte")}=${enc(v.toString)}"
+        case In(att, vs) =>
+          s"${enc(base(att) + "_in")}=${enc(vs.map(_.toString).mkString(","))}"
       } else Seq.empty
     fields ++ filts
   }

@@ -139,8 +139,12 @@ object StreamOps {
         if (t > last) last = t
       }
       state.update((n, first, last))
-      // one armed timer per key: re-arm at the new session end
-      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      // one armed timer per key: re-arm at the new session end.
+      // listTimers() is a lazy iterator over timer state — materialise
+      // it BEFORE deleting, or the deletes mutate the state under the
+      // live iterator (surfaces only on the re-arm path, i.e. a key
+      // seen in two different micro-batches).
+      getHandle.listTimers().toSeq.foreach(t => getHandle.deleteTimer(t))
       getHandle.registerTimer(last + gapMs)
       Iterator.empty
     }

@@ -53,8 +53,17 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       // `name_eq` is the renamed-param variant (filterParam.name option)
       val nameFilter = params.get("name").orElse(params.get("name_eq"))
         .map(v => java.net.URLDecoder.decode(v, "UTF-8"))
+      // advisory range/IN params (the _gt/_gte/_lt/_lte/_in convention)
+      val idGte = params.get("id_gte").map(_.toLong)
+      val idLt = params.get("id_lt").map(_.toLong)
+      val nameIn = params.get("name_in")
+        .map(v => java.net.URLDecoder.decode(v, "UTF-8").split(",").toSet)
       val all = (0L until cap).map(i => (i, s"row-$i"))
-      val filtered = nameFilter.fold(all)(n => all.filter(_._2 == n))
+      val filtered = all
+        .filter { case (i, nm) =>
+          nameFilter.forall(_ == nm) && idGte.forall(i >= _) &&
+            idLt.forall(i < _) && nameIn.forall(_.contains(nm))
+        }
       val rows = filtered.slice(off.toInt, math.min(off + lim, filtered.size.toLong).toInt)
         .map { case (i, nm) => s"""{"id": $i, "name": "$nm", "score": ${i * 0.5}}""" }
       val body = rows.mkString("[", ",", "]").getBytes("UTF-8")
@@ -258,6 +267,50 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().map(_.getLong(0)).toSeq === Seq(7L))
     assert(seenQueries.asScala.exists(_.contains("name_eq=row-7")),
       s"renamed param missing in: ${seenQueries.asScala.take(3)}")
+  }
+
+  test("advisory range-filter pushdown sends _gte/_lt params") {
+    seenQueries.clear()
+    val df = spark.read.format("graft-http")
+      .option("url", s"http://127.0.0.1:$port/rows")
+      .option("schema", "id LONG, name STRING, score DOUBLE")
+      .option("pageSize", "1000").option("numPartitions", "2")
+      .option("pushFilterColumns", "id")
+      .load()
+      .filter(col("id") >= 200 && col("id") < 250)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq === (200L until 250L))
+    assert(seenQueries.asScala.exists(_.contains("id_gte=200")),
+      s"no id_gte param in: ${seenQueries.asScala.take(3)}")
+    assert(seenQueries.asScala.exists(_.contains("id_lt=250")),
+      s"no id_lt param in: ${seenQueries.asScala.take(3)}")
+  }
+
+  test("advisory IN-filter pushdown sends a comma-joined _in param") {
+    seenQueries.clear()
+    val df = spark.read.format("graft-http")
+      .option("url", s"http://127.0.0.1:$port/rows")
+      .option("schema", "id LONG, name STRING, score DOUBLE")
+      .option("pageSize", "1000").option("numPartitions", "1")
+      .option("pushFilterColumns", "name")
+      .load()
+      .filter(col("name").isin("row-3", "row-9"))
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 9L))
+    assert(seenQueries.asScala.exists(_.contains("name_in=row-3,row-9")),
+      s"no name_in param in: ${seenQueries.asScala.take(3)}")
+  }
+
+  test("IN values containing the list separator are NOT pushed") {
+    seenQueries.clear()
+    val df = spark.read.format("graft-http")
+      .option("url", s"http://127.0.0.1:$port/rows")
+      .option("schema", "id LONG, name STRING, score DOUBLE")
+      .option("pageSize", "1000").option("numPartitions", "1")
+      .option("pushFilterColumns", "name")
+      .load()
+      .filter(col("name").isin("row-5", "a,b"))
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(5L)) // still correct
+    assert(!seenQueries.asScala.exists(_.contains("name_in")),
+      "ambiguous IN list must stay unpushed")
   }
 
   test("unpushable filters are NOT sent and still evaluate correctly") {

@@ -229,6 +229,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("session timer re-arms across micro-batches: extended session closes once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val q = StreamOps.sessionClose(input.toDS(), gap = "1 minute")
+        .writeStream.format("memory").queryName("session_rearm_out")
+        .outputMode("append").start()
+      withQuery(q) {
+        input.addData(Seq(
+          Event(1, ts("2024-01-01 10:00:00"), 7, "view", 1.0),
+          Event(2, ts("2024-01-01 10:00:30"), 7, "view", 1.0)))
+        q.processAllAvailable()
+        // same key in a SECOND micro-batch: handleInputRows must delete
+        // the batch-1 timer (the mutate-under-iterator path) and re-arm
+        // at the new session end
+        input.addData(Seq(Event(3, ts("2024-01-01 10:00:50"), 7, "view", 1.0)))
+        q.processAllAvailable()
+        assert(spark.table("session_rearm_out").isEmpty)
+        // advance the watermark far past both armed times; if the stale
+        // batch-1 timer survived, the session would close at 10:01:30
+        // with n=2 (or twice) instead of once at 10:01:50 with n=3
+        input.addData(Seq(Event(4, ts("2024-01-01 10:10:00"), 99, "view", 1.0)))
+        q.processAllAvailable()
+        input.addData(Seq(Event(5, ts("2024-01-01 10:10:01"), 99, "view", 1.0)))
+        q.processAllAvailable()
+        val closed = spark.table("session_rearm_out")
+          .filter(col("user_id") === 7L)
+          .collect().map(r => (r.getLong(1), r.getTimestamp(3).getTime))
+        assert(closed.toSeq == Seq((3L, ts("2024-01-01 10:00:50").getTime)),
+          s"user 7 must close exactly once with the extended session: ${closed.toSeq}")
+      }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("transformWithState (RocksDB store) matches flatMapGroupsWithState semantics") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
