@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Measurement harness for the IVF recall/cost dial (the `sim_ivf`
+  * analogue of PERF.md's `sim_ann` tables × planes sweep): for a grid of
+  * (nlist, nprobe) it reports recall@5 against the brute-force oracle
+  * and the measured mean candidate-set size per query. Not part of the
+  * driver contract — a local iteration aid whose output is recorded in
+  * PERF.md.
+  *
+  * Usage: `sbt "runMain graft.SweepIvf [sfDir]"` (default sf0.01).
+  */
+object SweepIvf {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.CosineSimilarity.register(spark)
+
+    val e = transform(col("embedding"), (x: Column) => x.cast("double"))
+    val data = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), e.as("e")).cache()
+    val n = data.count()
+    val queries = data.filter(col("vec_id") < 50)
+    val k = 5
+
+    // Brute-force ground truth: every query scored against every vector.
+    val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("vec_id").asc)
+    val brute = queries.select(col("vec_id").as("qid"), col("e").as("qe"))
+      .crossJoin(data)
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("c", round(graft.functions.CosineSimilarity(col("qe"), col("e")), 5))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"))
+    val bruteSet = brute.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    println(s"IVF sweep: n=$n vectors, ${bruteSet.size / k} queries, recall@$k")
+    println("| nlist | nprobe | recall@5 | mean candidates/query |")
+    println("|---|---|---|---|")
+    for (nlist <- Seq(8, 16, 32); nprobe <- Seq(1, 2, 4, 8) if nprobe <= nlist) {
+      val ivf = operators.Ivf.topK(queries, data, k, nlist, nprobe)
+        .select(col("qid"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (bruteSet & ivf).size.toDouble / bruteSet.size
+      val cand = operators.Ivf.probeStats(queries, data, nlist, nprobe)
+        .agg(avg(col("n_candidates"))).head.getDouble(0)
+      println(f"| $nlist | $nprobe | $recall%.3f | ${cand}%.0f |")
+    }
+    spark.stop()
+  }
+}

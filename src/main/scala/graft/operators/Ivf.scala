@@ -74,18 +74,39 @@ object Ivf {
       .drop("rn", "sim", "centroid")
   }
 
-  /** Per-query top-k over the union of the `nprobe` nearest cells. */
-  def topK(queries: DataFrame, data: DataFrame, k: Int,
-           nlist: Int = 8, nprobe: Int = 4, iters: Int = 2): DataFrame = {
-    val cents = centroids(data, nlist, iters)
-    val indexed = assign(data, cents)
+  /** Each query's `nprobe` nearest cells: (qid, qe, cell). */
+  private def probeCells(queries: DataFrame, cents: DataFrame,
+                         nprobe: Int): DataFrame = {
     val wq = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cell").asc)
-    val probes = queries.select(col("vec_id").as("qid"), col("e").as("qe"))
+    queries.select(col("vec_id").as("qid"), col("e").as("qe"))
       .crossJoin(broadcast(cents))
       .withColumn("sim", cosine(col("qe"), col("centroid")))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nprobe)
       .select(col("qid"), col("qe"), col("cell"))
+  }
+
+  /** Per-query candidate-set size at a given (nlist, nprobe) — the cost
+    * side of the recall/cost dial: how many vectors each query would
+    * score. Returns (qid, n_candidates).
+    */
+  def probeStats(queries: DataFrame, data: DataFrame,
+                 nlist: Int = 8, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val cents = centroids(data, nlist, iters)
+    val cellSizes = assign(data, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+    probeCells(queries, cents, nprobe)
+      .join(cellSizes, Seq("cell"), "left")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("sz"), lit(0L))).as("n_candidates"))
+  }
+
+  /** Per-query top-k over the union of the `nprobe` nearest cells. */
+  def topK(queries: DataFrame, data: DataFrame, k: Int,
+           nlist: Int = 8, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val cents = centroids(data, nlist, iters)
+    val indexed = assign(data, cents)
+    val probes = probeCells(queries, cents, nprobe)
     val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("vec_id").asc)
     probes.join(indexed, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
