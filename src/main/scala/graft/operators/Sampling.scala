@@ -50,4 +50,23 @@ object Sampling {
       .when(b < ((trainPct + valPct) * Buckets).toLong, "val")
       .otherwise("test")
   }
+
+  /** Deterministic EXACT-k per stratum: rank rows inside each stratum by
+    * `md5(id)` — a stable, uniformly-scrambling order — and keep the
+    * first k (`rk` column = 1..k). Unlike [[stratified]] (a RATE per
+    * stratum, so counts fluctuate), this pins the count, which is what
+    * eval-set carving and per-language quota sampling need. md5 rather
+    * than xxhash64 because its output is identical in every engine
+    * (reproducible outside Spark); the window shuffles one stratum per
+    * task, so strata must individually fit an executor — for huge strata
+    * sample down with [[bernoulli]] first.
+    */
+  def stratifiedK(df: DataFrame, stratum: Seq[Column], id: Column,
+                  k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum: _*)
+      .orderBy(md5(id.cast("string").cast("binary")), id)
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
 }

@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.{Merge, Packing, Sampling}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CDC merge, exact-k sampling and sequence-packing operator semantics
+  * (the queries.Pipeline surface is oracle-checked end-to-end; these
+  * pin the operator-level contracts and the one-shuffle merge plan).
+  */
+class MergeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def base = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)
+  ).toDF("k", "status", "price")
+
+  test("upsert: change rows replace base rows, new keys insert, rest pass through") {
+    val changes = Seq(
+      (2L, "B", 21.0, 1L), // replaces key 2
+      (9L, "Z", 90.0, 1L)  // inserts key 9
+    ).toDF("k", "status", "price", "v")
+    val out = Merge.upsert(base, changes, Seq("k"), col("v"))
+      .orderBy("k").as[(Long, String, Double)].collect()
+    assert(out.toSeq === Seq(
+      (1L, "a", 10.0), (2L, "B", 21.0), (3L, "c", 30.0),
+      (4L, "d", 40.0), (9L, "Z", 90.0)))
+  }
+
+  test("versioned conflicts: the highest version wins within a key") {
+    val changes = Seq(
+      (2L, "v1", 1.0, 1L), (2L, "v3", 3.0, 3L), (2L, "v2", 2.0, 2L)
+    ).toDF("k", "status", "price", "v")
+    val out = Merge.upsert(base, changes, Seq("k"), col("v"))
+      .filter(col("k") === 2L).as[(Long, String, Double)].collect()
+    assert(out.toSeq === Seq((2L, "v3", 3.0)))
+  }
+
+  test("tombstones delete keys; a later upsert resurrects them") {
+    val changes = Seq(
+      (1L, "x", 0.0, 1L, "D"),  // delete key 1
+      (3L, "x", 0.0, 1L, "D"),  // delete key 3 ...
+      (3L, "C2", 33.0, 2L, "U") // ... but v2 re-inserts it
+    ).toDF("k", "status", "price", "v", "op")
+    val out = Merge.applyCdc(base, changes, Seq("k"), col("v"), "op", "D")
+      .orderBy("k").as[(Long, String, Double)].collect()
+    assert(out.toSeq === Seq(
+      (2L, "b", 20.0), (3L, "C2", 33.0), (4L, "d", 40.0)))
+  }
+
+  test("merge plans exactly one shuffle (union is map-side)") {
+    val changes = Seq((2L, "B", 21.0, 1L)).toDF("k", "status", "price", "v")
+    val merged = Merge.upsert(base, changes, Seq("k"), col("v"))
+    merged.collect()
+    // AQE's toString prints Final AND Initial sections — count only Final
+    val plan = merged.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles === 1, s"expected 1 shuffle, got $shuffles:\n$plan")
+  }
+
+  test("changes missing a base column are rejected") {
+    val bad = Seq((2L, "B", 1L)).toDF("k", "status", "v")
+    val e = intercept[IllegalArgumentException] {
+      Merge.upsert(base, bad, Seq("k"), col("v"))
+    }
+    assert(e.getMessage.contains("must contain every base column"))
+  }
+
+  test("stratifiedK returns exactly k rows per stratum, stable across partitionings") {
+    val df = (0L until 100L).map(i => (i, s"lang${i % 3}")).toDF("id", "lang")
+    val a = Sampling.stratifiedK(df, Seq(col("lang")), col("id"), 5)
+      .select("lang", "rk", "id").collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a.size === 15)
+    assert(a.groupBy(_._1).forall(_._2.size == 5))
+    val b = Sampling.stratifiedK(df.repartition(7), Seq(col("lang")), col("id"), 5)
+      .select("lang", "rk", "id").collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a === b, "sample must be partitioning-invariant")
+  }
+
+  test("packBySize: every doc lands in the pack its first token starts in") {
+    val docs = Seq(
+      (1L, 300L), (2L, 300L), (3L, 300L), (4L, 50L), (5L, 600L)
+    ).toDF("doc_id", "n")
+    val packed = Packing.packBySize(docs, col("n"),
+        Seq(lit(0)), Seq(col("doc_id")), budget = 500L)
+      .select("doc_id", "start_tok", "pack_id")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // starts: 0, 300, 600, 900, 950 → packs 0, 0, 1, 1, 1 of budget 500
+    assert(packed.toSeq === Seq(
+      (1L, 0L, 0L), (2L, 300L, 0L), (3L, 600L, 1L), (4L, 900L, 1L), (5L, 950L, 1L)))
+  }
+}
