@@ -117,4 +117,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"corpus count should broadcast:\n$p")
   }
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // At 100 TB the win: a selective dim filter becomes a bloom filter
+    // EVALUATED INSIDE the fact scan, so most of the fact table never
+    // reaches the join shuffle. The size thresholds exist for real
+    // clusters; they are widened here only so fixture-sized inputs take
+    // the same plan path a 100 TB probe side would.
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+      val o = Tables(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .agg(sum(col("l_quantity")).as("q"))
+      j.collect() // execute THIS plan (AQE finalises on the same QE)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain") || p.contains("BloomFilter"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
