@@ -25,6 +25,11 @@ import org.apache.spark.sql.functions._
   *     per-key sequence numbers);
   *   - a change row whose `opCol` equals `deleteOp` removes the key;
   *   - keys only in base pass through untouched.
+  *
+  * PRECONDITION: `base` is key-unique (it is a snapshot — exactly the
+  * invariant this operator maintains). A base with duplicate keys would
+  * keep ONE arbitrary row per key; dedupe upstream if ingesting a
+  * non-snapshot source.
   */
 object Merge {
 

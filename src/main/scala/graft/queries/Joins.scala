@@ -218,6 +218,29 @@ object Joins {
         .filter(col("rn") === 1)
         .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_orderdate"))
         .orderBy(col("event_id"))
+    },
+
+    // -- as-of join, FORWARD direction --------------------------------------
+    // For each order, the EARLIEST event of the same customer with
+    // ts >= o_orderdate (ties broken by lowest event_id) — the
+    // "first activity after this moment" direction; same candidate
+    // equi-join + per-left-row row_number shape as the backward form.
+    // (Direction is order→event because the fixture's events all
+    // POST-date its orders — the event→order forward join is empty.)
+    "join_asof_fwd" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val ord = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val w = Window.partitionBy(col("o_orderkey"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      ord.join(ev,
+          col("o_custkey") === col("user_id") && col("ts") >= col("o_orderdate"),
+          "inner")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("event_id"), col("ts"))
+        .orderBy(col("o_orderkey"))
     }
   )
 
@@ -314,6 +337,15 @@ object Joins {
         |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
         |  FROM events e JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts::TIMESTAMP)
-        |WHERE rn = 1 ORDER BY event_id""".stripMargin
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "join_asof_fwd" ->
+      """SELECT o_orderkey, o_custkey, event_id, ts FROM (
+        |  SELECT o.o_orderkey, o.o_custkey, e.event_id, e.ts::TIMESTAMP AS ts,
+        |         ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+        |           ORDER BY e.ts::TIMESTAMP ASC, e.event_id ASC) AS rn
+        |  FROM orders o JOIN events e
+        |    ON o.o_custkey = e.user_id AND e.ts::TIMESTAMP >= o.o_orderdate)
+        |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -111,6 +111,33 @@ object LlmOps {
       nearDupPairs(s, dir).orderBy(col("d1"), col("d2"))
     },
 
+    // -- asymmetric containment near-dup ----------------------------------
+    // Jaccard misses subset duplication (a short doc quoted inside a
+    // long one barely moves |A∪B|); containment |A∩B|/|A| is the
+    // direction-aware signal: ≥0.8 of the SOURCE doc's shingles appear
+    // in the target. The symmetric intersection is computed once
+    // (same shape as nearDupPairs) and both directions are emitted from
+    // it — no second shingle join.
+    "dedup_containment" -> { (s, dir) =>
+      val sh = shingles(s, dir)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = sh.alias("a")
+        .join(sh.alias("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("i"))
+      val dirs = inter.select(col("d1").as("src"), col("d2").as("dst"), col("i"))
+        .unionByName(inter.select(col("d2").as("src"), col("d1").as("dst"), col("i")))
+      dirs.join(sizes.select(col("doc_id").as("src"), col("n")), "src")
+        // filter on the UNROUNDED ratio (matches the SQL text) — a
+        // rounded 0.7999996→0.8 would otherwise pass here but not there
+        .filter(col("i") / col("n") >= 0.8)
+        .withColumn("containment", round(col("i") / col("n"), 6))
+        .select(col("src").as("contained"), col("dst").as("container"),
+          col("containment"))
+        .orderBy(col("contained"), col("container"))
+    },
+
     // -- benchmark decontamination ----------------------------------------
     // The training-data hygiene op: flag corpus documents sharing too
     // many shingles with a benchmark/eval set (stand-in here: docs with
@@ -374,6 +401,24 @@ object LlmOps {
     "dedup_neardup" ->
       s"""$nearDupPairsSql
          |SELECT d1, d2, jac FROM pairs ORDER BY d1, d2""".stripMargin,
+
+    "dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+        |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id d1, b.doc_id d2, COUNT(*) i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dirs AS (SELECT d1 src, d2 dst, i FROM inter
+        |         UNION ALL SELECT d2, d1, i FROM inter)
+        |SELECT src AS contained, dst AS container,
+        |  ROUND(CAST(i AS DOUBLE) / n, 6) AS containment
+        |FROM dirs JOIN sizes ON src = doc_id
+        |WHERE CAST(i AS DOUBLE) / n >= 0.8
+        |ORDER BY contained, container""".stripMargin,
 
     "text_decontaminate" ->
       """WITH toks AS (

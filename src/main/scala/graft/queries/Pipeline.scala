@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Oracle, Tables}
-import graft.operators.{Merge, Packing, Sampling}
+import graft.operators.{Merge, Packing, Profile, Sampling}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -70,6 +70,14 @@ object Pipeline {
         .groupBy(col("lang"), col("shard"), col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("pack_toks"))
         .orderBy(col("lang"), col("shard"), col("pack_id"))
+    },
+
+    // -- per-column profile audit ---------------------------------------
+    // Exact mode here because the oracle replays COUNT(DISTINCT); the
+    // operator defaults to approx_count_distinct (no Expand) at scale.
+    "profile_table" -> { (s, dir) =>
+      Profile.profile(Tables(s, dir, "documents"), exact = true)
+        .orderBy(col("col_name"))
     }
   )
 
@@ -127,6 +135,18 @@ object Pipeline {
         |SELECT lang, shard, CAST(FLOOR(start_tok / 500) AS BIGINT) AS pack_id,
         |  COUNT(*) AS n_docs, SUM(n_toks)::BIGINT AS pack_toks
         |FROM packed GROUP BY lang, shard, pack_id
-        |ORDER BY lang, shard, pack_id""".stripMargin
+        |ORDER BY lang, shard, pack_id""".stripMargin,
+
+    "profile_table" -> {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  MIN(CAST($c AS VARCHAR)) AS v_min,
+           |  MAX(CAST($c AS VARCHAR)) AS v_max
+           |FROM documents""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    }
   )
 }

@@ -61,6 +61,33 @@ object StreamOps {
         col("click_id"), col("click_ts"))
   }
 
+  /** LEFT OUTER form of [[errorClickJoin]]: every error emits — enriched
+    * when preceding clicks exist, with NULL click columns otherwise. The
+    * outer side's null rows can only emit once the watermark proves no
+    * matching click can still arrive, so unmatched errors surface one
+    * watermark-advance later than matched ones (inner-join rows emit
+    * immediately). Same bounded state as the inner join; the time-bound
+    * condition is what makes the outer semantics decidable at all.
+    */
+  def errorClickJoinLeft(events: DataFrame, watermark: String = "10 minutes",
+                         window: String = "10 minutes"): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("u_err"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("u_click"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    errors.join(clicks,
+      col("u_err") === col("u_click") &&
+        col("click_ts") >= col("err_ts") - expr(s"INTERVAL $window") &&
+        col("click_ts") <= col("err_ts"),
+      "left_outer")
+      .select(col("err_id"), col("u_err").as("user_id"), col("err_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** Per-user cumulative totals emitted each micro-batch. */
   case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
@@ -177,6 +204,94 @@ object StreamOps {
       .groupByKey(_.user_id)
       .transformWithState(new SessionCloseProcessor(ms),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Streaming CDC apply — the `foreachBatch` pattern for maintaining a
+    * keyed snapshot from a change stream: each micro-batch of change
+    * rows (upserts/tombstones + a version column) is merged onto the
+    * current snapshot with [[graft.operators.Merge.applyCdc]] and the
+    * result becomes the next snapshot.
+    *
+    * Snapshot storage is versioned-dir + pointer: every batch writes a
+    * FRESH `snap_<batchId>` directory and then atomically swaps the
+    * `LATEST` pointer file — never an in-place overwrite of the
+    * directory being read (parquet reads are lazy; overwriting the
+    * input mid-job corrupts it). Retried batches rewrite the same
+    * batch-stamped dir and re-point — idempotent, so foreachBatch's
+    * at-least-once becomes effectively exactly-once. This is precisely
+    * the manifest/pointer discipline a transactional table format
+    * (Delta/Iceberg) systematises; at production scale use one — the
+    * merge itself is unchanged.
+    *
+    * Retention: superseded `snap_*` dirs from more than one batch ago
+    * are deleted after the swap (the previous one is kept because a
+    * concurrent reader may have just resolved the old pointer).
+    */
+  def cdcMergeSink(changes: DataFrame, snapshotDir: String,
+                   keys: Seq[String], versionCol: String,
+                   opCol: String, deleteOp: String,
+                   checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val dataCols = changes.columns.filterNot(c => c == versionCol || c == opCol).toSeq
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      changes.schema.fields.filter(f => dataCols.contains(f.name)))
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val base = readSnapshot(s, snapshotDir, dataSchema)
+        val merged = graft.operators.Merge.applyCdc(
+          base, batch, keys, col(versionCol), opCol, deleteOp)
+        val snapName = s"snap_$batchId"
+        merged.write.mode("overwrite").parquet(s"$snapshotDir/$snapName")
+        swapPointer(snapshotDir, snapName)
+        (): Unit
+      }
+      .start()
+  }
+
+  /** Resolve the current snapshot (empty frame with the data schema when
+    * no batch has committed yet).
+    */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession, snapshotDir: String,
+                   schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val ptr = java.nio.file.Paths.get(snapshotDir, "LATEST")
+    if (java.nio.file.Files.exists(ptr)) {
+      val snap = java.nio.file.Files.readString(ptr).trim
+      spark.read.schema(schema).parquet(s"$snapshotDir/$snap")
+    } else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Atomic pointer swap (write-temp + move) + retention of the one
+    * previous snapshot.
+    */
+  private def swapPointer(snapshotDir: String, snapName: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Paths.get(snapshotDir)
+    Files.createDirectories(dir)
+    val prev =
+      if (Files.exists(dir.resolve("LATEST")))
+        Some(Files.readString(dir.resolve("LATEST")).trim)
+      else None
+    val tmp = dir.resolve("LATEST.tmp")
+    Files.writeString(tmp, snapName)
+    Files.move(tmp, dir.resolve("LATEST"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // delete snapshots older than the immediately-previous one
+    val keep = Set(snapName) ++ prev
+    val stream = Files.list(dir)
+    try stream.iterator().forEachRemaining { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("snap_") && !keep.contains(n)) {
+          import scala.reflect.io.Directory
+          new Directory(new java.io.File(p.toString)).deleteRecursively()
+          (): Unit
+        }
+      }
+    finally stream.close()
+    (): Unit
   }
 
   /** Custom streaming state via `flatMapGroupsWithState` (the

@@ -10,14 +10,33 @@ import org.scalatest.funsuite.AnyFunSuite
   * expressions (same built-in math nodes underneath) and stay inside
   * whole-stage codegen.
   */
-class ExtensionsSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .withExtensions(new GraftExtensions)
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+class ExtensionsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
+  // leave a clean slate: the next suite must not silently inherit this
+  // session (local[2], extensions) in place of its own configuration
+  override def afterAll(): Unit = if (sparkCreated) spark.stop()
+  @volatile private var sparkCreated = false
+
+  lazy val spark: SparkSession = {
+    // Suites share one forked JVM: getOrCreate would silently return a
+    // previous suite's session, DROPPING withExtensions (which only
+    // applies at creation) — whether that happens depends on which
+    // suite ran before this one (those that stop() their session leave
+    // room, those that don't leave their session active). Stop whatever
+    // is active so the extensions session is always freshly created.
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    sparkCreated = true
+    s
+  }
 
   test("haversine_m / initial_bearing SQL functions match the Column API") {
     val rows = spark.sql(

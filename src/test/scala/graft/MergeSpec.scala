@@ -84,6 +84,52 @@ class MergeSpec extends AnyFunSuite {
     assert(a === b, "sample must be partitioning-invariant")
   }
 
+  test("cdcMergeSink maintains a snapshot across micro-batches (upsert, version, delete)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val input = MemoryStream[(Long, String, Double, Long, String)]
+    val changes = input.toDF().toDF("k", "status", "price", "v", "op")
+    val q = graft.streaming.StreamOps.cdcMergeSink(changes,
+      s"$dir/snap", Seq("k"), "v", "op", "D", s"$dir/ckpt")
+    try {
+      input.addData(Seq((1L, "a", 10.0, 1L, "U"), (2L, "b", 20.0, 1L, "U")))
+      q.processAllAvailable()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("status", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("price", org.apache.spark.sql.types.DoubleType)))
+      def snap() = graft.streaming.StreamOps.readSnapshot(spark, s"$dir/snap", schema)
+        .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      assert(snap() === Seq((1L, "a", 10.0), (2L, "b", 20.0)))
+      // batch 2: update k=2 (v2), delete k=1, insert k=3
+      input.addData(Seq(
+        (2L, "B", 22.0, 2L, "U"), (1L, "x", 0.0, 2L, "D"), (3L, "c", 30.0, 1L, "U")))
+      q.processAllAvailable()
+      assert(snap() === Seq((2L, "B", 22.0), (3L, "c", 30.0)))
+      // the pointer resolves to the batch-1 snapshot and batch 0's dir is gone
+      val latest = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$dir/snap", "LATEST")).trim
+      assert(latest === "snap_1")
+    } finally q.stop()
+  }
+
+  test("profile (approx mode) audits every column in one scan, exact null counts") {
+    val df = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("a"))
+    ).toDF("id", "s")
+    val p = graft.operators.Profile.profile(df) // approx distinct — the scale default
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(p.keySet === Set("id", "s"))
+    assert(p("id") === ((4L, 0L, 4L, "1"))) // HLL exact at this cardinality
+    assert(p("s")._2 === 1L) // one null, counted exactly
+    assert(p("s")._4 === "a")
+    // the plan must NOT expand rows (no multi-distinct Expand) in approx mode
+    val plan = graft.operators.Profile.profile(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"approx profile must not Expand:\n$plan")
+  }
+
   test("packBySize: every doc lands in the pack its first token starts in") {
     val docs = Seq(
       (1L, 300L), (2L, 300L), (3L, 300L), (4L, 50L), (5L, 600L)

@@ -173,6 +173,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("left-outer stream-stream join emits unmatched errors after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.errorClickJoinLeft(input.toDF())
+      .writeStream.format("memory").queryName("left_join_out")
+      .outputMode("append").start()
+    withQuery(q) {
+      input.addData(Seq(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 10:05:00"), 7, "error", 0.0), // matched
+        Event(3, ts("2024-01-01 10:06:00"), 9, "error", 0.0)  // no clicks
+      ))
+      q.processAllAvailable()
+      // matched row emits promptly; the unmatched one needs the GLOBAL
+      // watermark (min of BOTH sides under the default policy) to pass
+      // err_ts + window — so both the click AND error watermark nodes
+      // must see late events before the join state can expire
+      input.addData(Seq(
+        Event(4, ts("2024-01-01 11:00:00"), 8, "click", 1.0),
+        Event(5, ts("2024-01-01 11:00:00"), 98, "error", 0.0)))
+      q.processAllAvailable()
+      input.addData(Seq(
+        Event(6, ts("2024-01-01 11:00:01"), 8, "click", 1.0),
+        Event(7, ts("2024-01-01 11:00:01"), 98, "error", 0.0)))
+      q.processAllAvailable()
+      val rows = spark.table("left_join_out")
+        .filter(col("err_id") <= 3) // the watermark-advancer errors expire later
+        .select(col("err_id"), col("click_id"))
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows === Set((2L, 1L), (3L, -1L)),
+        s"expected matched (2,1) and null-joined (3,-1): $rows")
+    }
+  }
+
   test("flatMapGroupsWithState carries per-user totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
