@@ -10,10 +10,11 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.core.JsonFactory
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JSONOptions, JacksonParser}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -65,14 +66,23 @@ class HttpTableProvider extends TableProvider with DataSourceRegister {
 }
 
 private[sources] class HttpTable(schema: StructType, props: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-http:${props.getOrElse("url", "?")}"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new HttpScanBuilder(schema, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new HttpBatchWrite(info.schema().toDDL, info.options())
+      }
+    }
 }
 
 /** Scan builder with the three pushdowns an offset-paged REST source can
@@ -498,4 +508,133 @@ private[sources] class HttpPartitionReader(
 
   override def get(): InternalRow = rows.next()
   override def close(): Unit = ()
+}
+
+/** Batch write side of `graft-http` — the at-scale form of the
+  * reference's result POST (task.ts:216; SURVEY.md §2.1 R15): every
+  * write task POSTs its partition's rows as JSON-lines bodies of
+  * `postBatchSize` rows, in parallel, instead of one driver-side
+  * submit.
+  *
+  * ```
+  * df.write.format("graft-http")
+  *   .option("url", "https://api/ingest")        // required
+  *   .option("schema", df.schema.toDDL)          // required (provider contract)
+  *   .option("postBatchSize", "500")             // rows per POST
+  *   .option("header.X-API-KEY", "…")            // forwarded headers
+  *   .mode("append").save()
+  * ```
+  *
+  * DELIVERY IS AT-LEAST-ONCE: a POST that lands but whose response is
+  * lost will be retried (request-level, then Spark task-level), and
+  * `abort()` cannot unsend batches already delivered. Every body
+  * carries `X-Batch-Id` = UUID of its content, so an idempotent
+  * receiver can drop replays — the same contract as the reference's
+  * Lambda retries and the foreachPartition sink (`etl.HttpJson.sink`),
+  * here as a first-class DSv2 write with per-task commit messages.
+  * Exactly-once needs a transactional receiver; HTTP alone cannot
+  * provide it.
+  */
+private[sources] class HttpBatchWrite(
+    schemaDdl: String, options: CaseInsensitiveStringMap) extends BatchWrite {
+  private val url = options.get("url")
+  require(url != null, "graft-http write requires a 'url' option")
+  private val postBatchSize = options.getInt("postBatchSize", 500)
+  private val headers = options.asScala.collect {
+    case (k, v) if k.startsWith("header.") => k.stripPrefix("header.") -> v
+  }.toMap
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new HttpWriterFactory(url, schemaDdl, headers, postBatchSize)
+  // nothing to finalise: batches are delivered as they fill (streaming
+  // them is the point — buffering a 100 TB write until commit is not an
+  // option), which is exactly what makes delivery at-least-once
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] class HttpWriterFactory(
+    url: String, schemaDdl: String, headers: Map[String, String],
+    postBatchSize: Int) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new HttpBatchWriter(url, schemaDdl, headers, postBatchSize, partitionId)
+}
+
+private[sources] case class HttpCommitMessage(partitionId: Int, rows: Long)
+    extends WriterCommitMessage
+
+/** One write task: serialize rows through Spark's JacksonGenerator (the
+  * same engine `to_json` uses, symmetric with the reader's
+  * JacksonParser) and POST every `postBatchSize` rows. Retry policy
+  * mirrors [[HttpPageFetcher]]: 5xx/429/connection errors back off and
+  * retry, other 4xx fail fast (the request is wrong, not the weather).
+  */
+private[sources] class HttpBatchWriter(
+    url: String, schemaDdl: String, headers: Map[String, String],
+    postBatchSize: Int, partitionId: Int,
+    maxRetries: Int = 3, backoffMs: Long = 200L)
+    extends DataWriter[InternalRow] {
+  require(postBatchSize > 0, s"postBatchSize must be positive, got $postBatchSize")
+  private val sw = new java.io.CharArrayWriter()
+  private val gen = new org.apache.spark.sql.catalyst.json.JacksonGenerator(
+    StructType.fromDDL(schemaDdl), sw,
+    new JSONOptions(Map.empty[String, String], "UTC", ""))
+  private val client = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(30)).build()
+  private val buf = new scala.collection.mutable.ArrayBuffer[String](postBatchSize)
+  private var rowsWritten = 0L
+
+  override def write(row: InternalRow): Unit = {
+    gen.write(row)
+    gen.flush()
+    buf += sw.toString
+    sw.reset()
+    rowsWritten += 1
+    if (buf.size >= postBatchSize) flushBatch()
+  }
+
+  private def flushBatch(): Unit = if (buf.nonEmpty) {
+    val body = buf.mkString("\n")
+    buf.clear()
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+      .timeout(Duration.ofSeconds(60))
+      .header("Content-Type", "application/json")
+      .header("X-Batch-Id",
+        util.UUID.nameUUIDFromBytes(body.getBytes("UTF-8")).toString)
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val req = b.build()
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val outcome =
+        try {
+          val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+          val code = resp.statusCode()
+          if (code / 100 == 2) Right(())
+          else if (code == 429 || code / 100 == 5) Left(s"HTTP $code")
+          else throw new IllegalStateException(
+            s"graft-http POST $url failed: HTTP $code")
+        } catch {
+          case e: java.io.IOException => Left(e.toString)
+        }
+      outcome match {
+        case Right(_) => done = true
+        case Left(err) =>
+          attempt += 1
+          if (attempt > maxRetries) throw new IllegalStateException(
+            s"graft-http POST $url failed after $maxRetries retries: $err")
+          Thread.sleep(backoffMs * (1L << (attempt - 1)))
+      }
+    }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flushBatch()
+    HttpCommitMessage(partitionId, rowsWritten)
+  }
+  // batches already POSTed cannot be unsent — at-least-once by contract;
+  // drop only the unflushed tail
+  override def abort(): Unit = buf.clear()
+  override def close(): Unit = gen.close()
 }

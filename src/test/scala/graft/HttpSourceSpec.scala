@@ -27,6 +27,11 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   @volatile private var lastApiKey: String = ""
   private val seenQueries =
     java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+  private val ingested =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[(String, String)]())
+  private val flakyIngestSeen =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -90,6 +95,29 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         val body = rows.mkString("[", ",", "]").getBytes("UTF-8")
         exchange.sendResponseHeaders(200, body.length.toLong)
         exchange.getResponseBody.write(body)
+        exchange.close()
+      }
+    })
+    // ingest endpoint for the DSv2 write path: records JSON-lines
+    // bodies + the idempotency header of every POST
+    server.createContext("/ingest", exchange => {
+      val body = new String(exchange.getRequestBody.readAllBytes(), "UTF-8")
+      val batchId = Option(exchange.getRequestHeaders.getFirst("X-Batch-Id")).getOrElse("")
+      ingested.add((batchId, body))
+      exchange.sendResponseHeaders(200, -1)
+      exchange.close()
+    })
+    // flaky ingest: first attempt of each body 503s — exercises the
+    // writer's request-level retry (by CONTENT, so task retries that
+    // re-send the same batch succeed immediately)
+    server.createContext("/ingest-flaky", exchange => {
+      val body = new String(exchange.getRequestBody.readAllBytes(), "UTF-8")
+      if (flakyIngestSeen.add(body)) {
+        exchange.sendResponseHeaders(503, -1)
+        exchange.close()
+      } else {
+        ingested.add(("flaky", body))
+        exchange.sendResponseHeaders(200, -1)
         exchange.close()
       }
     })
@@ -341,6 +369,45 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seenQueries.asScala.exists(_.contains("limit=7")),
       s"no capped limit in: ${seenQueries.asScala.take(5)}")
     assert(requests.get() === 1)
+  }
+
+  test("DSv2 write POSTs every row as JSON-lines batches with idempotency ids") {
+    import spark.implicits._
+    ingested.clear()
+    val df = (0L until 10L).map(i => (i, s"w-$i")).toDF("id", "name")
+      .repartition(2)
+    df.write.format("graft-http")
+      .option("url", s"http://127.0.0.1:$port/ingest")
+      .option("schema", "id LONG, name STRING")
+      .option("postBatchSize", "4")
+      .option("header.X-API-KEY", "test-key")
+      .mode("append").save()
+    val batches = ingested.asScala.toSeq
+    // 2 partitions × 5 rows at batch size 4 → at least 3 POSTs
+    assert(batches.size >= 3, s"expected >=3 batches, got ${batches.size}")
+    assert(batches.forall(_._1.nonEmpty), "every batch must carry X-Batch-Id")
+    val rows = batches.flatMap(_._2.split("\n"))
+    assert(rows.length === 10)
+    val names = rows.map { j =>
+      val m = """"name":"([^"]+)"""".r.findFirstMatchIn(j)
+      m.get.group(1)
+    }.toSet
+    assert(names === (0L until 10L).map(i => s"w-$i").toSet)
+  }
+
+  test("DSv2 write retries transient 5xx per batch (by content)") {
+    import spark.implicits._
+    ingested.clear()
+    flakyIngestSeen.clear()
+    (0L until 6L).map(i => (i, s"f-$i")).toDF("id", "name")
+      .coalesce(1)
+      .write.format("graft-http")
+      .option("url", s"http://127.0.0.1:$port/ingest-flaky")
+      .option("schema", "id LONG, name STRING")
+      .option("postBatchSize", "3")
+      .mode("append").save()
+    val rows = ingested.asScala.toSeq.flatMap(_._2.split("\n"))
+    assert(rows.length === 6, s"all rows must land despite first-attempt 503s: $rows")
   }
 
   test("filters and projections compose on top of the source") {
