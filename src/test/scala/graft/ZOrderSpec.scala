@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.ZOrder
+import graft.operators.{Layout, ZOrder}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -73,5 +73,43 @@ class ZOrderSpec extends AnyFunSuite {
     assert(meanSpan(xClustered, "x") < 0.2 * 256)
     assert(meanSpan(xClustered, "y") > 0.9 * 256,
       "baseline should leave y unclustered — did the fixture change?")
+  }
+
+  test("compaction rewrites many small files into the planned few, rows intact") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    val in = s"$base/in"
+    val out = s"$base/out"
+    // 32 small files
+    (0L until 20000L).map(i => (i, s"row-$i")).toDF("id", "s")
+      .repartition(32).write.parquet(in)
+    def dataFiles(dir: String) =
+      new java.io.File(dir).listFiles().filter(f =>
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(dataFiles(in).length === 32)
+
+    val bytes = Layout.dataBytes(spark, in)
+    assert(bytes === dataFiles(in).map(_.length).sum)
+    // target = ~1/4 of the input → 4 planned files
+    val (planned, _) = Layout.compact(spark, in, out, targetFileBytes = (bytes + 3) / 4)
+    assert(planned === 4)
+    assert(dataFiles(out).length === 4)
+    assert(spark.read.parquet(out).count() === 20000L)
+
+    // sorted compaction: disjoint per-file id ranges (min/max skipping)
+    val outSorted = s"$base/out_sorted"
+    Layout.compact(spark, in, outSorted, (bytes + 3) / 4, orderBy = Seq(col("id")))
+    val ranges = dataFiles(outSorted).map { f =>
+      val df = spark.read.parquet(f.getAbsolutePath)
+      val r = df.agg(min(col("id")), max(col("id"))).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    assert(ranges.length === 4)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"file ranges overlap: ${ranges.toSeq}")
+      case _ =>
+    }
+    assert(spark.read.parquet(outSorted).count() === 20000L)
   }
 }
