@@ -84,6 +84,59 @@ class MergeSpec extends AnyFunSuite {
     assert(a === b, "sample must be partitioning-invariant")
   }
 
+  test("applyCdc agrees with a sequential per-key model on random changesets") {
+    // Model: replay changes per key in version order over a Map — the
+    // obviously-correct single-threaded semantics the distributed
+    // operator must reproduce.
+    val rnd = new scala.util.Random(42)
+    (1 to 10).foreach { round =>
+      val baseRows = (0L until 30L).map(k => (k, s"b$k", k * 1.0))
+      val nCh = 40
+      val changes = (0 until nCh).map { i =>
+        val k = rnd.nextInt(40).toLong // some keys beyond base → inserts
+        val op = if (rnd.nextInt(4) == 0) "D" else "U"
+        (k, s"c$i", i * 1.0, i.toLong /* unique version */, op)
+      }
+      val model = scala.collection.mutable.Map[Long, (String, Double)]()
+      baseRows.foreach { case (k, s, p) => model(k) = (s, p) }
+      changes.groupBy(_._1).foreach { case (k, ch) =>
+        val last = ch.maxBy(_._4) // highest version wins per key
+        if (last._5 == "D") model.remove(k)
+        else model(k) = (last._2, last._3)
+      }
+      val out = Merge.applyCdc(
+          baseRows.toDF("k", "status", "price"),
+          changes.toDF("k", "status", "price", "v", "op"),
+          Seq("k"), col("v"), "op", "D")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+      assert(out === model.toMap, s"round $round diverged from the model")
+    }
+  }
+
+  test("packBySize boundary rule holds on random streams (model equality)") {
+    val rnd = new scala.util.Random(7)
+    val budget = 100L
+    val docs = (0L until 200L).map(i => (i, i % 3, 1L + rnd.nextInt(150).toLong))
+    val out = Packing.packBySize(docs.toDF("doc_id", "stream", "n"),
+        col("n"), Seq(col("stream")), Seq(col("doc_id")), budget)
+      .select("stream", "doc_id", "start_tok", "pack_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // model: exclusive running sum per stream in doc_id order
+    val model = docs.groupBy(_._2).flatMap { case (st, ds) =>
+      var acc = 0L
+      ds.sortBy(_._1).map { case (id, _, n) =>
+        val start = acc; acc += n
+        (st, id, start, start / budget)
+      }
+    }.toSet
+    assert(out.toSet === model)
+    // pack ids are monotone non-decreasing along each stream
+    out.groupBy(_._1).values.foreach { rows =>
+      val ordered = rows.sortBy(_._2).map(_._4)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("cdcMergeSink maintains a snapshot across micro-batches (upsert, version, delete)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -107,10 +160,18 @@ class MergeSpec extends AnyFunSuite {
         (2L, "B", 22.0, 2L, "U"), (1L, "x", 0.0, 2L, "D"), (3L, "c", 30.0, 1L, "U")))
       q.processAllAvailable()
       assert(snap() === Seq((2L, "B", 22.0), (3L, "c", 30.0)))
-      // the pointer resolves to the batch-1 snapshot and batch 0's dir is gone
+      // the pointer resolves to the batch-1 snapshot
       val latest = java.nio.file.Files.readString(
         java.nio.file.Paths.get(s"$dir/snap", "LATEST")).trim
       assert(latest === "snap_1")
+      // a third batch triggers retention: snap_0 (two generations old)
+      // is deleted, snap_1 (previous) kept for concurrent readers
+      input.addData(Seq((4L, "d", 40.0, 1L, "U")))
+      q.processAllAvailable()
+      val snaps = new java.io.File(s"$dir/snap").listFiles()
+        .map(_.getName).filter(_.startsWith("snap_")).sorted.toSeq
+      assert(snaps === Seq("snap_1", "snap_2"), s"retention failed: $snaps")
+      assert(snap() === Seq((2L, "B", 22.0), (3L, "c", 30.0), (4L, "d", 40.0)))
     } finally q.stop()
   }
 
