@@ -126,8 +126,14 @@ object LlmOps {
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(count(lit(1)).as("i"))
-      val dirs = inter.select(col("d1").as("src"), col("d2").as("dst"), col("i"))
-        .unionByName(inter.select(col("d2").as("src"), col("d1").as("dst"), col("i")))
+      // both directions via ONE explode, not a union of two projections:
+      // a union re-executes the whole shingle self-join per branch (only
+      // the scan exchange gets reused — verified with PlanDump), doubling
+      // the dominant cost; explode emits both rows in the same map pass
+      val dirs = inter.select(explode(array(
+          struct(col("d1").as("src"), col("d2").as("dst"), col("i")),
+          struct(col("d2").as("src"), col("d1").as("dst"), col("i")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.i").as("i"))
       dirs.join(sizes.select(col("doc_id").as("src"), col("n")), "src")
         // filter on the UNROUNDED ratio (matches the SQL text) — a
         // rounded 0.7999996→0.8 would otherwise pass here but not there
