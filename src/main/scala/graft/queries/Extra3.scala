@@ -305,13 +305,19 @@ object Extra3 {
     // the threshold divides exact-integer-valued doubles, so the
     // boundary is bit-identical on both engines.
     "tpch_q17" -> { (s, dir) =>
-      val li = Tables(s, dir, "lineitem")
-      val thr = li.groupBy(col("l_partkey").as("t_partkey"))
-        .agg((avg(col("l_quantity")) * 0.2).as("q_thr"))
-      li.join(broadcast(Tables(s, dir, "part")
+      // Window decorrelation, not aggregate-and-join-back: the join-back
+      // form scans lineitem TWICE (threshold agg + probe) and shuffles
+      // twice; a window avg over the part-filtered join scans once and
+      // shuffles once, and only Brand#11 parts' rows enter the window.
+      // Equivalent because the broadcast join restricts PARTS, never
+      // lineitem rows within a part — the per-part window still sees
+      // every line of each surviving part.
+      Tables(s, dir, "lineitem")
+        .join(broadcast(Tables(s, dir, "part")
           .filter(col("p_brand") === "Brand#11")),
           col("l_partkey") === col("p_partkey"))
-        .join(thr, col("l_partkey") === col("t_partkey"))
+        .withColumn("q_thr",
+          avg(col("l_quantity")).over(Window.partitionBy(col("l_partkey"))) * 0.2)
         .filter(col("l_quantity") < col("q_thr"))
         .agg(
           // divide as DOUBLE on both sides (DuckDB's decimal ÷ decimal
