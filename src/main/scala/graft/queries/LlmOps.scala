@@ -153,18 +153,20 @@ object LlmOps {
     "text_decontaminate" -> { (s, dir) =>
       val sh = shingles(s, dir)
       val bench = broadcast(sh.filter(col("doc_id") < 10)
-        .select(col("s")).distinct())
-      val corpus = sh.filter(col("doc_id") >= 10)
-      val perDoc = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-      val overlap = corpus.join(bench, "s")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
-      perDoc.join(overlap, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_shingles"),
-          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-          (coalesce(col("n_overlap"), lit(0L)).cast("double") /
-            col("n_shingles")).as("contamination"),
-          (coalesce(col("n_overlap"), lit(0L)).cast("double") /
-            col("n_shingles") >= 0.5).as("flagged"))
+        .select(col("s")).distinct()
+        .withColumn("hit", lit(1)))
+      // ONE corpus pass: a left join against the broadcast benchmark set
+      // marks each shingle, and a single aggregation produces both the
+      // total and the overlap (count(hit) skips the unmatched nulls).
+      // The previous two-aggregation form (sizes + inner-join overlap,
+      // joined back) executed the corpus shingle pipeline twice.
+      sh.filter(col("doc_id") >= 10)
+        .join(bench, Seq("s"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_overlap"))
+        .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+          (col("n_overlap").cast("double") / col("n_shingles")).as("contamination"),
+          (col("n_overlap").cast("double") / col("n_shingles") >= 0.5).as("flagged"))
         .orderBy(col("doc_id"))
     },
 
