@@ -46,14 +46,24 @@ object SweepIvf {
     println(s"IVF sweep: n=$n vectors, ${bruteSet.size / k} queries, recall@$k")
     println("| nlist | nprobe | recall@5 | mean candidates/query |")
     println("|---|---|---|---|")
-    for (nlist <- Seq(8, 16, 32); nprobe <- Seq(1, 2, 4, 8) if nprobe <= nlist) {
-      val ivf = operators.Ivf.topK(queries, data, k, nlist, nprobe)
-        .select(col("qid"), col("vec_id"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val recall = (bruteSet & ivf).size.toDouble / bruteSet.size
-      val cand = operators.Ivf.probeStats(queries, data, nlist, nprobe)
-        .agg(avg(col("n_candidates"))).head.getDouble(0)
-      println(f"| $nlist | $nprobe | $recall%.3f | ${cand}%.0f |")
+    for (nlist <- Seq(8, 16, 32)) {
+      // ONE index per nlist: recall and cost must describe the SAME
+      // trained quantiser, and retraining per grid point doubles the
+      // sweep's dominant cost (centroids = iters × crossJoin passes)
+      val cents = operators.Ivf.centroids(data, nlist)
+      val indexed = operators.Ivf.assign(data, cents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val index = Some((cents, indexed))
+      for (nprobe <- Seq(1, 2, 4, 8) if nprobe <= nlist) {
+        val ivf = operators.Ivf.topK(queries, data, k, nlist, nprobe, index = index)
+          .select(col("qid"), col("vec_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall = (bruteSet & ivf).size.toDouble / bruteSet.size
+        val cand = operators.Ivf.probeStats(queries, data, nlist, nprobe, index = index)
+          .agg(avg(col("n_candidates"))).head.getDouble(0)
+        println(f"| $nlist | $nprobe | $recall%.3f | ${cand}%.0f |")
+      }
+      indexed.unpersist(false)
     }
     spark.stop()
   }

@@ -87,25 +87,36 @@ object Ivf {
   }
 
   /** Per-query candidate-set size at a given (nlist, nprobe) — the cost
-    * side of the recall/cost dial: how many vectors each query would
-    * score. Returns (qid, n_candidates).
+    * side of the recall/cost dial: EXACTLY the vectors [[topK]] scores
+    * (the query's own vector is excluded, as topK excludes it).
+    * Returns (qid, n_candidates). Pass a precomputed (cents, indexed)
+    * pair to measure the SAME index topK used instead of retraining.
     */
   def probeStats(queries: DataFrame, data: DataFrame,
-                 nlist: Int = 8, nprobe: Int = 4, iters: Int = 2): DataFrame = {
-    val cents = centroids(data, nlist, iters)
-    val cellSizes = assign(data, cents)
-      .groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+                 nlist: Int = 8, nprobe: Int = 4, iters: Int = 2,
+                 index: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val (cents, indexed) = index.getOrElse {
+      val c = centroids(data, nlist, iters)
+      (c, assign(data, c))
+    }
     probeCells(queries, cents, nprobe)
-      .join(cellSizes, Seq("cell"), "left")
+      .join(indexed.select(col("cell"), col("vec_id")), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"))
-      .agg(sum(coalesce(col("sz"), lit(0L))).as("n_candidates"))
+      .agg(count(lit(1)).as("n_candidates"))
   }
 
-  /** Per-query top-k over the union of the `nprobe` nearest cells. */
+  /** Per-query top-k over the union of the `nprobe` nearest cells. Pass
+    * a precomputed (cents, indexed) pair to reuse a trained index
+    * across calls (e.g. an nprobe sweep over one index).
+    */
   def topK(queries: DataFrame, data: DataFrame, k: Int,
-           nlist: Int = 8, nprobe: Int = 4, iters: Int = 2): DataFrame = {
-    val cents = centroids(data, nlist, iters)
-    val indexed = assign(data, cents)
+           nlist: Int = 8, nprobe: Int = 4, iters: Int = 2,
+           index: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val (cents, indexed) = index.getOrElse {
+      val c = centroids(data, nlist, iters)
+      (c, assign(data, c))
+    }
     val probes = probeCells(queries, cents, nprobe)
     val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("vec_id").asc)
     probes.join(indexed, Seq("cell"))

@@ -53,6 +53,12 @@ object Layout {
     */
   def compact(spark: SparkSession, inDir: String, outDir: String,
               targetFileBytes: Long, orderBy: Seq[Column] = Seq.empty): (Int, Long) = {
+    // the read is lazy — writing into (or under) the input would
+    // overwrite files mid-scan, the exact hazard cdcMergeSink documents
+    val inP = new Path(inDir).toUri.getPath.stripSuffix("/")
+    val outP = new Path(outDir).toUri.getPath.stripSuffix("/")
+    require(inP != outP && !outP.startsWith(inP + "/") && !inP.startsWith(outP + "/"),
+      s"compact output '$outDir' must not equal or nest with input '$inDir'")
     val bytes = dataBytes(spark, inDir)
     val n = plannedFiles(bytes, targetFileBytes)
     val df = spark.read.parquet(inDir)

@@ -50,6 +50,10 @@ object Merge {
                version: Column, opCol: String, deleteOp: String): DataFrame = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val dataCols = base.columns.toSeq
+    val reserved = Seq("_is_change", "_ver", "_del", "_rn")
+    require(dataCols.intersect(reserved).isEmpty,
+      s"merge reserves internal column names $reserved; rename the " +
+        s"conflicting base columns ${dataCols.intersect(reserved)}")
     val hasOp = opCol != null
     require(dataCols.forall(changes.columns.contains),
       s"changes must contain every base column $dataCols " +

@@ -22,22 +22,28 @@ object Profile {
 
   def profile(df: DataFrame, exact: Boolean = false): DataFrame = {
     val cols = df.columns.toSeq
-    val aggs = cols.flatMap { c =>
+    // positional aliases + df(...) references, never SQL-text
+    // interpolation: a column named `a b`, `it's` or `a.b` must neither
+    // break parsing nor be quoted-escaped by hand (df.apply resolves the
+    // EXACT name; the label reaches the output via lit, unparsed)
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-        (if (exact) countDistinct(col(c))
-         else approx_count_distinct(col(c))).as(s"__distinct_$c"),
-        min(col(c).cast("string")).as(s"__min_$c"),
-        max(col(c).cast("string")).as(s"__max_$c"))
+        sum(when(df(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$i"),
+        (if (exact) countDistinct(df(c))
+         else approx_count_distinct(df(c))).as(s"__distinct_$i"),
+        min(df(c).cast("string")).as(s"__min_$i"),
+        max(df(c).cast("string")).as(s"__max_$i"))
     }
     val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
-    // stack(n, 'c1', m1a, m1b, ..., 'c2', ...) → one row per column
-    val stackArgs = cols.map { c =>
-      s"'$c', __nulls_$c, __distinct_$c, __min_$c, __max_$c"
-    }.mkString(", ")
-    wide.selectExpr("__n AS n_rows",
-        s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, v_min, v_max)")
-      .select(col("col_name"), col("n_rows"), col("n_nulls"),
-        col("n_distinct"), col("v_min"), col("v_max"))
+    // explode an array of per-column structs → one row per column (the
+    // typed equivalent of a stack unpivot)
+    val entries = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("col_name"), col(s"__nulls_$i").as("n_nulls"),
+        col(s"__distinct_$i").as("n_distinct"),
+        col(s"__min_$i").as("v_min"), col(s"__max_$i").as("v_max"))
+    }
+    wide.select(col("__n").as("n_rows"), explode(array(entries: _*)).as("m"))
+      .select(col("m.col_name"), col("n_rows"), col("m.n_nulls"),
+        col("m.n_distinct"), col("m.v_min"), col("m.v_max"))
   }
 }

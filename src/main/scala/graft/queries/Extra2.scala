@@ -104,9 +104,12 @@ object Extra2 {
           // (1000000000..2147483647), so the guarded branch uses
           // try_cast itself — overflowing 10-digit strings yield NULL
           // exactly as unguarded try_cast would, in-range ones keep
-          // their value. 11+ digits always overflow → the guard's NULL
-          // is already try_cast's answer, no exception path needed.
-          when(trim(col("o_orderstatus")).rlike("^[+-]?[0-9]{1,10}$"),
+          // their value. 11+ SIGNIFICANT digits always overflow → the
+          // guard's NULL is already try_cast's answer; leading zeros
+          // are stripped by the 0* prefix so zero-padded numerics like
+          // '00000000007' still reach try_cast (review finding: a plain
+          // {1,10} length bound silently nulled those).
+          when(trim(col("o_orderstatus")).rlike("^[+-]?0*[0-9]{1,10}$"),
             expr("try_cast(trim(o_orderstatus) AS INT)")).as("status_int"),
           expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_int"),
           try_element_at(split(col("o_orderpriority"), "-"), lit(3)).as("missing_part"))

@@ -281,7 +281,11 @@ object Extra3 {
       // form is kept because the saved pass grows with lineitem while
       // the constant does not — the asymmetry IS the scale argument.
       // An unpartitioned window max is not an option: it would funnel
-      // every supplier row through one task at scale.
+      // every supplier row through one task at scale. The cache is
+      // session-lifetime by design (the query-fn contract has no
+      // release point) but BOUNDED: Spark dedupes entries by analyzed
+      // plan, so all invocations per sfDir share one supplier-sized
+      // relation.
       val rev = Tables(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))

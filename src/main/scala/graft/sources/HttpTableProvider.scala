@@ -528,12 +528,16 @@ private[sources] class HttpPartitionReader(
   * DELIVERY IS AT-LEAST-ONCE: a POST that lands but whose response is
   * lost will be retried (request-level, then Spark task-level), and
   * `abort()` cannot unsend batches already delivered. Every body
-  * carries `X-Batch-Id` = UUID of its content, so an idempotent
-  * receiver can drop replays — the same contract as the reference's
-  * Lambda retries and the foreachPartition sink (`etl.HttpJson.sink`),
-  * here as a first-class DSv2 write with per-task commit messages.
-  * Exactly-once needs a transactional receiver; HTTP alone cannot
-  * provide it.
+  * carries `X-Batch-Id` = UUID of (partition, batch ordinal, content),
+  * so a deduping receiver drops request-level replays always, and
+  * task-retry replays whenever the partition recomputes
+  * deterministically; nondeterministic recomputation (e.g. unordered
+  * shuffle input) can re-send under fresh ids — receiver-side keying on
+  * business ids is the remaining defence. Same contract as the
+  * reference's Lambda retries and the foreachPartition sink
+  * (`etl.HttpJson.sink`), here as a first-class DSv2 write with
+  * per-task commit messages. Exactly-once needs a transactional
+  * receiver; HTTP alone cannot provide it.
   */
 private[sources] class HttpBatchWrite(
     schemaDdl: String, options: CaseInsensitiveStringMap) extends BatchWrite {
@@ -583,6 +587,7 @@ private[sources] class HttpBatchWriter(
     .connectTimeout(Duration.ofSeconds(30)).build()
   private val buf = new scala.collection.mutable.ArrayBuffer[String](postBatchSize)
   private var rowsWritten = 0L
+  private var batchOrdinal = 0L
 
   override def write(row: InternalRow): Unit = {
     gen.write(row)
@@ -596,12 +601,22 @@ private[sources] class HttpBatchWriter(
   private def flushBatch(): Unit = if (buf.nonEmpty) {
     val body = buf.mkString("\n")
     buf.clear()
+    // id = (partition, batch ordinal, content): content alone would give
+    // two legitimately-distinct but byte-identical batches the SAME id
+    // (a deduping receiver silently drops the second); position alone
+    // would miss task-retry replays. Position+content distinguishes
+    // repeats within an attempt and matches across retries WHEN the
+    // partition recomputes deterministically — after a shuffle with
+    // nondeterministic order, replays may carry fresh ids, which is the
+    // at-least-once contract (receiver-side keying on business ids is
+    // the remaining defence, as with any HTTP sink).
+    val idBytes = s"$partitionId:$batchOrdinal:$body".getBytes("UTF-8")
+    batchOrdinal += 1
     val b = HttpRequest.newBuilder(URI.create(url))
       .POST(HttpRequest.BodyPublishers.ofString(body))
       .timeout(Duration.ofSeconds(60))
       .header("Content-Type", "application/json")
-      .header("X-Batch-Id",
-        util.UUID.nameUUIDFromBytes(body.getBytes("UTF-8")).toString)
+      .header("X-Batch-Id", util.UUID.nameUUIDFromBytes(idBytes).toString)
     headers.foreach { case (k, v) => b.header(k, v) }
     val req = b.build()
     var attempt = 0

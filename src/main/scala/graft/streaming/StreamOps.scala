@@ -239,16 +239,39 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        val base = readSnapshot(s, snapshotDir, dataSchema)
-        val merged = graft.operators.Merge.applyCdc(
-          base, batch, keys, col(versionCol), opCol, deleteOp)
-        val snapName = s"snap_$batchId"
-        merged.write.mode("overwrite").parquet(s"$snapshotDir/$snapName")
-        swapPointer(snapshotDir, snapName)
-        (): Unit
+        applyCdcBatch(batch, batchId, snapshotDir, dataSchema, keys,
+          versionCol, opCol, deleteOp)
       }
       .start()
+  }
+
+  /** One micro-batch of [[cdcMergeSink]] — public so the replay guard is
+    * directly testable. REPLAY GUARD: foreachBatch re-runs a batch whose
+    * pointer swap landed but whose streaming commit didn't (crash in
+    * that window). Without the guard the replay would resolve LATEST to
+    * its OWN snapshot and overwrite the directory it is lazily reading —
+    * wedging the stream permanently (and retention would delete the
+    * genuinely-previous generation). If LATEST already names this
+    * batch's snapshot, the batch's effects are fully applied: skip.
+    */
+  def applyCdcBatch(batch: DataFrame, batchId: Long, snapshotDir: String,
+                    dataSchema: org.apache.spark.sql.types.StructType,
+                    keys: Seq[String], versionCol: String,
+                    opCol: String, deleteOp: String): Unit = {
+    val snapName = s"snap_$batchId"
+    val ptr = java.nio.file.Paths.get(snapshotDir, "LATEST")
+    val current =
+      if (java.nio.file.Files.exists(ptr))
+        java.nio.file.Files.readString(ptr).trim
+      else ""
+    if (current != snapName) {
+      val s = batch.sparkSession
+      val base = readSnapshot(s, snapshotDir, dataSchema)
+      val merged = graft.operators.Merge.applyCdc(
+        base, batch, keys, col(versionCol), opCol, deleteOp)
+      merged.write.mode("overwrite").parquet(s"$snapshotDir/$snapName")
+      swapPointer(snapshotDir, snapName)
+    }
   }
 
   /** Resolve the current snapshot (empty frame with the data schema when

@@ -191,6 +191,30 @@ class MergeSpec extends AnyFunSuite {
     assert(!plan.contains("Expand"), s"approx profile must not Expand:\n$plan")
   }
 
+  test("applyCdcBatch replay guard: a fully-applied batch re-run is a no-op") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-replay").toString + "/snap"
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("status", StringType), StructField("price", DoubleType)))
+    def apply(batchId: Long, rows: Seq[(Long, String, Double, Long, String)]): Unit =
+      StreamOps.applyCdcBatch(rows.toDF("k", "status", "price", "v", "op"),
+        batchId, dir, schema, Seq("k"), "v", "op", "D")
+    apply(0L, Seq((1L, "a", 10.0, 1L, "U")))
+    apply(1L, Seq((2L, "b", 20.0, 1L, "U")))
+    def snap() = StreamOps.readSnapshot(spark, dir, schema)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(snap() === Seq((1L, "a"), (2L, "b")))
+    // crash-window replay of batch 1 (LATEST already = snap_1): without
+    // the guard this would merge snap_1 onto itself while overwriting
+    // the directory being read; the guard must skip it entirely — even
+    // a nondeterministically-different replay payload must not apply
+    apply(1L, Seq((9L, "GHOST", 0.0, 1L, "U")))
+    assert(snap() === Seq((1L, "a"), (2L, "b")), "replayed batch must be skipped")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "LATEST")).trim === "snap_1")
+  }
+
   test("packBySize: every doc lands in the pack its first token starts in") {
     val docs = Seq(
       (1L, 300L), (2L, 300L), (3L, 300L), (4L, 50L), (5L, 600L)
