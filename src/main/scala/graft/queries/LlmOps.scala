@@ -111,6 +111,19 @@ object LlmOps {
       nearDupPairs(s, dir).orderBy(col("d1"), col("d2"))
     },
 
+    // -- exact content-hash dedup -----------------------------------------
+    // The first pass of every dedup pipeline: group by a content digest
+    // so the shuffle moves 16-byte keys instead of document bodies, keep
+    // the smallest doc_id as canonical. md5 (not xxhash64) so the digest
+    // is engine-portable — the dedup decision is reproducible outside
+    // Spark, which matters when the keep-list is shared across systems.
+    "dedup_doc_exact" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc"))
+        .orderBy(col("content_hash"))
+    },
+
     // -- asymmetric containment near-dup ----------------------------------
     // Jaccard misses subset duplication (a short doc quoted inside a
     // long one barely moves |A∪B|); containment |A∩B|/|A| is the
@@ -409,6 +422,11 @@ object LlmOps {
     "dedup_neardup" ->
       s"""$nearDupPairsSql
          |SELECT d1, d2, jac FROM pairs ORDER BY d1, d2""".stripMargin,
+
+    "dedup_doc_exact" ->
+      """SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
+        |MIN(doc_id) AS keep_doc
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_containment" ->
       """WITH toks AS (
