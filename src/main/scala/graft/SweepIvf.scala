@@ -4,12 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Measurement harness for the IVF recall/cost dial (the `sim_ivf`
-  * analogue of PERF.md's `sim_ann` tables × planes sweep): for a grid of
-  * (nlist, nprobe) it reports recall@5 against the brute-force oracle
-  * and the measured mean candidate-set size per query. Not part of the
-  * driver contract — a local iteration aid whose output is recorded in
-  * PERF.md.
+/** Measurement harness for BOTH ANN recall/cost dials: the IVF
+  * (nlist × nprobe) grid and the hyperplane-LSH (tables × planes)
+  * grid, each reporting recall@5 against the brute-force oracle and
+  * the MEASURED mean candidate-set size per query (exactly the pairs
+  * the respective topK scores). Not part of the driver contract — a
+  * local iteration aid whose output is recorded in PERF.md.
   *
   * Usage: `sbt "runMain graft.SweepIvf [sfDir]"` (default sf0.01).
   */
@@ -64,6 +64,19 @@ object SweepIvf {
         println(f"| $nlist | $nprobe | $recall%.3f | ${cand}%.0f |")
       }
       indexed.unpersist(false)
+    }
+
+    println(s"\nLSH sweep: n=$n vectors, ${bruteSet.size / k} queries, recall@$k")
+    println("| tables | planes | recall@5 | mean candidates/query |")
+    println("|---|---|---|---|")
+    for ((tables, planes) <- Seq((4, 5), (8, 5), (16, 5), (32, 5), (16, 7))) {
+      val ann = operators.Ann.lshTopK(queries, data, k, tables, planes)
+        .select(col("qid"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (bruteSet & ann).size.toDouble / bruteSet.size
+      val cand = operators.Ann.candidateStats(queries, data, tables, planes)
+        .agg(avg(col("n_candidates"))).head.getDouble(0)
+      println(f"| $tables | $planes | $recall%.3f | ${cand}%.0f |")
     }
     spark.stop()
   }

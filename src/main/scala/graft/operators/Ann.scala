@@ -63,6 +63,23 @@ object Ann {
       .select(col("qid"), col("rn"), col("vec_id"), col("c"))
   }
 
+  /** Per-query distinct-candidate count — the measured cost side of the
+    * tables × planes dial: exactly the pairs [[lshTopK]] scores (same
+    * bucket join, same self-exclusion, same dedup across tables).
+    */
+  def candidateStats(queries: DataFrame, data: DataFrame,
+                     tables: Int = 16, planesPerTable: Int = 5, dim: Int = 64,
+                     seed: Long = 42L): DataFrame = {
+    val qb = bucketKeys(queries, tables, planesPerTable, dim, seed)
+      .select(col("vec_id").as("qid"), col("table"), col("bucket"))
+    val db = bucketKeys(data, tables, planesPerTable, dim, seed)
+      .select(col("vec_id"), col("table"), col("bucket"))
+    qb.join(db, Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id")).distinct()
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_candidates"))
+  }
+
   /** LSH top-k: compare each query only against same-bucket candidates
     * from any of the L tables.
     */
