@@ -118,6 +118,39 @@ class PlanSpec extends AnyFunSuite {
       s"corpus count should broadcast:\n$p")
   }
 
+  test("tpch_q21 aggregates without a multi-distinct Expand") {
+    // the double-countDistinct form planned a 3-replica Expand of every
+    // lineitem row through the dominant shuffle; the two-level
+    // aggregation must keep it out
+    val p = plan("tpch_q21")
+    assert(!p.contains("Expand"), s"q21 regressed to an Expand plan:\n$p")
+    assert(p.contains("partial_count"), "first-level agg must combine map-side")
+  }
+
+  test("tpch_q15 computes the revenue view once (cached, not re-aggregated)") {
+    val df: DataFrame = SparkEntry.queries("tpch_q15")(spark, sf)
+    df.collect() // populate the cache through THIS plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"),
+      s"q15's second consumer must read the cached view:\n$p")
+  }
+
+  test("tpch_q17 decorrelates to one lineitem scan (window, no join-back)") {
+    val p = plan("tpch_q17")
+    // lineitem + part = exactly two parquet scans; the aggregate-and-
+    // join-back form had three
+    assert(p.split("Scan parquet").length - 1 === 2,
+      s"expected exactly 2 scans (lineitem, part) in:\n$p")
+  }
+
+  test("dedup_containment emits both directions without re-executing the self-join") {
+    val p = plan("dedup_containment")
+    assert(!p.contains("Union"),
+      s"containment regressed to the union-of-projections plan:\n$p")
+    assert(p.contains("Generate explode"),
+      s"expected the two-direction explode in:\n$p")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // At 100 TB the win: a selective dim filter becomes a bloom filter
     // EVALUATED INSIDE the fact scan, so most of the fact table never
