@@ -38,4 +38,30 @@ object RangeJoin {
         buildTime < probeTime + expr(s"INTERVAL $windowSeconds SECONDS"))
       .drop("__bin")
   }
+
+  /** Interval × interval OVERLAP join without an equi key: pairs where
+    * `[aStart, aEnd)` and `[bStart, bEnd)` intersect
+    * (`aStart < bEnd && bStart < aEnd`). BOTH sides replicate into
+    * every bin their interval touches, so a pair can meet in several
+    * bins — unlike [[window]] a dedup IS needed, which is why the
+    * caller supplies the two key columns (`aId`, `bId`) identifying a
+    * pair. Candidates are bounded by interval-length/bin replication
+    * (caller picks `binSeconds` ≈ typical interval length: shorter
+    * bins = more replicas but fewer false candidates per bin).
+    */
+  def overlap(a: DataFrame, aId: String, aStart: Column, aEnd: Column,
+              b: DataFrame, bId: String, bStart: Column, bEnd: Column,
+              binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    def binned(df: DataFrame, s: Column, e: Column): DataFrame =
+      df.withColumn("__bin", explode(sequence(
+        floor(unix_timestamp(s) / binSeconds).cast("long"),
+        // end is EXCLUSIVE: an interval ending exactly on a bin edge
+        // does not touch that bin
+        floor((unix_timestamp(e) - 1) / binSeconds).cast("long"))))
+    binned(a, aStart, aEnd).join(binned(b, bStart, bEnd), Seq("__bin"))
+      .filter(aStart < bEnd && bStart < aEnd)
+      .drop("__bin")
+      .dropDuplicates(aId, bId)
+  }
 }

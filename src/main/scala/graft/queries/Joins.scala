@@ -182,6 +182,27 @@ object Joins {
         .orderBy(col("err_id"))
     },
 
+    // -- interval OVERLAP join (no equi key, binned) ------------------------
+    // Each error's 10-minute interval against each click's: pairs whose
+    // intervals intersect, with NO shared key — the naive plan is a
+    // nested loop. graft.operators.RangeJoin.overlap bins BOTH sides
+    // (multi-bin replication + dedup, unlike the point-in-window form)
+    // into a hash join on the bin id. Oracle runs the plain theta join.
+    "join_overlap" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("ts").as("e0"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("e1"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("c0"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("c1"))
+      graft.operators.RangeJoin.overlap(
+          errs, "err_id", col("e0"), col("e1"),
+          clicks, "click_id", col("c0"), col("c1"), binSeconds = 600L)
+        .groupBy(col("err_id")).agg(count(lit(1)).as("n_overlap"))
+        .orderBy(col("err_id"))
+    },
+
     // -- as-of join, native plan form ---------------------------------------
     // Same semantics as join_asof below, but planned as the custom
     // single-pass sort-merge operator (marker predicate → strategy →
@@ -338,6 +359,14 @@ object Joins {
         |  FROM events e JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts::TIMESTAMP)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "join_overlap" ->
+      """SELECT e.event_id AS err_id, COUNT(*) AS n_overlap
+        |FROM events e JOIN events c
+        |  ON e.event_type = 'error' AND c.event_type = 'click'
+        | AND e.ts::TIMESTAMP < c.ts::TIMESTAMP + INTERVAL '10 minutes'
+        | AND c.ts::TIMESTAMP < e.ts::TIMESTAMP + INTERVAL '10 minutes'
+        |GROUP BY e.event_id ORDER BY err_id""".stripMargin,
 
     "join_asof_fwd" ->
       """SELECT o_orderkey, o_custkey, event_id, ts FROM (
