@@ -151,6 +151,14 @@ class PlanSpec extends AnyFunSuite {
       s"expected the two-direction explode in:\n$p")
   }
 
+  test("join_overlap plans a hash join on the bin id, never a nested loop") {
+    val p = plan("join_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"overlap join fell back to a nested loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no hash/merge join on the bin id:\n$p")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // At 100 TB the win: a selective dim filter becomes a bloom filter
     // EVALUATED INSIDE the fact scan, so most of the fact table never
