@@ -54,9 +54,23 @@ object Layout {
   def compact(spark: SparkSession, inDir: String, outDir: String,
               targetFileBytes: Long, orderBy: Seq[Column] = Seq.empty): (Int, Long) = {
     // the read is lazy — writing into (or under) the input would
-    // overwrite files mid-scan, the exact hazard cdcMergeSink documents
-    val inP = new Path(inDir).toUri.getPath.stripSuffix("/")
-    val outP = new Path(outDir).toUri.getPath.stripSuffix("/")
+    // overwrite files mid-scan, the exact hazard cdcMergeSink documents.
+    // Qualify both paths through the filesystem (scheme + authority +
+    // cwd-resolution) so a relative vs absolute vs scheme-qualified
+    // spelling of the SAME directory cannot bypass the guard.
+    val conf = spark.sessionState.newHadoopConf()
+    def qualified(dir: String): String = {
+      val p = new Path(dir)
+      // makeQualified pins scheme/authority and resolves cwd-relative
+      // paths; URI.normalize() collapses ./ and ../ segments it leaves.
+      // Rebuild from components: a null vs empty authority renders as
+      // "file:/x" vs "file:///x" — same directory, different strings.
+      val u = p.getFileSystem(conf).makeQualified(p).toUri.normalize()
+      val auth = Option(u.getAuthority).getOrElse("")
+      s"${u.getScheme}://$auth${u.getPath.stripSuffix("/")}"
+    }
+    val inP = qualified(inDir)
+    val outP = qualified(outDir)
     require(inP != outP && !outP.startsWith(inP + "/") && !inP.startsWith(outP + "/"),
       s"compact output '$outDir' must not equal or nest with input '$inDir'")
     val bytes = dataBytes(spark, inDir)

@@ -68,7 +68,11 @@ object Merge {
     val c = changes
       .withColumn("_is_change", lit(1))
       .withColumn("_ver", version.cast("long"))
-      .withColumn("_del", if (hasOp) col(opCol) === deleteOp else lit(false))
+      // a NULL op value must read as "not a delete", not as SQL NULL —
+      // `null === deleteOp` is NULL and the `!_del` filter would silently
+      // DROP the row instead of upserting it
+      .withColumn("_del",
+        if (hasOp) coalesce(col(opCol) === deleteOp, lit(false)) else lit(false))
       .select((dataCols ++ meta).map(col): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)

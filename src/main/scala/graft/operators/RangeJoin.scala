@@ -53,12 +53,24 @@ object RangeJoin {
               b: DataFrame, bId: String, bStart: Column, bEnd: Column,
               binSeconds: Long): DataFrame = {
     require(binSeconds > 0, "binSeconds must be positive")
-    def binned(df: DataFrame, s: Column, e: Column): DataFrame =
-      df.withColumn("__bin", explode(sequence(
-        floor(unix_timestamp(s) / binSeconds).cast("long"),
-        // end is EXCLUSIVE: an interval ending exactly on a bin edge
-        // does not touch that bin
-        floor((unix_timestamp(e) - 1) / binSeconds).cast("long"))))
+    // Bin math runs at MICROsecond precision: unix_timestamp truncates to
+    // whole seconds, so an interval with a sub-second endpoint (e.g.
+    // e = 100.9s, bin = 10s) would compute floor((100-1)/10) = bin 9 and
+    // silently miss bin 10 it actually touches — a false negative.
+    val binMicros = binSeconds * 1000000L
+    def binned(df: DataFrame, s: Column, e: Column): DataFrame = {
+      val sBin = floor(unix_micros(s.cast("timestamp")) / binMicros).cast("long")
+      // end is EXCLUSIVE: an interval ending exactly on a bin edge does
+      // not touch that bin — hence the -1 (one microsecond) before floor.
+      val eBin = floor((unix_micros(e.cast("timestamp")) - 1) / binMicros).cast("long")
+      // Empty/inverted intervals (e <= s) put eBin below sBin, and
+      // sequence() would silently DESCEND, replicating the row into bins
+      // the interval never touches. Clamp to the start bin: any pair the
+      // residual overlap predicate keeps with an inverted side satisfies
+      // bStart < aEnd <= aStart < bEnd, so aStart lies inside b's
+      // replicated span and the pair still meets in a's start bin.
+      df.withColumn("__bin", explode(sequence(sBin, greatest(sBin, eBin))))
+    }
     binned(a, aStart, aEnd).join(binned(b, bStart, bEnd), Seq("__bin"))
       .filter(aStart < bEnd && bStart < aEnd)
       .drop("__bin")

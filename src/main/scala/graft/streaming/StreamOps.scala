@@ -259,18 +259,20 @@ object StreamOps {
                     keys: Seq[String], versionCol: String,
                     opCol: String, deleteOp: String): Unit = {
     val snapName = s"snap_$batchId"
-    val ptr = java.nio.file.Paths.get(snapshotDir, "LATEST")
-    val current =
-      if (java.nio.file.Files.exists(ptr))
-        java.nio.file.Files.readString(ptr).trim
-      else ""
+    val s = batch.sparkSession
+    // Hadoop FS, NOT java.nio: the snapshot parquet already goes through
+    // Hadoop, so an hdfs:/// or s3a:/// snapshotDir must resolve the
+    // pointer through the SAME filesystem — a driver-local java.nio read
+    // would silently never see LATEST and merge every batch onto an
+    // empty base.
+    val fs = pointerFs(s, snapshotDir)
+    val current = readPointer(fs, snapshotDir).getOrElse("")
     if (current != snapName) {
-      val s = batch.sparkSession
       val base = readSnapshot(s, snapshotDir, dataSchema)
       val merged = graft.operators.Merge.applyCdc(
         base, batch, keys, col(versionCol), opCol, deleteOp)
       merged.write.mode("overwrite").parquet(s"$snapshotDir/$snapName")
-      swapPointer(snapshotDir, snapName)
+      swapPointer(s, snapshotDir, snapName)
     }
   }
 
@@ -278,42 +280,55 @@ object StreamOps {
     * no batch has committed yet).
     */
   def readSnapshot(spark: org.apache.spark.sql.SparkSession, snapshotDir: String,
-                   schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val ptr = java.nio.file.Paths.get(snapshotDir, "LATEST")
-    if (java.nio.file.Files.exists(ptr)) {
-      val snap = java.nio.file.Files.readString(ptr).trim
-      spark.read.schema(schema).parquet(s"$snapshotDir/$snap")
-    } else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+                   schema: org.apache.spark.sql.types.StructType): DataFrame =
+    readPointer(pointerFs(spark, snapshotDir), snapshotDir) match {
+      case Some(snap) => spark.read.schema(schema).parquet(s"$snapshotDir/$snap")
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
+  private def pointerFs(spark: org.apache.spark.sql.SparkSession,
+                        snapshotDir: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(snapshotDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
+                          snapshotDir: String): Option[String] = {
+    val ptr = new org.apache.hadoop.fs.Path(snapshotDir, "LATEST")
+    if (fs.exists(ptr)) {
+      val in = fs.open(ptr)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    } else None
   }
 
-  /** Atomic pointer swap (write-temp + move) + retention of the one
-    * previous snapshot.
+  /** Atomic pointer swap (write-temp + rename-with-overwrite) + retention
+    * of the one previous snapshot. FileContext.rename(OVERWRITE) is the
+    * Hadoop-wide atomic-replace primitive (plain FileSystem.rename
+    * refuses an existing destination on HDFS).
     */
-  private def swapPointer(snapshotDir: String, snapName: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val dir = Paths.get(snapshotDir)
-    Files.createDirectories(dir)
-    val prev =
-      if (Files.exists(dir.resolve("LATEST")))
-        Some(Files.readString(dir.resolve("LATEST")).trim)
-      else None
-    val tmp = dir.resolve("LATEST.tmp")
-    Files.writeString(tmp, snapName)
-    Files.move(tmp, dir.resolve("LATEST"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  private def swapPointer(spark: org.apache.spark.sql.SparkSession,
+                          snapshotDir: String, snapName: String): Unit = {
+    import org.apache.hadoop.fs.{FileContext, Options, Path}
+    val dir = new Path(snapshotDir)
+    val fs = pointerFs(spark, snapshotDir)
+    fs.mkdirs(dir)
+    val prev = readPointer(fs, snapshotDir)
+    val tmp = new Path(dir, "LATEST.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(snapName.getBytes("UTF-8")) finally out.close()
+    val fc = FileContext.getFileContext(dir.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new Path(dir, "LATEST"), Options.Rename.OVERWRITE)
     // delete snapshots older than the immediately-previous one
     val keep = Set(snapName) ++ prev
-    val stream = Files.list(dir)
-    try stream.iterator().forEachRemaining { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith("snap_") && !keep.contains(n)) {
-          import scala.reflect.io.Directory
-          new Directory(new java.io.File(p.toString)).deleteRecursively()
-          (): Unit
-        }
+    fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("snap_") && !keep.contains(n)) {
+        fs.delete(st.getPath, true)
+        (): Unit
       }
-    finally stream.close()
+    }
     (): Unit
   }
 

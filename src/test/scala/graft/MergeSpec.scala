@@ -54,6 +54,18 @@ class MergeSpec extends AnyFunSuite {
       (2L, "b", 20.0), (3L, "C2", 33.0), (4L, "d", 40.0)))
   }
 
+  test("a NULL op value is an upsert, not a silent drop") {
+    val changes = Seq(
+      (2L, "B", 21.0, 1L, null.asInstanceOf[String]), // null op → upsert
+      (5L, "E", 50.0, 1L, null.asInstanceOf[String]), // null op, new key → insert
+      (3L, "x", 0.0, 1L, "D")                          // real delete still works
+    ).toDF("k", "status", "price", "v", "op")
+    val out = Merge.applyCdc(base, changes, Seq("k"), col("v"), "op", "D")
+      .orderBy("k").as[(Long, String, Double)].collect()
+    assert(out.toSeq === Seq(
+      (1L, "a", 10.0), (2L, "B", 21.0), (4L, "d", 40.0), (5L, "E", 50.0)))
+  }
+
   test("merge plans exactly one shuffle (union is map-side)") {
     val changes = Seq((2L, "B", 21.0, 1L)).toDF("k", "status", "price", "v")
     val merged = Merge.upsert(base, changes, Seq("k"), col("v"))

@@ -117,6 +117,58 @@ class PropertySpec extends AnyFunSuite {
     assert(binned === plain)
   }
 
+  test("overlap join keeps pairs with sub-second endpoints (micros bin math)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // MILLIsecond-resolution endpoints: whole-second bin math truncates
+    // these and drops the final bin an interval touches
+    def ts(ms: Long) = new java.sql.Timestamp(1700000000000L + ms)
+    val a = (1 to 120).map { i =>
+      val s = rnd.nextInt(600000).toLong
+      (i.toLong, ts(s), ts(s + 1 + rnd.nextInt(90000)))
+    }.toDF("aid", "a_s", "a_e")
+    val b = (1 to 180).map { i =>
+      val s = rnd.nextInt(600000).toLong
+      (i.toLong, ts(s), ts(s + 1 + rnd.nextInt(90000)))
+    }.toDF("bid", "b_s", "b_e")
+    val binned = graft.operators.RangeJoin.overlap(
+        a, "aid", col("a_s"), col("a_e"), b, "bid", col("b_s"), col("b_e"),
+        binSeconds = 30L)
+      .select(col("aid"), col("bid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = a.join(b, col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .select(col("aid"), col("bid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(binned === plain)
+    // the hard case concretely: [t, t+0.9s] must claim the bin its
+    // fractional tail reaches into
+    val a1 = Seq((1L, ts(29500), ts(30900))).toDF("aid", "a_s", "a_e")
+    val b1 = Seq((1L, ts(30100), ts(30200))).toDF("bid", "b_s", "b_e")
+    assert(graft.operators.RangeJoin.overlap(
+      a1, "aid", col("a_s"), col("a_e"), b1, "bid", col("b_s"), col("b_e"),
+      binSeconds = 30L).count() == 1L)
+  }
+
+  test("overlap join clamps inverted intervals instead of descending sequence()") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // a1 is inverted (e < s) with a HUGE descending span — unclamped it
+    // would replicate into ~100k bins; a2 is empty (e == s)
+    val a = Seq((1L, ts(100000), ts(0)), (2L, ts(500), ts(500)),
+                (3L, ts(400), ts(700))).toDF("aid", "a_s", "a_e")
+    val b = Seq((10L, ts(0), ts(200000)), (11L, ts(600), ts(650)))
+      .toDF("bid", "b_s", "b_e")
+    val got = graft.operators.RangeJoin.overlap(
+        a, "aid", col("a_s"), col("a_e"), b, "bid", col("b_s"), col("b_e"),
+        binSeconds = 60L)
+      .select(col("aid"), col("bid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = a.join(b, col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .select(col("aid"), col("bid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === plain)
+  }
+
   test("approx_percentile stays within 2% of the exact median per group") {
     val rows = SparkEntry.queries("approx_percentile")(spark, "/root/testdata/sf0.01")
       .collect()

@@ -112,4 +112,28 @@ class ZOrderSpec extends AnyFunSuite {
     }
     assert(spark.read.parquet(outSorted).count() === 20000L)
   }
+
+  test("compact rejects input==output under any path spelling") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-layout-guard")
+    val in = base.resolve("in").toString
+    (0L until 10L).map(i => (i, s"r$i")).toDF("id", "s").write.parquet(in)
+    // absolute vs file:-qualified vs relative spellings of the SAME dir
+    // must all trip the guard — a URI-string compare lets them through
+    val spellings = Seq(
+      in,
+      "file:" + in,
+      java.nio.file.Paths.get("").toAbsolutePath.relativize(base).resolve("in").toString)
+    for (alias <- spellings) {
+      val e = intercept[IllegalArgumentException] {
+        Layout.compact(spark, in, alias, targetFileBytes = 1L << 20)
+      }
+      assert(e.getMessage.contains("must not equal or nest"), s"spelling: $alias")
+    }
+    // nesting still caught after qualification
+    intercept[IllegalArgumentException] {
+      Layout.compact(spark, in, s"$in/sub", targetFileBytes = 1L << 20)
+    }
+    (): Unit
+  }
 }
