@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress fixture generator: replicate an sf directory N× with
+  * key offsets, producing a PERF.md datapoint between the toy SFs and
+  * the 100 TB design target.
+  * `sbt "runMain graft.ScaleUp <srcDir> <outDir> [factor]"`.
+  *
+  * Replication is keyed so the workload scales the way organic data
+  * would, instead of manufacturing pathologies:
+  *   - all join/group keys get a per-replica offset, so joins keep their
+  *     fan-out and groupBys their per-key cardinality (a naive copy
+  *     would multiply every key's frequency by N — skew, not scale);
+  *   - document TEXT passes through a per-replica substitution cipher
+  *     (rotate the alphabet by the replica index): shingle/minhash/
+  *     simhash structure WITHIN a replica is preserved bit-for-bit,
+  *     while cross-replica shingles are disjoint — so dedup workloads
+  *     see N independent corpora, the honest linear-scaling ground
+  *     truth (appending a replica tag instead would make every doc a
+  *     near-dup of its 9 clones and inflate candidates super-linearly);
+  *   - event timestamps are untouched (as-of/overlap walk length per
+  *     key is the invariant that matters) and stay LONG nanos on disk,
+  *     preserving the Tables.events read contract.
+  */
+object ScaleUp {
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private val Upper = Lower.toUpperCase
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleUp <srcDir> <outDir> [factor]")
+    val (src, out) = (args(0), args(1))
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(name: String, shift: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val all = (0 until factor).map(i => shift(base, i)).reduce(_ unionByName _)
+      all.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scaleup] $name -> ${factor}x")
+    }
+    def rot(df: DataFrame, c: String, i: Int, step: Long): DataFrame =
+      df.withColumn(c, col(c) + lit(i * step))
+
+    replicate("orders", (df, i) =>
+      rot(rot(df, "o_orderkey", i, 10000000L), "o_custkey", i, 1000000L))
+    replicate("customer", (df, i) => rot(df, "c_custkey", i, 1000000L))
+    replicate("lineitem", (df, i) =>
+      rot(rot(rot(df, "l_orderkey", i, 10000000L),
+        "l_partkey", i, 1000000L), "l_suppkey", i, 1000000L))
+    replicate("events", (df, i) =>
+      rot(rot(df, "event_id", i, 10000000L), "user_id", i, 1000000L))
+    replicate("documents", (df, i) => {
+      val cipherL = Lower.drop(i % 26) + Lower.take(i % 26)
+      val cipherU = Upper.drop(i % 26) + Upper.take(i % 26)
+      rot(df, "doc_id", i, 1000000L)
+        .withColumn("text", translate(col("text"), Lower + Upper, cipherL + cipherU))
+    })
+    replicate("embeddings", (df, i) => rot(df, "vec_id", i, 1000000L))
+    // small dims pass through unchanged — they stay broadcast-sized by design
+    for (t <- Seq("region", "nation", "part", "supplier")) {
+      val p = new java.io.File(s"$src/$t.parquet")
+      if (p.exists())
+        spark.read.parquet(p.toString).write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    spark.stop()
+  }
+}

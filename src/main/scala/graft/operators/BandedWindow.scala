@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Band-parallel rewrite of a value-RANGE window frame.
+  *
+  * `count/sum OVER (PARTITION BY p ORDER BY v RANGE BETWEEN width
+  * PRECEDING AND CURRENT ROW)` serializes per partition value: Spark's
+  * WindowExec walks each partition in ONE task, so a 5-segment column is
+  * a 5-way parallelism ceiling no matter the cluster — at 100× each
+  * segment is a single-task O(n) walk (the exact ceiling PERF.md flagged
+  * for `win_range_frame`).
+  *
+  * The rewrite cuts `v` into bands of exactly the frame width. A row's
+  * frame `[v-width, v]` then touches AT MOST two bands — its own and the
+  * previous one — so the frame aggregate decomposes into three
+  * band-local terms:
+  *
+  *   frame(v) = {u in band(v):   u <= v}          — intra-band running agg
+  *            + {u in band(v)-1}                   — previous band's total
+  *            - {u in band(v)-1: u < v-width}      — previous band's prefix
+  *                                                   strictly below the lower
+  *                                                   frame edge
+  *
+  * Term 1 is an intra-band RANGE window (ties all see each other,
+  * preserving RANGE tie semantics). Terms 2 and 3 come from ONE window
+  * pass over the previous band: PHANTOM PROBE rows (one per row, deduped
+  * to one per distinct value inside the same pass, placed at `v-width`,
+  * ordered BEFORE real ties so the running count is strictly-less-than)
+  * read the running prefix, and the same pass's whole-partition total
+  * gives the band total — their difference is exactly terms 2−3. The probe results join back on
+  * `(part, band, v)`, which the planner co-locates with the term-1
+  * window's `(part, band)` hash partitioning — no extra shuffle for the
+  * join. Parallelism becomes #partitions × #bands instead of
+  * #partitions; no task ever walks more than ~two bands of rows.
+  *
+  * Band arithmetic runs in DECIMAL/long cents — never double — so band
+  * assignment is exact (a double `floor(v/width)` can round across an
+  * integer boundary and misplace a row by a WHOLE band). Inputs are
+  * therefore limited to values with <= 2 meaningful decimals, the money
+  * domain this engine's RANGE queries use. The `v-width` frame EDGE,
+  * by contrast, is deliberately compared in IEEE double — see the probe
+  * comment below.
+  */
+object BandedWindow {
+
+  /** `df` plus `cntName`/`sumName`: the count of rows and sum of
+    * `valueCol` (as DECIMAL(18,2)) over the per-`part` RANGE frame
+    * `[v - width, v]` (both edges inclusive — Spark's
+    * `rangeBetween(-width, 0)`).
+    */
+  def rangeCountSum(df: DataFrame, part: Seq[String], valueCol: String,
+                    width: Long, cntName: String, sumName: String): DataFrame = {
+    require(width > 0, "frame width must be positive")
+    val partCols = part.map(col)
+    val money = org.apache.spark.sql.types.DecimalType(18, 2)
+    val wCents = width * 100L
+
+    // exact band id from integer cents: floor division via pmod so
+    // negative values land in the right band too. Column./ is a DOUBLE
+    // divide (exact only below 2^53) — divide in decimal instead.
+    val base = df
+      .withColumn("__v", col(valueCol).cast(money))
+      .withColumn("__band", {
+        val cents = (col("__v") * 100).cast("long")
+        ((cents - pmod(cents, lit(wCents)))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)) / wCents)
+          .cast("long")
+      })
+
+    // term 1 — intra-band running count/sum; RANGE (not ROWS) so equal
+    // values each include all their ties, matching the original frame
+    val wA = Window.partitionBy(partCols :+ col("__band"): _*)
+      .orderBy(col("__v"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+
+    // terms 2&3 — previous band's total minus its strict prefix below
+    // the lower frame edge, both read off one (part, band)-local window
+    // pass over real rows + phantom probes.
+    //
+    // The probe's SORT key is IEEE double on purpose: a direct
+    // `ORDER BY v RANGE -width` over a double column (Spark's WindowExec
+    // and the DuckDB oracle alike) computes the lower edge as double
+    // `v - width`, and for an exact-boundary row (u == v-width in
+    // decimal) the rounding residues of u and v can differ — the double
+    // frame may include or exclude it either way. Replicating the double
+    // arithmetic keeps the rewrite BIT-identical to the direct
+    // formulation. The summed value stays decimal (__sv).
+    // probes are NOT pre-distinct'd (that would cost a full shuffle);
+    // duplicates sort adjacently and the lag() filter below — same
+    // WindowExec as the prefix sums — keeps only the first of each run
+    val probes = base.select(partCols ++ Seq(
+      col("__v").as("__orig_v"),
+      col("__band").as("__orig_band"),
+      (col("__v").cast("double") - width).as("__sortv"),
+      lit(null).cast(money).as("__sv"),
+      (col("__band") - 1).as("__pband"),
+      lit(0).as("__real")): _*)
+    val reals = base.select(partCols ++ Seq(
+      lit(null).cast(money).as("__orig_v"),
+      lit(null).cast("long").as("__orig_band"),
+      col("__v").cast("double").as("__sortv"),
+      col("__v").as("__sv"),
+      col("__band").as("__pband"),
+      lit(1).as("__real")): _*)
+    val wOrd = Window.partitionBy(partCols :+ col("__pband"): _*)
+      .orderBy(col("__sortv").asc, col("__real").asc)
+    val wP = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wT = Window.partitionBy(partCols :+ col("__pband"): _*)
+    val prev = reals.unionByName(probes)
+      .withColumn("__lt_cnt",
+        sum(when(col("__real") === 1, 1L).otherwise(0L)).over(wP))
+      .withColumn("__lt_sum", sum(col("__sv")).over(wP))
+      .withColumn("__tot_cnt",
+        sum(when(col("__real") === 1, 1L).otherwise(0L)).over(wT))
+      .withColumn("__tot_sum", sum(col("__sv")).over(wT))
+      // duplicate probes (same value appearing on several rows) sort as a
+      // run: equal __sortv, __real=0, reals after. Keep the run's first —
+      // lag() shares wOrd's WindowExec, so this dedup is shuffle-free.
+      .withColumn("__prev_probe_v", lag(col("__orig_v"), 1).over(wOrd))
+      .filter(col("__real") === 0 && !(col("__prev_probe_v") <=> col("__orig_v")))
+      .select(partCols ++ Seq(
+        col("__orig_band").as("__band"),
+        col("__orig_v").as("__v"),
+        (col("__tot_cnt") - col("__lt_cnt")).as("__prev_cnt"),
+        (coalesce(col("__tot_sum"), lit(0).cast(money))
+          - coalesce(col("__lt_sum"), lit(0).cast(money))).as("__prev_sum")): _*)
+
+    // join keys include (part, __band) so the planner co-locates on the
+    // windows' existing hash partitioning instead of reshuffling by value
+    base
+      .withColumn("__a_cnt", count(lit(1)).over(wA))
+      .withColumn("__a_sum", sum(col("__v")).over(wA))
+      .join(prev, part ++ Seq("__band", "__v"))
+      .withColumn(cntName, col("__a_cnt") + col("__prev_cnt"))
+      .withColumn(sumName, col("__a_sum") + col("__prev_sum"))
+      .select(df.columns.map(col) ++ Seq(col(cntName), col(sumName)): _*)
+  }
+}

@@ -132,17 +132,18 @@ object Tpch {
 
     // RANGE frame (value-based, vs win_frame's ROWS): running order count
     // and decimal sum over a 1000-wide totalprice band per segment.
+    // Computed with the band-parallel rewrite (BandedWindow): a direct
+    // `rangeBetween(-1000, 0)` over partitionBy(c_mktsegment) is a
+    // 5-task parallelism ceiling — each segment one serial O(n) walk at
+    // any cluster size. Row-identity with the direct formulation is
+    // pinned in PropertySpec.
     "win_range_frame" -> { (s, dir) =>
-      val w = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("totalprice_d"))
-        .rangeBetween(-1000L, 0L)
-      Tables(s, dir, "orders")
+      val joined = Tables(s, dir, "orders")
         .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), col("c_mktsegment"),
           col("o_totalprice").as("totalprice_d"))
-        .withColumn("n_band", count(lit(1)).over(w))
-        .withColumn("band_sum",
-          sum(Oracle.dec(col("totalprice_d"))).over(w))
+      graft.operators.BandedWindow.rangeCountSum(joined, Seq("c_mktsegment"),
+          "totalprice_d", width = 1000L, cntName = "n_band", sumName = "band_sum")
         .select(col("o_orderkey"), col("c_mktsegment"),
           Oracle.out(Oracle.dec(col("totalprice_d"))).as("totalprice"),
           col("n_band"), Oracle.out(col("band_sum")).as("band_sum"))

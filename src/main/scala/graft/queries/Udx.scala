@@ -83,20 +83,32 @@ object Udx {
     },
 
     // -- quantile sketch (GK / approx_percentile) — like approx_distinct:
-    //    approximate by design, so rows-only with a self-checking rank
-    //    bound (accuracy 1000 ⇒ rank error ≤ n/1000; self-check uses the
-    //    VALUE gap against the exact percentile instead, bounded loosely).
+    //    approximate by design, so rows-only with a self-check. The check
+    //    asserts the sketch's own guarantee (accuracy 1000 ⇒ the returned
+    //    value's rank is within n/1000 of 0.5·n) via a broadcast
+    //    rank-count — NOT an exact `percentile()` arm, which buffers every
+    //    value per group (ObjectHashAggregate sort-fallback hazard at
+    //    scale, and it was 7% of the whole sf0.1 bench).
     "approx_percentile" -> { (s, dir) =>
-      Tables(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val approx = li.groupBy(col("l_returnflag"))
         .agg(
           approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
-          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
           count(lit(1)).as("n"))
-        .select(col("l_returnflag"), col("p50_approx"),
-          round(col("p50_exact"), 4).as("p50_exact"), col("n"),
-          (abs(col("p50_approx") - col("p50_exact")) <=
-            col("p50_exact") * 0.02).as("within_2pct"))
+      // rank the approx value inside its group with one broadcast join +
+      // codegen'd hash agg: O(1) memory per group, no value buffering.
+      // Duplicates give the value a rank INTERVAL [rank_lt+1, rank_le];
+      // the guarantee holds if it intersects 0.5·n ± (n/1000 + 1).
+      li.join(broadcast(approx), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"), col("p50_approx"), col("n"))
+        .agg(
+          sum(when(col("l_extendedprice") < col("p50_approx"), 1L).otherwise(0L)).as("rank_lt"),
+          sum(when(col("l_extendedprice") <= col("p50_approx"), 1L).otherwise(0L)).as("rank_le"))
+        .select(col("l_returnflag"), col("p50_approx"), col("n"), col("rank_le"),
+          (col("rank_lt") + 1 <= col("n") / 2 + col("n") / 1000 + 1 &&
+            col("rank_le") >= col("n") / 2 - col("n") / 1000 - 1)
+            .as("within_rank_bound"))
         .orderBy(col("l_returnflag"))
     }
   )
