@@ -15,13 +15,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // self-diagnosing exit line: a local run predicts the driver's red
+    // rows without diffing dump directories (contract unchanged — a
+    // failed query still shows as a missing dump)
+    val total = SparkEntry.queries.size
+    if (failed.isEmpty)
+      System.err.println(s"[verify] $total/$total dumped, 0 failed")
+    else
+      System.err.println(
+        s"[verify] ${total - failed.size}/$total dumped, ${failed.size} failed: " +
+          failed.sorted.mkString(", "))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -65,7 +65,18 @@ object DroneSense {
     * upstream response (the reference's `.typed` also throws,
     * task.ts:119-121).
     */
-  def parseJson(spark: SparkSession, payload: String): DataFrame = {
+  def parseJson(spark: SparkSession, payload: String): DataFrame =
+    parseJson(spark, payload, verbose = false, log = defaultLog)
+
+  /** [[parseJson]] with the reference's verbose typed decode
+    * (`droneres.typed(..., {verbose: env.DEBUG})`, task.ts:119-121):
+    * when `verbose`, the decoded records are printed to logs. `log` is
+    * injectable so tests can assert the gate without capturing log4j
+    * output; NOTHING here ever logs headers or tokens — only the decoded
+    * payload, as the reference does.
+    */
+  def parseJson(spark: SparkSession, payload: String, verbose: Boolean,
+                log: String => Unit): DataFrame = {
     import spark.implicits._
     // The declared relation is an ARRAY of records (task.ts:119).
     // from_json would silently wrap a single JSON object into a
@@ -81,8 +92,30 @@ object DroneSense {
         s"malformed DroneSense payload (unparseable JSON): ${payload.take(120)}")
     }
     // One top-level array → explode to one record per row, then decode.
-    parsed.select(explode(col("arr")).as("r")).select(col("r.*"))
+    val records = parsed.select(explode(col("arr")).as("r")).select(col("r.*"))
+    if (verbose) {
+      // "Print results in logs" (task.ts:80). Driver-side and bounded:
+      // a count plus a record sample, never an unbounded collect.
+      val sample = records.limit(3).toJSON.collect()
+      log(s"[dronesense] decoded payload sample (${sample.length} shown):\n" +
+        sample.mkString("\n"))
+    }
+    records
   }
+
+  private def defaultLog: String => Unit =
+    org.apache.logging.log4j.LogManager.getLogger(getClass).info(_)
+
+  /** The reference's `control()` end-to-end (task.ts:104-217): resolve
+    * env, GET the drones-with-sensors endpoint with the token header,
+    * strictly decode (verbose when `env.debug`), validate, transform to
+    * CoT features. The returned frame is distributed; pair with
+    * [[toFeatureCollectionJson]] + [[HttpJson.sink]] for the submit half.
+    */
+  def fromApi(spark: SparkSession, url: String, env: Environment,
+              log: String => Unit = defaultLog): DataFrame =
+    toCot(validate(parseJson(spark, HttpJson.get(url, env.apiHeaders),
+      verbose = env.debug, log = log)))
 
   /** Strict schema validation ≙ `droneres.typed(...)` (task.ts:119-121):
     * every required field must be present and non-null. Returns the input

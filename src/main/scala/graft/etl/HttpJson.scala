@@ -52,16 +52,23 @@ object HttpJson {
     parsed.select(explode(col("arr")).as("r")).select(col("r.*"))
   }
 
+  /** GET `url` with the given headers, returning the raw body — the
+    * fetch half of [[source]], exposed so pipelines that need a custom
+    * decode (e.g. [[DroneSense.fromApi]]'s verbose typed decode) can
+    * reuse the transport.
+    */
+  def get(url: String, headers: Map[String, String] = Map.empty): String = {
+    val b = HttpRequest.newBuilder(URI.create(url)).GET().timeout(RequestTimeout)
+    headers.foreach { case (k, v) => b.header(k, v) }
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString()).body()
+  }
+
   /** GET `url` (optional header map, e.g. X-API-KEY) and decode the JSON
     * array payload against `schema`.
     */
   def source(spark: SparkSession, url: String, schema: StructType,
-             headers: Map[String, String] = Map.empty): DataFrame = {
-    val b = HttpRequest.newBuilder(URI.create(url)).GET().timeout(RequestTimeout)
-    headers.foreach { case (k, v) => b.header(k, v) }
-    val body = client.send(b.build(), HttpResponse.BodyHandlers.ofString()).body()
-    parseArray(spark, body, schema)
-  }
+             headers: Map[String, String] = Map.empty): DataFrame =
+    parseArray(spark, get(url, headers), schema)
 
   /** POST each partition's rows as a JSON-lines body to `url`
     * (at-least-once — see class doc).

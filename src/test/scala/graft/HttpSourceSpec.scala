@@ -162,6 +162,31 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lastApiKey === "test-key")
   }
 
+  test("header VALUES never leak into plan strings or explain output") {
+    // a secret forwarded as a header must reach the wire (asserted above)
+    // but NEVER driver logs: at scale, `df.explain`/plan dumps routinely
+    // land in log aggregation, so a token in any plan string is a leak.
+    val secret = "sk-REDACT-ME-98765"
+    val df = spark.read.format("graft-http")
+      .option("url", s"http://127.0.0.1:$port/rows")
+      .option("schema", "id LONG, name STRING, score DOUBLE")
+      .option("header.X-API-KEY", secret)
+      .load()
+      .filter(col("id") < 10)
+    df.count()
+    val qe = df.queryExecution
+    val everything = Seq(
+      qe.logical.toString, qe.analyzed.toString, qe.optimizedPlan.toString,
+      qe.sparkPlan.toString, qe.executedPlan.toString,
+      qe.toString, qe.stringWithStats)
+    for (plan <- everything)
+      assert(!plan.contains(secret),
+        s"header value leaked into a plan string:\n${plan.take(500)}")
+    // header NAMES are not sensitive and may appear; the wire still got
+    // the real value
+    assert(lastApiKey === secret)
+  }
+
   test("short first page ends every reader (no infinite paging)") {
     requests.set(0)
     val df = read(pageSize = 1000, numPartitions = 4)

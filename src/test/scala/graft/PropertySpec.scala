@@ -169,13 +169,64 @@ class PropertySpec extends AnyFunSuite {
     assert(got === plain)
   }
 
-  test("approx_percentile stays within 2% of the exact median per group") {
+  test("banded RANGE frame equals the direct rangeBetween on boundary-heavy data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // 2-dp money values with FORCED exact-width boundary pairs (u ==
+    // v-1000), duplicates, and band-edge values — the rewrite's hard
+    // cases. Values are doubles, as in the real orders table.
+    val vals = Seq.fill(400)(math.rint(rnd.nextDouble() * 500000) / 100.0) ++
+      Seq(2000.00, 1000.00, 3000.00,         // exact boundary chain
+          2999.99, 1999.99,                  // boundary pair off-grid
+          5000.00, 5000.00, 4000.00,         // dup + boundary
+          123456.78, 122456.78)              // exact-1000 apart
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, if (i % 3 == 0) "A" else "B", v)
+    }.toDF("id", "seg", "price")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg")).orderBy(col("price")).rangeBetween(-1000L, 0L)
+    val direct = df
+      .withColumn("n_band", count(lit(1)).over(w))
+      .withColumn("band_sum", sum(col("price").cast("decimal(18,2)")).over(w))
+      .select(col("id"), col("n_band"), Oracle.out(col("band_sum")).as("band_sum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val banded = graft.operators.BandedWindow.rangeCountSum(
+        df, Seq("seg"), "price", 1000L, "n_band", "band_sum")
+      .select(col("id"), col("n_band"), Oracle.out(col("band_sum")).as("band_sum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(banded === direct)
+  }
+
+  test("win_range_frame (banded) equals the direct formulation on the fixture") {
+    val sf = "/root/testdata/sf0.01"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment")).orderBy(col("totalprice_d"))
+      .rangeBetween(-1000L, 0L)
+    val direct = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"),
+        col("o_totalprice").as("totalprice_d"))
+      .withColumn("n_band", count(lit(1)).over(w))
+      .withColumn("band_sum", sum(Oracle.dec(col("totalprice_d"))).over(w))
+      .select(col("o_orderkey"), col("c_mktsegment"),
+        Oracle.out(Oracle.dec(col("totalprice_d"))).as("totalprice"),
+        col("n_band"), Oracle.out(col("band_sum")).as("band_sum"))
+      .transform(Oracle.totalOrder)
+      .collect().map(_.toSeq).toSeq
+    val banded = SparkEntry.queries("win_range_frame")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(banded.size == direct.size)
+    assert(banded == direct)
+  }
+
+  test("approx_percentile honors the GK rank guarantee per group") {
     val rows = SparkEntry.queries("approx_percentile")(spark, "/root/testdata/sf0.01")
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getBoolean(4),
-        s"${r.getString(0)}: approx=${r.getDouble(1)} exact=${r.getDouble(2)} outside 2%")
+        s"${r.getString(0)}: approx=${r.getDouble(1)} rank_le=${r.getLong(3)} " +
+          s"of n=${r.getLong(2)} outside the n/1000 rank bound")
     }
   }
 }

@@ -163,6 +163,31 @@ class ScaleOpsSpec extends AnyFunSuite {
       == again.sortBy(f => (f.media_id, f.frame_idx)).map(_.feature.toSeq).toSeq)
   }
 
+  test("multimodal codec is a pluggable seam: a custom impl drives every operator") {
+    // a drop-in codec that reads the same stub header but reports its own
+    // format and embeds by payload LENGTH — proves operators only touch
+    // the MediaCodec trait, never FakeCodec internals
+    object LenCodec extends Multimodal.MediaCodec {
+      override def decode(r: Multimodal.MediaRow): Multimodal.MediaMeta =
+        Multimodal.FakeCodec.decode(r).copy(format = "len-codec")
+      override def resize(r: Multimodal.MediaRow, w: Int, h: Int): Multimodal.MediaRow =
+        Multimodal.FakeCodec.resize(r, w, h)
+      override def payload(r: Multimodal.MediaRow): Array[Byte] =
+        Multimodal.FakeCodec.payload(r)
+      override def frameFeature(r: Multimodal.MediaRow, i: Int, dim: Int): Array[Float] =
+        Array.fill(dim)(i.toFloat)
+      override def mediaFeature(p: Array[Byte], dim: Int): Array[Float] =
+        Array.fill(dim)(p.length.toFloat)
+    }
+    val media = Multimodal.synthetic(spark, 9)
+    val meta = Multimodal.decodeMeta(media, LenCodec).collect()
+    assert(meta.length == 9 && meta.forall(_.format == "len-codec"))
+    val frames = Multimodal.sampleFrames(media, codec = LenCodec).collect()
+    assert(frames.forall(f => f.feature.forall(_ == f.frame_idx.toFloat)))
+    val feats = Multimodal.extractFeatures(media, dim = 4, codec = LenCodec).collect()
+    assert(feats.forall(_.getSeq[Float](1).forall(_ == 32.0f))) // 32-byte payloads
+  }
+
   test("multimodal feature extraction is content-keyed and composes with ANN") {
     import spark.implicits._
     val media = Multimodal.synthetic(spark, 30)
