@@ -57,8 +57,19 @@ object ScaleUp {
     replicate("lineitem", (df, i) =>
       rot(rot(rot(df, "l_orderkey", i, 10000000L),
         "l_partkey", i, 1000000L), "l_suppkey", i, 1000000L))
+    // events: shift each replica's timestamps past the previous one.
+    // Replicating INTO the same time span would multiply temporal
+    // density ×N, and keyless interval joins (join_overlap,
+    // join_range_binned) would then legitimately produce ~N² pairs —
+    // a different workload, not the same workload at N× scale. A real
+    // N× corpus covers more TIME, not the same hour N times over.
+    val evRange = spark.read.parquet(s"$src/events.parquet")
+      .agg(min(col("ts")), max(col("ts"))).head()
+    val spanNanos = evRange.getLong(1) - evRange.getLong(0) +
+      2L * 3600L * 1000000000L
     replicate("events", (df, i) =>
-      rot(rot(df, "event_id", i, 10000000L), "user_id", i, 1000000L))
+      rot(rot(rot(df, "event_id", i, 10000000L), "user_id", i, 1000000L),
+        "ts", i, spanNanos))
     replicate("documents", (df, i) => {
       val cipherL = Lower.drop(i % 26) + Lower.take(i % 26)
       val cipherU = Upper.drop(i % 26) + Upper.take(i % 26)

@@ -44,13 +44,14 @@ object SweepIvf {
     val bruteSet = brute.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
     println(s"IVF sweep: n=$n vectors, ${bruteSet.size / k} queries, recall@$k")
-    println("| nlist | nprobe | recall@5 | mean candidates/query |")
-    println("|---|---|---|---|")
+    println("| nlist | rounds | nprobe | recall@5 | mean candidates/query |")
+    println("|---|---|---|---|---|")
     for (nlist <- Seq(8, 16, 32)) {
       // ONE index per nlist: recall and cost must describe the SAME
       // trained quantiser, and retraining per grid point doubles the
       // sweep's dominant cost (centroids = iters × crossJoin passes)
       val cents = operators.Ivf.centroids(data, nlist)
+      val rounds = operators.Ivf.lastRounds
       val indexed = operators.Ivf.assign(data, cents)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val index = Some((cents, indexed))
@@ -61,7 +62,7 @@ object SweepIvf {
         val recall = (bruteSet & ivf).size.toDouble / bruteSet.size
         val cand = operators.Ivf.probeStats(queries, data, nlist, nprobe, index = index)
           .agg(avg(col("n_candidates"))).head.getDouble(0)
-        println(f"| $nlist | $nprobe | $recall%.3f | ${cand}%.0f |")
+        println(f"| $nlist | $rounds | $nprobe | $recall%.3f | ${cand}%.0f |")
       }
       indexed.unpersist(false)
     }

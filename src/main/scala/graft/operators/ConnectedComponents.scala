@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
   * algorithm discipline.
   */
 object ConnectedComponents {
+  /** Rounds the last [[components]]/[[componentsStar]] call took to
+    * converge — diagnostic only (read by ProfileCc / PERF.md notes).
+    */
+  @volatile private[graft] var lastRounds: Int = 0
+
   /** (v, c): component label c = min vertex id reachable from v.
     * `edges` must have columns (src, dst); the graph is treated as
     * undirected; isolated vertices don't appear (join the vertex set
@@ -87,6 +92,7 @@ object ConnectedComponents {
       eFp = nextFp
       round += 1
     }
+    lastRounds = round
     // stars are (child → root); roots label themselves
     val children = e.select(col("src").as("v"), col("dst").as("c"))
     val roots = e.select(col("dst").as("v")).distinct()
@@ -137,6 +143,7 @@ object ConnectedComponents {
       labelsFp = nextFp
       round += 1
     }
+    lastRounds = round
     labels
   }
 }

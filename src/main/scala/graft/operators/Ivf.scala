@@ -50,18 +50,41 @@ object Ivf {
         coalesce(col("new_centroid"), col("centroid")).as("centroid"))
   }
 
-  /** Train centroids: hash-sample init + `iters` Lloyd steps. The result
+  /** Rounds the last [[centroids]] call actually ran (diagnostic, read
+    * by SweepIvf / PERF.md notes).
+    */
+  @volatile private[graft] var lastRounds: Int = 0
+
+  /** Train centroids: hash-sample init + Lloyd steps, CONVERGENCE-GATED
+    * up to `iters` (a max, not a fixed count): training stops as soon as
+    * a step leaves every centroid bit-identical — once assignments reach
+    * a fixed point the recomputed means are deterministic, so
+    * bit-equality IS the fixed-point test (the CC convergence-digest
+    * idea; here the digest is free because each round's centroids are
+    * already collected driver-side for lineage truncation). Each round
     * is MATERIALISED (collected and re-created — nlist rows) so the
     * iterative training lineage is not re-executed by every downstream
-    * consumer (assign + probes would otherwise each re-run all steps).
+    * consumer, and so the loop's lineage cannot stack across rounds.
     */
-  def centroids(data: DataFrame, nlist: Int = 8, iters: Int = 2): DataFrame = {
-    graft.functions.CosineSimilarity.register(data.sparkSession)
-    var c = init(data, nlist)
-    (0 until iters).foreach(_ => c = step(data, c))
+  def centroids(data: DataFrame, nlist: Int = 8, iters: Int = 8): DataFrame = {
     val spark = data.sparkSession
-    spark.createDataFrame(
-      java.util.Arrays.asList(c.collect(): _*), c.schema)
+    graft.functions.CosineSimilarity.register(spark)
+    def digest(rows: Array[org.apache.spark.sql.Row]): Seq[(Long, Seq[Double])] =
+      rows.map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val first = init(data, nlist)
+    val schema = first.schema
+    var rows = first.collect()
+    var round = 0
+    var converged = false
+    while (!converged && round < iters) {
+      val c = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      val next = step(data, c).collect()
+      converged = digest(next) == digest(rows)
+      rows = next
+      round += 1
+    }
+    lastRounds = round
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Assign every vector to its nearest cell. */
