@@ -71,10 +71,15 @@ object ScaleUp {
       rot(rot(rot(df, "event_id", i, 10000000L), "user_id", i, 1000000L),
         "ts", i, spanNanos))
     replicate("documents", (df, i) => {
-      val cipherL = Lower.drop(i % 26) + Lower.take(i % 26)
-      val cipherU = Upper.drop(i % 26) + Upper.take(i % 26)
+      // a PERMUTATION per replica, not a rotation: rotations wrap at 26,
+      // so factor > 26 would hand replicas i and i+26 the SAME cipher —
+      // their docs become genuine cross-replica duplicates and the
+      // "scaled" dedup workload silently gains ~N²/26 extra true pairs
+      // (observed: 32× the expected pair count at factor 100)
+      val perm = new scala.util.Random(i.toLong).shuffle(Lower.toList).mkString
       rot(df, "doc_id", i, 1000000L)
-        .withColumn("text", translate(col("text"), Lower + Upper, cipherL + cipherU))
+        .withColumn("text",
+          translate(col("text"), Lower + Upper, perm + perm.toUpperCase))
     })
     replicate("embeddings", (df, i) => rot(df, "vec_id", i, 1000000L))
     // small dims pass through unchanged — they stay broadcast-sized by design
