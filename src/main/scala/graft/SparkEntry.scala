@@ -24,6 +24,7 @@ object SparkEntry {
       Scalars.queries ++ Windows.queries ++ LlmOps.queries ++
       ScaleOps.queries ++ EventTime.queries ++ Udx.queries ++
       Extra.queries ++ Extra2.queries ++ Extra3.queries ++ Tpch.queries ++
+      Tpch2.queries ++
       Embeddings.queries ++ Pipeline.queries ++ Analytics.queries ++ Map(
         // Reference-parity pipeline over the embedded fixture; nested CoT
         // structs are golden-file tested (no SQL oracle). The driver dump
@@ -50,6 +51,6 @@ object SparkEntry {
     Relational.oracle ++ Joins.oracle ++ SetSort.oracle ++
       Scalars.oracle ++ Windows.oracle ++ LlmOps.oracle ++
       EventTime.oracle ++ Udx.oracle ++ Extra.oracle ++ Extra2.oracle ++
-      Extra3.oracle ++ Tpch.oracle ++ Embeddings.oracle ++ Pipeline.oracle ++
-      Analytics.oracle
+      Extra3.oracle ++ Tpch.oracle ++ Tpch2.oracle ++ Embeddings.oracle ++
+      Pipeline.oracle ++ Analytics.oracle
 }

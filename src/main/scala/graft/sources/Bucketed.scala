@@ -1,0 +1,78 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Bucketed materialisations of the fixture fact tables.
+  *
+  * Bucketing is THE mechanism for repeated co-located fact-fact joins at
+  * scale: both sides are written pre-hashed (Murmur3, `pmod` bucket count)
+  * and pre-sorted on the join key, so every later join on that key is a
+  * zero-exchange sort-merge — the shuffle is paid once at layout time, not
+  * per query. On a 1000-executor cluster this converts the dominant
+  * repeated cost (re-shuffling a 100 TB lineitem for every orderkey join)
+  * into a one-time write.
+  *
+  * Mechanics here (single-JVM local mode, same layout rules as a cluster):
+  *  - tables are EXTERNAL (explicit `path`), so the parquet + bucket file
+  *    names survive the JVM; the in-memory catalog forgets the metadata,
+  *    so later JVMs re-register the existing files with `CREATE TABLE …
+  *    CLUSTERED BY` instead of rewriting them (schema DDL is persisted in
+  *    the ready-marker at write time);
+  *  - the frame is `repartition(buckets, key)` before the bucketed write:
+  *    repartition and bucketing use the same Murmur3-pmod function, so
+  *    each task holds exactly one bucket → ONE file per bucket → Spark
+  *    elides the merge-join sort (files are `sortBy`-sorted);
+  *  - only the columns a query needs are materialised — bucketed layout
+  *    is a projection-and-layout decision, not a table copy.
+  */
+object Bucketed {
+  /** Bucket count: 16 spreads sf0.1 nicely over local[32]; on a real
+    * cluster this is sized to executors × a small factor (e.g. 4096).
+    */
+  val NumBuckets = 16
+
+  private def sfx(sfDir: String, name: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"${name}_${h.take(8)}"
+  }
+
+  /** Marker inside the data dir recording a completed write + its schema
+    * DDL (underscore prefix: parquet readers skip it like `_SUCCESS`).
+    */
+  private def marker(dir: Path): Path = dir.resolve("_GRAFT_BUCKETS_READY")
+
+  /** A bucketed, key-sorted, column-pruned copy of fixture table `name`,
+    * created on first use per (JVM, sfDir) and re-registered from existing
+    * files in later JVMs.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String, key: String,
+      cols: Seq[String]): DataFrame = synchronized {
+    val id = sfx(sfDir, name)
+    val tbl = s"graft_bkt_$id"
+    if (!spark.catalog.tableExists(tbl)) {
+      val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-buckets-$id")
+      if (Files.exists(marker(dir))) {
+        val ddl = Files.readString(marker(dir)).trim
+        spark.sql(
+          s"""CREATE TABLE $tbl ($ddl) USING PARQUET
+             |CLUSTERED BY ($key) SORTED BY ($key) INTO $NumBuckets BUCKETS
+             |LOCATION '${dir.toUri}'""".stripMargin)
+      } else {
+        val df = Tables(spark, sfDir, name)
+          .select(cols.map(col).toIndexedSeq: _*)
+          .repartition(NumBuckets, col(key))
+        df.write.mode("overwrite")
+          .bucketBy(NumBuckets, key).sortBy(key)
+          .option("path", dir.toString)
+          .saveAsTable(tbl)
+        Files.writeString(marker(dir), df.schema.toDDL)
+      }
+    }
+    spark.table(tbl)
+  }
+}

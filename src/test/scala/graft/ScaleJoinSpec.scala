@@ -83,6 +83,42 @@ class ScaleJoinSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("join_bucketed never re-partitions the join key (registered query)") {
+    // Forcing SMJ makes the gate meaningful at any scale: without the
+    // bucketed layout the join would demand a hashpartitioning exchange
+    // on each side's orderkey; with it, the only exchanges left belong to
+    // the 5-group roll-up and the final order.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("join_bucketed")(spark, sf)
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(!plan.contains("hashpartitioning(o_orderkey") &&
+        !plan.contains("hashpartitioning(l_orderkey"),
+        s"bucketed fact join re-shuffled its key:\n$plan")
+      // Sort elision: Spark 3+ ignores write-time `sortBy` order at scan
+      // time by DEFAULT (SPARK-28632 — a bucket with >1 file would be
+      // only per-file sorted), so the default plan carries a cheap
+      // partition-local Sort and NO exchange. Our writer guarantees one
+      // file per bucket (repartition on the bucket hash before write);
+      // under the legacy outputOrdering flag that lets Spark trust the
+      // file order, the merge-join sorts disappear entirely.
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val ordered = SparkEntry.queries("join_bucketed")(spark, sf)
+      val oPlan = ordered.queryExecution.executedPlan.toString
+      val joinSubtree = oPlan.substring(oPlan.indexOf("SortMergeJoin"))
+      assert(!joinSubtree.contains("Sort [o_orderkey") &&
+        !joinSubtree.contains("Sort [l_orderkey"),
+        s"bucketed join re-sorted one-file-per-bucket sorted data:\n$oPlan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    }
+  }
+
   test("partitioned writes prune partitions at the scan") {
     val dir = Files.createTempDirectory("graft-part").toString + "/orders_by_year"
     Tables(spark, sf, "orders")
