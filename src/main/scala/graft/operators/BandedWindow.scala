@@ -1,12 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Band-parallel rewrite of a value-RANGE window frame.
   *
-  * `count/sum OVER (PARTITION BY p ORDER BY v RANGE BETWEEN width
+  * `count/sum/min/max OVER (PARTITION BY p ORDER BY v RANGE BETWEEN width
   * PRECEDING AND CURRENT ROW)` serializes per partition value: Spark's
   * WindowExec walks each partition in ONE task, so a 5-segment column is
   * a 5-way parallelism ceiling no matter the cluster — at 100× each
@@ -15,26 +15,33 @@ import org.apache.spark.sql.functions._
   *
   * The rewrite cuts `v` into bands of exactly the frame width. A row's
   * frame `[v-width, v]` then touches AT MOST two bands — its own and the
-  * previous one — so the frame aggregate decomposes into three
-  * band-local terms:
+  * previous one — so the frame aggregate decomposes into band-local terms:
   *
   *   frame(v) = {u in band(v):   u <= v}          — intra-band running agg
-  *            + {u in band(v)-1}                   — previous band's total
-  *            - {u in band(v)-1: u < v-width}      — previous band's prefix
-  *                                                   strictly below the lower
-  *                                                   frame edge
+  *            ⊕ {u in band(v)-1: u >= v-width}    — previous band's frame slice
   *
   * Term 1 is an intra-band RANGE window (ties all see each other,
-  * preserving RANGE tie semantics). Terms 2 and 3 come from ONE window
-  * pass over the previous band: PHANTOM PROBE rows (one per row, deduped
-  * to one per distinct value inside the same pass, placed at `v-width`,
-  * ordered BEFORE real ties so the running count is strictly-less-than)
-  * read the running prefix, and the same pass's whole-partition total
-  * gives the band total — their difference is exactly terms 2−3. The probe results join back on
-  * `(part, band, v)`, which the planner co-locates with the term-1
-  * window's `(part, band)` hash partitioning — no extra shuffle for the
-  * join. Parallelism becomes #partitions × #bands instead of
-  * #partitions; no task ever walks more than ~two bands of rows.
+  * preserving RANGE tie semantics). Term 2's form depends on the
+  * aggregate's algebra:
+  *   - INVERTIBLE (count/sum): previous band's total minus its strict
+  *     prefix below the frame edge, both read off ONE ascending window
+  *     pass — PHANTOM PROBE rows (one per row, deduped to one per
+  *     distinct value inside the same pass, placed at `v-width`, ordered
+  *     BEFORE real ties so the running count is strictly-less-than) read
+  *     the running prefix, and the same pass's whole-partition total
+  *     gives the band total;
+  *   - NON-INVERTIBLE (min/max): subtraction doesn't exist, so the probe
+  *     instead reads a running SUFFIX aggregate in a DESCENDING pass over
+  *     the same union (probes ordered AFTER real ties there, so the
+  *     suffix is `u >= edge` inclusive — the frame's lower-edge rule).
+  *     Same shuffle: a second sort within the already-co-located
+  *     (part, band) partition, no new exchange.
+  *
+  * The probe results join back on `(part, band, v)`, which the planner
+  * co-locates with the term-1 window's `(part, band)` hash partitioning —
+  * no extra shuffle for the join. Parallelism becomes #partitions ×
+  * #bands instead of #partitions; no task ever walks more than ~two
+  * bands of rows.
   *
   * Band arithmetic runs in DECIMAL/long cents — never double — so band
   * assignment is exact (a double `floor(v/width)` can round across an
@@ -52,11 +59,28 @@ object BandedWindow {
     * `rangeBetween(-width, 0)`).
     */
   def rangeCountSum(df: DataFrame, part: Seq[String], valueCol: String,
-                    width: Long, cntName: String, sumName: String): DataFrame = {
+                    width: Long, cntName: String, sumName: String): DataFrame =
+    rangeFrame(df, part, valueCol, width,
+      cntName = Some(cntName), sumName = Some(sumName))
+
+  /** General banded RANGE frame: any subset of count/sum/min/max of
+    * `valueCol` (as DECIMAL(18,2)) over the per-`part` frame
+    * `[v - width, v]`, each emitted under the given output name.
+    */
+  def rangeFrame(df: DataFrame, part: Seq[String], valueCol: String,
+                 width: Long,
+                 cntName: Option[String] = None,
+                 sumName: Option[String] = None,
+                 minName: Option[String] = None,
+                 maxName: Option[String] = None): DataFrame = {
     require(width > 0, "frame width must be positive")
+    val outs = Seq(cntName, sumName, minName, maxName).flatten
+    require(outs.nonEmpty, "at least one aggregate output required")
     val partCols = part.map(col)
     val money = org.apache.spark.sql.types.DecimalType(18, 2)
     val wCents = width * 100L
+    val needSub = cntName.isDefined || sumName.isDefined
+    val needSuf = minName.isDefined || maxName.isDefined
 
     // exact band id from integer cents: floor division via pmod so
     // negative values land in the right band too. Column./ is a DOUBLE
@@ -70,15 +94,14 @@ object BandedWindow {
           .cast("long")
       })
 
-    // term 1 — intra-band running count/sum; RANGE (not ROWS) so equal
+    // term 1 — intra-band running aggregates; RANGE (not ROWS) so equal
     // values each include all their ties, matching the original frame
     val wA = Window.partitionBy(partCols :+ col("__band"): _*)
       .orderBy(col("__v"))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
 
-    // terms 2&3 — previous band's total minus its strict prefix below
-    // the lower frame edge, both read off one (part, band)-local window
-    // pass over real rows + phantom probes.
+    // term 2 — the previous band's frame slice, read off window passes
+    // over real rows + phantom probes.
     //
     // The probe's SORT key is IEEE double on purpose: a direct
     // `ORDER BY v RANGE -width` over a double column (Spark's WindowExec
@@ -87,7 +110,7 @@ object BandedWindow {
     // decimal) the rounding residues of u and v can differ — the double
     // frame may include or exclude it either way. Replicating the double
     // arithmetic keeps the rewrite BIT-identical to the direct
-    // formulation. The summed value stays decimal (__sv).
+    // formulation. The aggregated value stays decimal (__sv).
     // probes are NOT pre-distinct'd (that would cost a full shuffle);
     // duplicates sort adjacently and the lag() filter below — same
     // WindowExec as the prefix sums — keeps only the first of each run
@@ -105,37 +128,69 @@ object BandedWindow {
       col("__v").as("__sv"),
       col("__band").as("__pband"),
       lit(1).as("__real")): _*)
+    // ascending pass: probes BEFORE real ties → running count/sum over
+    // preceding rows is the STRICT prefix `u < edge`; subtracting it
+    // from the band total leaves `u >= edge` (count/sum only).
     val wOrd = Window.partitionBy(partCols :+ col("__pband"): _*)
       .orderBy(col("__sortv").asc, col("__real").asc)
     val wP = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wT = Window.partitionBy(partCols :+ col("__pband"): _*)
-    val prev = reals.unionByName(probes)
+    // descending pass: real ties BEFORE the probe → the running min/max
+    // over preceding rows at the probe is the suffix `u >= edge`,
+    // inclusive, matching the frame's lower edge directly (no
+    // subtraction — min/max has none).
+    val wD = Window.partitionBy(partCols :+ col("__pband"): _*)
+      .orderBy(col("__sortv").desc, col("__real").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    var prev = reals.unionByName(probes)
+    if (needSub) prev = prev
       .withColumn("__lt_cnt",
         sum(when(col("__real") === 1, 1L).otherwise(0L)).over(wP))
       .withColumn("__lt_sum", sum(col("__sv")).over(wP))
       .withColumn("__tot_cnt",
         sum(when(col("__real") === 1, 1L).otherwise(0L)).over(wT))
       .withColumn("__tot_sum", sum(col("__sv")).over(wT))
-      // duplicate probes (same value appearing on several rows) sort as a
-      // run: equal __sortv, __real=0, reals after. Keep the run's first —
-      // lag() shares wOrd's WindowExec, so this dedup is shuffle-free.
-      .withColumn("__prev_probe_v", lag(col("__orig_v"), 1).over(wOrd))
-      .filter(col("__real") === 0 && !(col("__prev_probe_v") <=> col("__orig_v")))
-      .select(partCols ++ Seq(
-        col("__orig_band").as("__band"),
-        col("__orig_v").as("__v"),
+    if (needSuf) prev = prev
+      .withColumn("__ge_min", min(col("__sv")).over(wD))
+      .withColumn("__ge_max", max(col("__sv")).over(wD))
+    // duplicate probes (same value appearing on several rows) sort as a
+    // run: equal __sortv, __real=0, reals after. Keep the run's first —
+    // lag() shares wOrd's WindowExec, so this dedup is shuffle-free.
+    val probeOut = partCols ++ Seq(
+      col("__orig_band").as("__band"),
+      col("__orig_v").as("__v")) ++
+      (if (needSub) Seq(
         (col("__tot_cnt") - col("__lt_cnt")).as("__prev_cnt"),
         (coalesce(col("__tot_sum"), lit(0).cast(money))
-          - coalesce(col("__lt_sum"), lit(0).cast(money))).as("__prev_sum")): _*)
+          - coalesce(col("__lt_sum"), lit(0).cast(money))).as("__prev_sum"))
+       else Nil) ++
+      (if (needSuf) Seq(
+        col("__ge_min").as("__prev_min"),
+        col("__ge_max").as("__prev_max"))
+       else Nil)
+    val prevSlice = prev
+      .withColumn("__prev_probe_v", lag(col("__orig_v"), 1).over(wOrd))
+      .filter(col("__real") === 0 && !(col("__prev_probe_v") <=> col("__orig_v")))
+      .select(probeOut: _*)
 
     // join keys include (part, __band) so the planner co-locates on the
     // windows' existing hash partitioning instead of reshuffling by value
-    base
-      .withColumn("__a_cnt", count(lit(1)).over(wA))
-      .withColumn("__a_sum", sum(col("__v")).over(wA))
-      .join(prev, part ++ Seq("__band", "__v"))
-      .withColumn(cntName, col("__a_cnt") + col("__prev_cnt"))
-      .withColumn(sumName, col("__a_sum") + col("__prev_sum"))
-      .select(df.columns.map(col) ++ Seq(col(cntName), col(sumName)): _*)
+    var joined = base
+    if (cntName.isDefined) joined = joined.withColumn("__a_cnt", count(lit(1)).over(wA))
+    if (sumName.isDefined) joined = joined.withColumn("__a_sum", sum(col("__v")).over(wA))
+    if (minName.isDefined) joined = joined.withColumn("__a_min", min(col("__v")).over(wA))
+    if (maxName.isDefined) joined = joined.withColumn("__a_max", max(col("__v")).over(wA))
+    joined = joined.join(prevSlice, part ++ Seq("__band", "__v"))
+    // combine: count/sum add the complements; min/max merge with
+    // null-skipping least/greatest (term 1 is never empty — the frame
+    // always contains the current row — so the result is never null).
+    val outCols: Seq[(String, Column)] =
+      cntName.map(n => n -> (col("__a_cnt") + col("__prev_cnt"))).toSeq ++
+      sumName.map(n => n -> (col("__a_sum") + col("__prev_sum"))) ++
+      minName.map(n => n -> least(col("__a_min"), col("__prev_min"))) ++
+      maxName.map(n => n -> greatest(col("__a_max"), col("__prev_max")))
+    for ((n, c) <- outCols) joined = joined.withColumn(n, c)
+    joined.select(df.columns.map(col) ++ outCols.map { case (n, _) => col(n) }: _*)
   }
 }

@@ -80,6 +80,28 @@ object Windows {
         .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
         .agg(Oracle.out(sum(Oracle.dec(col("value")))))
         .orderBy(col("user_id"))
+    },
+
+    // -- non-invertible RANGE frame (min/max over a value band) --------------
+    // win_range_frame's sibling for the aggregates subtraction can't
+    // rebuild: per-segment min/max over the 1000-wide totalprice band,
+    // via BandedWindow's descending suffix pass (the generalized
+    // rewrite). Same parallelism argument: a direct rangeBetween is a
+    // 5-task ceiling; bands make it #segments × #bands. Row-identity
+    // with the direct form is pinned in PropertySpec.
+    "win_range_frame_minmax" -> { (s, dir) =>
+      val joined = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment"),
+          col("o_totalprice").as("totalprice_d"))
+      graft.operators.BandedWindow.rangeFrame(joined, Seq("c_mktsegment"),
+          "totalprice_d", width = 1000L,
+          minName = Some("band_min"), maxName = Some("band_max"))
+        .select(col("o_orderkey"), col("c_mktsegment"),
+          Oracle.out(Oracle.dec(col("totalprice_d"))).as("totalprice"),
+          Oracle.out(col("band_min")).as("band_min"),
+          Oracle.out(col("band_max")).as("band_max"))
+        .transform(Oracle.totalOrder)
     }
   )
 
@@ -129,6 +151,16 @@ object Windows {
         |CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
         |CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
         |CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "win_range_frame_minmax" ->
+      """SELECT o_orderkey, c_mktsegment,
+        |CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+        |CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS band_min,
+        |CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS band_max
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice
+        |             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey, c_mktsegment, totalprice, band_min, band_max""".stripMargin
   )
 }

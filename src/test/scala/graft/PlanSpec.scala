@@ -159,19 +159,20 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), s"no hash/merge join on the bin id:\n$p")
   }
 
-  test("win_range_frame windows are band-partitioned, never per-segment serial") {
-    val p = plan("win_range_frame")
-    // The whole point of the BandedWindow rewrite: every Window operator
-    // must partition by (segment, band) — a Window partitioned by the
-    // 5-value segment alone is the serial-walk ceiling coming back.
-    val windowSpecs = p.linesIterator.filter(_.contains("Window [")).toSeq
-    assert(windowSpecs.nonEmpty, s"no Window operators found:\n$p")
-    windowSpecs.foreach { w =>
-      assert(w.contains("__band") || w.contains("__pband"),
-        s"a Window lost its band partitioning (serial per-segment walk):\n$w")
+  for (q <- Seq("win_range_frame", "win_range_frame_minmax"))
+    test(s"$q windows are band-partitioned, never per-segment serial") {
+      val p = plan(q)
+      // The whole point of the BandedWindow rewrite: every Window operator
+      // must partition by (segment, band) — a Window partitioned by the
+      // 5-value segment alone is the serial-walk ceiling coming back.
+      val windowSpecs = p.linesIterator.filter(_.contains("Window [")).toSeq
+      assert(windowSpecs.nonEmpty, s"no Window operators found:\n$p")
+      windowSpecs.foreach { w =>
+        assert(w.contains("__band") || w.contains("__pband"),
+          s"a Window lost its band partitioning (serial per-segment walk):\n$w")
+      }
+      assert(!p.contains("BroadcastNestedLoop"), p)
     }
-    assert(!p.contains("BroadcastNestedLoop"), p)
-  }
 
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // At 100 TB the win: a selective dim filter becomes a bloom filter

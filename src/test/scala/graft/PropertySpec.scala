@@ -195,6 +195,24 @@ class PropertySpec extends AnyFunSuite {
       .select(col("id"), col("n_band"), Oracle.out(col("band_sum")).as("band_sum"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(banded === direct)
+
+    // min/max — the NON-invertible aggregates (no subtraction identity;
+    // the rewrite's descending suffix pass) — on the same hard cases,
+    // plus all four at once through the generalized entry point.
+    val directMM = df
+      .withColumn("band_min", min(col("price").cast("decimal(18,2)")).over(w))
+      .withColumn("band_max", max(col("price").cast("decimal(18,2)")).over(w))
+      .select(col("id"), Oracle.out(col("band_min")).as("band_min"),
+        Oracle.out(col("band_max")).as("band_max"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val bandedMM = graft.operators.BandedWindow.rangeFrame(
+        df, Seq("seg"), "price", 1000L,
+        cntName = Some("n_band"), sumName = Some("band_sum"),
+        minName = Some("band_min"), maxName = Some("band_max"))
+      .select(col("id"), Oracle.out(col("band_min")).as("band_min"),
+        Oracle.out(col("band_max")).as("band_max"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(bandedMM === directMM)
   }
 
   test("win_range_frame (banded) equals the direct formulation on the fixture") {
