@@ -57,6 +57,39 @@ object EventTime {
     "win_session" -> { (s, dir) =>
       sessions(Tables(s, dir, "events"))
         .orderBy(col("user_id"), col("session_start"))
+    },
+
+    // Regular-grid resample + gap fill — the telemetry normalisation every
+    // sensor pipeline runs before modeling: per user, an hourly grid from
+    // first to last event (sequence+explode — grid size is span-bounded,
+    // ~720 rows/user for the 30-day fixture), the hour's exact-decimal
+    // mean where events exist, and last-observation-carried-forward
+    // (`last(_, ignoreNulls)`) across the gaps. Scales by user: the grid
+    // join and the LOCF window both hash on user_id — no global sort,
+    // no driver-side series materialisation. The mean divides the exact
+    // decimal sum as DOUBLE on both engines (avg() directly would drift:
+    // engines disagree on double summation order).
+    "ts_resample" -> { (s, dir) =>
+      val hourly = Tables(s, dir, "events")
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+        .agg((Oracle.out(sum(Oracle.dec(col("value")))) / count(lit(1)))
+            .as("v_avg"),
+          count(lit(1)).as("n_events"))
+      val grid = hourly.groupBy(col("user_id"))
+        .agg(min(col("hour")).as("t0"), max(col("hour")).as("t1"))
+        .select(col("user_id"),
+          explode(sequence(col("t0"), col("t1"), expr("interval 1 hour")))
+            .as("hour"))
+      val locf = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("hour"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hour"), "left")
+        .select(col("user_id"), col("hour"), col("v_avg"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          col("v_avg").isNull.as("is_gap"),
+          last(col("v_avg"), ignoreNulls = true).over(locf).as("v_filled"))
+        .orderBy(col("user_id"), col("hour"))
     }
   )
 
@@ -98,6 +131,25 @@ object EventTime {
         |       MAX(t) + INTERVAL 30 MINUTE AS session_end,
         |       COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM s GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "ts_resample" ->
+      """WITH b AS (
+        |  SELECT user_id, date_trunc('hour', ts::TIMESTAMP) AS hour,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS v_avg,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(MIN(hour), MAX(hour), INTERVAL 1 HOUR)) AS hour
+        |  FROM b GROUP BY user_id)
+        |SELECT g.user_id, g.hour, b.v_avg,
+        |  COALESCE(b.n_events, 0) AS n_events,
+        |  (b.v_avg IS NULL) AS is_gap,
+        |  LAST_VALUE(b.v_avg IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.hour = b.hour
+        |ORDER BY g.user_id, g.hour""".stripMargin
   )
 }
