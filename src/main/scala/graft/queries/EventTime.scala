@@ -70,11 +70,16 @@ object EventTime {
     // decimal sum as DOUBLE on both engines (avg() directly would drift:
     // engines disagree on double summation order).
     "ts_resample" -> { (s, dir) =>
+      // cache(): the hourly aggregate feeds BOTH the grid bounds and the
+      // grid join — uncached, each consumer re-runs the events scan+agg
+      // (the tpch_q15 materialisation argument: the cached relation is
+      // user-hour-sized, the saved second scan grows with events).
       val hourly = Tables(s, dir, "events")
         .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
         .agg((Oracle.out(sum(Oracle.dec(col("value")))) / count(lit(1)))
             .as("v_avg"),
           count(lit(1)).as("n_events"))
+        .cache()
       val grid = hourly.groupBy(col("user_id"))
         .agg(min(col("hour")).as("t0"), max(col("hour")).as("t1"))
         .select(col("user_id"),
