@@ -56,16 +56,20 @@ object Bucketed {
     val tbl = s"graft_bkt_$id"
     if (!spark.catalog.tableExists(tbl)) {
       val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-buckets-$id")
-      if (Files.exists(marker(dir))) {
-        val ddl = Files.readString(marker(dir)).trim
+      val wanted = Tables(spark, sfDir, name)
+        .select(cols.map(col).toIndexedSeq: _*)
+      // A marker from a previous JVM re-registers the existing files —
+      // but only if it was written for the SAME projection; a stale
+      // marker (caller's column list changed between library versions)
+      // would silently register the old layout, so it forces a rewrite.
+      if (Files.exists(marker(dir)) &&
+          Files.readString(marker(dir)).trim == wanted.schema.toDDL) {
         spark.sql(
-          s"""CREATE TABLE $tbl ($ddl) USING PARQUET
+          s"""CREATE TABLE $tbl (${wanted.schema.toDDL}) USING PARQUET
              |CLUSTERED BY ($key) SORTED BY ($key) INTO $NumBuckets BUCKETS
              |LOCATION '${dir.toUri}'""".stripMargin)
       } else {
-        val df = Tables(spark, sfDir, name)
-          .select(cols.map(col).toIndexedSeq: _*)
-          .repartition(NumBuckets, col(key))
+        val df = wanted.repartition(NumBuckets, col(key))
         df.write.mode("overwrite")
           .bucketBy(NumBuckets, key).sortBy(key)
           .option("path", dir.toString)

@@ -119,6 +119,35 @@ class ScaleJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("Bucketed re-registers existing files in a fresh catalog (second JVM)") {
+    import graft.sources.Bucketed
+    val before = SparkEntry.queries("join_bucketed")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    // simulate the next JVM: catalog forgets the tables, files + marker stay
+    for (t <- spark.catalog.listTables().collect().map(_.name)
+         if t.startsWith("graft_bkt_"))
+      spark.sql(s"DROP TABLE $t")
+    val after = SparkEntry.queries("join_bucketed")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(after == before)
+    // and the re-registered table is still bucketed metadata, not a plain scan
+    val o = Bucketed.table(spark, sf, "orders", "o_orderkey",
+      Seq("o_orderkey", "o_orderpriority"))
+    assert(o.queryExecution.optimizedPlan.toString.nonEmpty)
+    val plan = {
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val df = SparkEntry.queries("join_bucketed")(spark, sf)
+        df.write.format("noop").mode("overwrite").save()
+        df.queryExecution.executedPlan.toString
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+    assert(plan.contains("Bucketed: true"), plan)
+    assert(!plan.contains("hashpartitioning(o_orderkey") &&
+      !plan.contains("hashpartitioning(l_orderkey"), plan)
+  }
+
   test("partitioned writes prune partitions at the scan") {
     val dir = Files.createTempDirectory("graft-part").toString + "/orders_by_year"
     Tables(spark, sf, "orders")
