@@ -32,8 +32,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default: at sf0.1 × local[32] with cached relations the old 8g
-  // heap ran close enough to GC pressure to add ±10% run-to-run bench
-  // noise (round-5 measurement); the box has 128 GiB.
+  // 16g default: headroom for the cached relations the query set carries
+  // (q11/q15/ts_resample materialisations) on a 128 GiB box. Measured
+  // round 5: the ±10% full-bench run-to-run swing is JIT order, NOT heap
+  // pressure — totals were statistically identical at 8g and 16g.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

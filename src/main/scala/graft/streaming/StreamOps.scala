@@ -206,6 +206,110 @@ object StreamOps {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** One emitted grid cell of [[gridResample]] — the streaming row shape
+    * of the batch `ts_resample` query (same columns, same fill rule).
+    */
+  case class GridPoint(user_id: Long, hour: java.sql.Timestamp,
+                       v_avg: Option[Double], n_events: Long,
+                       is_gap: Boolean, v_filled: Option[Double])
+
+  /** Streaming regular-grid resample with LOCF gap fill — `ts_resample`'s
+    * streaming form. Per user, hourly means are accumulated in a MapState
+    * of open hours; when the WATERMARK closes an hour, it is emitted in
+    * grid order together with synthetic rows for every skipped hour in
+    * between (v_avg null, n_events 0, is_gap true, v_filled carried
+    * forward from the last real hour). Like the batch grid (which spans
+    * [first, last] event hour), gaps are filled BETWEEN observed hours
+    * only — no timer fires forever after the last event.
+    *
+    * The hourly mean replicates the batch query's arithmetic exactly:
+    * values are accumulated as HALF_UP 2-dp cents (the decimal(18,2)
+    * cast), and cents/100.0/n divides in double — bit-identical to
+    * casting the exact decimal sum to double and dividing.
+    */
+  class GridResampleProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, GridPoint] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    private val HourMs = 3600000L
+    // open hours: hourMs -> (sumCents, n)
+    @transient private var pending: MapState[Long, (Long, Long)] = _
+    // LOCF continuity: (last closed hourMs, its mean)
+    @transient private var lastClosed: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pending = getHandle.getMapState[Long, (Long, Long)]("pending",
+        Encoders.scalaLong, Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      lastClosed = getHandle.getValueState[(Long, Double)]("lastClosed",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    /** HALF_UP 2-dp cents — the exact mirror of `cast(value as decimal(18,2))`. */
+    private def cents(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[GridPoint] = {
+      rows.foreach { e =>
+        val h = Math.floorDiv(e.ts.getTime, HourMs) * HourMs
+        val (s0, n0) = Option(pending.getValue(h)).getOrElse((0L, 0L))
+        pending.updateValue(h, (s0 + cents(e.value), n0 + 1))
+      }
+      // one armed timer per key, at the earliest open hour's end
+      // (materialise listTimers before deleting — see SessionCloseProcessor)
+      val hours = pending.keys().toSeq
+      if (hours.nonEmpty) {
+        getHandle.listTimers().toSeq.foreach(t => getHandle.deleteTimer(t))
+        getHandle.registerTimer(hours.min + HourMs)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[GridPoint] = {
+      val wm = timers.getCurrentWatermarkInMs()
+      val all = pending.iterator().toSeq.sortBy(_._1)
+      val (closed, open) = all.partition { case (h, _) => h + HourMs <= wm }
+      val out = Seq.newBuilder[GridPoint]
+      var last = Option(lastClosed.get())
+      closed.foreach { case (h, (s, n)) =>
+        last.foreach { case (lh, lv) =>
+          var g = lh + HourMs
+          while (g < h) {
+            out += GridPoint(user, new java.sql.Timestamp(g), None, 0L,
+              is_gap = true, Some(lv))
+            g += HourMs
+          }
+        }
+        val avg = s / 100.0 / n
+        out += GridPoint(user, new java.sql.Timestamp(h), Some(avg), n,
+          is_gap = false, Some(avg))
+        last = Some((h, avg))
+        pending.removeKey(h)
+      }
+      last.foreach(lastClosed.update)
+      if (open.nonEmpty) getHandle.registerTimer(open.map(_._1).min + HourMs)
+      out.result().iterator
+    }
+  }
+
+  /** [[GridResampleProcessor]] wired onto a watermarked stream. */
+  def gridResample(events: org.apache.spark.sql.Dataset[Event],
+                   watermark: String = "1 second")
+      : org.apache.spark.sql.Dataset[GridPoint] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new GridResampleProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Streaming CDC apply — the `foreachBatch` pattern for maintaining a
     * keyed snapshot from a change stream: each micro-batch of change
     * rows (upserts/tombstones + a version column) is merged onto the

@@ -326,6 +326,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming grid resample emits closed hours with LOCF gap rows (ts_resample form)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val q = StreamOps.gridResample(input.toDS())
+        .writeStream.format("memory").queryName("grid_resample_out")
+        .outputMode("append").start()
+      withQuery(q) {
+        // user 7: events in hours 10:00 (two) and 13:00 (one) — gaps at
+        // 11:00 and 12:00; split across micro-batches so the 10:00 hour
+        // is still open after batch 1
+        input.addData(Seq(
+          Event(1, ts("2024-01-01 10:05:00"), 7, "view", 1.5),
+          Event(2, ts("2024-01-01 10:40:00"), 7, "view", 2.5)))
+        q.processAllAvailable()
+        assert(spark.table("grid_resample_out").isEmpty,
+          "hour 10:00 emitted before the watermark closed it")
+        input.addData(Seq(Event(3, ts("2024-01-01 13:10:00"), 7, "view", 6.0)))
+        q.processAllAvailable()
+        // advance the watermark past 14:00 (sentinel user), then one more
+        // batch so the expired timers run with the advanced watermark
+        input.addData(Seq(Event(4, ts("2024-01-01 15:00:00"), 99, "view", 1.0)))
+        q.processAllAvailable()
+        input.addData(Seq(Event(5, ts("2024-01-01 15:00:01"), 99, "view", 1.0)))
+        q.processAllAvailable()
+        val rows = spark.table("grid_resample_out")
+          .filter(col("user_id") === 7L)
+          .orderBy("hour")
+          .collect()
+          .map(r => (r.getTimestamp(1), Option(r.get(2)), r.getLong(3),
+            r.getBoolean(4), r.getDouble(5)))
+          .toSeq
+        // same shape the batch ts_resample query produces for this user:
+        // grid [10:00 .. 13:00], means exact, gaps LOCF-filled
+        assert(rows == Seq(
+          (ts("2024-01-01 10:00:00"), Some(2.0), 2L, false, 2.0),
+          (ts("2024-01-01 11:00:00"), None, 0L, true, 2.0),
+          (ts("2024-01-01 12:00:00"), None, 0L, true, 2.0),
+          (ts("2024-01-01 13:00:00"), Some(6.0), 1L, false, 6.0)),
+          s"grid mismatch: $rows")
+      }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream_dedup: dropDuplicatesWithinWatermark keeps first arrival only") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
