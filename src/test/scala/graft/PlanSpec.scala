@@ -89,6 +89,37 @@ class PlanSpec extends AnyFunSuite {
       s"returnflag filter not pushed to the lineitem scan:\n$p")
   }
 
+  test("tpch_q2 pushes the part filters to the scan; window keys on partkey") {
+    val p = plan("tpch_q2")
+    assert(p.contains("EqualTo(p_type,LARGE)") && p.contains("LessThanOrEqual(p_size,15)"),
+      s"part filters not pushed into the scan:\n$p")
+    // the correlated min decorrelates to a per-part window — high-
+    // cardinality partitioning, not a per-region serial walk
+    assert(p.contains("windowspecdefinition(p_partkey"), s"no per-part window in:\n$p")
+  }
+
+  test("tpch_q11 shares ONE cached per-part aggregate between total and probe") {
+    val p = plan("tpch_q11")
+    assert(p.contains("InMemoryTableScan"),
+      s"per-part aggregate not materialised (double lineitem pass):\n$p")
+    // the only nested-loop is the one-row total broadcast cross join
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch_q16 plans NOT IN as a broadcast anti-join") {
+    val p = plan("tpch_q16")
+    assert(p.contains("LeftAnti"), s"no anti join in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"anti join degenerated to a null-aware BNL:\n$p")
+  }
+
+  test("tpch_q20 keeps both levels as semi joins") {
+    val p = plan("tpch_q20")
+    assert(p.split("LeftSemi").length - 1 >= 2,
+      s"expected two semi joins (parts, suppliers) in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("tpch_q7 broadcasts all four dims; lineitem-orders is the only big shuffle") {
     val p = plan("tpch_q7")
     // supplier, customer, and both nation copies broadcast
