@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Attribution probe for ts_resample's scaling: time the registered query
+  * (which ends in the oracle contract's global ORDER BY) against the same
+  * pipeline WITHOUT the final sort — the form a production caller writes
+  * to a partitioned sink. `sbt "runMain graft.SweepResample <sfDir> [reps]"`.
+  *
+  * Produces the PERF.md row separating the operator's cost (grid join +
+  * per-user LOCF window, linear in rows) from the benchmark harness's
+  * total-order requirement (O(n log n) range-sort of the whole grid).
+  */
+object SweepResample {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: SweepResample <sfDir> [reps]")
+    val dir = args(0)
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(label: String, mk: => org.apache.spark.sql.DataFrame): Unit = {
+      val secs = (1 to reps).map { _ =>
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[sweep-resample] $label%-12s ${secs.min}%.2f s (min of $reps)")
+    }
+
+    time("sorted", SparkEntry.queries("ts_resample")(spark, dir))
+    // identical pipeline, no global ORDER BY
+    time("unsorted", queries.EventTime.resampleHourly(Tables.events(spark, dir)))
+    spark.stop()
+  }
+}

@@ -26,6 +26,38 @@ object EventTime {
       .select(col("w.start").as("wstart"), col("w.end").as("wend"),
         col("n"), col("total"))
 
+  /** Regular-grid hourly resample with LOCF gap fill (unsorted — the form
+    * a production caller writes to a partitioned sink; the registered
+    * `ts_resample` adds the oracle contract's total ORDER BY). See the
+    * query entry below for the plan discipline.
+    */
+  def resampleHourly(events: DataFrame): DataFrame = {
+    // cache(): the hourly aggregate feeds BOTH the grid bounds and the
+    // grid join — uncached, each consumer re-runs the events scan+agg
+    // (the tpch_q15 materialisation argument: the cached relation is
+    // user-hour-sized, the saved second scan grows with events).
+    val hourly = events
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg((Oracle.out(sum(Oracle.dec(col("value")))) / count(lit(1)))
+          .as("v_avg"),
+        count(lit(1)).as("n_events"))
+      .cache()
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("t0"), max(col("hour")).as("t1"))
+      .select(col("user_id"),
+        explode(sequence(col("t0"), col("t1"), expr("interval 1 hour")))
+          .as("hour"))
+    val locf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"), col("v_avg"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("v_avg").isNull.as("is_gap"),
+        last(col("v_avg"), ignoreNulls = true).over(locf).as("v_filled"))
+  }
+
   /** Session windows (30-min gap) per user — shared with streaming. */
   def sessions(events: DataFrame): DataFrame =
     events
@@ -70,30 +102,7 @@ object EventTime {
     // decimal sum as DOUBLE on both engines (avg() directly would drift:
     // engines disagree on double summation order).
     "ts_resample" -> { (s, dir) =>
-      // cache(): the hourly aggregate feeds BOTH the grid bounds and the
-      // grid join — uncached, each consumer re-runs the events scan+agg
-      // (the tpch_q15 materialisation argument: the cached relation is
-      // user-hour-sized, the saved second scan grows with events).
-      val hourly = Tables(s, dir, "events")
-        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
-        .agg((Oracle.out(sum(Oracle.dec(col("value")))) / count(lit(1)))
-            .as("v_avg"),
-          count(lit(1)).as("n_events"))
-        .cache()
-      val grid = hourly.groupBy(col("user_id"))
-        .agg(min(col("hour")).as("t0"), max(col("hour")).as("t1"))
-        .select(col("user_id"),
-          explode(sequence(col("t0"), col("t1"), expr("interval 1 hour")))
-            .as("hour"))
-      val locf = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("hour"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      grid.join(hourly, Seq("user_id", "hour"), "left")
-        .select(col("user_id"), col("hour"), col("v_avg"),
-          coalesce(col("n_events"), lit(0L)).as("n_events"),
-          col("v_avg").isNull.as("is_gap"),
-          last(col("v_avg"), ignoreNulls = true).over(locf).as("v_filled"))
+      resampleHourly(Tables(s, dir, "events"))
         .orderBy(col("user_id"), col("hour"))
     }
   )
