@@ -49,6 +49,13 @@ object Bucketed {
   /** A bucketed, key-sorted, column-pruned copy of fixture table `name`,
     * created on first use per (JVM, sfDir) and re-registered from existing
     * files in later JVMs.
+    *
+    * Single-writer assumption: the `synchronized` guard serialises threads
+    * WITHIN a JVM; two separate processes bootstrapping the same layout
+    * concurrently would race on the overwrite. That is the deployment
+    * model here (the driver serialises its sbt invocations) and the
+    * production model in general — layout materialisation is a scheduled
+    * job, not an implicit side effect of two readers.
     */
   def table(spark: SparkSession, sfDir: String, name: String, key: String,
       cols: Seq[String]): DataFrame = synchronized {

@@ -255,6 +255,9 @@ object StreamOps {
 
     override def handleInputRows(user: Long, rows: Iterator[Event],
                                  timers: TimerValues): Iterator[GridPoint] = {
+      // rows here are never older than the watermark (TimeMode.EventTime
+      // drops late input before the processor), so an already-CLOSED hour
+      // can never reopen — lastClosed only moves forward.
       rows.foreach { e =>
         val h = Math.floorDiv(e.ts.getTime, HourMs) * HourMs
         val (s0, n0) = Option(pending.getValue(h)).getOrElse((0L, 0L))
