@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Scale-stress fixture generator: replicate an sf directory N× with
@@ -32,15 +32,8 @@ object ScaleUp {
     require(args.length >= 2, "usage: ScaleUp <srcDir> <outDir> [factor]")
     val (src, out) = (args(0), args(1))
     val factor = if (args.length > 2) args(2).toInt else 10
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession.create("32",
+      Map("spark.sql.legacy.parquet.nanosAsLong" -> "true"))
 
     def replicate(name: String, shift: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
@@ -82,8 +75,18 @@ object ScaleUp {
           translate(col("text"), Lower + Upper, perm + perm.toUpperCase))
     })
     replicate("embeddings", (df, i) => rot(df, "vec_id", i, 1000000L))
-    // small dims pass through unchanged — they stay broadcast-sized by design
-    for (t <- Seq("region", "nation", "part", "supplier")) {
+    // part/supplier replicate WITH the same key offsets lineitem's FKs get
+    // (the TPC-H scaling rule: dims grow linearly with SF). Leaving them
+    // unreplicated while shifting l_partkey/l_suppkey would break
+    // referential integrity for every replica > 0 — the part/supplier
+    // joins of tpch_q2/q9/q11/q16/q20 would match only replica 0, so
+    // their "Nx" datapoints would measure a scan that grows over a join
+    // that doesn't (exactly the bug round 5's first fixture had).
+    // s_nationkey / n_regionkey are NOT shifted: nation/region stay the
+    // fixed 25/5-row broadcast dims, as in TPC-H at every SF.
+    replicate("part", (df, i) => rot(df, "p_partkey", i, 1000000L))
+    replicate("supplier", (df, i) => rot(df, "s_suppkey", i, 1000000L))
+    for (t <- Seq("region", "nation")) {
       val p = new java.io.File(s"$src/$t.parquet")
       if (p.exists())
         spark.read.parquet(p.toString).write.mode("overwrite").parquet(s"$out/$t.parquet")

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,14 +18,7 @@ object SweepRangeFrame {
     require(args.nonEmpty, "usage: SweepRangeFrame <sfDir> [reps]")
     val dir = args(0)
     val reps = if (args.length > 1) args(1).toInt else 3
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession.create("32")
 
     def joined = Tables(spark, dir, "orders")
       .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Attribution probe for ts_resample's scaling: time the registered query
@@ -17,14 +16,7 @@ object SweepResample {
     require(args.nonEmpty, "usage: SweepResample <sfDir> [reps]")
     val dir = args(0)
     val reps = if (args.length > 1) args(1).toInt else 3
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession.create("32")
 
     def time(label: String, mk: => org.apache.spark.sql.DataFrame): Unit = {
       val secs = (1 to reps).map { _ =>

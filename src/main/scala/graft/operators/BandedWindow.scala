@@ -82,10 +82,18 @@ object BandedWindow {
     val needSub = cntName.isDefined || sumName.isDefined
     val needSuf = minName.isDefined || maxName.isDefined
 
+    // NULL ordering values form their own RANGE peer group (a direct
+    // `ORDER BY v RANGE …` frames every NULL row over exactly the
+    // partition's other NULL rows) — they can't enter the band machinery
+    // (a NULL band would silently drop them at the probe join), so they
+    // take a dedicated partition-local window and union back at the end.
+    val nullRows = df.filter(col(valueCol).isNull)
+    val nonNull = df.filter(col(valueCol).isNotNull)
+
     // exact band id from integer cents: floor division via pmod so
     // negative values land in the right band too. Column./ is a DOUBLE
     // divide (exact only below 2^53) — divide in decimal instead.
-    val base = df
+    val base = nonNull
       .withColumn("__v", col(valueCol).cast(money))
       .withColumn("__band", {
         val cents = (col("__v") * 100).cast("long")
@@ -191,6 +199,20 @@ object BandedWindow {
       minName.map(n => n -> least(col("__a_min"), col("__prev_min"))) ++
       maxName.map(n => n -> greatest(col("__a_max"), col("__prev_max")))
     for ((n, c) <- outCols) joined = joined.withColumn(n, c)
-    joined.select(df.columns.map(col) ++ outCols.map { case (n, _) => col(n) }: _*)
+    val banded =
+      joined.select(df.columns.map(col) ++ outCols.map { case (n, _) => col(n) }: _*)
+
+    // null peer group: count = the partition's null-row count; sum/min/
+    // max over an all-NULL set are NULL. Output types are cast to the
+    // banded side's exact types so the union stays schema-identical.
+    val wPeers = Window.partitionBy(partCols: _*)
+    val typeOf = banded.schema.fields.map(f => f.name -> f.dataType).toMap
+    val nullOut: Seq[Column] =
+      cntName.map(n => count(lit(1)).over(wPeers).cast(typeOf(n)).as(n)).toSeq ++
+      sumName.map(n => lit(null).cast(typeOf(n)).as(n)) ++
+      minName.map(n => lit(null).cast(typeOf(n)).as(n)) ++
+      maxName.map(n => lit(null).cast(typeOf(n)).as(n))
+    banded.unionByName(
+      nullRows.select(df.columns.map(col).toIndexedSeq ++ nullOut: _*))
   }
 }

@@ -35,16 +35,31 @@ object Bucketed {
     */
   val NumBuckets = 16
 
-  private def sfx(sfDir: String, name: String): String = {
+  /** Layout signature: the table identity covers EVERYTHING that defines
+    * the physical files — source dir, table, bucket key, bucket count,
+    * and the projected column list — so a call site with a different
+    * projection or key can never be handed another call site's layout.
+    */
+  private def sfx(sfDir: String, name: String, key: String,
+      cols: Seq[String]): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(s"$sfDir|$name|$key|$NumBuckets|${cols.mkString(",")}"
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     s"${name}_${h.take(8)}"
   }
 
-  /** Marker inside the data dir recording a completed write + its schema
-    * DDL (underscore prefix: parquet readers skip it like `_SUCCESS`).
+  /** Marker inside the data dir recording a completed write: bucket key,
+    * bucket count, and schema DDL (underscore prefix: parquet readers
+    * skip it like `_SUCCESS`). Re-registration trusts the files only if
+    * ALL three match — files bucketed on an old key/count re-registered
+    * under new metadata would elide exchanges the data doesn't satisfy
+    * and return silently wrong joins.
     */
   private def marker(dir: Path): Path = dir.resolve("_GRAFT_BUCKETS_READY")
+
+  private def markerContent(key: String, ddl: String): String =
+    s"$key\n$NumBuckets\n$ddl"
 
   /** A bucketed, key-sorted, column-pruned copy of fixture table `name`,
     * created on first use per (JVM, sfDir) and re-registered from existing
@@ -59,29 +74,42 @@ object Bucketed {
     */
   def table(spark: SparkSession, sfDir: String, name: String, key: String,
       cols: Seq[String]): DataFrame = synchronized {
-    val id = sfx(sfDir, name)
+    val id = sfx(sfDir, name, key, cols)
     val tbl = s"graft_bkt_$id"
     if (!spark.catalog.tableExists(tbl)) {
       val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-buckets-$id")
       val wanted = Tables(spark, sfDir, name)
         .select(cols.map(col).toIndexedSeq: _*)
       // A marker from a previous JVM re-registers the existing files —
-      // but only if it was written for the SAME projection; a stale
-      // marker (caller's column list changed between library versions)
-      // would silently register the old layout, so it forces a rewrite.
+      // but only if it was written for the SAME key, bucket count, and
+      // projection; a stale marker (layout parameters changed between
+      // library versions) forces a rewrite. (The fixture itself is
+      // immutable by contract — TESTDATA.md — so data staleness under an
+      // unchanged signature is out of scope.)
       if (Files.exists(marker(dir)) &&
-          Files.readString(marker(dir)).trim == wanted.schema.toDDL) {
+          Files.readString(marker(dir)).trim ==
+            markerContent(key, wanted.schema.toDDL)) {
         spark.sql(
           s"""CREATE TABLE $tbl (${wanted.schema.toDDL}) USING PARQUET
              |CLUSTERED BY ($key) SORTED BY ($key) INTO $NumBuckets BUCKETS
              |LOCATION '${dir.toUri}'""".stripMargin)
       } else {
+        // The rewrite is a CREATE TABLE AS SELECT with an explicit
+        // location (the table is absent from this catalog), and Spark
+        // rejects CTAS into a NON-EMPTY location — clear any stale or
+        // partial files first.
+        if (Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.delete)
+        }
         val df = wanted.repartition(NumBuckets, col(key))
         df.write.mode("overwrite")
           .bucketBy(NumBuckets, key).sortBy(key)
           .option("path", dir.toString)
           .saveAsTable(tbl)
-        Files.writeString(marker(dir), df.schema.toDDL)
+        Files.writeString(marker(dir),
+          markerContent(key, df.schema.toDDL))
       }
     }
     spark.table(tbl)

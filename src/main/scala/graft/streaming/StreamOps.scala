@@ -237,6 +237,11 @@ object StreamOps {
     @transient private var pending: MapState[Long, (Long, Long)] = _
     // LOCF continuity: (last closed hourMs, its mean)
     @transient private var lastClosed: ValueState[(Long, Double)] = _
+    // expiry of the one armed timer — re-arming only on CHANGE avoids a
+    // delete+register pair of timer-state writes per key per micro-batch
+    // (pure write amplification for a key that receives events every
+    // batch: the earliest open hour rarely moves)
+    @transient private var armed: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       pending = getHandle.getMapState[Long, (Long, Long)]("pending",
@@ -245,6 +250,8 @@ object StreamOps {
       lastClosed = getHandle.getValueState[(Long, Double)]("lastClosed",
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
         org.apache.spark.sql.streaming.TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed",
+        Encoders.scalaLong, org.apache.spark.sql.streaming.TTLConfig.NONE)
     }
 
     /** HALF_UP 2-dp cents — the exact mirror of `cast(value as decimal(18,2))`. */
@@ -263,12 +270,18 @@ object StreamOps {
         val (s0, n0) = Option(pending.getValue(h)).getOrElse((0L, 0L))
         pending.updateValue(h, (s0 + cents(e.value), n0 + 1))
       }
-      // one armed timer per key, at the earliest open hour's end
-      // (materialise listTimers before deleting — see SessionCloseProcessor)
+      // one armed timer per key, at the earliest open hour's end;
+      // re-arm only if that target CHANGED (covers a within-watermark
+      // event opening an hour EARLIER than the current minimum too)
       val hours = pending.keys().toSeq
       if (hours.nonEmpty) {
-        getHandle.listTimers().toSeq.foreach(t => getHandle.deleteTimer(t))
-        getHandle.registerTimer(hours.min + HourMs)
+        val want = hours.min + HourMs
+        val cur = if (armed.exists()) armed.get() else 0L
+        if (cur != want) {
+          if (cur != 0L) getHandle.deleteTimer(cur)
+          getHandle.registerTimer(want)
+          armed.update(want)
+        }
       }
       Iterator.empty
     }
@@ -296,7 +309,11 @@ object StreamOps {
         pending.removeKey(h)
       }
       last.foreach(lastClosed.update)
-      if (open.nonEmpty) getHandle.registerTimer(open.map(_._1).min + HourMs)
+      if (open.nonEmpty) {
+        val want = open.map(_._1).min + HourMs
+        getHandle.registerTimer(want)
+        armed.update(want)
+      } else armed.clear()
       out.result().iterator
     }
   }

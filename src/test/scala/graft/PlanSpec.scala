@@ -199,7 +199,14 @@ class PlanSpec extends AnyFunSuite {
       val windowSpecs = p.linesIterator.filter(_.contains("Window [")).toSeq
       assert(windowSpecs.nonEmpty, s"no Window operators found:\n$p")
       windowSpecs.foreach { w =>
-        assert(w.contains("__band") || w.contains("__pband"),
+        // the NULL-peer-group branch (count over the partition's isnull-
+        // filtered rows) is legitimately partitioned by part alone: every
+        // NULL is every other NULL's peer, so no band can subdivide it.
+        // Identify it by its whole-partition frame — the banded machinery
+        // uses unboundedfollowing only in wT, which carries __pband.
+        val nullPeerCount =
+          w.contains("unboundedfollowing") && !w.contains("__v")
+        assert(w.contains("__band") || w.contains("__pband") || nullPeerCount,
           s"a Window lost its band partitioning (serial per-segment walk):\n$w")
       }
       assert(!p.contains("BroadcastNestedLoop"), p)

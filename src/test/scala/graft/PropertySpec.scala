@@ -180,7 +180,11 @@ class PropertySpec extends AnyFunSuite {
           2999.99, 1999.99,                  // boundary pair off-grid
           5000.00, 5000.00, 4000.00,         // dup + boundary
           123456.78, 122456.78)              // exact-1000 apart
-    val df = vals.zipWithIndex.map { case (v, i) =>
+    // NULL ordering values: their own RANGE peer group in the direct
+    // form — the rewrite must keep them (3 in seg A+B via i%3 split)
+    val withNulls: Seq[Option[Double]] =
+      vals.map(Some(_)) ++ Seq(None, None, None)
+    val df = withNulls.zipWithIndex.map { case (v, i) =>
       (i.toLong, if (i % 3 == 0) "A" else "B", v)
     }.toDF("id", "seg", "price")
     val w = org.apache.spark.sql.expressions.Window
@@ -189,11 +193,11 @@ class PropertySpec extends AnyFunSuite {
       .withColumn("n_band", count(lit(1)).over(w))
       .withColumn("band_sum", sum(col("price").cast("decimal(18,2)")).over(w))
       .select(col("id"), col("n_band"), Oracle.out(col("band_sum")).as("band_sum"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .collect().map(_.toSeq).toSet
     val banded = graft.operators.BandedWindow.rangeCountSum(
         df, Seq("seg"), "price", 1000L, "n_band", "band_sum")
       .select(col("id"), col("n_band"), Oracle.out(col("band_sum")).as("band_sum"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .collect().map(_.toSeq).toSet
     assert(banded === direct)
 
     // min/max — the NON-invertible aggregates (no subtraction identity;
@@ -204,14 +208,14 @@ class PropertySpec extends AnyFunSuite {
       .withColumn("band_max", max(col("price").cast("decimal(18,2)")).over(w))
       .select(col("id"), Oracle.out(col("band_min")).as("band_min"),
         Oracle.out(col("band_max")).as("band_max"))
-      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      .collect().map(_.toSeq).toSet
     val bandedMM = graft.operators.BandedWindow.rangeFrame(
         df, Seq("seg"), "price", 1000L,
         cntName = Some("n_band"), sumName = Some("band_sum"),
         minName = Some("band_min"), maxName = Some("band_max"))
       .select(col("id"), Oracle.out(col("band_min")).as("band_min"),
         Oracle.out(col("band_max")).as("band_max"))
-      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      .collect().map(_.toSeq).toSet
     assert(bandedMM === directMM)
   }
 

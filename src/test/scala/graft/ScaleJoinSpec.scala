@@ -148,6 +148,33 @@ class ScaleJoinSpec extends AnyFunSuite {
       !plan.contains("hashpartitioning(l_orderkey"), plan)
   }
 
+  test("Bucketed rewrites (not re-registers) when the marker is stale") {
+    import java.nio.file.{Files, Paths}
+    val before = SparkEntry.queries("join_bucketed")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    // find the lineitem layout dir via its marker and corrupt it: a
+    // changed bucket key in the marker must force a rewrite, and the
+    // rewrite must survive the non-empty CTAS location
+    val tmp = Paths.get(sys.props("java.io.tmpdir"))
+    val dirs = Files.list(tmp).iterator()
+    var corrupted = 0
+    dirs.forEachRemaining { d =>
+      val m = d.resolve("_GRAFT_BUCKETS_READY")
+      if (d.getFileName.toString.startsWith("graft-buckets-lineitem_") &&
+          Files.exists(m)) {
+        Files.writeString(m, Files.readString(m).replaceFirst("^l_orderkey", "l_partkey"))
+        corrupted += 1
+      }
+    }
+    assert(corrupted > 0, "no lineitem bucket marker found to corrupt")
+    for (t <- spark.catalog.listTables().collect().map(_.name)
+         if t.startsWith("graft_bkt_lineitem"))
+      spark.sql(s"DROP TABLE $t")
+    val after = SparkEntry.queries("join_bucketed")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(after == before)
+  }
+
   test("partitioned writes prune partitions at the scan") {
     val dir = Files.createTempDirectory("graft-part").toString + "/orders_by_year"
     Tables(spark, sf, "orders")
