@@ -87,8 +87,12 @@ object BandedWindow {
     // partition's other NULL rows) — they can't enter the band machinery
     // (a NULL band would silently drop them at the probe join), so they
     // take a dedicated partition-local window and union back at the end.
+    // Statically non-nullable inputs skip the branch entirely; nullable
+    // parquet columns keep it, where the pushed IsNull filter lets
+    // row-group null counts skip all data when no NULLs exist.
+    val valueNullable = df.schema(df.schema.fieldIndex(valueCol)).nullable
     val nullRows = df.filter(col(valueCol).isNull)
-    val nonNull = df.filter(col(valueCol).isNotNull)
+    val nonNull = if (valueNullable) df.filter(col(valueCol).isNotNull) else df
 
     // exact band id from integer cents: floor division via pmod so
     // negative values land in the right band too. Column./ is a DOUBLE
@@ -212,7 +216,8 @@ object BandedWindow {
       sumName.map(n => lit(null).cast(typeOf(n)).as(n)) ++
       minName.map(n => lit(null).cast(typeOf(n)).as(n)) ++
       maxName.map(n => lit(null).cast(typeOf(n)).as(n))
-    banded.unionByName(
+    if (!valueNullable) banded
+    else banded.unionByName(
       nullRows.select(df.columns.map(col).toIndexedSeq ++ nullOut: _*))
   }
 }
