@@ -41,8 +41,23 @@ object ScaleUp {
       all.write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[scaleup] $name -> ${factor}x")
     }
-    def rot(df: DataFrame, c: String, i: Int, step: Long): DataFrame =
+    // Offset precondition: replica i shifts a key by i*step, so the source
+    // key range must fit inside one step or replicas silently COLLIDE —
+    // duplicate keys make every downstream join fan out and the "Nx"
+    // numbers measure join explosion, not scale. The natural way to hit
+    // this is chaining ScaleUp onto its own output (keys already span
+    // factor*step); fail loudly instead. `ts` opts out: its step is the
+    // source's own span (relative shift), not a key-range bound.
+    def rot(df: DataFrame, c: String, i: Int, step: Long,
+            keyCheck: Boolean = true): DataFrame = {
+      if (keyCheck && i == 0) { // once per table load; every replica shares `df`
+        val mx = df.agg(max(col(c))).head().getAs[Number](0).longValue()
+        require(mx < step,
+          s"$c max $mx >= replica step $step — key offsets would collide " +
+            "across replicas (is srcDir already a ScaleUp output?)")
+      }
       df.withColumn(c, col(c) + lit(i * step))
+    }
 
     replicate("orders", (df, i) =>
       rot(rot(df, "o_orderkey", i, 10000000L), "o_custkey", i, 1000000L))
@@ -62,7 +77,7 @@ object ScaleUp {
       2L * 3600L * 1000000000L
     replicate("events", (df, i) =>
       rot(rot(rot(df, "event_id", i, 10000000L), "user_id", i, 1000000L),
-        "ts", i, spanNanos))
+        "ts", i, spanNanos, keyCheck = false))
     replicate("documents", (df, i) => {
       // a PERMUTATION per replica, not a rotation: rotations wrap at 26,
       // so factor > 26 would hand replicas i and i+26 the SAME cipher —

@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
 object SweepIvf {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val spark = LocalSession.create("32")
+    // "8" preserved from before the LocalSession extraction: recorded
+    // sweep timings (PERF.md) were measured at local[8] and must stay
+    // comparable run-over-run.
+    val spark = LocalSession.create("8")
     graft.functions.CosineSimilarity.register(spark)
 
     val e = transform(col("embedding"), (x: Column) => x.cast("double"))

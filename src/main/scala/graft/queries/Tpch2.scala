@@ -31,8 +31,8 @@ object Tpch2 {
     // arithmetic'd, so double min/equality is engine-exact.
     "tpch_q2" -> { (s, dir) =>
       val supply = Tables(s, dir, "lineitem")
-        .join(broadcast(Tables(s, dir, "part")
-          .filter(col("p_type") === "LARGE" && col("p_size") <= 15)),
+        .join(Tables(s, dir, "part")
+          .filter(col("p_type") === "LARGE" && col("p_size") <= 15),
           col("l_partkey") === col("p_partkey"))
         .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
@@ -51,12 +51,15 @@ object Tpch2 {
     },
 
     // -- Q9 shape: profit per supplying nation per ship-year --------------
-    // (No ps_supplycost in the fixture: profit = revenue.) Part filter
-    // broadcast; the lineitem↔supplier equi join is the one fact shuffle;
-    // nation broadcast closes the roll-up.
+    // (No ps_supplycost in the fixture: profit = revenue.) part/supplier
+    // joins are UNhinted: those dims scale with SF (ScaleUp replicates
+    // them), so the planner must stay free to fall back to a shuffle join
+    // past the broadcast threshold — a broadcast() hint would override it
+    // unconditionally all the way to driver OOM. Only the fixed-size
+    // nation/region dims and one-row totals keep explicit hints.
     "tpch_q9" -> { (s, dir) =>
       Tables(s, dir, "lineitem")
-        .join(broadcast(Tables(s, dir, "part").filter(col("p_name").like("%red%"))),
+        .join(Tables(s, dir, "part").filter(col("p_name").like("%red%")),
           col("l_partkey") === col("p_partkey"))
         .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
@@ -91,20 +94,21 @@ object Tpch2 {
     },
 
     // -- Q16 shape: supplier count per part descriptor, excluding bad
-    // suppliers (NOT IN → broadcast anti-join; both key columns are
-    // non-null, the regime where anti-join IS NOT IN). The distinct
-    // supplier-part pairs are taken AFTER the selective part broadcast
-    // join, so only surviving parts' pairs shuffle.
+    // suppliers (NOT IN → anti-join, broadcast-picked by the planner at
+    // any SF where badSupp fits; both key columns are non-null, the
+    // regime where anti-join IS NOT IN). The distinct supplier-part pairs
+    // are taken AFTER the selective part join, so only surviving parts'
+    // pairs shuffle.
     "tpch_q16" -> { (s, dir) =>
       val badSupp = Tables(s, dir, "supplier")
         .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
       Tables(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey"))
-        .join(broadcast(Tables(s, dir, "part")
+        .join(Tables(s, dir, "part")
           .filter(col("p_brand") =!= "Brand#5" && !col("p_type").like("PROMO%") &&
-            col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49))),
+            col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)),
           col("l_partkey") === col("p_partkey"))
-        .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
         .select(col("p_brand"), col("p_type"), col("p_size"), col("l_suppkey"))
         .distinct()
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
@@ -114,16 +118,17 @@ object Tpch2 {
 
     // -- Q20 shape: suppliers shipping excess volume of 'small' parts -----
     // Inner nested aggregate (per supplier-part half-sum HAVING) reduced
-    // to a tiny suppkey set, then a broadcast SEMI join against one
-    // nation's suppliers. l_quantity is integral-valued double: sums are
-    // exact, so the >40 boundary is engine-identical.
+    // to a tiny suppkey set, then a SEMI join against one nation's
+    // suppliers (both scale-dependent sides unhinted — AQE broadcasts the
+    // reduced set at runtime). l_quantity is integral-valued double: sums
+    // are exact, so the >40 boundary is engine-identical.
     "tpch_q20" -> { (s, dir) =>
       val smallParts = Tables(s, dir, "part")
         .filter(col("p_name").like("small%")).select(col("p_partkey"))
       val bigSupply = Tables(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
           col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
-        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(smallParts, col("l_partkey") === col("p_partkey"), "left_semi")
         .groupBy(col("l_suppkey"), col("l_partkey"))
         .agg(sum(col("l_quantity")).as("sq"))
         .filter(col("sq") > 40)
@@ -131,7 +136,7 @@ object Tpch2 {
       Tables(s, dir, "supplier")
         .join(broadcast(Tables(s, dir, "nation").filter(col("n_name") === "NATION_3")),
           col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(bigSupply), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(bigSupply, col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select(col("s_name"), col("s_acctbal").as("acctbal"))
         .orderBy(col("s_name"))
     },

@@ -61,6 +61,39 @@ object Bucketed {
   private def markerContent(key: String, ddl: String): String =
     s"$key\n$NumBuckets\n$ddl"
 
+  private def deleteRecursively(dir: Path): Unit =
+    if (Files.exists(dir)) {
+      // Files.walk holds an open directory handle until closed — leak-
+      // free via try/finally (a long-lived JVM churning layouts would
+      // otherwise exhaust fds).
+      val walk = Files.walk(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      } finally walk.close()
+    }
+
+  /** Delete sibling `graft-buckets-*` dirs whose marker is absent or in
+    * a superseded format (not `key\nbuckets\nddl`) — failed writes and
+    * layouts from older library versions, which no current signature
+    * will ever re-read.
+    */
+  private def sweepStaleLayouts(tmp: Path): Unit = {
+    val ls = Files.list(tmp)
+    try {
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala
+        .filter(d => d.getFileName.toString.startsWith("graft-buckets-") &&
+          Files.isDirectory(d))
+        .filter { d =>
+          val m = marker(d)
+          !Files.exists(m) || Files.readString(m).linesIterator.size < 3
+        }
+        .foreach(deleteRecursively)
+    } finally ls.close()
+  }
+
   /** A bucketed, key-sorted, column-pruned copy of fixture table `name`,
     * created on first use per (JVM, sfDir) and re-registered from existing
     * files in later JVMs.
@@ -97,12 +130,12 @@ object Bucketed {
         // The rewrite is a CREATE TABLE AS SELECT with an explicit
         // location (the table is absent from this catalog), and Spark
         // rejects CTAS into a NON-EMPTY location — clear any stale or
-        // partial files first.
-        if (Files.exists(dir)) {
-          import scala.jdk.CollectionConverters._
-          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(Files.delete)
-        }
+        // partial files first. Also sweep sibling layouts whose marker
+        // predates the current format (dirs named by a superseded
+        // signature scheme are otherwise orphaned forever — fact-table-
+        // sized parquet accumulating in tmpdir).
+        deleteRecursively(dir)
+        sweepStaleLayouts(dir.getParent)
         val df = wanted.repartition(NumBuckets, col(key))
         df.write.mode("overwrite")
           .bucketBy(NumBuckets, key).sortBy(key)

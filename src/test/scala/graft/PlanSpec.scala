@@ -202,10 +202,10 @@ class PlanSpec extends AnyFunSuite {
         // the NULL-peer-group branch (count over the partition's isnull-
         // filtered rows) is legitimately partitioned by part alone: every
         // NULL is every other NULL's peer, so no band can subdivide it.
-        // Identify it by its whole-partition frame — the banded machinery
-        // uses unboundedfollowing only in wT, which carries __pband.
-        val nullPeerCount =
-          w.contains("unboundedfollowing") && !w.contains("__v")
+        // Identify it as the ONLY window touching no banded-machinery
+        // column at all (a regressed wT totals window would still carry
+        // __sv/__real and be caught).
+        val nullPeerCount = w.contains("count(1)") && !w.contains("__")
         assert(w.contains("__band") || w.contains("__pband") || nullPeerCount,
           s"a Window lost its band partitioning (serial per-segment walk):\n$w")
       }
