@@ -101,6 +101,132 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec over JDK-builtin `javax.imageio` (no new deps —
+    * respects build.sbt's offline constraint). Handles every format the
+    * JRE registers readers for (PNG, BMP, GIF, JPEG, WBMP); writes PNG.
+    *
+    * Content identity ([[payload]]) is the decoded RGB raster prefixed by
+    * its dimensions — so the SAME pixels round-tripped through different
+    * envelopes (PNG vs BMP) produce byte-identical payloads, which is the
+    * exact property the content-dedup path needs, now over real bytes.
+    * Unlike [[FakeCodec]], `resize` here genuinely resamples pixels, so
+    * resize does NOT preserve payload identity (it can't, for a real
+    * codec); envelope-invariance replaces resize-invariance as the
+    * content-identity law.
+    *
+    * A singleton `object`: serializes as a module reference (no state
+    * ships driver→executor), and ImageIO's plugin registry initializes
+    * lazily per-JVM executor-side.
+    */
+  object ImageIoCodec extends MediaCodec {
+    // BufferedImage/Graphics2D work headless, but only if AWT never tries
+    // to connect a display; pin it before first ImageIO touch.
+    private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      System.setProperty("java.awt.headless", "true")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      // fail loud: a null here means undecodable bytes, and silently
+      // continuing would poison downstream dedup keys
+      require(img != null, s"ImageIO could not decode ${bytes.length} bytes")
+      img
+    }
+
+    private def sniffFormat(bytes: Array[Byte]): String = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (readers.hasNext) readers.next().getFormatName.toLowerCase(java.util.Locale.ROOT)
+        else "unknown"
+      } finally iis.close()
+    }
+
+    /** Encode a raster as PNG bytes (lossless — the round-trip anchor). */
+    def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Encode a raster as BMP bytes (a second real envelope for tests). */
+    def encodeBmp(img: java.awt.image.BufferedImage): Array[Byte] = {
+      // BMP writer rejects images with alpha; normalize to RGB first
+      val rgb = new java.awt.image.BufferedImage(
+        img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = rgb.createGraphics()
+      g.drawImage(img, 0, 0, null); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(rgb, "bmp", bos)
+      bos.toByteArray
+    }
+
+    override def decode(row: MediaRow): MediaMeta = {
+      val img = readImage(row.bytes)
+      MediaMeta(row.media_id, row.kind, img.getWidth, img.getHeight,
+        sniffFormat(row.bytes), 0L, row.bytes.length)
+    }
+
+    override def resize(row: MediaRow, width: Int, height: Int): MediaRow = {
+      val src = readImage(row.bytes)
+      val dst = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, width, height, null)
+      g.dispose()
+      row.copy(bytes = encodePng(dst))
+    }
+
+    /** Decoded content: [w:int][h:int] then row-major 3-byte RGB pixels.
+      * Alpha is dropped so formats without an alpha channel (BMP) agree
+      * with those that have one (PNG) on the same opaque content.
+      */
+    override def payload(row: MediaRow): Array[Byte] = {
+      val img = readImage(row.bytes)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val bb = java.nio.ByteBuffer.allocate(8 + w * h * 3)
+      bb.putInt(w).putInt(h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          bb.put(((rgb >> 16) & 0xff).toByte)
+            .put(((rgb >> 8) & 0xff).toByte)
+            .put((rgb & 0xff).toByte)
+          x += 1
+        }
+        y += 1
+      }
+      bb.array()
+    }
+
+    /** Still images have one frame; the index shifts the fold seed so a
+      * caller sampling k frames still gets k distinct deterministic rows.
+      */
+    override def frameFeature(row: MediaRow, frameIdx: Int, dim: Int): Array[Float] =
+      contentFeature(payload(row), dim, frameIdx)
+
+    override def mediaFeature(payload: Array[Byte], dim: Int): Array[Float] =
+      contentFeature(payload, dim, 0)
+
+    /** Real content statistic (not hash-seeded noise): byte histogram of
+      * the raster folded into `dim` buckets, L1-normalized to [-1, 1].
+      * Deterministic, content-keyed, and close pixels → close features —
+      * the locality ANN needs, unlike a seeded-PRNG embedding.
+      */
+    private def contentFeature(payload: Array[Byte], dim: Int, shift: Int): Array[Float] = {
+      val hist = new Array[Long](dim)
+      var i = 0
+      while (i < payload.length) {
+        hist(((payload(i) & 0xff) + shift) % dim) += 1
+        i += 1
+      }
+      val total = math.max(1L, payload.length.toLong)
+      hist.map(c => (c.toDouble / total * 2 - 1.0 / dim).toFloat)
+    }
+  }
+
   /** Decode metadata for every media row — partition-local, batched. */
   def decodeMeta(media: Dataset[MediaRow],
                  codec: MediaCodec = FakeCodec): Dataset[MediaMeta] = {
@@ -152,6 +278,35 @@ object Multimodal {
         (r.media_id, codec.mediaFeature(codec.payload(r), dim))
       }
     }.toDF("media_id", "embedding")
+  }
+
+  /** Deterministic REAL-image media table: tiny PNG/BMP payloads produced
+    * by the JDK encoder, one gradient-patterned raster per id. Pairs with
+    * [[ImageIoCodec]] — every operator above runs on genuine image bytes.
+    * Generated row-local on executors (the encoder runs inside the map,
+    * not on the driver), so it scales like any other source.
+    */
+  def syntheticImages(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).map { i =>
+      val w = 8 + (i % 5).toInt
+      val h = 6 + (i % 4).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (((x * 37 + y * 11 + i.toInt * 7) % 256) << 16)
+            | (((x * 5 + i.toInt) % 256) << 8) | ((y * 13) % 256))
+          x += 1
+        }
+        y += 1
+      }
+      val bytes = if (i % 2 == 0) ImageIoCodec.encodePng(img)
+                  else ImageIoCodec.encodeBmp(img)
+      MediaRow(i, "image", bytes)
+    }.repartition(col("media_id"))
   }
 
   /** Deterministic synthetic media table for tests/demos. */

@@ -210,6 +210,53 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(topk.count() > 0)
   }
 
+  test("ImageIO codec decodes, resizes, and content-keys REAL PNG/BMP bytes") {
+    val codec = Multimodal.ImageIoCodec
+    val media = Multimodal.syntheticImages(spark, 10)
+    // real decode: dims come from the actual raster, format from the real
+    // header sniff (even ids PNG, odd BMP — see syntheticImages)
+    val meta = Multimodal.decodeMeta(media, codec).collect()
+    assert(meta.length == 10)
+    assert(meta.forall(m => m.width >= 8 && m.width <= 12 && m.height >= 6 && m.height <= 9))
+    assert(meta.filter(_.media_id % 2 == 0).forall(_.format == "png"))
+    assert(meta.filter(_.media_id % 2 == 1).forall(_.format == "bmp"))
+    // real resample: resized rasters decode at the requested dims, as PNG
+    val resized = Multimodal.decodeMeta(
+      Multimodal.resize(media, 4, 3, codec), codec).collect()
+    assert(resized.length == 10 && resized.forall(m => m.width == 4 && m.height == 3))
+    assert(resized.forall(_.format == "png"))
+    // frame features exist and are deterministic across runs
+    val f1 = Multimodal.sampleFrames(media, dim = 16, codec = codec).collect()
+      .sortBy(f => (f.media_id, f.frame_idx)).map(_.feature.toSeq).toSeq
+    val f2 = Multimodal.sampleFrames(media, dim = 16, codec = codec).collect()
+      .sortBy(f => (f.media_id, f.frame_idx)).map(_.feature.toSeq).toSeq
+    assert(f1 == f2 && f1.nonEmpty)
+  }
+
+  test("ImageIO content identity: same pixels across PNG and BMP envelopes") {
+    import spark.implicits._
+    val codec = Multimodal.ImageIoCodec
+    // the same raster under two real envelopes must share payload bytes
+    // and therefore embedding — envelope-invariance is the content-dedup
+    // law for a real codec (resize-invariance only holds for the stub)
+    val img = new java.awt.image.BufferedImage(
+      9, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 7; x <- 0 until 9)
+      img.setRGB(x, y, (x * 29 + y * 53) % (1 << 24))
+    val png = Multimodal.MediaRow(1L, "image", codec.encodePng(img))
+    val bmp = Multimodal.MediaRow(2L, "image", codec.encodeBmp(img))
+    assert(!png.bytes.sameElements(bmp.bytes)) // envelopes genuinely differ
+    assert(codec.payload(png).sameElements(codec.payload(bmp)))
+    val media = spark.createDataset(Seq(png, bmp))
+    val feats = Multimodal.extractFeatures(media, dim = 32, codec = codec)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats(1L) == feats(2L))
+    // and different pixels must move the payload (no degenerate identity)
+    img.setRGB(0, 0, 0xffffff)
+    val other = Multimodal.MediaRow(3L, "image", codec.encodePng(img))
+    assert(!codec.payload(other).sameElements(codec.payload(png)))
+  }
+
   test("hash sampling is reproducible, partition-invariant, and near-rate") {
     import graft.operators.Sampling
     val docs = graft.Tables(spark, sf, "documents")
