@@ -65,16 +65,25 @@ object SweepIvf {
     }
 
     println(s"\nLSH sweep: n=$n vectors, ${bruteSet.size / k} queries, recall@$k")
-    println("| tables | planes | recall@5 | mean candidates/query |")
-    println("|---|---|---|---|")
-    for ((tables, planes) <- Seq((4, 5), (8, 5), (16, 5), (32, 5), (16, 7))) {
-      val ann = operators.Ann.lshTopK(queries, data, k, tables, planes)
+    println("| tables | planes | nprobe | recall@5 | mean candidates/query |")
+    println("|---|---|---|---|---|")
+    for ((tables, planes, nprobe) <- Seq(
+        (4, 5, 0), (8, 5, 0), (16, 5, 0), (32, 5, 0), (16, 7, 0),
+        // multi-probe: same data-side index as the same-table-count row;
+        // the query side probes the nprobe nearest-margin bit flips per
+        // table. 6-plane rows halve bucket occupancy, trading base recall
+        // for cheaper probes.
+        (16, 5, 1), (16, 5, 2), (16, 5, 3), (16, 7, 2),
+        (8, 5, 2), (8, 5, 3), (16, 6, 1), (16, 6, 2), (16, 6, 3))) {
+      val ann = operators.Ann.lshTopK(queries, data, k, tables, planes,
+          nprobe = nprobe)
         .select(col("qid"), col("vec_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (bruteSet & ann).size.toDouble / bruteSet.size
-      val cand = operators.Ann.candidateStats(queries, data, tables, planes)
+      val cand = operators.Ann.candidateStats(queries, data, tables, planes,
+          nprobe = nprobe)
         .agg(avg(col("n_candidates"))).head.getDouble(0)
-      println(f"| $tables | $planes | $recall%.3f | ${cand}%.0f |")
+      println(f"| $tables | $planes | $nprobe | $recall%.3f | ${cand}%.0f |")
     }
     spark.stop()
   }

@@ -49,6 +49,60 @@ object Ann {
       posexplode(array(bucketCols.toIndexedSeq: _*)).as(Seq("table", "bucket")))
   }
 
+  /** Multi-probe bucket keys (query side only): besides its own bucket in
+    * each table, a query also probes the buckets reachable by flipping the
+    * `nprobe` hyperplane bits with the SMALLEST projection margin — the
+    * planes the query sits closest to, i.e. the flips most likely to hold
+    * its true neighbours (Lv et al., VLDB 2007, "Multi-Probe LSH").
+    *
+    * The scale argument vs adding tables: doubling `tables` doubles the
+    * DATA-side index (the 100 TB cost — every vector keyed into every
+    * table) for ~2× candidates; multi-probe leaves the data-side index
+    * untouched and only explodes the tiny query side by (1 + nprobe)×,
+    * while targeting the extra probes at the likeliest buckets instead of
+    * independent re-hashes. Candidate growth is sub-linear in probes
+    * because probe buckets overlap the base bucket's neighbourhood.
+    */
+  def probedBucketKeys(df: DataFrame, tables: Int = 16, planesPerTable: Int = 5,
+                       dim: Int = 64, seed: Long = 42L, nprobe: Int = 2): DataFrame = {
+    df.select(size(col("e"))).head(1).foreach { r =>
+      require(r.getInt(0) == dim,
+        s"embedding dim ${r.getInt(0)} != configured dim $dim")
+    }
+    val ps = planes(tables, planesPerTable, dim, seed)
+    // Materialize each projection once: bucket bits AND margins read it,
+    // and 2×tables×planes aggregate-folds per row is the kind of cost
+    // Catalyst's CSE won't reliably elide across a sort_array boundary.
+    val projected = df.select(col("*") +: ps.zipWithIndex.flatMap { case (tbl, t) =>
+      tbl.zipWithIndex.map { case (plane, j) =>
+        dot(col("e"), typedlit(plane)).as(s"__proj_${t}_$j")
+      }
+    }: _*)
+    val probeStructs: Seq[Column] = (0 until tables).map { t =>
+      val bucket = (0 until planesPerTable).map { j =>
+        when(col(s"__proj_${t}_$j") >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+      // (|margin|, plane) ascending: ties impossible (distinct plane ids)
+      val margins = sort_array(array((0 until planesPerTable).map { j =>
+        struct(abs(col(s"__proj_${t}_$j")).as("m"), lit(j).as("j"))
+      }: _*))
+      // flip mask for a plane index carried in a column (planes are few,
+      // so a when-cascade stays codegen'd; shiftleft needs a literal)
+      def mask(jCol: Column): Column =
+        coalesce((0 until planesPerTable).map(j =>
+          when(jCol === j, lit(1L << j))): _*)
+      val probes = bucket +: (0 until math.min(nprobe, planesPerTable)).map { r =>
+        bucket.bitwiseXOR(mask(element_at(margins, r + 1).getField("j")))
+      }
+      transform(array(probes: _*),
+        (b: Column) => struct(lit(t).as("table"), b.as("bucket")))
+    }
+    projected
+      .withColumn("__tb", explode(flatten(array(probeStructs: _*))))
+      .select(df.columns.map(col).toIndexedSeq
+        :+ col("__tb.table").as("table") :+ col("__tb.bucket").as("bucket"): _*)
+  }
+
   /** Exact brute-force cosine top-k per query (the baseline). Both inputs
     * need (id, e, norm); queries should be small enough to broadcast.
     */
@@ -69,9 +123,11 @@ object Ann {
     */
   def candidateStats(queries: DataFrame, data: DataFrame,
                      tables: Int = 16, planesPerTable: Int = 5, dim: Int = 64,
-                     seed: Long = 42L): DataFrame = {
-    val qb = bucketKeys(queries, tables, planesPerTable, dim, seed)
-      .select(col("vec_id").as("qid"), col("table"), col("bucket"))
+                     seed: Long = 42L, nprobe: Int = 0): DataFrame = {
+    val qk = if (nprobe > 0)
+      probedBucketKeys(queries, tables, planesPerTable, dim, seed, nprobe)
+    else bucketKeys(queries, tables, planesPerTable, dim, seed)
+    val qb = qk.select(col("vec_id").as("qid"), col("table"), col("bucket"))
     val db = bucketKeys(data, tables, planesPerTable, dim, seed)
       .select(col("vec_id"), col("table"), col("bucket"))
     qb.join(db, Seq("table", "bucket"))
@@ -81,14 +137,18 @@ object Ann {
   }
 
   /** LSH top-k: compare each query only against same-bucket candidates
-    * from any of the L tables.
+    * from any of the L tables. `nprobe > 0` adds multi-probe on the query
+    * side ([[probedBucketKeys]]) — recall of a much larger table count at
+    * the data-side index cost of this one.
     */
   def lshTopK(queries: DataFrame, data: DataFrame, k: Int,
               tables: Int = 16, planesPerTable: Int = 5, dim: Int = 64,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, nprobe: Int = 0): DataFrame = {
     graft.functions.CosineSimilarity.register(queries.sparkSession)
-    val qb = bucketKeys(queries, tables, planesPerTable, dim, seed)
-      .select(col("vec_id").as("qid"), col("e").as("qe"),
+    val qk = if (nprobe > 0)
+      probedBucketKeys(queries, tables, planesPerTable, dim, seed, nprobe)
+    else bucketKeys(queries, tables, planesPerTable, dim, seed)
+    val qb = qk.select(col("vec_id").as("qid"), col("e").as("qe"),
         col("table"), col("bucket"))
     val db = bucketKeys(data, tables, planesPerTable, dim, seed)
       .select(col("vec_id"), col("e"), col("table"), col("bucket"))

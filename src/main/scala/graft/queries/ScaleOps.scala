@@ -78,9 +78,14 @@ object ScaleOps {
     },
 
     // Hyperplane-LSH approximate top-5 neighbours for queries vec_id<10.
+    // 16 tables × 6 planes with 2 multi-probe flips: the measured sweet
+    // spot (SweepIvf r6 grid: recall@5 = 0.912 at 271 candidates/query —
+    // above the 32-table config's recall at ~45% fewer candidates and
+    // HALF its data-side index).
     "sim_ann" -> { (s, dir) =>
       val n = normalized(s, dir)
-      Ann.lshTopK(n.filter(col("vec_id") < 10), n, k = 5)
+      Ann.lshTopK(n.filter(col("vec_id") < 10), n, k = 5,
+          planesPerTable = 6, nprobe = 2)
         .orderBy(col("qid"), col("rn"))
     },
 

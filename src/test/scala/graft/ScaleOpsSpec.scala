@@ -131,6 +131,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall@5 = $recall")
   }
 
+  test("multi-probe LSH lifts recall over single-probe at the same index") {
+    import org.apache.spark.sql.functions._
+    val e = transform(col("embedding"),
+      (x: org.apache.spark.sql.Column) => x.cast("double"))
+    val data = graft.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), e.as("e"))
+    val queries = data.filter(col("vec_id") < 10)
+    // probe-key shape: each query emits tables × (1 + nprobe) keys, and
+    // within a table every probe bucket is distinct (each flips a
+    // different plane bit)
+    val keys = Ann.probedBucketKeys(queries, tables = 4, planesPerTable = 5,
+      nprobe = 2).select("vec_id", "table", "bucket").collect()
+    assert(keys.length == 10 * 4 * 3)
+    assert(keys.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).distinct.length
+      == keys.length)
+    // recall monotonicity on the real fixture: multi-probe finds a
+    // superset-or-equal of the single-probe hits (same tables, same seed;
+    // deterministic)
+    val brute = Ann.bruteTopK(queries, data, k = 5)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(nprobe: Int) = Ann.lshTopK(queries, data, k = 5, tables = 8,
+        nprobe = nprobe)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r0 = (brute & hits(0)).size.toDouble / brute.size
+    val r2 = (brute & hits(2)).size.toDouble / brute.size
+    assert(r2 >= r0, s"multi-probe recall $r2 < single-probe $r0")
+    assert(r2 >= 0.5, s"multi-probe recall@5 = $r2")
+  }
+
   test("IVF top-k reaches usable recall vs brute force") {
     import org.apache.spark.sql.functions._
     val e = transform(col("embedding"), (x: org.apache.spark.sql.Column) => x.cast("double"))
