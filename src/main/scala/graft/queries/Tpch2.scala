@@ -38,16 +38,28 @@ object Tpch2 {
         .join(broadcast(Tables(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables(s, dir, "region").filter(col("r_name") === "EUROPE")),
           col("n_regionkey") === col("r_regionkey"))
-        .select(col("p_partkey"), col("p_brand"), col("s_name"),
+        .select(col("p_partkey"), col("s_suppkey"), col("p_brand"), col("s_name"),
           col("s_acctbal"), col("n_name"), col("l_extendedprice").as("cost"))
       supply
         .withColumn("mincost", min(col("cost")).over(Window.partitionBy(col("p_partkey"))))
         .filter(col("cost") === col("mincost"))
+        // Per-(part, supplier) dedup instead of a result-wide distinct
+        // (r5 advice): the window-min filter can only duplicate a
+        // (p_partkey, s_suppkey) pair — the same supplier shipping the
+        // min-cost part repeatedly — and every other column is
+        // functionally determined by that pair. Deduping on a SUPERSET
+        // of the window's partition key reuses its hash partitioning:
+        // zero extra exchange (PlanSpec gate), where the old distinct()
+        // reshuffled the whole result.
+        .dropDuplicates("p_partkey", "s_suppkey")
+        // s_suppkey as the final key makes the pre-LIMIT order provably
+        // total (two min-cost suppliers of one part could share acctbal
+        // AND name); projected away after the cut, as in the oracle.
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"), col("s_suppkey"))
+        .limit(100)
         .select(col("s_acctbal").as("acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("p_brand"), col("cost"))
-        .distinct()
-        .orderBy(col("acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
-        .limit(100)
     },
 
     // -- Q9 shape: profit per supplying nation per ship-year --------------
@@ -165,18 +177,20 @@ object Tpch2 {
   val oracle: Map[String, String] = Map(
     "tpch_q2" ->
       """WITH supply AS (
-        |  SELECT p_partkey, p_brand, s_name, s_acctbal, n_name,
+        |  SELECT p_partkey, s_suppkey, p_brand, s_name, s_acctbal, n_name,
         |         l_extendedprice AS cost
         |  FROM lineitem
         |  JOIN part ON l_partkey = p_partkey
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
-        |  WHERE r_name = 'EUROPE' AND p_type = 'LARGE' AND p_size <= 15)
-        |SELECT DISTINCT s_acctbal AS acctbal, s_name, n_name, p_partkey, p_brand, cost
-        |FROM (SELECT *, MIN(cost) OVER (PARTITION BY p_partkey) AS mincost FROM supply)
-        |WHERE cost = mincost
-        |ORDER BY acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+        |  WHERE r_name = 'EUROPE' AND p_type = 'LARGE' AND p_size <= 15),
+        |cut AS (
+        |  SELECT DISTINCT p_partkey, s_suppkey, p_brand, s_name, s_acctbal, n_name, cost
+        |  FROM (SELECT *, MIN(cost) OVER (PARTITION BY p_partkey) AS mincost FROM supply)
+        |  WHERE cost = mincost
+        |  ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey LIMIT 100)
+        |SELECT s_acctbal AS acctbal, s_name, n_name, p_partkey, p_brand, cost FROM cut""".stripMargin,
 
     "tpch_q9" ->
       s"""SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,

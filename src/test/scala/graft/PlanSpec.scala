@@ -96,6 +96,17 @@ class PlanSpec extends AnyFunSuite {
     // the correlated min decorrelates to a per-part window — high-
     // cardinality partitioning, not a per-region serial walk
     assert(p.contains("windowspecdefinition(p_partkey"), s"no per-part window in:\n$p")
+    // the (part, supplier) dedup must reuse the window's hash
+    // partitioning (a superset of its key satisfies the aggregate's
+    // clustered distribution) — no post-window exchange beyond the
+    // ORDER BY's range partitioning. The r5 result-wide distinct()
+    // reshuffled on every output column; its signature was an exchange
+    // hashing p_brand/cost, keys nothing else ever hashes on.
+    assert(!"""hashpartitioning\([^)]*p_brand""".r.findFirstIn(p).isDefined,
+      s"result-wide distinct shuffle is back:\n$p")
+    assert(!"""hashpartitioning\([^)]*s_suppkey[^)]*p_partkey|hashpartitioning\([^)]*p_partkey[^)]*s_suppkey""".r
+      .findFirstIn(p).isDefined,
+      s"dedup added its own exchange instead of reusing the window's:\n$p")
   }
 
   test("tpch_q11 shares ONE cached per-part aggregate between total and probe") {
