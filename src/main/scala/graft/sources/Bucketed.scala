@@ -79,16 +79,27 @@ object Bucketed {
     * layouts from older library versions, which no current signature
     * will ever re-read.
     */
+  /** Minimum age before an unmarked sibling layout is considered garbage.
+    * The marker is written only AFTER saveAsTable completes, so a fresh
+    * unmarked dir may be another process mid-write — deleting it would
+    * yank the layout out from under that writer. An hour-old unmarked dir
+    * is a crashed write (the single-layout writes here take seconds), and
+    * sweeping only those keeps the blast radius to provable orphans.
+    */
+  private val SweepAgeMs = 60L * 60 * 1000
+
   private def sweepStaleLayouts(tmp: Path): Unit = {
     val ls = Files.list(tmp)
     try {
       import scala.jdk.CollectionConverters._
+      val cutoff = System.currentTimeMillis() - SweepAgeMs
       ls.iterator().asScala
         .filter(d => d.getFileName.toString.startsWith("graft-buckets-") &&
           Files.isDirectory(d))
         .filter { d =>
           val m = marker(d)
-          !Files.exists(m) || Files.readString(m).linesIterator.size < 3
+          (!Files.exists(m) || Files.readString(m).linesIterator.size < 3) &&
+            Files.getLastModifiedTime(d).toMillis < cutoff
         }
         .foreach(deleteRecursively)
     } finally ls.close()

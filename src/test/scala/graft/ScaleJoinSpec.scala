@@ -175,6 +175,59 @@ class ScaleJoinSpec extends AnyFunSuite {
     assert(after == before)
   }
 
+  test("Bucketed stale-layout sweep spares fresh unmarked dirs (in-flight writers)") {
+    import java.nio.file.{Files, Paths}
+    // a FRESH unmarked sibling looks exactly like another process
+    // mid-write (the marker lands only after saveAsTable finishes); the
+    // sweep must only reap unmarked dirs past the age threshold
+    val tmp = Paths.get(sys.props("java.io.tmpdir"))
+    val fresh = tmp.resolve("graft-buckets-inflight_test")
+    Files.createDirectories(fresh)
+    Files.writeString(fresh.resolve("part-00000.parquet"), "partial")
+    try {
+      // corrupt the orders marker to force a rewrite, which runs the sweep
+      var corrupted = 0
+      Files.list(tmp).iterator().forEachRemaining { d =>
+        val m = d.resolve("_GRAFT_BUCKETS_READY")
+        if (d.getFileName.toString.startsWith("graft-buckets-orders_") &&
+            Files.exists(m)) {
+          Files.writeString(m, Files.readString(m).replaceFirst("^o_orderkey", "o_custkey"))
+          corrupted += 1
+        }
+      }
+      assert(corrupted > 0, "no orders bucket marker found to corrupt")
+      for (t <- spark.catalog.listTables().collect().map(_.name)
+           if t.startsWith("graft_bkt_orders"))
+        spark.sql(s"DROP TABLE $t")
+      SparkEntry.queries("join_bucketed")(spark, sf).write
+        .format("noop").mode("overwrite").save()
+      assert(Files.exists(fresh.resolve("part-00000.parquet")),
+        "sweep deleted a fresh unmarked layout — would race an in-flight writer")
+      // an OLD unmarked dir is a crashed write and must still be reaped
+      Files.setLastModifiedTime(fresh,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+      Files.list(tmp).iterator().forEachRemaining { d =>
+        val m = d.resolve("_GRAFT_BUCKETS_READY")
+        if (d.getFileName.toString.startsWith("graft-buckets-orders_") &&
+            Files.exists(m)) {
+          Files.writeString(m, Files.readString(m).replaceFirst("^o_orderkey", "o_custkey"))
+        }
+      }
+      for (t <- spark.catalog.listTables().collect().map(_.name)
+           if t.startsWith("graft_bkt_orders"))
+        spark.sql(s"DROP TABLE $t")
+      SparkEntry.queries("join_bucketed")(spark, sf).write
+        .format("noop").mode("overwrite").save()
+      assert(!Files.exists(fresh), "aged unmarked layout was not swept")
+    } finally {
+      if (Files.exists(fresh)) {
+        Files.deleteIfExists(fresh.resolve("part-00000.parquet"))
+        Files.deleteIfExists(fresh)
+      }
+    }
+  }
+
   test("partitioned writes prune partitions at the scan") {
     val dir = Files.createTempDirectory("graft-part").toString + "/orders_by_year"
     Tables(spark, sf, "orders")
