@@ -43,13 +43,19 @@ import org.apache.spark.sql.functions._
   * #bands instead of #partitions; no task ever walks more than ~two
   * bands of rows.
   *
-  * Band arithmetic runs in DECIMAL/long cents — never double — so band
+  * Band arithmetic runs in DECIMAL/scaled longs — never double — so band
   * assignment is exact (a double `floor(v/width)` can round across an
   * integer boundary and misplace a row by a WHOLE band). Inputs are
-  * therefore limited to values with <= 2 meaningful decimals, the money
-  * domain this engine's RANGE queries use. The `v-width` frame EDGE,
-  * by contrast, is deliberately compared in IEEE double — see the probe
-  * comment below.
+  * limited to values with <= `scale` meaningful decimals (default 2, the
+  * money domain; any scale the scaled-long fits — |v|·10^scale < 2^63 —
+  * works). The `v-width` frame EDGE, by contrast, is deliberately
+  * compared in IEEE double — see the probe comment below.
+  *
+  * Beyond count/sum (invertible) and min/max (non-invertible), the same
+  * two-term decomposition carries ANY merge-able aggregate: avg derives
+  * from the count/sum pair, and first/last-by-order (min_by/max_by with
+  * payload tiebreak) ride the descending suffix pass as struct-valued
+  * min/max — ⊕ is struct `least`/`greatest`.
   */
 object BandedWindow {
 
@@ -63,24 +69,39 @@ object BandedWindow {
     rangeFrame(df, part, valueCol, width,
       cntName = Some(cntName), sumName = Some(sumName))
 
-  /** General banded RANGE frame: any subset of count/sum/min/max of
-    * `valueCol` (as DECIMAL(18,2)) over the per-`part` frame
-    * `[v - width, v]`, each emitted under the given output name.
+  /** General banded RANGE frame: any subset of count/sum/min/max/avg of
+    * `valueCol` (as DECIMAL(18,scale)) over the per-`part` frame
+    * `[v - width, v]`, each emitted under the given output name, plus
+    * first/last-by-order: `firstName`/`lastName` give (output, payload
+    * column) pairs emitting the payload of the frame's lowest/highest
+    * (v, payload) struct — min_by/max_by with deterministic payload
+    * tiebreak, i.e. `min(struct(v, payload)) OVER frame` in the direct
+    * formulation.
     */
   def rangeFrame(df: DataFrame, part: Seq[String], valueCol: String,
                  width: Long,
                  cntName: Option[String] = None,
                  sumName: Option[String] = None,
                  minName: Option[String] = None,
-                 maxName: Option[String] = None): DataFrame = {
+                 maxName: Option[String] = None,
+                 avgName: Option[String] = None,
+                 firstName: Option[(String, String)] = None,
+                 lastName: Option[(String, String)] = None,
+                 scale: Int = 2): DataFrame = {
     require(width > 0, "frame width must be positive")
-    val outs = Seq(cntName, sumName, minName, maxName).flatten
+    require(scale >= 0 && scale <= 9, "scale must be in [0, 9]")
+    val outs = Seq(cntName, sumName, minName, maxName, avgName,
+      firstName.map(_._1), lastName.map(_._1)).flatten
     require(outs.nonEmpty, "at least one aggregate output required")
     val partCols = part.map(col)
-    val money = org.apache.spark.sql.types.DecimalType(18, 2)
-    val wCents = width * 100L
-    val needSub = cntName.isDefined || sumName.isDefined
-    val needSuf = minName.isDefined || maxName.isDefined
+    val money = org.apache.spark.sql.types.DecimalType(18, scale)
+    var factor = 1L; (0 until scale).foreach(_ => factor *= 10L)
+    val wCents = width * factor
+    // avg = merged sum / merged count, so it pulls in both pipelines
+    val needCnt = cntName.isDefined || avgName.isDefined
+    val needSum = sumName.isDefined || avgName.isDefined
+    // payload columns the first/last structs carry through the passes
+    val payloadCols = (firstName.map(_._2).toSeq ++ lastName.map(_._2)).distinct
 
     // NULL ordering values form their own RANGE peer group (a direct
     // `ORDER BY v RANGE …` frames every NULL row over exactly the
@@ -100,7 +121,7 @@ object BandedWindow {
     val base = nonNull
       .withColumn("__v", col(valueCol).cast(money))
       .withColumn("__band", {
-        val cents = (col("__v") * 100).cast("long")
+        val cents = (col("__v") * factor).cast("long")
         ((cents - pmod(cents, lit(wCents)))
           .cast(org.apache.spark.sql.types.DecimalType(38, 0)) / wCents)
           .cast("long")
@@ -126,25 +147,35 @@ object BandedWindow {
     // probes are NOT pre-distinct'd (that would cost a full shuffle);
     // duplicates sort adjacently and the lag() filter below — same
     // WindowExec as the prefix sums — keeps only the first of each run
+    val payloadType = payloadCols.map(c =>
+      c -> df.schema(df.schema.fieldIndex(c)).dataType).toMap
     val probes = base.select(partCols ++ Seq(
       col("__v").as("__orig_v"),
       col("__band").as("__orig_band"),
       (col("__v").cast("double") - width).as("__sortv"),
       lit(null).cast(money).as("__sv"),
       (col("__band") - 1).as("__pband"),
-      lit(0).as("__real")): _*)
+      lit(0).as("__real")) ++
+      payloadCols.map(c => lit(null).cast(payloadType(c)).as(c)): _*)
     val reals = base.select(partCols ++ Seq(
       lit(null).cast(money).as("__orig_v"),
       lit(null).cast("long").as("__orig_band"),
       col("__v").cast("double").as("__sortv"),
       col("__v").as("__sv"),
       col("__band").as("__pband"),
-      lit(1).as("__real")): _*)
+      lit(1).as("__real")) ++
+      payloadCols.map(col): _*)
     // ascending pass: probes BEFORE real ties → running count/sum over
     // preceding rows is the STRICT prefix `u < edge`; subtracting it
     // from the band total leaves `u >= edge` (count/sum only).
+    // __orig_v as tertiary key (r5 advice): two DISTINCT decimal values
+    // can collide to the same double __sortv past ~2^53/10^scale, and
+    // without it equal-(sortv, real) probes interleave nondeterministic-
+    // ally — an (A,B,A,B) run defeats the lag() dedup below and fans the
+    // probe join out into duplicate rows. Reals carry a NULL __orig_v, so
+    // the probe-before-real-ties semantics are untouched.
     val wOrd = Window.partitionBy(partCols :+ col("__pband"): _*)
-      .orderBy(col("__sortv").asc, col("__real").asc)
+      .orderBy(col("__sortv").asc, col("__real").asc, col("__orig_v").asc)
     val wP = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wT = Window.partitionBy(partCols :+ col("__pband"): _*)
     // descending pass: real ties BEFORE the probe → the running min/max
@@ -155,32 +186,47 @@ object BandedWindow {
       .orderBy(col("__sortv").desc, col("__real").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // struct-valued order key for first/last: probes contribute NULL (the
+    // aggregate skips them); reals contribute (v, payload), compared
+    // field-by-field — exactly `min/max(struct(v, payload))` semantics
+    def obStruct(payload: String): Column =
+      when(col("__real") === 1,
+        struct(col("__sv").as("v"), col(payload).as("p")))
     var prev = reals.unionByName(probes)
-    if (needSub) prev = prev
+    if (needCnt) prev = prev
       .withColumn("__lt_cnt",
         sum(when(col("__real") === 1, 1L).otherwise(0L)).over(wP))
-      .withColumn("__lt_sum", sum(col("__sv")).over(wP))
       .withColumn("__tot_cnt",
         sum(when(col("__real") === 1, 1L).otherwise(0L)).over(wT))
+    if (needSum) prev = prev
+      .withColumn("__lt_sum", sum(col("__sv")).over(wP))
       .withColumn("__tot_sum", sum(col("__sv")).over(wT))
-    if (needSuf) prev = prev
+    // each suffix aggregate guarded on its own output (r5 advice: a
+    // single-aggregate caller shouldn't pay unused WindowExec buffers)
+    if (minName.isDefined) prev = prev
       .withColumn("__ge_min", min(col("__sv")).over(wD))
+    if (maxName.isDefined) prev = prev
       .withColumn("__ge_max", max(col("__sv")).over(wD))
+    if (firstName.isDefined) prev = prev
+      .withColumn("__ge_fb", min(obStruct(firstName.get._2)).over(wD))
+    if (lastName.isDefined) prev = prev
+      .withColumn("__ge_lb", max(obStruct(lastName.get._2)).over(wD))
     // duplicate probes (same value appearing on several rows) sort as a
     // run: equal __sortv, __real=0, reals after. Keep the run's first —
     // lag() shares wOrd's WindowExec, so this dedup is shuffle-free.
     val probeOut = partCols ++ Seq(
       col("__orig_band").as("__band"),
       col("__orig_v").as("__v")) ++
-      (if (needSub) Seq(
-        (col("__tot_cnt") - col("__lt_cnt")).as("__prev_cnt"),
+      (if (needCnt) Seq(
+        (col("__tot_cnt") - col("__lt_cnt")).as("__prev_cnt")) else Nil) ++
+      (if (needSum) Seq(
         (coalesce(col("__tot_sum"), lit(0).cast(money))
           - coalesce(col("__lt_sum"), lit(0).cast(money))).as("__prev_sum"))
        else Nil) ++
-      (if (needSuf) Seq(
-        col("__ge_min").as("__prev_min"),
-        col("__ge_max").as("__prev_max"))
-       else Nil)
+      minName.map(_ => col("__ge_min").as("__prev_min")).toSeq ++
+      maxName.map(_ => col("__ge_max").as("__prev_max")).toSeq ++
+      firstName.map(_ => col("__ge_fb").as("__prev_fb")).toSeq ++
+      lastName.map(_ => col("__ge_lb").as("__prev_lb")).toSeq
     val prevSlice = prev
       .withColumn("__prev_probe_v", lag(col("__orig_v"), 1).over(wOrd))
       .filter(col("__real") === 0 && !(col("__prev_probe_v") <=> col("__orig_v")))
@@ -189,19 +235,38 @@ object BandedWindow {
     // join keys include (part, __band) so the planner co-locates on the
     // windows' existing hash partitioning instead of reshuffling by value
     var joined = base
-    if (cntName.isDefined) joined = joined.withColumn("__a_cnt", count(lit(1)).over(wA))
-    if (sumName.isDefined) joined = joined.withColumn("__a_sum", sum(col("__v")).over(wA))
+    if (needCnt) joined = joined.withColumn("__a_cnt", count(lit(1)).over(wA))
+    if (needSum) joined = joined.withColumn("__a_sum", sum(col("__v")).over(wA))
     if (minName.isDefined) joined = joined.withColumn("__a_min", min(col("__v")).over(wA))
     if (maxName.isDefined) joined = joined.withColumn("__a_max", max(col("__v")).over(wA))
+    if (firstName.isDefined) joined = joined.withColumn("__a_fb",
+      min(struct(col("__v").as("v"), col(firstName.get._2).as("p"))).over(wA))
+    if (lastName.isDefined) joined = joined.withColumn("__a_lb",
+      max(struct(col("__v").as("v"), col(lastName.get._2).as("p"))).over(wA))
     joined = joined.join(prevSlice, part ++ Seq("__band", "__v"))
-    // combine: count/sum add the complements; min/max merge with
-    // null-skipping least/greatest (term 1 is never empty — the frame
-    // always contains the current row — so the result is never null).
+    // combine: count/sum add the complements; min/max (and the struct-
+    // valued first/last) merge with null-skipping least/greatest (term 1
+    // is never empty — the frame always contains the current row — so
+    // the result is never null). avg replicates Spark's decimal Average
+    // expression shape — Divide(sum: dec(28,s), count: dec(20,0)) cast
+    // to dec(22, s+4) — so the banded result rounds bit-identically to
+    // the direct formulation (a different intermediate division scale
+    // could double-round half-ulp cases the other way).
+    import org.apache.spark.sql.types.DecimalType
+    val avgType = DecimalType(22, scale + 4)
+    val sumType = DecimalType(28, scale)
+    val cntType = DecimalType(20, 0)
     val outCols: Seq[(String, Column)] =
       cntName.map(n => n -> (col("__a_cnt") + col("__prev_cnt"))).toSeq ++
       sumName.map(n => n -> (col("__a_sum") + col("__prev_sum"))) ++
       minName.map(n => n -> least(col("__a_min"), col("__prev_min"))) ++
-      maxName.map(n => n -> greatest(col("__a_max"), col("__prev_max")))
+      maxName.map(n => n -> greatest(col("__a_max"), col("__prev_max"))) ++
+      avgName.map(n => n -> ((col("__a_sum") + col("__prev_sum")).cast(sumType)
+        / (col("__a_cnt") + col("__prev_cnt")).cast(cntType)).cast(avgType)) ++
+      firstName.map { case (n, _) =>
+        n -> least(col("__a_fb"), col("__prev_fb")).getField("p") } ++
+      lastName.map { case (n, _) =>
+        n -> greatest(col("__a_lb"), col("__prev_lb")).getField("p") }
     for ((n, c) <- outCols) joined = joined.withColumn(n, c)
     val banded =
       joined.select(df.columns.map(col) ++ outCols.map { case (n, _) => col(n) }: _*)
@@ -211,11 +276,21 @@ object BandedWindow {
     // banded side's exact types so the union stays schema-identical.
     val wPeers = Window.partitionBy(partCols: _*)
     val typeOf = banded.schema.fields.map(f => f.name -> f.dataType).toMap
+    // first/last over the all-NULL peer group still return a payload:
+    // the direct min/max(struct(v, p)) compares equal NULL v fields and
+    // falls through to the payload tiebreak — replicate it exactly.
     val nullOut: Seq[Column] =
       cntName.map(n => count(lit(1)).over(wPeers).cast(typeOf(n)).as(n)).toSeq ++
       sumName.map(n => lit(null).cast(typeOf(n)).as(n)) ++
       minName.map(n => lit(null).cast(typeOf(n)).as(n)) ++
-      maxName.map(n => lit(null).cast(typeOf(n)).as(n))
+      maxName.map(n => lit(null).cast(typeOf(n)).as(n)) ++
+      avgName.map(n => lit(null).cast(typeOf(n)).as(n)) ++
+      firstName.map { case (n, p) =>
+        min(struct(col(valueCol).cast(money).as("v"), col(p).as("p")))
+          .over(wPeers).getField("p").as(n) } ++
+      lastName.map { case (n, p) =>
+        max(struct(col(valueCol).cast(money).as("v"), col(p).as("p")))
+          .over(wPeers).getField("p").as(n) }
     if (!valueNullable) banded
     else banded.unionByName(
       nullRows.select(df.columns.map(col).toIndexedSeq ++ nullOut: _*))

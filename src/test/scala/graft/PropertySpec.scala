@@ -219,6 +219,46 @@ class PropertySpec extends AnyFunSuite {
     assert(bandedMM === directMM)
   }
 
+  test("banded RANGE frame generalizes: avg, first/last-by-order, 3-dp scale") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 3-decimal values (scale=3 band arithmetic), width 7, with forced
+    // exact-boundary pairs (u == v-7), duplicates, and band-edge values
+    val vals = Seq.fill(300)(math.rint(rnd.nextDouble() * 350000) / 1000.0) ++
+      Seq(14.000, 7.000, 21.000,          // exact boundary chain
+          13.999, 6.999,                  // boundary pair off-grid
+          35.007, 35.007, 28.007,         // dup + exact-7 apart
+          123.456, 116.456)               // exact-width pair mid-range
+    val withNulls: Seq[Option[Double]] =
+      vals.map(Some(_)) ++ Seq(None, None, None)
+    val df = withNulls.zipWithIndex.map { case (v, i) =>
+      (i.toLong, if (i % 3 == 0) "A" else "B", v)
+    }.toDF("id", "seg", "price")
+    val dec3 = col("price").cast("decimal(18,3)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg")).orderBy(col("price")).rangeBetween(-7L, 0L)
+    val outs = Seq("band_cnt", "band_avg", "band_first", "band_last")
+    val direct = df
+      .withColumn("band_cnt", count(lit(1)).over(w))
+      .withColumn("band_avg", avg(dec3).over(w))
+      // first/last-by-order = min/max(struct(v, payload)): payload of
+      // the frame's extremal value, ties broken by payload
+      .withColumn("band_first",
+        min(struct(dec3.as("v"), col("id").as("p"))).over(w).getField("p"))
+      .withColumn("band_last",
+        max(struct(dec3.as("v"), col("id").as("p"))).over(w).getField("p"))
+      .select(col("id") +: outs.map(col): _*)
+      .collect().map(_.toSeq).toSet
+    val banded = graft.operators.BandedWindow.rangeFrame(
+        df, Seq("seg"), "price", 7L,
+        cntName = Some("band_cnt"), avgName = Some("band_avg"),
+        firstName = Some(("band_first", "id")),
+        lastName = Some(("band_last", "id")), scale = 3)
+      .select(col("id") +: outs.map(col): _*)
+      .collect().map(_.toSeq).toSet
+    assert(banded === direct)
+  }
+
   test("win_range_frame (banded) equals the direct formulation on the fixture") {
     val sf = "/root/testdata/sf0.01"
     val w = org.apache.spark.sql.expressions.Window
