@@ -235,6 +235,51 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming restart resumes exactly-once from the checkpoint in a NEW session") {
+    import java.nio.file.Files
+    val ckpt = Files.createTempDirectory("graft-http-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-http-sink").toString
+    def readFrom(s: SparkSession) = s.readStream.format("graft-http")
+      .option("url", s"http://127.0.0.1:$port/rows")
+      .option("countUrl", s"http://127.0.0.1:$port/count")
+      .option("schema", "id LONG, name STRING, score DOUBLE")
+      .option("pageSize", "50")
+      .option("numPartitions", "2")
+      .load()
+    def sink(df: org.apache.spark.sql.DataFrame) = df.writeStream
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append")
+    try {
+      // phase 1: ingest the first 100 rows, then the query dies (stop()
+      // after the offset commit — the kill point between micro-batches)
+      liveRows.set(100)
+      val q1 = sink(readFrom(spark)).start()
+      q1.processAllAvailable()
+      q1.stop()
+      assert(spark.read.parquet(outDir).count() === 100)
+      // phase 2: server grew; a NEW SparkSession (fresh session state,
+      // fresh StreamingQueryManager — nothing in memory from q1) must
+      // resume from the CHECKPOINT's committed offset, not from scratch
+      liveRows.set(TotalRows)
+      val mark = seenQueries.size()
+      val spark2 = spark.newSession()
+      val q2 = sink(readFrom(spark2)).start()
+      q2.processAllAvailable()
+      q2.stop()
+      val out = spark2.read.parquet(outDir)
+      assert(out.count() === TotalRows)
+      assert(out.select(countDistinct(col("id"))).head.getLong(0) === TotalRows)
+      // the resumed query must only have paged the delta: every /rows
+      // request after restart starts at or past the committed offset 100
+      val restartOffsets = seenQueries.subList(mark, seenQueries.size())
+        .toArray.map(_.toString)
+        .filter(_.contains("offset="))
+        .map(_.split("&").find(_.startsWith("offset=")).get.stripPrefix("offset=").toLong)
+      assert(restartOffsets.nonEmpty && restartOffsets.forall(_ >= 100),
+        s"restart re-read below the committed offset: ${restartOffsets.toSeq}")
+    } finally liveRows.set(TotalRows)
+  }
+
   test("maxRowsPerTrigger drains a backlog in capped micro-batches") {
     liveRows.set(TotalRows)
     val stream = spark.readStream.format("graft-http")
