@@ -142,6 +142,23 @@ object ScaleOps {
         .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
       meta.join(frames, Seq("media_id"), "left")
         .orderBy(col("media_id"))
+    },
+
+    // The same metadata pipeline over REAL image bytes (r6): tiny
+    // executor-generated PNG/BMP rasters decoded by the ImageIO codec —
+    // the stub seam and the real-decoder seam run the identical
+    // operators. Content features come from the decoded raster, so the
+    // embedding column composes with the ANN path on genuine pixels.
+    "multimodal_image_meta" -> { (s, _) =>
+      val media = Multimodal.syntheticImages(s, 48)
+      val codec = Multimodal.ImageIoCodec
+      val meta = Multimodal.decodeMeta(media, codec).toDF()
+      val feats = Multimodal.extractFeatures(media, dim = 8, codec)
+        .select(col("media_id"),
+          round(aggregate(col("embedding"),
+            lit(0.0), (a: Column, x: Column) => a + x * x), 5).as("feat_sq_norm"))
+      meta.join(feats, Seq("media_id"), "left")
+        .orderBy(col("media_id"))
     }
   )
 }

@@ -102,6 +102,30 @@ object Windows {
           Oracle.out(col("band_min")).as("band_min"),
           Oracle.out(col("band_max")).as("band_max"))
         .transform(Oracle.totalOrder)
+    },
+
+    // -- derived + order-dependent RANGE-frame aggregates --------------------
+    // The r6 BandedWindow generalization as a driver-checked query: avg
+    // (merged count/sum pair, Spark's decimal Average rounding) and
+    // first/last-by-order (min/max(struct(v, payload)) — the payload at
+    // the frame's extremal value, payload-tiebroken) over the same
+    // 1000-wide totalprice band. DuckDB mirrors the struct comparison
+    // with min({'v':…,'p':…}) OVER w.
+    "win_range_frame_stats" -> { (s, dir) =>
+      val joined = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment"),
+          col("o_totalprice").as("totalprice_d"))
+      graft.operators.BandedWindow.rangeFrame(joined, Seq("c_mktsegment"),
+          "totalprice_d", width = 1000L,
+          avgName = Some("band_avg_d"),
+          firstName = Some(("first_ok", "o_orderkey")),
+          lastName = Some(("last_ok", "o_orderkey")))
+        .select(col("o_orderkey"), col("c_mktsegment"),
+          Oracle.out(Oracle.dec(col("totalprice_d"))).as("totalprice"),
+          Oracle.out(col("band_avg_d")).as("band_avg"),
+          col("first_ok"), col("last_ok"))
+        .transform(Oracle.totalOrder)
     }
   )
 
@@ -161,6 +185,21 @@ object Windows {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice
         |             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
-        |ORDER BY o_orderkey, c_mktsegment, totalprice, band_min, band_max""".stripMargin
+        |ORDER BY o_orderkey, c_mktsegment, totalprice, band_min, band_max""".stripMargin,
+
+    "win_range_frame_stats" ->
+      """SELECT o_orderkey, c_mktsegment, totalprice, band_avg,
+        |       fb.p AS first_ok, lb.p AS last_ok
+        |FROM (
+        |  SELECT o_orderkey, c_mktsegment,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+        |    CAST(CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+        |         AS DECIMAL(22,6)) AS DOUBLE) AS band_avg,
+        |    MIN({'v': CAST(o_totalprice AS DECIMAL(18,2)), 'p': o_orderkey}) OVER w AS fb,
+        |    MAX({'v': CAST(o_totalprice AS DECIMAL(18,2)), 'p': o_orderkey}) OVER w AS lb
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice
+        |               RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW))
+        |ORDER BY o_orderkey, c_mktsegment, totalprice, band_avg, first_ok, last_ok""".stripMargin
   )
 }
