@@ -45,15 +45,23 @@ object Bench {
     // a REAL regression shows up in both passes and survives the min.
     val timedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to timedRuns).map { _ =>
+      // A failed pass must NOT win the min: an error that aborts in 0.3 s
+      // would otherwise be recorded as a fake speedup. Failed passes count
+      // as +inf; if EVERY pass failed, fall back to the min elapsed (the
+      // JSON has no failure channel — stderr carries the diagnosis, and a
+      // wall-clock number beats poisoning the total with infinity).
+      val passes = (1 to timedRuns).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> times.min
+      val good = passes.filter(_._2).map(_._1)
+      name -> (if (good.nonEmpty) good.min else passes.map(_._1).min)
     }
     // Locale.ROOT: the f-interpolator is locale-sensitive and a
     // comma-decimal JVM locale would emit unparseable JSON.

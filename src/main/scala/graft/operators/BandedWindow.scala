@@ -100,8 +100,18 @@ object BandedWindow {
     // avg = merged sum / merged count, so it pulls in both pipelines
     val needCnt = cntName.isDefined || avgName.isDefined
     val needSum = sumName.isDefined || avgName.isDefined
-    // payload columns the first/last structs carry through the passes
+    // payload columns the first/last structs carry through the passes.
+    // A payload naming a partition column would be selected twice in the
+    // probes/reals projections and die later as an opaque ambiguous-
+    // reference AnalysisException — reject it up front (it would also be
+    // constant over the frame, so the call is a mistake by construction);
+    // "__" collides with the rewrite's internal columns.
     val payloadCols = (firstName.map(_._2).toSeq ++ lastName.map(_._2)).distinct
+    payloadCols.foreach { c =>
+      require(!part.contains(c),
+        s"first/last payload '$c' is a partition column (constant per frame)")
+      require(!c.startsWith("__"), s"first/last payload '$c' shadows internal columns")
+    }
 
     // NULL ordering values form their own RANGE peer group (a direct
     // `ORDER BY v RANGE …` frames every NULL row over exactly the

@@ -130,13 +130,23 @@ object Multimodal {
       img
     }
 
-    private def sniffFormat(bytes: Array[Byte]): String = {
+    /** Format + dimensions off the image HEADER via ImageReader — no
+      * raster decode. The metadata path over a 100 TB corpus must not
+      * pay a full per-image pixel decode when the reader surfaces
+      * width/height/format from the container alone.
+      */
+    private def sniffMeta(bytes: Array[Byte]): (String, Int, Int) = {
+      System.setProperty("java.awt.headless", "true")
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (readers.hasNext) readers.next().getFormatName.toLowerCase(java.util.Locale.ROOT)
-        else "unknown"
+        require(readers.hasNext, s"no ImageIO reader for ${bytes.length} bytes")
+        val r = readers.next()
+        r.setInput(iis)
+        try (r.getFormatName.toLowerCase(java.util.Locale.ROOT),
+          r.getWidth(0), r.getHeight(0))
+        finally r.dispose()
       } finally iis.close()
     }
 
@@ -160,9 +170,8 @@ object Multimodal {
     }
 
     override def decode(row: MediaRow): MediaMeta = {
-      val img = readImage(row.bytes)
-      MediaMeta(row.media_id, row.kind, img.getWidth, img.getHeight,
-        sniffFormat(row.bytes), 0L, row.bytes.length)
+      val (fmt, w, h) = sniffMeta(row.bytes)
+      MediaMeta(row.media_id, row.kind, w, h, fmt, 0L, row.bytes.length)
     }
 
     override def resize(row: MediaRow, width: Int, height: Int): MediaRow = {
@@ -211,9 +220,12 @@ object Multimodal {
       contentFeature(payload, dim, 0)
 
     /** Real content statistic (not hash-seeded noise): byte histogram of
-      * the raster folded into `dim` buckets, L1-normalized to [-1, 1].
-      * Deterministic, content-keyed, and close pixels → close features —
-      * the locality ANN needs, unlike a seeded-PRNG embedding.
+      * the raster folded into `dim` buckets, emitted as ZERO-MEAN bucket-
+      * frequency deviations `c/total - 1/dim` (range ⊂ (-1, 1], mean
+      * exactly 0). Zero-mean matters for the ANN path: a constant bias
+      * component would push every hyperplane projection to one side and
+      * unbalance the LSH buckets. Deterministic, content-keyed, and
+      * close pixels → close features.
       */
     private def contentFeature(payload: Array[Byte], dim: Int, shift: Int): Array[Float] = {
       val hist = new Array[Long](dim)
@@ -223,7 +235,7 @@ object Multimodal {
         i += 1
       }
       val total = math.max(1L, payload.length.toLong)
-      hist.map(c => (c.toDouble / total * 2 - 1.0 / dim).toFloat)
+      hist.map(c => (c.toDouble / total - 1.0 / dim).toFloat)
     }
   }
 

@@ -193,8 +193,18 @@ object Windows {
         |FROM (
         |  SELECT o_orderkey, c_mktsegment,
         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
-        |    CAST(CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
-        |         AS DECIMAL(22,6)) AS DOUBLE) AS band_avg,
+        |    -- exact HALF_UP average at scale 6 via hugeint cents, NOT
+        |    -- AVG(): DuckDB averages decimals through a double, and a
+        |    -- frame whose exact mean ties at the 7th decimal (any
+        |    -- 32-row frame with an odd cent sum) then rounds by float
+        |    -- error sign while Spark's decimal Average rounds HALF_UP —
+        |    -- a scale-down tie of exactly the kind Oracle.scala bans.
+        |    -- floor((2*cents*10^4 + n) / 2n) = HALF_UP(cents*10^4/n)
+        |    -- for positive sums; /1e6 is one correctly-rounded double
+        |    -- division, same as Spark's DECIMAL(22,6) -> DOUBLE cast.
+        |    CAST((CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT))
+        |               OVER w AS HUGEINT)*20000 + COUNT(*) OVER w)
+        |         // (2*(COUNT(*) OVER w)) AS DOUBLE)/1e6 AS band_avg,
         |    MIN({'v': CAST(o_totalprice AS DECIMAL(18,2)), 'p': o_orderkey}) OVER w AS fb,
         |    MAX({'v': CAST(o_totalprice AS DECIMAL(18,2)), 'p': o_orderkey}) OVER w AS lb
         |  FROM orders JOIN customer ON o_custkey = c_custkey

@@ -88,6 +88,22 @@ object Bucketed {
     */
   private val SweepAgeMs = 60L * 60 * 1000
 
+  /** Newest mtime anywhere under `dir`: a layout mid-write keeps its
+    * task files churning under `_temporary/...` without ever touching
+    * the TOP-LEVEL dir's mtime, so the age gate must look at the whole
+    * subtree or a >1h write would still be reaped mid-flight. Bucket
+    * layouts hold at most a few hundred entries — the walk is cheap.
+    */
+  private def newestMtime(dir: Path): Long = {
+    val walk = Files.walk(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .map(p => Files.getLastModifiedTime(p).toMillis)
+        .foldLeft(0L)(math.max)
+    } finally walk.close()
+  }
+
   private def sweepStaleLayouts(tmp: Path): Unit = {
     val ls = Files.list(tmp)
     try {
@@ -99,7 +115,7 @@ object Bucketed {
         .filter { d =>
           val m = marker(d)
           (!Files.exists(m) || Files.readString(m).linesIterator.size < 3) &&
-            Files.getLastModifiedTime(d).toMillis < cutoff
+            newestMtime(d) < cutoff
         }
         .foreach(deleteRecursively)
     } finally ls.close()

@@ -179,50 +179,54 @@ class ScaleJoinSpec extends AnyFunSuite {
     import java.nio.file.{Files, Paths}
     // a FRESH unmarked sibling looks exactly like another process
     // mid-write (the marker lands only after saveAsTable finishes); the
-    // sweep must only reap unmarked dirs past the age threshold
+    // sweep must only reap unmarked dirs whose whole SUBTREE is past the
+    // age threshold (a long write churns task files while the top-level
+    // dir's mtime stays stale)
     val tmp = Paths.get(sys.props("java.io.tmpdir"))
     val fresh = tmp.resolve("graft-buckets-inflight_test")
     Files.createDirectories(fresh)
-    Files.writeString(fresh.resolve("part-00000.parquet"), "partial")
-    try {
-      // corrupt the orders marker to force a rewrite, which runs the sweep
+    val partial = fresh.resolve("part-00000.parquet")
+    Files.writeString(partial, "partial")
+    // force the orders layout to rewrite (stale-marker branch), which
+    // runs the sweep on the way — the shared trigger for both phases
+    def triggerSweepViaOrdersRewrite(): Unit = {
       var corrupted = 0
-      Files.list(tmp).iterator().forEachRemaining { d =>
+      val ls = Files.list(tmp)
+      try ls.iterator().forEachRemaining { d =>
         val m = d.resolve("_GRAFT_BUCKETS_READY")
         if (d.getFileName.toString.startsWith("graft-buckets-orders_") &&
             Files.exists(m)) {
           Files.writeString(m, Files.readString(m).replaceFirst("^o_orderkey", "o_custkey"))
           corrupted += 1
         }
-      }
+      } finally ls.close()
       assert(corrupted > 0, "no orders bucket marker found to corrupt")
       for (t <- spark.catalog.listTables().collect().map(_.name)
            if t.startsWith("graft_bkt_orders"))
         spark.sql(s"DROP TABLE $t")
       SparkEntry.queries("join_bucketed")(spark, sf).write
         .format("noop").mode("overwrite").save()
-      assert(Files.exists(fresh.resolve("part-00000.parquet")),
+    }
+    try {
+      triggerSweepViaOrdersRewrite()
+      assert(Files.exists(partial),
         "sweep deleted a fresh unmarked layout — would race an in-flight writer")
-      // an OLD unmarked dir is a crashed write and must still be reaped
-      Files.setLastModifiedTime(fresh,
-        java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() - 2L * 60 * 60 * 1000))
-      Files.list(tmp).iterator().forEachRemaining { d =>
-        val m = d.resolve("_GRAFT_BUCKETS_READY")
-        if (d.getFileName.toString.startsWith("graft-buckets-orders_") &&
-            Files.exists(m)) {
-          Files.writeString(m, Files.readString(m).replaceFirst("^o_orderkey", "o_custkey"))
-        }
-      }
-      for (t <- spark.catalog.listTables().collect().map(_.name)
-           if t.startsWith("graft_bkt_orders"))
-        spark.sql(s"DROP TABLE $t")
-      SparkEntry.queries("join_bucketed")(spark, sf).write
-        .format("noop").mode("overwrite").save()
+      // age the dir but keep the task file fresh: still an in-flight
+      // write (subtree mtime governs), must be spared
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+      Files.setLastModifiedTime(fresh, old)
+      triggerSweepViaOrdersRewrite()
+      assert(Files.exists(partial),
+        "sweep keyed on the dir mtime alone — a >1h in-flight write would be reaped")
+      // whole subtree old = a crashed write; must be reaped
+      Files.setLastModifiedTime(partial, old)
+      Files.setLastModifiedTime(fresh, old)
+      triggerSweepViaOrdersRewrite()
       assert(!Files.exists(fresh), "aged unmarked layout was not swept")
     } finally {
       if (Files.exists(fresh)) {
-        Files.deleteIfExists(fresh.resolve("part-00000.parquet"))
+        Files.deleteIfExists(partial)
         Files.deleteIfExists(fresh)
       }
     }
