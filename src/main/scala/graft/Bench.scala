@@ -43,7 +43,8 @@ object Bench {
     // one-shot vs 1.67 s steady). The min of two full passes absorbs a
     // transient stall in either pass while still timing the same plan;
     // a REAL regression shows up in both passes and survives the min.
-    val timedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    val timedRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(_.trim.toIntOption).getOrElse(2).max(1)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // A failed pass must NOT win the min: an error that aborts in 0.3 s
       // would otherwise be recorded as a fake speedup. Failed passes count

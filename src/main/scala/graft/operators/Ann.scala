@@ -30,15 +30,19 @@ object Ann {
   /** (row, table, bucket) keys: one bucket id per LSH table. Input must
     * have an `e: array<double>` column.
     */
-  def bucketKeys(df: DataFrame, tables: Int = 16, planesPerTable: Int = 5,
-                 dim: Int = 64, seed: Long = 42L): DataFrame = {
-    // A dim mismatch would make zip_with null-pad, every projection null,
-    // and every row land in bucket 0 of every table — i.e. a silent full
-    // cross-product downstream. Fail fast instead (one cheap head probe).
+  /** A dim mismatch would make zip_with null-pad, every projection null,
+    * and every row land in bucket 0 of every table — i.e. a silent full
+    * cross-product downstream. Fail fast instead (one cheap head probe).
+    */
+  private def checkDim(df: DataFrame, dim: Int): Unit =
     df.select(size(col("e"))).head(1).foreach { r =>
       require(r.getInt(0) == dim,
         s"embedding dim ${r.getInt(0)} != configured dim $dim")
     }
+
+  def bucketKeys(df: DataFrame, tables: Int = 16, planesPerTable: Int = 5,
+                 dim: Int = 64, seed: Long = 42L): DataFrame = {
+    checkDim(df, dim)
     val ps = planes(tables, planesPerTable, dim, seed)
     val bucketCols = ps.map { table =>
       table.zipWithIndex.map { case (plane, j) =>
@@ -65,10 +69,7 @@ object Ann {
     */
   def probedBucketKeys(df: DataFrame, tables: Int = 16, planesPerTable: Int = 5,
                        dim: Int = 64, seed: Long = 42L, nprobe: Int = 2): DataFrame = {
-    df.select(size(col("e"))).head(1).foreach { r =>
-      require(r.getInt(0) == dim,
-        s"embedding dim ${r.getInt(0)} != configured dim $dim")
-    }
+    checkDim(df, dim)
     val ps = planes(tables, planesPerTable, dim, seed)
     // Materialize each projection once: bucket bits AND margins read it,
     // and 2×tables×planes aggregate-folds per row is the kind of cost

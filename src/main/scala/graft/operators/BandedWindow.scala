@@ -93,6 +93,14 @@ object BandedWindow {
     val outs = Seq(cntName, sumName, minName, maxName, avgName,
       firstName.map(_._1), lastName.map(_._1)).flatten
     require(outs.nonEmpty, "at least one aggregate output required")
+    // Colliding output names silently overwrite each other in the
+    // withColumn chain (the caller reads avg where it asked for count);
+    // an output naming an input column replaces that column in the
+    // passthrough projection. Both are mistakes — fail loud.
+    require(outs.distinct.size == outs.size,
+      s"duplicate aggregate output names: ${outs.mkString(", ")}")
+    outs.foreach(n => require(!df.columns.contains(n),
+      s"aggregate output '$n' collides with an input column"))
     val partCols = part.map(col)
     val money = org.apache.spark.sql.types.DecimalType(18, scale)
     var factor = 1L; (0 until scale).foreach(_ => factor *= 10L)

@@ -153,7 +153,11 @@ object Multimodal {
     /** Encode a raster as PNG bytes (lossless — the round-trip anchor). */
     def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
+      // write() returns false (no exception) when no writer is
+      // registered — a stripped JRE would otherwise emit 0-byte payloads
+      // that only fail far downstream as "could not decode 0 bytes"
+      require(javax.imageio.ImageIO.write(img, "png", bos),
+        "no ImageIO png writer registered in this JRE")
       bos.toByteArray
     }
 
@@ -165,7 +169,8 @@ object Multimodal {
       val g = rgb.createGraphics()
       g.drawImage(img, 0, 0, null); g.dispose()
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(rgb, "bmp", bos)
+      require(javax.imageio.ImageIO.write(rgb, "bmp", bos),
+        "no ImageIO bmp writer registered in this JRE")
       bos.toByteArray
     }
 

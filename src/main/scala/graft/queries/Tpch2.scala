@@ -43,15 +43,16 @@ object Tpch2 {
       supply
         .withColumn("mincost", min(col("cost")).over(Window.partitionBy(col("p_partkey"))))
         .filter(col("cost") === col("mincost"))
-        // Per-(part, supplier) dedup instead of a result-wide distinct
-        // (r5 advice): the window-min filter can only duplicate a
-        // (p_partkey, s_suppkey) pair — the same supplier shipping the
-        // min-cost part repeatedly — and every other column is
-        // functionally determined by that pair. Deduping on a SUPERSET
-        // of the window's partition key reuses its hash partitioning:
-        // zero extra exchange (PlanSpec gate), where the old distinct()
-        // reshuffled the whole result.
-        .dropDuplicates("p_partkey", "s_suppkey")
+        // Dedup BEFORE the projection instead of a result-wide distinct
+        // over renamed outputs (r5 advice): the key set carries every
+        // output column (matching the oracle's DISTINCT exactly — no
+        // reliance on the fixture's dimension keys being unique) and
+        // CONTAINS the window's partition key p_partkey, so the
+        // aggregate reuses the window's hash partitioning: zero extra
+        // exchange (PlanSpec gate), where the old post-projection
+        // distinct() reshuffled the whole result.
+        .dropDuplicates("p_partkey", "s_suppkey", "p_brand", "s_name",
+          "s_acctbal", "n_name", "cost")
         // s_suppkey as the final key makes the pre-LIMIT order provably
         // total (two min-cost suppliers of one part could share acctbal
         // AND name); projected away after the cut, as in the oracle.

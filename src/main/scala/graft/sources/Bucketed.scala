@@ -95,13 +95,20 @@ object Bucketed {
     * layouts hold at most a few hundred entries — the walk is cheap.
     */
   private def newestMtime(dir: Path): Long = {
-    val walk = Files.walk(dir)
+    // The walk races the very writers the age gate protects: a sibling
+    // process can rename/delete task files between listing and stat. Any
+    // IO failure reads as "fresh" (Long.MaxValue) — sparing a dir we
+    // couldn't inspect is always safe; best-effort cleanup must never
+    // abort the caller's query.
     try {
-      import scala.jdk.CollectionConverters._
-      walk.iterator().asScala
-        .map(p => Files.getLastModifiedTime(p).toMillis)
-        .foldLeft(0L)(math.max)
-    } finally walk.close()
+      val walk = Files.walk(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .map(p => Files.getLastModifiedTime(p).toMillis)
+          .foldLeft(0L)(math.max)
+      } finally walk.close()
+    } catch { case _: Exception => Long.MaxValue }
   }
 
   private def sweepStaleLayouts(tmp: Path): Unit = {
