@@ -62,10 +62,12 @@ object Ann {
     * The scale argument vs adding tables: doubling `tables` doubles the
     * DATA-side index (the 100 TB cost — every vector keyed into every
     * table) for ~2× candidates; multi-probe leaves the data-side index
-    * untouched and only explodes the tiny query side by (1 + nprobe)×,
-    * while targeting the extra probes at the likeliest buckets instead of
-    * independent re-hashes. Candidate growth is sub-linear in probes
-    * because probe buckets overlap the base bucket's neighbourhood.
+    * untouched and only explodes the tiny query side by (1 + nprobe [+ 1
+    * pair probe at nprobe >= 2: the bucket across BOTH nearest
+    * boundaries])×, while targeting the extra probes at the likeliest
+    * buckets instead of independent re-hashes. Candidate growth is
+    * sub-linear in probes because probe buckets overlap the base
+    * bucket's neighbourhood.
     */
   def probedBucketKeys(df: DataFrame, tables: Int = 16, planesPerTable: Int = 5,
                        dim: Int = 64, seed: Long = 42L, nprobe: Int = 2): DataFrame = {
@@ -92,9 +94,20 @@ object Ann {
       def mask(jCol: Column): Column =
         coalesce((0 until planesPerTable).map(j =>
           when(jCol === j, lit(1L << j))): _*)
-      val probes = bucket +: (0 until math.min(nprobe, planesPerTable)).map { r =>
+      val singles = (0 until math.min(nprobe, planesPerTable)).map { r =>
         bucket.bitwiseXOR(mask(element_at(margins, r + 1).getField("j")))
       }
+      // pair probe: both nearest planes flipped together. The Hamming-2
+      // bucket most likely to hold a neighbour is the one crossing BOTH
+      // closest boundaries — one extra probe per table recovers it
+      // (single flips only reach Hamming-1 buckets). Ordered after the
+      // singles per the multi-probe likelihood ranking.
+      val pairs = if (nprobe >= 2 && planesPerTable >= 2)
+        Seq(bucket
+          .bitwiseXOR(mask(element_at(margins, 1).getField("j")))
+          .bitwiseXOR(mask(element_at(margins, 2).getField("j"))))
+      else Nil
+      val probes = bucket +: (singles ++ pairs)
       transform(array(probes: _*),
         (b: Column) => struct(lit(t).as("table"), b.as("bucket")))
     }

@@ -78,9 +78,9 @@ object ScaleOps {
     },
 
     // Hyperplane-LSH approximate top-5 neighbours for queries vec_id<10.
-    // 16 tables × 6 planes with 2 multi-probe flips: the measured sweet
-    // spot (SweepIvf r6 grid: recall@5 = 0.912 at 271 candidates/query —
-    // above the 32-table config's recall at ~45% fewer candidates and
+    // 16 tables × 6 planes with 2 multi-probe flips (+ the pair probe):
+    // the measured sweet spot (SweepIvf r6 grid: recall@5 = 0.972 at 320
+    // candidates/query — ABOVE the 32-table config's 0.948 at 314, with
     // HALF its data-side index).
     "sim_ann" -> { (s, dir) =>
       val n = normalized(s, dir)

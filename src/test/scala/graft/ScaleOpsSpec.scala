@@ -138,12 +138,13 @@ class ScaleOpsSpec extends AnyFunSuite {
     val data = graft.Tables(spark, sf, "embeddings")
       .select(col("vec_id"), e.as("e"))
     val queries = data.filter(col("vec_id") < 10)
-    // probe-key shape: each query emits tables × (1 + nprobe) keys, and
-    // within a table every probe bucket is distinct (each flips a
-    // different plane bit)
+    // probe-key shape: each query emits tables × (1 + nprobe + pair)
+    // keys at nprobe=2 (base, two single flips, the both-nearest-planes
+    // pair flip), and within a table every probe bucket is distinct
+    // (base vs singles differ in 1 bit, vs the pair in 2)
     val keys = Ann.probedBucketKeys(queries, tables = 4, planesPerTable = 5,
       nprobe = 2).select("vec_id", "table", "bucket").collect()
-    assert(keys.length == 10 * 4 * 3)
+    assert(keys.length == 10 * 4 * 4)
     assert(keys.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).distinct.length
       == keys.length)
     // recall monotonicity on the real fixture: multi-probe finds a
