@@ -23,10 +23,6 @@ object Ann {
     Seq.fill(tables, planesPerTable, dim)(rnd.nextGaussian())
   }
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x: Column, y: Column) => x * y),
-      lit(0.0), (acc: Column, x: Column) => acc + x)
-
   /** (row, table, bucket) keys: one bucket id per LSH table. Input must
     * have an `e: array<double>` column.
     */
@@ -40,17 +36,31 @@ object Ann {
         s"embedding dim ${r.getInt(0)} != configured dim $dim")
     }
 
+  /** All tables' probe lists in one fused pass ([[graft.functions.LshProbes]]
+    * — the Column-tree formulation interprets tables × planes separate
+    * HOF folds per row; the expression runs one compiled loop nest).
+    * Spark 4's Column has no public Expression accessor, so the
+    * configured expression is exposed through the function registry
+    * under a per-configuration name (idempotent re-registration), the
+    * same seam [[graft.functions.CosineSimilarity]] uses.
+    */
+  private def probeLists(df: DataFrame, tables: Int, planesPerTable: Int,
+                         dim: Int, seed: Long, nprobe: Int): Column = {
+    val name = s"lsh_probes_${tables}_${planesPerTable}_${dim}_${seed}_$nprobe"
+    val ps = planes(tables, planesPerTable, dim, seed)
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => graft.functions.LshProbes(exprs.head, ps, nprobe), "scala_udf")
+    call_function(name, col("e"))
+  }
+
   def bucketKeys(df: DataFrame, tables: Int = 16, planesPerTable: Int = 5,
                  dim: Int = 64, seed: Long = 42L): DataFrame = {
     checkDim(df, dim)
-    val ps = planes(tables, planesPerTable, dim, seed)
-    val bucketCols = ps.map { table =>
-      table.zipWithIndex.map { case (plane, j) =>
-        when(dot(col("e"), typedlit(plane)) >= 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_.bitwiseOR(_))
-    }
     df.select(col("*"),
-      posexplode(array(bucketCols.toIndexedSeq: _*)).as(Seq("table", "bucket")))
+        posexplode(probeLists(df, tables, planesPerTable, dim, seed, nprobe = 0))
+          .as(Seq("table", "probes")))
+      .withColumn("bucket", element_at(col("probes"), 1))
+      .drop("probes")
   }
 
   /** Multi-probe bucket keys (query side only): besides its own bucket in
@@ -72,49 +82,14 @@ object Ann {
   def probedBucketKeys(df: DataFrame, tables: Int = 16, planesPerTable: Int = 5,
                        dim: Int = 64, seed: Long = 42L, nprobe: Int = 2): DataFrame = {
     checkDim(df, dim)
-    val ps = planes(tables, planesPerTable, dim, seed)
-    // Materialize each projection once: bucket bits AND margins read it,
-    // and 2×tables×planes aggregate-folds per row is the kind of cost
-    // Catalyst's CSE won't reliably elide across a sort_array boundary.
-    val projected = df.select(col("*") +: ps.zipWithIndex.flatMap { case (tbl, t) =>
-      tbl.zipWithIndex.map { case (plane, j) =>
-        dot(col("e"), typedlit(plane)).as(s"__proj_${t}_$j")
-      }
-    }: _*)
-    val probeStructs: Seq[Column] = (0 until tables).map { t =>
-      val bucket = (0 until planesPerTable).map { j =>
-        when(col(s"__proj_${t}_$j") >= 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_.bitwiseOR(_))
-      // (|margin|, plane) ascending: ties impossible (distinct plane ids)
-      val margins = sort_array(array((0 until planesPerTable).map { j =>
-        struct(abs(col(s"__proj_${t}_$j")).as("m"), lit(j).as("j"))
-      }: _*))
-      // flip mask for a plane index carried in a column (planes are few,
-      // so a when-cascade stays codegen'd; shiftleft needs a literal)
-      def mask(jCol: Column): Column =
-        coalesce((0 until planesPerTable).map(j =>
-          when(jCol === j, lit(1L << j))): _*)
-      val singles = (0 until math.min(nprobe, planesPerTable)).map { r =>
-        bucket.bitwiseXOR(mask(element_at(margins, r + 1).getField("j")))
-      }
-      // pair probe: both nearest planes flipped together. The Hamming-2
-      // bucket most likely to hold a neighbour is the one crossing BOTH
-      // closest boundaries — one extra probe per table recovers it
-      // (single flips only reach Hamming-1 buckets). Ordered after the
-      // singles per the multi-probe likelihood ranking.
-      val pairs = if (nprobe >= 2 && planesPerTable >= 2)
-        Seq(bucket
-          .bitwiseXOR(mask(element_at(margins, 1).getField("j")))
-          .bitwiseXOR(mask(element_at(margins, 2).getField("j"))))
-      else Nil
-      val probes = bucket +: (singles ++ pairs)
-      transform(array(probes: _*),
-        (b: Column) => struct(lit(t).as("table"), b.as("bucket")))
-    }
-    projected
-      .withColumn("__tb", explode(flatten(array(probeStructs: _*))))
-      .select(df.columns.map(col).toIndexedSeq
-        :+ col("__tb.table").as("table") :+ col("__tb.bucket").as("bucket"): _*)
+    // one LshProbes pass emits every table's ordered probe list (base,
+    // single flips by ascending |margin|, then the Hamming-2 pair flip
+    // of the two nearest planes); two explodes key the rows
+    df.select(col("*"),
+        posexplode(probeLists(df, tables, planesPerTable, dim, seed, nprobe))
+          .as(Seq("table", "probes")))
+      .select(df.columns.map(col).toIndexedSeq :+ col("table")
+        :+ explode(col("probes")).as("bucket"): _*)
   }
 
   /** Exact brute-force cosine top-k per query (the baseline). Both inputs

@@ -161,6 +161,49 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(r2 >= 0.5, s"multi-probe recall@5 = $r2")
   }
 
+  test("LshProbes expression matches an independent probe computation bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    // independent reference: re-derive planes with the same PRNG recipe
+    // and compute bucket + probes in plain Scala, then compare against
+    // the expression-driven bucketKeys/probedBucketKeys output rows
+    val (tables, planesPer, dim, seed, nprobe) = (4, 5, 64, 42L, 2)
+    val rnd = new scala.util.Random(seed)
+    val planes = Seq.fill(tables, planesPer, dim)(rnd.nextGaussian())
+    def reference(e: Seq[Double]): Seq[(Int, Seq[Long])] =
+      (0 until tables).map { t =>
+        val proj = (0 until planesPer).map { j =>
+          planes(t)(j).zip(e).foldLeft(0.0) { case (a, (p, x)) => a + p * x }
+        }
+        val bucket = (0 until planesPer)
+          .filter(j => proj(j) >= 0).foldLeft(0L)((b, j) => b | (1L << j))
+        val order = (0 until planesPer).sortBy(j => (math.abs(proj(j)), j))
+        val singles = order.take(nprobe).map(j => bucket ^ (1L << j))
+        val pair = bucket ^ (1L << order(0)) ^ (1L << order(1))
+        t -> (bucket +: singles :+ pair)
+      }
+    val e = transform(col("embedding"),
+      (x: org.apache.spark.sql.Column) => x.cast("double"))
+    val data = graft.Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") < 20).select(col("vec_id"), e.as("e"))
+    val raw = data.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val expected = raw.flatMap { case (id, emb) =>
+      reference(emb).flatMap { case (t, probes) => probes.map(b => (id, t, b)) }
+    }.toSet
+    val probed = Ann.probedBucketKeys(data, tables, planesPer, dim, seed, nprobe)
+      .select("vec_id", "table", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(probed === expected)
+    // the base-bucket-only path agrees with the probe lists' heads
+    val base = Ann.bucketKeys(data, tables, planesPer, dim, seed)
+      .select("vec_id", "table", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val expectedBase = raw.flatMap { case (id, emb) =>
+      reference(emb).map { case (t, probes) => (id, t, probes.head) }
+    }.toSet
+    assert(base === expectedBase)
+  }
+
   test("IVF top-k reaches usable recall vs brute force") {
     import org.apache.spark.sql.functions._
     val e = transform(col("embedding"), (x: org.apache.spark.sql.Column) => x.cast("double"))
