@@ -130,17 +130,26 @@ object Ann {
     * side ([[probedBucketKeys]]) — recall of a much larger table count at
     * the data-side index cost of this one.
     */
+  /** The data side's (vec_id, e, table, bucket) index, built once for
+    * reuse across many query batches (cache/persist at the call site —
+    * the streaming sink does).
+    */
+  def dataIndex(data: DataFrame, tables: Int = 16, planesPerTable: Int = 5,
+                dim: Int = 64, seed: Long = 42L): DataFrame =
+    bucketKeys(data, tables, planesPerTable, dim, seed)
+      .select(col("vec_id"), col("e"), col("table"), col("bucket"))
+
   def lshTopK(queries: DataFrame, data: DataFrame, k: Int,
               tables: Int = 16, planesPerTable: Int = 5, dim: Int = 64,
-              seed: Long = 42L, nprobe: Int = 0): DataFrame = {
+              seed: Long = 42L, nprobe: Int = 0,
+              index: Option[DataFrame] = None): DataFrame = {
     graft.functions.CosineSimilarity.register(queries.sparkSession)
     val qk = if (nprobe > 0)
       probedBucketKeys(queries, tables, planesPerTable, dim, seed, nprobe)
     else bucketKeys(queries, tables, planesPerTable, dim, seed)
     val qb = qk.select(col("vec_id").as("qid"), col("e").as("qe"),
         col("table"), col("bucket"))
-    val db = bucketKeys(data, tables, planesPerTable, dim, seed)
-      .select(col("vec_id"), col("e"), col("table"), col("bucket"))
+    val db = index.getOrElse(dataIndex(data, tables, planesPerTable, dim, seed))
     val cand = qb.join(db, Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .select("qid", "qe", "vec_id", "e")

@@ -330,6 +330,46 @@ object StreamOps {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** Streaming ANN — approximate top-k neighbours for a STREAM of query
+    * vectors against a static indexed corpus, closing the streaming
+    * analogue of the `sim_ann` batch operator.
+    *
+    * Shape: the static side's LSH bucket index is built ONCE and
+    * persisted ([[graft.operators.Ann.dataIndex]]); each micro-batch of
+    * (vec_id, e) query rows then runs the exact batch operator
+    * ([[graft.operators.Ann.lshTopK]] with the prebuilt index) inside
+    * `foreachBatch` — the idiomatic Structured Streaming pattern for
+    * whole-batch stream-static analytics that need per-group top-k
+    * (append-mode window functions over an unbounded stream would need
+    * per-query state and watermark closure for no benefit: a query's
+    * candidates all arrive with the query row itself). Streaming results
+    * are batch-identical BY CONSTRUCTION — it is the same code path.
+    *
+    * `onBatch` receives each batch's (qid, rn, vec_id, c) top-k frame
+    * plus the batchId; foreachBatch replays a failed batch, so sinks
+    * must be idempotent by batchId (same discipline as [[cdcMergeSink]]).
+    */
+  def annTopKSink(queries: DataFrame, data: DataFrame, k: Int = 5,
+                  tables: Int = 16, planesPerTable: Int = 5, dim: Int = 64,
+                  seed: Long = 42L, nprobe: Int = 0, checkpoint: String,
+                  onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val index = graft.operators.Ann
+      .dataIndex(data, tables, planesPerTable, dim, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val topk = graft.operators.Ann.lshTopK(batch, data, k,
+            tables, planesPerTable, dim, seed, nprobe, index = Some(index))
+          onBatch(topk, batchId)
+        }
+      }
+      .start()
+  }
+
   /** Streaming CDC apply — the `foreachBatch` pattern for maintaining a
     * keyed snapshot from a change stream: each micro-batch of change
     * rows (upserts/tombstones + a version column) is merged onto the

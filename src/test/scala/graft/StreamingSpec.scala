@@ -49,6 +49,43 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming ANN top-k equals the batch operator per query batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val e = transform(col("embedding"),
+      (x: org.apache.spark.sql.Column) => x.cast("double"))
+    val data = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), e.as("e"))
+    val queryRows = data.filter(col("vec_id") < 8)
+      .as[(Long, Seq[Double])].collect()
+
+    val input = MemoryStream[(Long, Seq[Double])]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[org.apache.spark.sql.Row])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ann-ckpt").toString
+    val q = StreamOps.annTopKSink(
+      input.toDF().toDF("vec_id", "e"), data, k = 3, nprobe = 2,
+      checkpoint = ckpt,
+      onBatch = (topk, id) => seen.synchronized { seen += id -> topk.collect().toSeq })
+    withQuery(q) {
+      // two micro-batches of queries; each must match the batch operator
+      // run on exactly that query set (same index config, same code path)
+      input.addData(queryRows.take(4).toSeq)
+      q.processAllAvailable()
+      input.addData(queryRows.drop(4).toSeq)
+      q.processAllAvailable()
+      val batches = seen.synchronized(seen.toList).sortBy(_._1)
+      assert(batches.map(_._1) == List(0L, 1L))
+      val batchSets = Seq(queryRows.take(4), queryRows.drop(4))
+      for (((_, streamed), qs) <- batches.zip(batchSets)) {
+        val expected = graft.operators.Ann.lshTopK(
+            qs.toSeq.toDF("vec_id", "e"), data, k = 3, nprobe = 2)
+          .collect().map(_.toSeq).toSet
+        assert(streamed.map(_.toSeq).toSet === expected)
+        assert(streamed.nonEmpty)
+      }
+    }
+  }
+
   test("stream_ingest: streamed session windows equal the batch run") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
