@@ -54,6 +54,20 @@ case class LshProbes(child: Expression, planes: Seq[Seq[Seq[Double]]],
 
   override def nullSafeEval(input: Any): Any = {
     val e = input.asInstanceOf[ArrayData]
+    // Per-row validation, ONCE before the table loop (not per plane):
+    // checkDim's head-probe only sees the first row, so a ragged or
+    // null-element row must fail LOUD here — an unclamped getDouble past
+    // numElements reads adjacent row memory (silently wrong buckets),
+    // and a null element decodes as 0.0 (a legitimate-looking wrong
+    // bucket). Cost: dim null-bit checks per row, amortized over
+    // tables × planes × dim multiply-adds.
+    require(e.numElements() == dim,
+      s"lsh_probes: embedding has ${e.numElements()} elements, expected $dim")
+    var v = 0
+    while (v < dim) {
+      require(!e.isNullAt(v), s"lsh_probes: null element at index $v")
+      v += 1
+    }
     val out = new Array[ArrayData](numTables)
     val proj = new Array[Double](planesPerTable)
     var t = 0
@@ -96,7 +110,12 @@ case class LshProbes(child: Expression, planes: Seq[Seq[Seq[Double]]],
         var best = -1
         var k = 0
         while (k < planesPerTable) {
-          if (!used(k) && (best < 0 || math.abs(proj(k)) < math.abs(proj(best))))
+          // Double.compare, not `<`: NaN must rank LAST (greater than
+          // every double), matching Spark's sort_array ordering in the
+          // Column formulation this expression replaces — a strict `<`
+          // would keep an incumbent NaN forever and probe the NaN plane
+          if (!used(k) && (best < 0 ||
+              java.lang.Double.compare(math.abs(proj(k)), math.abs(proj(best))) < 0))
             best = k
           k += 1
         }

@@ -23,12 +23,13 @@ object Ann {
     Seq.fill(tables, planesPerTable, dim)(rnd.nextGaussian())
   }
 
-  /** (row, table, bucket) keys: one bucket id per LSH table. Input must
-    * have an `e: array<double>` column.
-    */
-  /** A dim mismatch would make zip_with null-pad, every projection null,
-    * and every row land in bucket 0 of every table — i.e. a silent full
-    * cross-product downstream. Fail fast instead (one cheap head probe).
+  /** Fast-fail nicety: catch a mis-configured dim from the FIRST row
+    * before launching the real job ([[graft.functions.LshProbes]] also
+    * validates EVERY row — length and element nulls — at eval time, so
+    * ragged rows past the head fail loud there, not silently). Rows
+    * whose whole `e` is NULL emit no bucket keys at all (the expression
+    * propagates null, posexplode drops it): an unindexable vector simply
+    * doesn't participate — filter or fail upstream if that's unexpected.
     */
   private def checkDim(df: DataFrame, dim: Int): Unit =
     df.select(size(col("e"))).head(1).foreach { r =>
@@ -46,7 +47,11 @@ object Ann {
     */
   private def probeLists(df: DataFrame, tables: Int, planesPerTable: Int,
                          dim: Int, seed: Long, nprobe: Int): Column = {
-    val name = s"lsh_probes_${tables}_${planesPerTable}_${dim}_${seed}_$nprobe"
+    // 'm' for minus: a raw negative seed would put '-' in the function
+    // name and call_function's identifier parse rejects it (replace, not
+    // negate: -Long.MinValue is still negative)
+    val seedTag = seed.toString.replace('-', 'm')
+    val name = s"lsh_probes_${tables}_${planesPerTable}_${dim}_${seedTag}_$nprobe"
     val ps = planes(tables, planesPerTable, dim, seed)
     df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => graft.functions.LshProbes(exprs.head, ps, nprobe), "scala_udf")
@@ -130,26 +135,46 @@ object Ann {
     * side ([[probedBucketKeys]]) — recall of a much larger table count at
     * the data-side index cost of this one.
     */
-  /** The data side's (vec_id, e, table, bucket) index, built once for
-    * reuse across many query batches (cache/persist at the call site —
-    * the streaming sink does).
+  /** The data side's (vec_id, e, table, bucket) index plus the exact
+    * hashing configuration it was built with — a TYPED carrier so a
+    * prebuilt index can't silently join against queries hashed with
+    * different planes (same bucket ids, different geometry: plausible
+    * but garbage neighbours). Built once for reuse across many query
+    * batches; cache/persist `keys` at the call site (the streaming sink
+    * does, and unpersists on query termination).
     */
-  def dataIndex(data: DataFrame, tables: Int = 16, planesPerTable: Int = 5,
-                dim: Int = 64, seed: Long = 42L): DataFrame =
-    bucketKeys(data, tables, planesPerTable, dim, seed)
-      .select(col("vec_id"), col("e"), col("table"), col("bucket"))
+  final case class AnnIndex(keys: DataFrame, tables: Int, planesPerTable: Int,
+                            dim: Int, seed: Long)
 
+  def dataIndex(data: DataFrame, tables: Int = 16, planesPerTable: Int = 5,
+                dim: Int = 64, seed: Long = 42L): AnnIndex =
+    AnnIndex(bucketKeys(data, tables, planesPerTable, dim, seed)
+      .select(col("vec_id"), col("e"), col("table"), col("bucket")),
+      tables, planesPerTable, dim, seed)
+
+  /** LSH top-k. With `index` set, `data` is ignored (the index IS the
+    * data side) and the index's recorded configuration must match the
+    * query-side parameters — checked, because a mismatch still joins.
+    */
   def lshTopK(queries: DataFrame, data: DataFrame, k: Int,
               tables: Int = 16, planesPerTable: Int = 5, dim: Int = 64,
               seed: Long = 42L, nprobe: Int = 0,
-              index: Option[DataFrame] = None): DataFrame = {
+              index: Option[AnnIndex] = None): DataFrame = {
+    index.foreach { ix =>
+      require(ix.tables == tables && ix.planesPerTable == planesPerTable &&
+        ix.dim == dim && ix.seed == seed,
+        s"prebuilt index built with (tables=${ix.tables}, planes=" +
+          s"${ix.planesPerTable}, dim=${ix.dim}, seed=${ix.seed}) but " +
+          s"queries hash with ($tables, $planesPerTable, $dim, $seed)")
+    }
     graft.functions.CosineSimilarity.register(queries.sparkSession)
     val qk = if (nprobe > 0)
       probedBucketKeys(queries, tables, planesPerTable, dim, seed, nprobe)
     else bucketKeys(queries, tables, planesPerTable, dim, seed)
     val qb = qk.select(col("vec_id").as("qid"), col("e").as("qe"),
         col("table"), col("bucket"))
-    val db = index.getOrElse(dataIndex(data, tables, planesPerTable, dim, seed))
+    val db = index.map(_.keys)
+      .getOrElse(dataIndex(data, tables, planesPerTable, dim, seed).keys)
     val cand = qb.join(db, Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .select("qid", "qe", "vec_id", "e")

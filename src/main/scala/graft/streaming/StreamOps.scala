@@ -356,18 +356,35 @@ object StreamOps {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val index = graft.operators.Ann
       .dataIndex(data, tables, planesPerTable, dim, seed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    queries.writeStream
+    index.keys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // no per-batch isEmpty probe: lshTopK on an empty batch yields an
+    // empty frame and sinks must tolerate empty batches anyway — an
+    // extra Spark job per trigger would double tiny-batch overhead
+    val q = queries.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val topk = graft.operators.Ann.lshTopK(batch, data, k,
-            tables, planesPerTable, dim, seed, nprobe, index = Some(index))
-          onBatch(topk, batchId)
-        }
+        val topk = graft.operators.Ann.lshTopK(batch, data, k,
+          tables, planesPerTable, dim, seed, nprobe, index = Some(index))
+        onBatch(topk, batchId)
       }
       .start()
+    // the 16×-corpus cached index must die with the query, not the
+    // session: unpersist on this query's termination (listener removes
+    // itself — one registration per sink, no accumulation)
+    val spark = queries.sparkSession
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          if (e.id == q.id) {
+            index.keys.unpersist(false)
+            spark.streams.removeListener(this)
+          }
+      })
+    q
   }
 
   /** Streaming CDC apply — the `foreachBatch` pattern for maintaining a
