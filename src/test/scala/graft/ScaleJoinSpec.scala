@@ -250,11 +250,11 @@ class ScaleJoinSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
-  test("csv/json/orc round-trip preserves data exactly") {
+  test("csv/json/orc/xml round-trip preserves data exactly") {
     val orig = Tables(spark, sf, "orders")
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
     val want = orig.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
-    for (fmt <- Seq("orc", "csv", "json")) {
+    for (fmt <- Seq("orc", "csv", "json", "xml")) {
       val dir = Files.createTempDirectory(s"graft-$fmt").toString + "/t"
       Formats.write(orig, fmt, dir)
       val got = Formats.read(spark, fmt, dir, orig.schema)
