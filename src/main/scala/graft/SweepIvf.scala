@@ -85,6 +85,27 @@ object SweepIvf {
         .agg(avg(col("n_candidates"))).head.getDouble(0)
       println(f"| $tables | $planes | $nprobe | $recall%.3f | ${cand}%.0f |")
     }
+
+    println(s"\nPQ sweep: n=$n vectors, ${bruteSet.size / k} queries, recall@$k" +
+      " (full ADC scan — PQ is the compression layer, not a pruner)")
+    println("| m | ksub | bytes/vec vs 512 | recall@5 |")
+    println("|---|---|---|---|")
+    val unit = data.withColumn("nrm", sqrt(aggregate(
+        transform(col("e"), (x: Column) => x * x),
+        lit(0.0), (acc: Column, x: Column) => acc + x)))
+      .select(col("vec_id"),
+        transform(col("e"), (x: Column) => x / col("nrm")).as("e"))
+      .cache()
+    val unitQueries = unit.filter(col("vec_id") < 50)
+    for ((m, ksub) <- Seq((8, 16), (8, 64), (16, 16), (16, 256))) {
+      val cb = operators.Pq.train(unit, m, ksub)
+      val pq = operators.Pq.topK(unitQueries, operators.Pq.encode(unit, cb), cb, k)
+        .select(col("qid"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (bruteSet & pq).size.toDouble / bruteSet.size
+      val bytes = m * (if (ksub <= 256) 1 else 2)
+      println(f"| $m | $ksub | $bytes | $recall%.3f |")
+    }
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextAnalysis
-import graft.operators.{Ann, ConnectedComponents, Ivf, Multimodal, MinHash, Sampling, SimHash}
+import graft.operators.{Ann, ConnectedComponents, Ivf, Multimodal, MinHash, Pq, Sampling, SimHash}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -86,6 +86,22 @@ object ScaleOps {
       val n = normalized(s, dir)
       Ann.lshTopK(n.filter(col("vec_id") < 10), n, k = 5,
           planesPerTable = 6, nprobe = 2)
+        .orderBy(col("qid"), col("rn"))
+    },
+
+    // Product-quantized ANN: 8 sub-codes per vector replace the 64-double
+    // embedding on the data side — the shuffle/storage compression layer
+    // of the similarity menu (brute/LSH/IVF/PQ). Codebooks train on a
+    // bounded driver-side sample; unit-normalized inputs make ascending
+    // ADC L2 rank like descending cosine.
+    // (16, 256): the measured dial's knee on the adversarial uniform
+    // fixture — recall@5 0.71 at 16 bytes/vec = 32× compression
+    // (SweepIvf PQ grid; real clustered corpora do far better).
+    "sim_pq" -> { (s, dir) =>
+      val n = normalized(s, dir).select(col("vec_id"),
+        transform(col("e"), (x: Column) => x / col("norm")).as("e"))
+      val cb = Pq.train(n, m = 16, ksub = 256)
+      Pq.topK(n.filter(col("vec_id") < 10), Pq.encode(n, cb), cb, k = 5)
         .orderBy(col("qid"), col("rn"))
     },
 

@@ -204,6 +204,43 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(base === expectedBase)
   }
 
+  test("PQ codes compress 32x and reach usable recall vs brute force") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Pq
+    val e = transform(col("embedding"),
+      (x: org.apache.spark.sql.Column) => x.cast("double"))
+    val data = graft.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), e.as("e"))
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("e"), (x: org.apache.spark.sql.Column) => x * x),
+        lit(0.0), (a: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column) => a + x)))
+      .select(col("vec_id"),
+        transform(col("e"), (x: org.apache.spark.sql.Column) => x / col("nrm")).as("e"))
+    val queries = data.filter(col("vec_id") < 10)
+    val cb = Pq.train(data, m = 16, ksub = 256)
+    val encoded = Pq.encode(data, cb)
+    // code shape: m entries per vector, every code within its codebook
+    val codes = encoded.collect().map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(codes.forall(_._2.length == 16))
+    assert(codes.forall { case (_, c) =>
+      c.zipWithIndex.forall { case (ci, j) => ci >= 0 && ci < cb(j).length } })
+    // deterministic: training + encoding are seedless-hash + strict-tie
+    val codes2 = Pq.encode(data, Pq.train(data, m = 16, ksub = 256))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(codes.sortBy(_._1).map(_._2.toSeq).toSeq
+      == codes2.sortBy(_._1).map(_._2.toSeq).toSeq)
+    // recall vs the exact cosine oracle: ADC over unit vectors ranks by
+    // (2 - 2·cos), so brute cosine is the right ground truth. Uniform
+    // vectors are PQ's adversarial case (nothing clusters); 0.5 is a
+    // loose floor at this fixture's size.
+    val brute = Ann.bruteTopK(queries, data, k = 5)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Pq.topK(queries, encoded, cb, k = 5)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.5, s"PQ recall@5 = $recall")
+  }
+
   test("IVF top-k reaches usable recall vs brute force") {
     import org.apache.spark.sql.functions._
     val e = transform(col("embedding"), (x: org.apache.spark.sql.Column) => x.cast("double"))
