@@ -90,12 +90,7 @@ object SweepIvf {
       " (full ADC scan — PQ is the compression layer, not a pruner)")
     println("| m | ksub | bytes/vec vs 512 | recall@5 |")
     println("|---|---|---|---|")
-    val unit = data.withColumn("nrm", sqrt(aggregate(
-        transform(col("e"), (x: Column) => x * x),
-        lit(0.0), (acc: Column, x: Column) => acc + x)))
-      .select(col("vec_id"),
-        transform(col("e"), (x: Column) => x / col("nrm")).as("e"))
-      .cache()
+    val unit = operators.Pq.unitNormalized(data).cache()
     val unitQueries = unit.filter(col("vec_id") < 50)
     for ((m, ksub) <- Seq((8, 16), (8, 64), (16, 16), (16, 256))) {
       val cb = operators.Pq.train(unit, m, ksub)

@@ -3,16 +3,24 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType}
 
 /** PQ encode: embedding → m nearest-subspace-centroid codes, one fused
   * compiled pass (the [[LshProbes]] pattern — HOF trees would interpret
   * m × ksub distance folds per row). Ties keep the lowest code.
+  *
+  * Output is BINARY — one unsigned byte per subspace (ksub ≤ 256
+  * enforced), so the claimed m-bytes-per-vector footprint is what
+  * actually ships through scans and shuffles; an array<int> would
+  * quietly cost 4× plus per-element overhead.
   */
 case class PqEncode(child: Expression,
                     codebooks: Array[Array[Array[Double]]])
     extends UnaryExpression {
+
+  require(codebooks.forall(_.length <= 256),
+    "pq_encode: ksub > 256 does not fit the one-byte-per-code layout")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -20,7 +28,7 @@ case class PqEncode(child: Expression,
       s"pq_encode expects array<double> input, got ${other.simpleString}")
   }
 
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def dataType: DataType = BinaryType
 
   private val m = codebooks.length
   private val dsub = codebooks.head.head.length
@@ -35,7 +43,7 @@ case class PqEncode(child: Expression,
       require(!e.isNullAt(v), s"pq_encode: null element at index $v")
       v += 1
     }
-    val code = new Array[Int](m)
+    val code = new Array[Byte](m)
     var j = 0
     while (j < m) {
       val cents = codebooks(j)
@@ -53,15 +61,15 @@ case class PqEncode(child: Expression,
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
-      code(j) = best
+      code(j) = (best & 0xff).toByte
       j += 1
     }
-    new GenericArrayData(code)
+    code
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = (ArrayData) $self.nullSafeEval($a);")
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = (byte[]) $self.nullSafeEval($a);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
@@ -80,10 +88,10 @@ case class PqAdc(left: Expression, right: Expression,
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
+      case (ArrayType(DoubleType, _), BinaryType) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"pq_adc expects (array<double>, array<int>), got " +
+        s"pq_adc expects (array<double>, binary), got " +
           s"${l.simpleString} / ${r.simpleString}")
     }
 
@@ -95,15 +103,27 @@ case class PqAdc(left: Expression, right: Expression,
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val qe = a.asInstanceOf[ArrayData]
-    val code = b.asInstanceOf[ArrayData]
+    val code = b.asInstanceOf[Array[Byte]]
+    // per-row validation (the LshProbes convention): length AND element
+    // nulls fail loud — a null query element would decode as 0.0 and
+    // produce a plausible but wrong distance. The binary code side has
+    // no element nulls by construction.
     require(qe.numElements() == dim,
       s"pq_adc: query has ${qe.numElements()} elements, expected $dim")
-    require(code.numElements() == m,
-      s"pq_adc: code has ${code.numElements()} entries, expected $m")
+    var v = 0
+    while (v < dim) {
+      require(!qe.isNullAt(v), s"pq_adc: null query element at index $v")
+      v += 1
+    }
+    require(code.length == m,
+      s"pq_adc: code has ${code.length} entries, expected $m")
     var d = 0.0
     var j = 0
     while (j < m) {
-      val cent = codebooks(j)(code.getInt(j))
+      val ci = code(j) & 0xff
+      require(ci < codebooks(j).length,
+        s"pq_adc: code $ci out of range for subspace $j (ksub=${codebooks(j).length})")
+      val cent = codebooks(j)(ci)
       var i = 0
       while (i < dsub) {
         val t = qe.getDouble(j * dsub + i) - cent(i)

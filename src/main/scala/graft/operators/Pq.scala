@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * [[Ivf]]): split each d-dim vector into `m` subvectors, quantize each
   * subspace to `ksub` centroids (trained on a bounded sample,
   * driver-side — only ENCODE sees the full data), and represent every
-  * vector as m small codes. 64 doubles (512 B) become 8 codes (≤ 8 B
-  * at ksub ≤ 256): a 64× smaller data side for every scan, shuffle,
+  * vector as m one-byte codes in a BINARY column (ksub ≤ 256 enforced
+  * at the expression — an array<int> would quietly cost 4×+). 64
+  * doubles (512 B) become m bytes — 16 B at the shipped dial, a 32×
+  * smaller data side for every scan, shuffle,
   * and cache — that is the 100 TB argument, and it composes with
   * [[Ivf]] cells (IVF-PQ) when candidate pruning is also needed.
   *
@@ -107,7 +109,18 @@ object Pq {
     cols => call_function(name, cols: _*)
   }
 
-  /** (vec_id, code array<int>) — the compressed data side. */
+  /** Unit-normalize an (vec_id, e) embedding frame — shared by the
+    * shipped query, the sweep, and the specs so the normalization the
+    * recall numbers describe is the one the query runs.
+    */
+  def unitNormalized(df: DataFrame): DataFrame =
+    df.withColumn("__nrm", sqrt(aggregate(
+        transform(col("e"), (x: Column) => x * x),
+        lit(0.0), (acc: Column, x: Column) => acc + x)))
+      .select(col("vec_id"),
+        transform(col("e"), (x: Column) => x / col("__nrm")).as("e"))
+
+  /** (vec_id, code binary) — the compressed data side: m bytes/vector. */
   def encode(data: DataFrame, cb: Codebooks): DataFrame = {
     val enc = registered(data, "pq_encode", cb,
       exprs => graft.functions.PqEncode(exprs.head, cb))

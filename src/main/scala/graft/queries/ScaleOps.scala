@@ -89,17 +89,17 @@ object ScaleOps {
         .orderBy(col("qid"), col("rn"))
     },
 
-    // Product-quantized ANN: 8 sub-codes per vector replace the 64-double
-    // embedding on the data side — the shuffle/storage compression layer
-    // of the similarity menu (brute/LSH/IVF/PQ). Codebooks train on a
-    // bounded driver-side sample; unit-normalized inputs make ascending
-    // ADC L2 rank like descending cosine.
-    // (16, 256): the measured dial's knee on the adversarial uniform
-    // fixture — recall@5 0.71 at 16 bytes/vec = 32× compression
+    // Product-quantized ANN: 16 one-byte sub-codes per vector (a binary
+    // column) replace the 64-double embedding on the data side — the
+    // shuffle/storage compression layer of the similarity menu
+    // (brute/LSH/IVF/PQ). Codebooks train on a bounded driver-side
+    // sample; unit-normalized inputs make ascending ADC L2 rank like
+    // descending cosine. (16, 256) is the measured dial's knee on the
+    // adversarial uniform fixture — recall@5 0.71 at 16 bytes/vec = 32×
     // (SweepIvf PQ grid; real clustered corpora do far better).
     "sim_pq" -> { (s, dir) =>
-      val n = normalized(s, dir).select(col("vec_id"),
-        transform(col("e"), (x: Column) => x / col("norm")).as("e"))
+      val n = Pq.unitNormalized(
+        normalized(s, dir).select(col("vec_id"), col("e")))
       val cb = Pq.train(n, m = 16, ksub = 256)
       Pq.topK(n.filter(col("vec_id") < 10), Pq.encode(n, cb), cb, k = 5)
         .orderBy(col("qid"), col("rn"))

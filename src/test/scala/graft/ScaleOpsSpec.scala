@@ -209,24 +209,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     import graft.operators.Pq
     val e = transform(col("embedding"),
       (x: org.apache.spark.sql.Column) => x.cast("double"))
-    val data = graft.Tables(spark, sf, "embeddings")
-      .select(col("vec_id"), e.as("e"))
-      .withColumn("nrm", sqrt(aggregate(
-        transform(col("e"), (x: org.apache.spark.sql.Column) => x * x),
-        lit(0.0), (a: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column) => a + x)))
-      .select(col("vec_id"),
-        transform(col("e"), (x: org.apache.spark.sql.Column) => x / col("nrm")).as("e"))
+    val data = Pq.unitNormalized(graft.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), e.as("e")))
     val queries = data.filter(col("vec_id") < 10)
     val cb = Pq.train(data, m = 16, ksub = 256)
     val encoded = Pq.encode(data, cb)
-    // code shape: m entries per vector, every code within its codebook
-    val codes = encoded.collect().map(r => r.getLong(0) -> r.getSeq[Int](1))
+    // the compression is REAL: a binary column of exactly m bytes per
+    // vector (not array<int> — 4x plus overhead), every code in range
+    val codes = encoded.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
     assert(codes.forall(_._2.length == 16))
     assert(codes.forall { case (_, c) =>
-      c.zipWithIndex.forall { case (ci, j) => ci >= 0 && ci < cb(j).length } })
+      c.zipWithIndex.forall { case (ci, j) => (ci & 0xff) < cb(j).length } })
     // deterministic: training + encoding are seedless-hash + strict-tie
     val codes2 = Pq.encode(data, Pq.train(data, m = 16, ksub = 256))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
     assert(codes.sortBy(_._1).map(_._2.toSeq).toSeq
       == codes2.sortBy(_._1).map(_._2.toSeq).toSeq)
     // recall vs the exact cosine oracle: ADC over unit vectors ranks by
