@@ -97,9 +97,12 @@ object Ivf {
       .drop("rn", "sim", "centroid")
   }
 
-  /** Each query's `nprobe` nearest cells: (qid, qe, cell). */
-  private def probeCells(queries: DataFrame, cents: DataFrame,
-                         nprobe: Int): DataFrame = {
+  /** Each query's `nprobe` nearest cells: (qid, qe, cell). Public to
+    * [[Pq.ivfPqTopK]] — the IVF-PQ composition probes cells here and
+    * reranks by ADC over codes.
+    */
+  private[operators] def probeCells(queries: DataFrame, cents: DataFrame,
+                                    nprobe: Int): DataFrame = {
     val wq = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cell").asc)
     queries.select(col("vec_id").as("qid"), col("e").as("qe"))
       .crossJoin(broadcast(cents))

@@ -127,8 +127,36 @@ object Pq {
     data.select(col("vec_id"), enc(Seq(col("e"))).as("code"))
   }
 
+  /** IVF-PQ — the canonical production composition at corpus scale:
+    * IVF cells prune the CANDIDATE count (each query scores only its
+    * `nprobe` nearest cells), PQ codes shrink the candidate BYTES (the
+    * cell-joined side carries m-byte codes, never embeddings). Both
+    * dials measured separately in SweepIvf; this wires them together.
+    * Inputs must be unit-normalized ([[unitNormalized]]) so cell
+    * assignment (cosine) and ADC rerank (L2) agree on geometry.
+    */
+  def ivfPqTopK(queries: DataFrame, data: DataFrame, k: Int,
+                nlist: Int = 8, nprobe: Int = 4,
+                m: Int = 16, ksub: Int = 256): DataFrame = {
+    graft.functions.CosineSimilarity.register(queries.sparkSession)
+    val cents = Ivf.centroids(data, nlist)
+    val cells = Ivf.assign(data, cents).select(col("vec_id"), col("cell"))
+    val cb = train(data, m, ksub)
+    val codedCells = encode(data, cb).join(cells, "vec_id")
+    val adc = registered(data, "pq_adc", cb,
+      exprs => graft.functions.PqAdc(exprs.head, exprs(1), cb))
+    val probes = Ivf.probeCells(queries, cents, nprobe)
+    val w = Window.partitionBy(col("qid")).orderBy(col("d").asc, col("vec_id").asc)
+    probes.join(codedCells, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("d", round(adc(Seq(col("qe"), col("code"))), 5))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("vec_id"), col("d"))
+  }
+
   /** Per-query top-k by ascending ADC distance over the ENCODED corpus:
-    * the scan/join side carries m ints per vector, never the embedding.
+    * the scan/join side carries m bytes per vector, never the embedding.
     * Queries broadcast (bounded set, as in [[Ann.bruteTopK]]).
     */
   def topK(queries: DataFrame, encoded: DataFrame, cb: Codebooks, k: Int): DataFrame = {

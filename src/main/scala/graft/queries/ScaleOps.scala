@@ -105,6 +105,16 @@ object ScaleOps {
         .orderBy(col("qid"), col("rn"))
     },
 
+    // IVF-PQ: the production composition — IVF cells prune candidate
+    // COUNT (nprobe of nlist cells per query), PQ codes prune candidate
+    // BYTES (16-byte codes through the cell join, never embeddings).
+    "sim_ivf_pq" -> { (s, dir) =>
+      val n = Pq.unitNormalized(
+        normalized(s, dir).select(col("vec_id"), col("e")))
+      Pq.ivfPqTopK(n.filter(col("vec_id") < 10), n, k = 5)
+        .orderBy(col("qid"), col("rn"))
+    },
+
     // Reproducible hash-bucket sampling + deterministic 3-way split:
     // per lang, original count, ~30% sample count, and the train/val/
     // test assignment counts. Stable across runs/partitionings by

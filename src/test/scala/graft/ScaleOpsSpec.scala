@@ -235,6 +235,16 @@ class ScaleOpsSpec extends AnyFunSuite {
       .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & pq).size.toDouble / brute.size
     assert(recall >= 0.5, s"PQ recall@5 = $recall")
+    // the IVF-PQ composition: candidates pruned to nprobe cells, then
+    // ADC-ranked — bounded by BOTH approximations, so the floor is the
+    // loosest; determinism and non-emptiness are the hard gates
+    val ivfpq = Pq.ivfPqTopK(queries, data, k = 5)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq2 = Pq.ivfPqTopK(queries, data, k = 5)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfpq === ivfpq2)
+    val recallIvfPq = (brute & ivfpq).size.toDouble / brute.size
+    assert(recallIvfPq >= 0.3, s"IVF-PQ recall@5 = $recallIvfPq")
   }
 
   test("IVF top-k reaches usable recall vs brute force") {
