@@ -97,9 +97,9 @@ object Ivf {
       .drop("rn", "sim", "centroid")
   }
 
-  /** Each query's `nprobe` nearest cells: (qid, qe, cell). Public to
-    * [[Pq.ivfPqTopK]] — the IVF-PQ composition probes cells here and
-    * reranks by ADC over codes.
+  /** Each query's `nprobe` nearest cells: (qid, qe, cell). Package-
+    * visible for [[Pq.ivfPqTopK]] — the IVF-PQ composition probes cells
+    * here and reranks by ADC over codes.
     */
   private[operators] def probeCells(queries: DataFrame, cents: DataFrame,
                                     nprobe: Int): DataFrame = {

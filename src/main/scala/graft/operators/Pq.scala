@@ -135,24 +135,40 @@ object Pq {
     * Inputs must be unit-normalized ([[unitNormalized]]) so cell
     * assignment (cosine) and ADC rerank (L2) agree on geometry.
     */
-  def ivfPqTopK(queries: DataFrame, data: DataFrame, k: Int,
-                nlist: Int = 8, nprobe: Int = 4,
-                m: Int = 16, ksub: Int = 256): DataFrame = {
-    graft.functions.CosineSimilarity.register(queries.sparkSession)
-    val cents = Ivf.centroids(data, nlist)
-    val cells = Ivf.assign(data, cents).select(col("vec_id"), col("cell"))
-    val cb = train(data, m, ksub)
-    val codedCells = encode(data, cb).join(cells, "vec_id")
-    val adc = registered(data, "pq_adc", cb,
-      exprs => graft.functions.PqAdc(exprs.head, exprs(1), cb))
-    val probes = Ivf.probeCells(queries, cents, nprobe)
+  /** Shared rank-and-trim tail for the ADC scorers: ascending distance,
+    * vec_id tiebreak, one convention — three hand-copies would let the
+    * operators' ranking semantics silently desynchronize.
+    */
+  private def topKByDistance(cand: DataFrame, adcScore: Column, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("d").asc, col("vec_id").asc)
-    probes.join(codedCells, Seq("cell"))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("d", round(adc(Seq(col("qe"), col("code"))), 5))
+    cand.filter(col("vec_id") =!= col("qid"))
+      .withColumn("d", round(adcScore, 5))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("rn"), col("vec_id"), col("d"))
+  }
+
+  def ivfPqTopK(queries: DataFrame, data: DataFrame, k: Int,
+                nlist: Int = 8, nprobe: Int = 4,
+                m: Int = 16, ksub: Int = 256, iters: Int = 2,
+                index: Option[(DataFrame, Codebooks, DataFrame)] = None): DataFrame = {
+    // prebuilt (cents, codebooks, codedCells) reuses one trained index
+    // across calls (the Ivf.topK seam); otherwise train both quantizers
+    // and encode cells + codes in ONE pass over the assigned frame — no
+    // second corpus scan, no vec_id re-join
+    val (cents, cb, codedCells) = index.getOrElse {
+      val c = Ivf.centroids(data, nlist, iters)
+      val codebooks = train(data, m, ksub)
+      val enc = registered(data, "pq_encode", codebooks,
+        exprs => graft.functions.PqEncode(exprs.head, codebooks))
+      (c, codebooks, Ivf.assign(data, c)
+        .select(col("vec_id"), col("cell"), enc(Seq(col("e"))).as("code")))
+    }
+    val adc = registered(data, "pq_adc", cb,
+      exprs => graft.functions.PqAdc(exprs.head, exprs(1), cb))
+    val probes = Ivf.probeCells(queries, cents, nprobe)
+    topKByDistance(probes.join(codedCells, Seq("cell")),
+      adc(Seq(col("qe"), col("code"))), k)
   }
 
   /** Per-query top-k by ascending ADC distance over the ENCODED corpus:
@@ -163,11 +179,7 @@ object Pq {
     val adc = registered(encoded, "pq_adc", cb,
       exprs => graft.functions.PqAdc(exprs.head, exprs(1), cb))
     val q = broadcast(queries.select(col("vec_id").as("qid"), col("e").as("qe")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("d").asc, col("vec_id").asc)
-    q.join(encoded, col("vec_id") =!= col("qid"))
-      .withColumn("d", round(adc(Seq(col("qe"), col("code"))), 5))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("rn"), col("vec_id"), col("d"))
+    topKByDistance(q.join(encoded, col("vec_id") =!= col("qid")),
+      adc(Seq(col("qe"), col("code"))), k)
   }
 }
