@@ -106,6 +106,8 @@ object Ann {
     val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("vec_id").asc)
     q.join(data, col("vec_id") =!= col("qid"))
       .withColumn("c", round(graft.functions.CosineSimilarity(col("qe"), col("e")), 5))
+      // narrow before the rank exchange — see Pq.topKByDistance
+      .select(col("qid"), col("vec_id"), col("c"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("rn"), col("vec_id"), col("c"))
@@ -175,13 +177,18 @@ object Ann {
         col("table"), col("bucket"))
     val db = index.map(_.keys)
       .getOrElse(dataIndex(data, tables, planesPerTable, dim, seed).keys)
+    // Score BEFORE the cross-table dedup: c is functionally determined by
+    // (qid, vec_id), so a pair surfacing in several tables just recomputes
+    // the same 64-flop cosine — far cheaper than shipping two 512-byte
+    // embeddings per row through the dedup exchange. Both the dedup and
+    // the rank window then move only (qid, vec_id, c).
     val cand = qb.join(db, Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("qid"))
-      .select("qid", "qe", "vec_id", "e")
+      .withColumn("c", round(graft.functions.CosineSimilarity(col("qe"), col("e")), 5))
+      .select("qid", "vec_id", "c")
       .dropDuplicates("qid", "vec_id")
     val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("vec_id").asc)
     cand
-      .withColumn("c", round(graft.functions.CosineSimilarity(col("qe"), col("e")), 5))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("rn"), col("vec_id"), col("c"))

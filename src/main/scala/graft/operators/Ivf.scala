@@ -8,15 +8,50 @@ import org.apache.spark.sql.functions._
   * coarse-quantisation alternative to hyperplane LSH ([[Ann]]):
   * k-means-style cells, queries probe only the `nprobe` nearest cells.
   *
-  * All DataFrame ops: centroid init is a deterministic hash-ordered
-  * sample; Lloyd iterations are (broadcast-join assign) → (posexplode +
-  * per-dimension mean) — each iteration is one shuffle of n·dim rows,
-  * run a fixed small number of times. At 100 TB you train centroids on a
-  * sample and only the single assign pass sees the full data.
+  * Centroid init is a deterministic hash-ordered sample; Lloyd
+  * iterations are (fused nearest-cell assign) → (posexplode +
+  * per-dimension mean) — each iteration is one shuffle of n·dim rows
+  * for the means, run a fixed small number of times. At 100 TB you train
+  * centroids on a sample and only the single assign pass sees the full
+  * data.
+  *
+  * Cell assignment is a native [[graft.functions.NearestCells]]
+  * expression (r7): the r6 formulation crossJoined every row against
+  * broadcast(cents) and ranked with a `vec_id` window — an nlist× row
+  * blow-up plus a full corpus shuffle per Lloyd step and per index
+  * build, most of sim_ivf_pq's 100× build cost. The fused form scores
+  * all centroids per row inside whole-stage codegen: zero joins, zero
+  * shuffles on the assign path. The window forms remain below
+  * ([[assignWindowed]]/[[probeCellsWindowed]]) as the proven-equal
+  * reference implementations the bit-identity spec compares against.
   */
 object Ivf {
   private def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSimilarity(a, b)
+
+  /** Driver-side centroid snapshot, sorted by cell id — nlist rows (the
+    * same bounded collect [[centroids]] already performs per training
+    * round for lineage truncation).
+    */
+  private def collectCents(cents: DataFrame): (Seq[Long], Seq[Seq[Double]]) = {
+    val rows = cents.select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    (rows.map(_._1).toSeq, rows.map(_._2).toSeq)
+  }
+
+  /** Column handle on a configured [[graft.functions.NearestCells]] via
+    * the function registry, keyed on centroid CONTENT (Spark 4's Column
+    * hides Expression — the LshProbes/PqCodec seam; a session may hold
+    * several trained indexes at once).
+    */
+  private def nearestCellsFn(df: DataFrame, ids: Seq[Long],
+                             vecs: Seq[Seq[Double]], nprobe: Int): Column => Column = {
+    val name = s"nearest_cells_${Integer.toHexString((ids, vecs).hashCode)}_$nprobe"
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => graft.functions.NearestCells(exprs.head, ids, vecs, nprobe),
+      "scala_udf")
+    c => call_function(name, c)
+  }
 
   /** Deterministic initial centroids: the `nlist` vectors with smallest
     * xxhash64(vec_id) (a seedless, stable pseudo-random sample).
@@ -26,17 +61,13 @@ object Ivf {
       .limit(nlist)
       .select(monotonically_increasing_id().as("cell"), col("e").as("centroid"))
 
-  /** One Lloyd step: assign to nearest centroid, recompute means. Cells
-    * that win no vectors KEEP their previous centroid (a dropped cell
-    * would silently shrink the index below nlist).
+  /** One Lloyd step: assign to nearest centroid (fused — no join, no
+    * shuffle), recompute means. Cells that win no vectors KEEP their
+    * previous centroid (a dropped cell would silently shrink the index
+    * below nlist).
     */
   private def step(data: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell").asc)
-    val assigned = data.crossJoin(broadcast(cents))
-      .withColumn("sim", cosine(col("e"), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("cell"), col("e"))
+    val assigned = assign(data, cents).select(col("cell"), col("e"))
     val means = assigned
       .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
@@ -87,8 +118,33 @@ object Ivf {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
-  /** Assign every vector to its nearest cell. */
+  /** Assign every vector to its nearest cell — one fused compiled pass
+    * per row, no join, no shuffle ([[graft.functions.NearestCells]]).
+    */
   def assign(data: DataFrame, cents: DataFrame): DataFrame = {
+    val (ids, vecs) = collectCents(cents)
+    val nc = nearestCellsFn(data, ids, vecs, nprobe = 1)
+    data.withColumn("cell", element_at(nc(col("e")), 1))
+  }
+
+  /** Each query's `nprobe` nearest cells: (qid, qe, cell). Package-
+    * visible for [[Pq.ivfPqTopK]] — the IVF-PQ composition probes cells
+    * here and reranks by ADC over codes. Emits min(nprobe, nlist) rows
+    * per query, like the windowed form's `rn <= nprobe` filter.
+    */
+  private[graft] def probeCells(queries: DataFrame, cents: DataFrame,
+                                nprobe: Int): DataFrame = {
+    val (ids, vecs) = collectCents(cents)
+    val nc = nearestCellsFn(queries, ids, vecs, nprobe)
+    queries.select(col("vec_id").as("qid"), col("e").as("qe"))
+      .select(col("qid"), col("qe"), explode(nc(col("qe"))).as("cell"))
+  }
+
+  /** The r6 crossJoin + window reference form of [[assign]] — kept (with
+    * [[probeCellsWindowed]]) so the fusion spec proves the compiled path
+    * bit-identical on real data, the MinHash/LshProbes discipline.
+    */
+  private[graft] def assignWindowed(data: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell").asc)
     data.crossJoin(broadcast(cents))
       .withColumn("sim", cosine(col("e"), col("centroid")))
@@ -97,12 +153,9 @@ object Ivf {
       .drop("rn", "sim", "centroid")
   }
 
-  /** Each query's `nprobe` nearest cells: (qid, qe, cell). Package-
-    * visible for [[Pq.ivfPqTopK]] — the IVF-PQ composition probes cells
-    * here and reranks by ADC over codes.
-    */
-  private[operators] def probeCells(queries: DataFrame, cents: DataFrame,
-                                    nprobe: Int): DataFrame = {
+  /** The r6 crossJoin + window reference form of [[probeCells]]. */
+  private[graft] def probeCellsWindowed(queries: DataFrame, cents: DataFrame,
+                                        nprobe: Int): DataFrame = {
     val wq = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cell").asc)
     queries.select(col("vec_id").as("qid"), col("e").as("qe"))
       .crossJoin(broadcast(cents))
@@ -148,6 +201,10 @@ object Ivf {
     probes.join(indexed, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("c", round(cosine(col("qe"), col("e")), 5))
+      // score computed — ship (qid, vec_id, c), not the embeddings,
+      // through the candidates-sized rank exchange (the Pq.topKByDistance
+      // narrowing; both embedding columns are ~512 B/row at dim=64)
+      .select(col("qid"), col("vec_id"), col("c"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("rn"), col("vec_id"), col("c"))

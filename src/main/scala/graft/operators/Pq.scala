@@ -111,9 +111,22 @@ object Pq {
 
   /** Unit-normalize an (vec_id, e) embedding frame — shared by the
     * shipped query, the sweep, and the specs so the normalization the
-    * recall numbers describe is the one the query runs.
+    * recall numbers describe is the one the query runs. Native fused
+    * expression (r7): index builds scan the corpus several times and the
+    * interpreted HOF chain was re-executed on every scan — the dominant
+    * share of sim_ivf_pq's 100× build. Fails loud on zero/non-finite
+    * norms (r6 ADVICE) instead of silently indexing Infinity/NaN codes.
     */
-  def unitNormalized(df: DataFrame): DataFrame =
+  def unitNormalized(df: DataFrame): DataFrame = {
+    graft.functions.UnitNormalize.register(df.sparkSession)
+    df.select(col("vec_id"), graft.functions.UnitNormalize(col("e")).as("e"))
+  }
+
+  /** The r6 HOF reference form — kept so the fusion spec proves the
+    * compiled path bit-identical on real data (zero-norm behavior
+    * deviates BY DESIGN: this form silently divides by zero).
+    */
+  private[graft] def unitNormalizedHof(df: DataFrame): DataFrame =
     df.withColumn("__nrm", sqrt(aggregate(
         transform(col("e"), (x: Column) => x * x),
         lit(0.0), (acc: Column, x: Column) => acc + x)))
@@ -143,6 +156,11 @@ object Pq {
     val w = Window.partitionBy(col("qid")).orderBy(col("d").asc, col("vec_id").asc)
     cand.filter(col("vec_id") =!= col("qid"))
       .withColumn("d", round(adcScore, 5))
+      // Narrow BEFORE the rank window: the distance is computed, so the
+      // exchange ships (qid, vec_id, d) — ~28 B/row — instead of dragging
+      // the 512-byte query embedding through a candidates-sized shuffle
+      // (measured 100×: the wide form shuffled ~14 GB for 25M candidates).
+      .select(col("qid"), col("vec_id"), col("d"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("rn"), col("vec_id"), col("d"))

@@ -209,8 +209,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     import graft.operators.Pq
     val e = transform(col("embedding"),
       (x: org.apache.spark.sql.Column) => x.cast("double"))
-    val data = Pq.unitNormalized(graft.Tables(spark, sf, "embeddings")
-      .select(col("vec_id"), e.as("e")))
+    val raw = graft.Tables(spark, sf, "embeddings").select(col("vec_id"), e.as("e"))
+    val data = Pq.unitNormalized(raw)
+    // the fused UnitNormalize expression is bit-identical to the r6 HOF
+    // chain it replaced (same left-to-right fold, same per-element divide)
+    val fused = data.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val hof = Pq.unitNormalizedHof(raw).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(fused === hof)
+    // fail-loud on an unnormalizable vector (r6 ADVICE): zero norm throws
+    import spark.implicits._
+    val zero = Seq(1L -> Seq.fill(4)(0.0)).toDF("vec_id", "e")
+    val ex = intercept[Exception] { Pq.unitNormalized(zero).collect() }
+    assert(ex.getMessage.contains("unit_normalize") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("unit_normalize"))
     val queries = data.filter(col("vec_id") < 10)
     val cb = Pq.train(data, m = 16, ksub = 256)
     val encoded = Pq.encode(data, cb)
@@ -245,6 +257,40 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(ivfpq === ivfpq2)
     val recallIvfPq = (brute & ivfpq).size.toDouble / brute.size
     assert(recallIvfPq >= 0.3, s"IVF-PQ recall@5 = $recallIvfPq")
+  }
+
+  test("fused NearestCells assign/probe is bit-identical to the crossJoin+window form") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Ivf
+    val e = transform(col("embedding"), (x: org.apache.spark.sql.Column) => x.cast("double"))
+    val n = graft.Tables(spark, sf, "embeddings").select(col("vec_id"), e.as("e"))
+    val cents = Ivf.centroids(n, nlist = 8, iters = 2)
+    def cellsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // full-corpus assignment: the compiled expression and the window
+    // reference must agree on EVERY row, not just produce equal recall
+    assert(cellsOf(Ivf.assign(n, cents)) === cellsOf(Ivf.assignWindowed(n, cents)))
+    val q = n.filter(col("vec_id") < 10)
+    def probesOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probesOf(Ivf.probeCells(q, cents, 4)) ===
+      probesOf(Ivf.probeCellsWindowed(q, cents, 4)))
+    // nprobe past nlist clamps to nlist rows per query, like `rn <= nprobe`
+    assert(probesOf(Ivf.probeCells(q, cents, 99)) ===
+      probesOf(Ivf.probeCellsWindowed(q, cents, 99)))
+    // adversarial numerics: a zero-norm vector (all sims NaN) and exact
+    // duplicates (sim ties) — Double.compare ordering must still match
+    // the window sort (NaN first on desc, ties by cell asc)
+    import spark.implicits._
+    val edge = Seq(
+      1000L -> Seq.fill(64)(0.0),
+      1001L -> Seq.tabulate(64)(_.toDouble / 64),
+      1002L -> Seq.tabulate(64)(_.toDouble / 64)
+    ).toDF("vec_id", "e")
+    assert(probesOf(Ivf.probeCells(edge, cents, 3)) ===
+      probesOf(Ivf.probeCellsWindowed(edge, cents, 3)))
+    assert(cellsOf(Ivf.assign(edge.filter(col("vec_id") > 1000), cents)) ===
+      cellsOf(Ivf.assignWindowed(edge.filter(col("vec_id") > 1000), cents)))
   }
 
   test("IVF top-k reaches usable recall vs brute force") {
