@@ -237,6 +237,27 @@ class ScaleOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
     assert(codes.sortBy(_._1).map(_._2.toSeq).toSeq
       == codes2.sortBy(_._1).map(_._2.toSeq).toSeq)
+    // ADC LUT scoring (r7) is bit-identical to a direct per-subspace
+    // recomputation, on both the miss path and the memo-hit path
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      val adc = graft.functions.PqAdc(Literal(1), Literal(1), cb)
+      val qs = data.filter(col("vec_id") < 3).collect()
+        .map(r => r.getSeq[Double](1).toArray)
+      val dsub = qs.head.length / cb.length
+      for (q <- qs; (_, code) <- codes.take(5)) {
+        val expected = cb.indices.map { j =>
+          val cent = cb(j)(code(j) & 0xff)
+          (0 until dsub).map { i =>
+            val t = q(j * dsub + i) - cent(i); t * t
+          }.sum
+        }.sum
+        val miss = adc.nullSafeEval(new GenericArrayData(q), code)
+        val hit = adc.nullSafeEval(new GenericArrayData(q), code)
+        assert(miss == expected && hit == expected)
+      }
+    }
     // recall vs the exact cosine oracle: ADC over unit vectors ranks by
     // (2 - 2·cos), so brute cosine is the right ground truth. Uniform
     // vectors are PQ's adversarial case (nothing clusters); 0.5 is a
