@@ -37,33 +37,55 @@ object Bench {
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
     }
-    // Best-of-2 per query (round-5 lesson): a single timed pass makes the
+    // Best-of-N per query (round-5 lesson): a single timed pass makes the
     // official record hostage to one-shot VM noise — driver r5 read 9
     // queries at >2x their reproducible steady-state times (tpch_q5 8.11 s
-    // one-shot vs 1.67 s steady). The min of two full passes absorbs a
+    // one-shot vs 1.67 s steady). The min of two passes absorbs a
     // transient stall in either pass while still timing the same plan;
     // a REAL regression shows up in both passes and survives the min.
+    //
+    // TIME-SEPARATED sweeps (round-6 lesson): r6 ran a query's two passes
+    // back-to-back, so a sustained VM stall spanned BOTH passes and
+    // defeated the min — the r6 driver record carried ~40 s of fake cost
+    // on six alphabetically CONTIGUOUS fn_* queries that read 0.3–0.9 s
+    // clean. Sweep-major order (pass 1 over ALL queries, then pass 2)
+    // places a query's passes minutes apart: a stall now has to span the
+    // whole bench to survive. SPARK_GRAFT_BENCH_SAMEWINDOW=1 restores the
+    // r6 query-major order for A/B-ing the harness itself.
     val timedRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .flatMap(_.trim.toIntOption).getOrElse(2).max(1)
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // A failed pass must NOT win the min: an error that aborts in 0.3 s
-      // would otherwise be recorded as a fake speedup. Failed passes count
-      // as +inf; if EVERY pass failed, fall back to the min elapsed (the
-      // JSON has no failure channel — stderr carries the diagnosis, and a
-      // wall-clock number beats poisoning the total with infinity).
-      val passes = (1 to timedRuns).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-          }
-        ((System.nanoTime() - t0) / 1e9, ok)
-      }
-      val good = passes.filter(_._2).map(_._1)
-      name -> (if (good.nonEmpty) good.min else passes.map(_._1).min)
+    val sameWindow = sys.env.get("SPARK_GRAFT_BENCH_SAMEWINDOW").contains("1")
+    val order = selected.toSeq.sortBy(_._1)
+    def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
+    val passes: Map[String, Seq[(Double, Boolean)]] =
+      if (sameWindow)
+        order.map { case (n, fn) => n -> (1 to timedRuns).map(_ => timeOne(n, fn)) }.toMap
+      else {
+        val sweeps = (1 to timedRuns).map(_ => order.map { case (n, fn) => timeOne(n, fn) })
+        order.map(_._1).zipWithIndex
+          .map { case (n, i) => n -> sweeps.map(_(i)) }.toMap
+      }
+    // A failed pass must NOT win the min: an error that aborts in 0.3 s
+    // would otherwise read as a fake speedup. If EVERY pass failed, the
+    // query lands in the JSON's `failed` list (not just on stderr) and
+    // its recorded time is the min elapsed — visible failure, unpoisoned
+    // total.
+    val results = order.map { case (name, _) =>
+      val p = passes(name)
+      val good = p.filter(_._2).map(_._1)
+      name -> (if (good.nonEmpty) good.min else p.map(_._1).min)
+    }
+    val failed = order.map(_._1).filter(n => passes(n).forall(!_._2))
     // Locale.ROOT: the f-interpolator is locale-sensitive and a
     // comma-decimal JVM locale would emit unparseable JSON.
     def fmt(v: Double): String =
@@ -71,15 +93,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"detail","unit":"sec","sf":"$sfDir","queries":$qs}"""
+      s"""{"metric":"detail","unit":"sec","sf":"$sfDir","failed":$failedJson,"queries":$qs}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
     catch { case _: Throwable => () } // best-effort; stdout line below is canonical
     println(detail)
     // Keep the summary line SHORT and LAST so a tail-window parse always
     // sees a complete JSON object.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
