@@ -44,12 +44,18 @@ import org.apache.spark.sql.functions._
   * bands of rows.
   *
   * Band arithmetic runs in DECIMAL/scaled longs — never double — so band
-  * assignment is exact (a double `floor(v/width)` can round across an
-  * integer boundary and misplace a row by a WHOLE band). Inputs are
-  * limited to values with <= `scale` meaningful decimals (default 2, the
-  * money domain; any scale the scaled-long fits — |v|·10^scale < 2^63 —
-  * works). The `v-width` frame EDGE, by contrast, is deliberately
-  * compared in IEEE double — see the probe comment below.
+  * assignment is exact up to the scaled-long range (|v|·10^scale < 2^63;
+  * a double `floor(v/width)` can round across an integer boundary and
+  * misplace a row by a WHOLE band). Inputs are limited to values with
+  * <= `scale` meaningful decimals (default 2, the money domain). The
+  * `v-width` frame EDGE, by contrast, is deliberately compared in IEEE
+  * double — see the probe comment below — which bounds EXACT edge
+  * membership to |v|·10^scale < 2^53 (r6 advice): past that, adjacent
+  * decimals on the 10^-scale grid collide to one double and a row
+  * sitting exactly on a frame edge can land on either side — the same
+  * ambiguity a direct double RANGE frame (Spark or DuckDB) has at that
+  * magnitude, which is exactly what replicating the double arithmetic
+  * preserves. Within 2^53 both bounds agree and the rewrite is exact.
   *
   * Beyond count/sum (invertible) and min/max (non-invertible), the same
   * two-term decomposition carries ANY merge-able aggregate: avg derives

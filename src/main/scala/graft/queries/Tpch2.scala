@@ -45,12 +45,18 @@ object Tpch2 {
         .filter(col("cost") === col("mincost"))
         // Dedup BEFORE the projection instead of a result-wide distinct
         // over renamed outputs (r5 advice): the key set carries every
-        // output column (matching the oracle's DISTINCT exactly — no
-        // reliance on the fixture's dimension keys being unique) and
-        // CONTAINS the window's partition key p_partkey, so the
-        // aggregate reuses the window's hash partitioning: zero extra
-        // exchange (PlanSpec gate), where the old post-projection
-        // distinct() reshuffled the whole result.
+        // output column and CONTAINS the window's partition key
+        // p_partkey, so the aggregate reuses the window's hash
+        // partitioning: zero extra exchange (PlanSpec gate), where the
+        // old post-projection distinct() reshuffled the whole result.
+        // NOTE (r6 advice): because s_suppkey is in the key set but NOT
+        // in the output, this equals a result-wide DISTINCT only under
+        // the fixture invariant that s_suppkey functionally determines
+        // s_name/s_acctbal/n_name (TPC-H supplier rows do: s_name is
+        // suppkey-derived). Two suppliers identical on every visible
+        // column would emit two rows here where DISTINCT emits one —
+        // the oracle SQL dedups on the same 7-column key in lockstep,
+        // so the gate holds by construction, not by accident.
         .dropDuplicates("p_partkey", "s_suppkey", "p_brand", "s_name",
           "s_acctbal", "n_name", "cost")
         // s_suppkey as the final key makes the pre-LIMIT order provably

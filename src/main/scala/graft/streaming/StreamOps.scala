@@ -360,15 +360,24 @@ object StreamOps {
     // no per-batch isEmpty probe: lshTopK on an empty batch yields an
     // empty frame and sinks must tolerate empty batches anyway — an
     // extra Spark job per trigger would double tiny-batch overhead
-    val q = queries.writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val topk = graft.operators.Ann.lshTopK(batch, data, k,
-          tables, planesPerTable, dim, seed, nprobe, index = Some(index))
-        onBatch(topk, batchId)
+    // start() can throw before the termination listener below ever
+    // registers (bad checkpoint path, duplicate query name) — unpersist
+    // eagerly on that path or the 16×-corpus cache leaks for the session
+    // lifetime (r6 advice).
+    val q =
+      try queries.writeStream
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val topk = graft.operators.Ann.lshTopK(batch, data, k,
+            tables, planesPerTable, dim, seed, nprobe, index = Some(index))
+          onBatch(topk, batchId)
+        }
+        .start()
+      catch { case e: Throwable =>
+        index.keys.unpersist(false)
+        throw e
       }
-      .start()
     // the 16×-corpus cached index must die with the query, not the
     // session: unpersist on this query's termination (listener removes
     // itself — one registration per sink, no accumulation)

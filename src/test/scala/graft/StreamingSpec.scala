@@ -86,6 +86,27 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("annTopKSink unpersists the index when start() itself fails") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val e = transform(col("embedding"),
+      (x: org.apache.spark.sql.Column) => x.cast("double"))
+    val data = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), e.as("e"))
+    val input = MemoryStream[(Long, Seq[Double])]
+    // a checkpoint path that is an existing FILE: start() throws before
+    // the termination listener ever registers — the r6-advice leak path
+    val badCkpt = java.nio.file.Files.createTempFile("graft-ann-bad-ckpt", "")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "precondition: no cached frames before the failing start()")
+    intercept[Exception] {
+      StreamOps.annTopKSink(input.toDF().toDF("vec_id", "e"), data, k = 3,
+        checkpoint = badCkpt.toString, onBatch = (_, _) => ())
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "the 16x-corpus index cache must not leak when start() fails")
+  }
+
   test("stream_ingest: streamed session windows equal the batch run") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
