@@ -140,6 +140,18 @@ object Pq {
     data.select(col("vec_id"), enc(Seq(col("e"))).as("code"))
   }
 
+  /** Encode an already cell-assigned frame (vec_id, cell, e) → (vec_id,
+    * cell, code): the coded data side of IVF-PQ as ONE projection over an
+    * existing assignment — no second corpus scan, no vec_id re-join.
+    * Shared by the in-query [[ivfPqTopK]] build and the prebuilt
+    * [[SimIndexes.ivfPq]] seam.
+    */
+  def encodeAssigned(assigned: DataFrame, cb: Codebooks): DataFrame = {
+    val enc = registered(assigned, "pq_encode", cb,
+      exprs => graft.functions.PqEncode(exprs.head, cb))
+    assigned.select(col("vec_id"), col("cell"), enc(Seq(col("e"))).as("code"))
+  }
+
   /** IVF-PQ — the canonical production composition at corpus scale:
     * IVF cells prune the CANDIDATE count (each query scores only its
     * `nprobe` nearest cells), PQ codes shrink the candidate BYTES (the
@@ -177,10 +189,7 @@ object Pq {
     val (cents, cb, codedCells) = index.getOrElse {
       val c = Ivf.centroids(data, nlist, iters)
       val codebooks = train(data, m, ksub)
-      val enc = registered(data, "pq_encode", codebooks,
-        exprs => graft.functions.PqEncode(exprs.head, codebooks))
-      (c, codebooks, Ivf.assign(data, c)
-        .select(col("vec_id"), col("cell"), enc(Seq(col("e"))).as("code")))
+      (c, codebooks, encodeAssigned(Ivf.assign(data, c), codebooks))
     }
     val adc = registered(data, "pq_adc", cb,
       exprs => graft.functions.PqAdc(exprs.head, exprs(1), cb))

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextAnalysis
-import graft.operators.{Ann, ConnectedComponents, Ivf, Multimodal, MinHash, Pq, Sampling, SimHash}
+import graft.operators.{Ann, ConnectedComponents, Ivf, Multimodal, MinHash, Pq, Sampling, SimHash, SimIndexes}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -112,6 +112,47 @@ object ScaleOps {
       val n = Pq.unitNormalized(
         normalized(s, dir).select(col("vec_id"), col("e")))
       Pq.ivfPqTopK(n.filter(col("vec_id") < 10), n, k = 5)
+        .orderBy(col("qid"), col("rn"))
+    },
+
+    // -- steady-state (prebuilt-index) similarity siblings ---------------
+    // Same operators, same dials, same results (spec-gated equal to the
+    // build-included forms) — but the index comes from the SimIndexes
+    // session cache: built+persisted on first call, reused after. In the
+    // bench's two time-separated sweeps, sweep 1 pays the build and sweep
+    // 2 is steady state, so the min-of-2 official number IS the amortized
+    // production cost, reported next to the build-included sibling's
+    // one-shot cost. That split is the 100 TB serving story: one index
+    // build per corpus snapshot, many query batches against it.
+    "sim_ann_idx" -> { (s, dir) =>
+      val n = normalized(s, dir)
+      val ix = SimIndexes.ann(n.select(col("vec_id"), col("e")), s"$dir#raw",
+        planesPerTable = 6)
+      Ann.lshTopK(n.filter(col("vec_id") < 10), n, k = 5,
+          planesPerTable = 6, nprobe = 2, index = Some(ix))
+        .orderBy(col("qid"), col("rn"))
+    },
+
+    "sim_ivf_idx" -> { (s, dir) =>
+      val n = normalized(s, dir).select(col("vec_id"), col("e"))
+      val ix = SimIndexes.ivf(n, s"$dir#raw")
+      Ivf.topK(n.filter(col("vec_id") < 10), n, k = 5, index = Some(ix))
+        .orderBy(col("qid"), col("rn"))
+    },
+
+    "sim_pq_idx" -> { (s, dir) =>
+      val n = Pq.unitNormalized(
+        normalized(s, dir).select(col("vec_id"), col("e")))
+      val (cb, encoded) = SimIndexes.pq(n, s"$dir#unit")
+      Pq.topK(n.filter(col("vec_id") < 10), encoded, cb, k = 5)
+        .orderBy(col("qid"), col("rn"))
+    },
+
+    "sim_ivf_pq_idx" -> { (s, dir) =>
+      val n = Pq.unitNormalized(
+        normalized(s, dir).select(col("vec_id"), col("e")))
+      val ix = SimIndexes.ivfPq(n, s"$dir#unit")
+      Pq.ivfPqTopK(n.filter(col("vec_id") < 10), n, k = 5, index = Some(ix))
         .orderBy(col("qid"), col("rn"))
     },
 

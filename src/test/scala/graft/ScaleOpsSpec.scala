@@ -486,4 +486,32 @@ class ScaleOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(bulk == perRow)
   }
+
+  test("steady-state sim_*_idx queries equal their build-included siblings and reuse the index") {
+    import graft.operators.SimIndexes
+    def rows(q: String): Seq[org.apache.spark.sql.Row] =
+      SparkEntry.queries(q)(spark, sf).collect().toSeq
+    SimIndexes.clear(spark)
+    val siblings = Seq("sim_ann" -> "sim_ann_idx", "sim_ivf" -> "sim_ivf_idx",
+      "sim_pq" -> "sim_pq_idx", "sim_ivf_pq" -> "sim_ivf_pq_idx")
+    for ((build, steady) <- siblings) {
+      val expected = rows(build)
+      val before = SimIndexes.builds
+      val first = rows(steady)
+      assert(SimIndexes.builds > before,
+        s"$steady: first call after clear() must build the index")
+      val afterBuild = SimIndexes.builds
+      val second = rows(steady)
+      assert(SimIndexes.builds == afterBuild,
+        s"$steady: second call must reuse the cached index, not rebuild")
+      // Same operator, same dials, same deterministic training — the
+      // prebuilt path must not change a single row.
+      assert(first === expected, s"$steady diverged from $build")
+      assert(second === first, s"$steady unstable across cached calls")
+    }
+    // ivfPq shares ivf/pq cache entries only within the SAME tag — the
+    // raw-vs-unit frames must have landed under distinct keys, or one of
+    // the assertions above would already have caught the geometry mixup.
+    SimIndexes.clear(spark)
+  }
 }
