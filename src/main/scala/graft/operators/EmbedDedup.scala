@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-cosine near-duplicate detection at corpus scale — the
+  * unbounded-n sibling of the bounded all-pairs `dedup_embed` baseline
+  * (which broadcasts the whole vector table and fails fast above 1e6
+  * rows).
+  *
+  * Shape: cluster the corpus into `nlist` coarse cells ([[Ivf]] — fused
+  * [[graft.functions.NearestCells]] assignment, shuffle-free), then run
+  * EXACT pairwise cosine only WITHIN each cell, then (optionally)
+  * connected components over the resulting pair graph. This is the
+  * published production recipe for semantic dedup over web-scale
+  * embedding corpora (Abbas et al. 2023, "SemDeDup" — k-means cells,
+  * within-cluster pairwise; the same blocking idea MinHash banding
+  * applies to shingles), with OVERLAPPING assignment (each vector lands
+  * in its `nassign` nearest cells — canopy blocking, McCallum et al.
+  * 2000) to recover the near-boundary pairs single-cell blocking loses.
+  * Cost: one fused assign pass + a cell-keyed self-join of
+  * ~n·nassign²·(n/nlist) candidate pairs — LINEAR in n when the caller
+  * scales `nlist` with the corpus (target a fixed mean cell size, e.g.
+  * nlist ≈ n/1000), against the baseline's n².
+  *
+  * Honest semantics: precision is EXACT (candidates are scored with the
+  * full-precision cosine — no false positives); recall misses exactly
+  * the above-threshold pairs whose endpoints land in different cells.
+  * That loss is the documented trade (SemDeDup's too), smallest for the
+  * tight clusters dedup actually targets, and measured on the fixtures
+  * in EmbedDedupSpec. Hyperplane LSH is NOT a better blocking here: its
+  * bucket count is fixed at 2^planes regardless of n, so pair
+  * enumeration over all-n queries stays quadratic-over-constant, and at
+  * a mid-similarity threshold (the fixtures' true pairs sit at cosine
+  * ≈ 0.45, an ~63° angle) per-table collision is ~0.65^planes — recall
+  * collapses exactly when planes grow enough to bound buckets. Cells
+  * scale with n; planes don't.
+  *
+  * Skew: a hot cell of k vectors contributes k·(k−1)/2 pairs, so one
+  * degenerate cell (duplicate-heavy corpora collapse into few cells)
+  * goes quadratic. Cells above `maxCellSize` are dropped WHOLE
+  * (truncating would be partition-order-dependent — the
+  * [[MinHash.lshCandidates]] rule) and [[droppedCells]] reports how
+  * many; recall loss is confined to pairs inside oversized cells.
+  */
+object EmbedDedup {
+  /** The dial rule the linearity claim above depends on: `nlist` scaled
+    * for a fixed ~`targetCell` mean cell size, so candidate pairs stay
+    * ~n·nassign²·targetCell/2 (linear in n) instead of n²/nlist. The
+    * floor keeps fixture-sized corpora at the spec-measured geometry.
+    * 250 balances the two linear-in-n costs at their measured constants:
+    * the assign pass is n·nlist·d flops, scoring is n·nassign²·targetCell
+    * ·d/2 — halving targetCell doubles nlist, trading one for the other.
+    */
+  def autoNlist(rows: Long, targetCell: Int = 250): Int =
+    math.max(8L, rows / targetCell).toInt
+
+  /** Exact-cosine pairs (v1 < v2, c ≥ threshold) within shared cells.
+    * `vecs` must carry (vec_id, e); `nlist` should scale with n (fixed
+    * target cell size), `iters` caps the Lloyd rounds ([[Ivf.centroids]]
+    * converges early on fixture-sized data).
+    */
+  def cellPairs(vecs: DataFrame, threshold: Double, nlist: Int = 8,
+                iters: Int = 2, maxCellSize: Int = 100000,
+                nassign: Int = 2): DataFrame = {
+    val cents = Ivf.centroids(vecs, nlist, iters)
+    cellPairsAssigned(
+      Ivf.assignMulti(vecs, cents, nassign)
+        .select(col("vec_id"), col("e"), col("cell")),
+      threshold, maxCellSize)
+  }
+
+  /** The blocking + scoring tail over a GIVEN (vec_id, e, cell)
+    * assignment — the [[Pq.encodeAssigned]]-style seam: [[cellPairs]]
+    * delegates here, and the cap semantics are testable without going
+    * through Lloyd's (deterministic but input-sensitive) cell geometry.
+    */
+  def cellPairsAssigned(assigned: DataFrame, threshold: Double,
+                        maxCellSize: Int = 100000): DataFrame = {
+    graft.functions.CosineSimilarity.register(assigned.sparkSession)
+    val sized = assigned
+      .withColumn("csz", count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .filter(col("csz") <= maxCellSize)
+      .select(col("vec_id"), col("e"), col("cell"))
+    sized.alias("a")
+      .join(sized.alias("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      // exact full-precision cosine on candidates only — rounded like the
+      // all-pairs baseline so the two paths' pair sets compare cell-for-cell
+      .withColumn("c", round(graft.functions.CosineSimilarity(col("a.e"), col("b.e")), 6))
+      .filter(col("c") >= threshold)
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"), col("c"))
+      // overlapping assignment surfaces a pair once per shared cell; c is
+      // functionally determined by (v1, v2), so dedup AFTER scoring ships
+      // only (v1, v2, c) through the exchange (the Ann.lshTopK rule)
+      .dropDuplicates("v1", "v2")
+  }
+
+  /** Number of cells the `maxCellSize` cap removes — observability for
+    * the recall/cost trade (the [[MinHash.droppedBuckets]] analogue).
+    */
+  def droppedCells(vecs: DataFrame, nlist: Int = 8, iters: Int = 2,
+                   maxCellSize: Int = 100000, nassign: Int = 2): Long = {
+    val cents = Ivf.centroids(vecs, nlist, iters)
+    Ivf.assignMulti(vecs, cents, nassign)
+      .groupBy(col("cell")).agg(count(lit(1)).as("csz"))
+      .filter(col("csz") > maxCellSize)
+      .count()
+  }
+
+  /** Full semantic-dedup pipeline: cell pairs → large-star/small-star
+    * connected components → (doc_id, cluster_id, is_canonical) labels,
+    * the [[ConnectedComponents.clusterLabels]] contract shared with
+    * `dedup_cluster`/`dedup_minhash_cluster` (min member is canonical;
+    * vectors with no above-threshold neighbour don't appear).
+    */
+  def clusters(vecs: DataFrame, threshold: Double, nlist: Int = 8,
+               iters: Int = 2, maxCellSize: Int = 100000,
+               nassign: Int = 2): DataFrame = {
+    val edges = cellPairs(vecs, threshold, nlist, iters, maxCellSize, nassign)
+      .select(col("v1").as("src"), col("v2").as("dst"))
+    ConnectedComponents.clusterLabels(ConnectedComponents.componentsStar(edges))
+  }
+}

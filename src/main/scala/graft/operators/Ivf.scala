@@ -127,6 +127,18 @@ object Ivf {
     data.withColumn("cell", element_at(nc(col("e")), 1))
   }
 
+  /** Overlapping assignment: each vector lands in its `nassign` nearest
+    * cells (one fused pass + explode — nassign rows per vector). The
+    * canopy-blocking trade ([[EmbedDedup]]): candidate sets grow ~nassign×
+    * per side, recall over near-boundary pairs grows much faster, because
+    * a pair is blocked together if ANY of the two cell sets intersect.
+    */
+  def assignMulti(data: DataFrame, cents: DataFrame, nassign: Int): DataFrame = {
+    val (ids, vecs) = collectCents(cents)
+    val nc = nearestCellsFn(data, ids, vecs, nassign)
+    data.withColumn("cell", explode(nc(col("e"))))
+  }
+
   /** Each query's `nprobe` nearest cells: (qid, qe, cell). Package-
     * visible for [[Pq.ivfPqTopK]] — the IVF-PQ composition probes cells
     * here and reranks by ADC over codes. Emits min(nprobe, nlist) rows

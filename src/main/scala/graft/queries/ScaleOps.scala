@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextAnalysis
-import graft.operators.{Ann, ConnectedComponents, Ivf, Multimodal, MinHash, Pq, Sampling, SimHash, SimIndexes}
+import graft.operators.{Ann, ConnectedComponents, EmbedDedup, Ivf, Multimodal, MinHash, Pq, Sampling, SimHash, SimIndexes}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -113,6 +113,29 @@ object ScaleOps {
         normalized(s, dir).select(col("vec_id"), col("e")))
       Pq.ivfPqTopK(n.filter(col("vec_id") < 10), n, k = 5)
         .orderBy(col("qid"), col("rn"))
+    },
+
+    // -- embedding near-dup, the unbounded-scale path --------------------
+    // SemDeDup-shaped: IVF cells block the corpus (fused assign, linear
+    // in n at fixed target cell size), exact full-precision cosine ONLY
+    // within a cell — zero false positives, recall loss confined to
+    // cross-cell pairs (measured in EmbedDedupSpec) and capped hot cells.
+    // The all-pairs dedup_embed stays the bounded-slice baseline.
+    "dedup_embed_cells" -> { (s, dir) =>
+      val n = normalized(s, dir).select(col("vec_id"), col("e"))
+      // nlist scales with the corpus (fixed ~250-row mean cell) — the
+      // linearity dial; the count is one cheap metadata-backed pass
+      EmbedDedup.cellPairs(n, threshold = 0.45, nlist = EmbedDedup.autoNlist(n.count()))
+        .orderBy(col("v1"), col("v2"))
+    },
+
+    // Cells → pairs → connected components: the full semantic-dedup
+    // pipeline (cluster id + canonical member), dedup_cluster's contract
+    // over the embedding pair graph.
+    "dedup_embed_cluster" -> { (s, dir) =>
+      val n = normalized(s, dir).select(col("vec_id"), col("e"))
+      EmbedDedup.clusters(n, threshold = 0.45, nlist = EmbedDedup.autoNlist(n.count()))
+        .orderBy(col("doc_id"))
     },
 
     // -- steady-state (prebuilt-index) similarity siblings ---------------

@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.{ConnectedComponents, EmbedDedup}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SemDeDup-shaped embedding dedup vs the exact all-pairs baseline
+  * (SURVEY.md §7.5: fixture-recall + exactness bounds, not oracle
+  * hashes — the operator is approximate by blocking, never by scoring).
+  */
+class EmbedDedupSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def exactPairs: Set[(Long, Long)] =
+    SparkEntry.queries("dedup_embed")(spark, sf)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def cellPairs: Set[(Long, Long)] =
+    SparkEntry.queries("dedup_embed_cells")(spark, sf)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("within-cell pairs have exact precision and usable recall vs all-pairs") {
+    val exact = exactPairs
+    val cells = cellPairs
+    assert(exact.nonEmpty, "fixture has no above-threshold pairs — vacuous test")
+    // Precision is structural: candidates are scored with the same
+    // full-precision cosine the baseline uses, so every emitted pair must
+    // be a true pair.
+    assert((cells -- exact).isEmpty, s"false positives: ${cells -- exact}")
+    // Recall: only cross-cell true pairs may be lost. The fixtures are
+    // adversarial for blocking (uniform vectors, true pairs at the 0.45
+    // threshold boundary ≈ 63° apart), so this floor is the worst case —
+    // clustered real corpora, where dup pairs are tight, lose far less.
+    val recall = cells.size.toDouble / exact.size
+    info(s"cell-blocked recall: ${cells.size}/${exact.size} = $recall")
+    assert(recall >= 0.5, s"recall $recall below floor: cells=$cells exact=$exact")
+  }
+
+  test("oversized cells are dropped whole and counted, never truncated") {
+    import spark.implicits._
+    // 40 near-identical vectors in one hot cell + two small cells, cap=10:
+    // the hot cell's pairs must vanish ENTIRELY (not shrink), while the
+    // small cells' pairs survive untouched. The assignment is constructed
+    // directly (cellPairsAssigned seam) so the cap semantics are tested
+    // without depending on Lloyd's cell geometry for a degenerate input.
+    val hot = (0L until 40L).map(i => (i, Array(1.0, 0.0, 1e-9 * i), 0L))
+    val cold = Seq(
+      (100L, Array(-1.0, 0.1, 0.0), 1L), (101L, Array(-1.0, 0.11, 0.0), 1L),
+      (102L, Array(0.0, -1.0, 0.0), 2L), (103L, Array(0.01, -1.0, 0.0), 2L))
+    val assigned = (hot ++ cold).toDF("vec_id", "e", "cell")
+    val uncapped = EmbedDedup.cellPairsAssigned(assigned, threshold = 0.9,
+      maxCellSize = 100000)
+    val capped = EmbedDedup.cellPairsAssigned(assigned, threshold = 0.9,
+      maxCellSize = 10)
+    val hotIds = hot.map(_._1).toSet
+    assert(uncapped.filter(col("v1").isin(hotIds.toSeq: _*)).count() > 0)
+    assert(capped.filter(col("v1").isin(hotIds.toSeq: _*)).count() == 0,
+      "hot-cell pairs must be dropped whole by the cap")
+    // cold pairs survive the cap untouched
+    val coldPairs = capped.select("v1", "v2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(coldPairs === Set((100L, 101L), (102L, 103L)))
+  }
+
+  test("clusters equal connected components over the operator's own pair graph") {
+    // build the expected labels from the CELL pair graph (the operator's
+    // contract is CC over ITS pairs — recall loss lives in the pairs,
+    // not the clustering)
+    val vecs = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          (x: org.apache.spark.sql.Column) => x.cast("double")).as("e"))
+    val edges = EmbedDedup.cellPairs(vecs, threshold = 0.45)
+      .select(col("v1").as("src"), col("v2").as("dst"))
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cluster_id", "is_canonical").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val expected = labels(
+      ConnectedComponents.clusterLabels(ConnectedComponents.componentsStar(edges)))
+    val got = labels(EmbedDedup.clusters(vecs, threshold = 0.45))
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+}
