@@ -89,7 +89,27 @@ object ScaleUp {
         .withColumn("text",
           translate(col("text"), Lower + Upper, perm + perm.toUpperCase))
     })
-    replicate("embeddings", (df, i) => rot(df, "vec_id", i, 1000000L))
+    // embeddings: a DIMENSION permutation per replica — the vector
+    // analogue of the documents cipher. Permutation matrices are
+    // orthogonal, so every norm and every within-replica pairwise
+    // dot/cosine is preserved bit-for-bit, while cross-replica pairs
+    // decorrelate to the independent-vector baseline. A plain vec_id
+    // offset (the pre-r7 behavior) hands every vector N−1 exact clones
+    // across replicas: embedding-dedup true pairs then grow ~N²/2 per
+    // distinct point (duplicate explosion, not scale) and ANN top-k
+    // degenerates into tie-breaking among identical copies. Replica 0
+    // keeps the identity so the scaled corpus strictly contains the base.
+    val dim = spark.read.parquet(s"$src/embeddings.parquet")
+      .selectExpr("size(embedding)").head().getInt(0)
+    replicate("embeddings", (df, i) => {
+      val shifted = rot(df, "vec_id", i, 1000000L)
+      if (i == 0) shifted
+      else {
+        val perm = new scala.util.Random(i.toLong).shuffle((1 to dim).toList)
+        shifted.withColumn("embedding",
+          array(perm.map(p => element_at(col("embedding"), p)): _*))
+      }
+    })
     // part/supplier replicate WITH the same key offsets lineitem's FKs get
     // (the TPC-H scaling rule: dims grow linearly with SF). Leaving them
     // unreplicated while shifting l_partkey/l_suppkey would break
