@@ -56,6 +56,28 @@ object EmbedDedup {
   def autoNlist(rows: Long, targetCell: Int = 250): Int =
     math.max(8L, rows / targetCell).toInt
 
+  /** Above this nlist the build switches to its large-corpus form:
+    * Lloyd rounds train on a bounded hash-sample (25·nlist rows — the
+    * Pq.train discipline; full-corpus rounds are a hidden n²/cellsize
+    * term paid `iters` times) and assignment goes through the two-level
+    * [[graft.functions.NearestCellsCoarse]] (√nlist·(1+w)·d per row vs
+    * nlist·d — the flat argmax is itself n²·d/cellsize once nlist scales
+    * with n). Below it, exact flat assignment and full-data training —
+    * fixture-sized corpora keep the spec-measured geometry bit-for-bit.
+    * Blocking tolerates the coarse descent's near-boundary assignment
+    * drift; the recall cost is measured in EmbedDedupSpec.
+    */
+  val hierThreshold: Int = 64
+
+  private def assignAll(vecs: DataFrame, nlist: Int, iters: Int,
+                        nassign: Int): DataFrame = {
+    val hier = nlist >= hierThreshold
+    val cents = Ivf.centroids(vecs, nlist, iters,
+      trainSample = if (hier) 25 * nlist else 0)
+    if (hier) Ivf.assignMultiCoarse(vecs, cents, nassign)
+    else Ivf.assignMulti(vecs, cents, nassign)
+  }
+
   /** Exact-cosine pairs (v1 < v2, c ≥ threshold) within shared cells.
     * `vecs` must carry (vec_id, e); `nlist` should scale with n (fixed
     * target cell size), `iters` caps the Lloyd rounds ([[Ivf.centroids]]
@@ -63,13 +85,11 @@ object EmbedDedup {
     */
   def cellPairs(vecs: DataFrame, threshold: Double, nlist: Int = 8,
                 iters: Int = 2, maxCellSize: Int = 100000,
-                nassign: Int = 2): DataFrame = {
-    val cents = Ivf.centroids(vecs, nlist, iters)
+                nassign: Int = 2): DataFrame =
     cellPairsAssigned(
-      Ivf.assignMulti(vecs, cents, nassign)
+      assignAll(vecs, nlist, iters, nassign)
         .select(col("vec_id"), col("e"), col("cell")),
       threshold, maxCellSize)
-  }
 
   /** The blocking + scoring tail over a GIVEN (vec_id, e, cell)
     * assignment — the [[Pq.encodeAssigned]]-style seam: [[cellPairs]]
@@ -101,13 +121,11 @@ object EmbedDedup {
     * the recall/cost trade (the [[MinHash.droppedBuckets]] analogue).
     */
   def droppedCells(vecs: DataFrame, nlist: Int = 8, iters: Int = 2,
-                   maxCellSize: Int = 100000, nassign: Int = 2): Long = {
-    val cents = Ivf.centroids(vecs, nlist, iters)
-    Ivf.assignMulti(vecs, cents, nassign)
+                   maxCellSize: Int = 100000, nassign: Int = 2): Long =
+    assignAll(vecs, nlist, iters, nassign)
       .groupBy(col("cell")).agg(count(lit(1)).as("csz"))
       .filter(col("csz") > maxCellSize)
       .count()
-  }
 
   /** Full semantic-dedup pipeline: cell pairs → large-star/small-star
     * connected components → (doc_id, cluster_id, is_canonical) labels,

@@ -53,6 +53,24 @@ object Ivf {
     c => call_function(name, c)
   }
 
+  /** [[nearestCellsFn]]'s two-level sibling
+    * ([[graft.functions.NearestCellsCoarse]]): per-row cost
+    * O(√nlist·(1+wCoarse)·d) instead of O(nlist·d) — the right side of
+    * the trade when nlist scales with the corpus and the caller is
+    * BLOCKING (EmbedDedup), not serving a bit-identity contract.
+    */
+  private def nearestCellsCoarseFn(df: DataFrame, ids: Seq[Long],
+                                   vecs: Seq[Seq[Double]], nprobe: Int,
+                                   wCoarse: Int): Column => Column = {
+    val name =
+      s"nearest_cells_coarse_${Integer.toHexString((ids, vecs).hashCode)}_${nprobe}_$wCoarse"
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => graft.functions.NearestCellsCoarse(exprs.head, ids, vecs, nprobe, wCoarse),
+      "scala_udf")
+    c => call_function(name, c)
+  }
+
   /** Deterministic initial centroids: the `nlist` vectors with smallest
     * xxhash64(vec_id) (a seedless, stable pseudo-random sample).
     */
@@ -97,25 +115,43 @@ object Ivf {
     * iterative training lineage is not re-executed by every downstream
     * consumer, and so the loop's lineage cannot stack across rounds.
     */
-  def centroids(data: DataFrame, nlist: Int = 8, iters: Int = 8): DataFrame = {
+  def centroids(data: DataFrame, nlist: Int = 8, iters: Int = 8,
+                trainSample: Int = 0): DataFrame = {
     val spark = data.sparkSession
     graft.functions.CosineSimilarity.register(spark)
+    // Bounded training (opt-in, the Pq.train discipline): Lloyd rounds run
+    // over a deterministic hash-ordered sample instead of the full corpus,
+    // so each round costs sample·nlist·d, not n·nlist·d — at nlist scaled
+    // with n (EmbedDedup's dial) full-corpus rounds are a hidden n²/c
+    // term paid iters times. The sample is persisted for the rounds (the
+    // TakeOrdered would otherwise rescan the corpus every round) and 0
+    // keeps the exact full-data training sim_ivf's specs pin.
+    val (train, trainPersisted) =
+      if (trainSample <= 0) (data, false)
+      else {
+        val s = data.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+          .limit(math.max(trainSample, nlist))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (s, true)
+      }
     def digest(rows: Array[org.apache.spark.sql.Row]): Seq[(Long, Seq[Double])] =
       rows.map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
-    val first = init(data, nlist)
-    val schema = first.schema
-    var rows = first.collect()
-    var round = 0
-    var converged = false
-    while (!converged && round < iters) {
-      val c = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-      val next = step(data, c).collect()
-      converged = digest(next) == digest(rows)
-      rows = next
-      round += 1
-    }
-    lastRounds = round
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    try {
+      val first = init(train, nlist)
+      val schema = first.schema
+      var rows = first.collect()
+      var round = 0
+      var converged = false
+      while (!converged && round < iters) {
+        val c = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        val next = step(train, c).collect()
+        converged = digest(next) == digest(rows)
+        rows = next
+        round += 1
+      }
+      lastRounds = round
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } finally if (trainPersisted) { train.unpersist(); () }
   }
 
   /** Assign every vector to its nearest cell — one fused compiled pass
@@ -136,6 +172,19 @@ object Ivf {
   def assignMulti(data: DataFrame, cents: DataFrame, nassign: Int): DataFrame = {
     val (ids, vecs) = collectCents(cents)
     val nc = nearestCellsFn(data, ids, vecs, nassign)
+    data.withColumn("cell", explode(nc(col("e"))))
+  }
+
+  /** [[assignMulti]] through the two-level expression: exact argmax is
+    * traded for a coarse-group descent (assignment may differ near
+    * coarse boundaries — fine for blocking, measured in EmbedDedupSpec),
+    * cutting the per-row cost from nlist·d to √nlist·(1+wCoarse)·d.
+    * `wCoarse ≥ ⌈√nlist⌉` degenerates to the exact flat result.
+    */
+  def assignMultiCoarse(data: DataFrame, cents: DataFrame, nassign: Int,
+                        wCoarse: Int = 4): DataFrame = {
+    val (ids, vecs) = collectCents(cents)
+    val nc = nearestCellsCoarseFn(data, ids, vecs, nassign, wCoarse)
     data.withColumn("cell", explode(nc(col("e"))))
   }
 

@@ -314,6 +314,57 @@ class ScaleOpsSpec extends AnyFunSuite {
       cellsOf(Ivf.assignWindowed(edge.filter(col("vec_id") > 1000), cents)))
   }
 
+  test("two-level NearestCellsCoarse: exact at full probe width, usable agreement bounded") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Ivf
+    val e = transform(col("embedding"), (x: org.apache.spark.sql.Column) => x.cast("double"))
+    val n = graft.Tables(spark, sf, "embeddings").select(col("vec_id"), e.as("e"))
+    val cents = Ivf.centroids(n, nlist = 32, iters = 2)
+    def cellsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = cellsOf(Ivf.assignMulti(n, cents, nassign = 2))
+    // wCoarse ≥ ncoarse probes every coarse group — the scoring and
+    // selection disciplines are shared, so the result must be EXACT
+    assert(cellsOf(Ivf.assignMultiCoarse(n, cents, nassign = 2, wCoarse = 32)) === exact)
+    // bounded descent (wCoarse=4 of ⌈√32⌉=6 groups): assignment may only
+    // drift near coarse boundaries — agreement stays high, and determinism
+    // holds across repeated evaluation
+    val coarse = cellsOf(Ivf.assignMultiCoarse(n, cents, nassign = 2, wCoarse = 4))
+    val agree = (coarse intersect exact).size.toDouble / exact.size
+    info(s"bounded-wCoarse assignment agreement: $agree")
+    assert(agree >= 0.9, s"agreement $agree below floor")
+    assert(cellsOf(Ivf.assignMultiCoarse(n, cents, nassign = 2, wCoarse = 4)) === coarse)
+    // adversarial numerics through the two-level path: zero-norm (NaN
+    // sims) and duplicate vectors must match the flat expression when
+    // every group is probed
+    import spark.implicits._
+    val edge = Seq(
+      1000L -> Seq.fill(64)(0.0),
+      1001L -> Seq.tabulate(64)(_.toDouble / 64),
+      1002L -> Seq.tabulate(64)(_.toDouble / 64)
+    ).toDF("vec_id", "e")
+    assert(cellsOf(Ivf.assignMultiCoarse(edge, cents, nassign = 3, wCoarse = 32)) ===
+      cellsOf(Ivf.assignMulti(edge, cents, nassign = 3)))
+  }
+
+  test("sampled Lloyd training: deterministic, and exact when the sample covers the corpus") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Ivf
+    val e = transform(col("embedding"), (x: org.apache.spark.sql.Column) => x.cast("double"))
+    val n = graft.Tables(spark, sf, "embeddings").select(col("vec_id"), e.as("e"))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    // a sample ≥ the corpus IS the corpus (hash-ordered limit), so
+    // sampled training must reproduce full training bit-for-bit
+    assert(snap(Ivf.centroids(n, nlist = 8, iters = 2, trainSample = 1000000)) ===
+      snap(Ivf.centroids(n, nlist = 8, iters = 2)))
+    // a bounded sample is deterministic across calls (hash-ordered, no
+    // partition-order dependence)
+    val a = snap(Ivf.centroids(n, nlist = 8, iters = 2, trainSample = 100))
+    assert(a === snap(Ivf.centroids(n, nlist = 8, iters = 2, trainSample = 100)))
+    assert(a.length == 8)
+  }
+
   test("IVF top-k reaches usable recall vs brute force") {
     import org.apache.spark.sql.functions._
     val e = transform(col("embedding"), (x: org.apache.spark.sql.Column) => x.cast("double"))
