@@ -92,8 +92,12 @@ object ScaleUp {
     // embeddings: a DIMENSION permutation per replica — the vector
     // analogue of the documents cipher. Permutation matrices are
     // orthogonal, so every norm and every within-replica pairwise
-    // dot/cosine is preserved bit-for-bit, while cross-replica pairs
-    // decorrelate to the independent-vector baseline. A plain vec_id
+    // dot/cosine is preserved mathematically (up to FP summation order:
+    // the permutation reorders the fold, so last-ulp drift can flip a
+    // pair sitting exactly on a round(c,6) >= threshold boundary between
+    // replica 0 and a permuted replica; identical after round-6 away from
+    // that measure-zero edge), while cross-replica pairs decorrelate to
+    // the independent-vector baseline. A plain vec_id
     // offset (the pre-r7 behavior) hands every vector N−1 exact clones
     // across replicas: embedding-dedup true pairs then grow ~N²/2 per
     // distinct point (duplicate explosion, not scale) and ANN top-k

@@ -26,6 +26,44 @@ object SweepIvf {
     val data = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), e.as("e")).cache()
     val n = data.count()
+
+    // Big-nlist mode (`runMain graft.SweepIvf <sfDir> <nlist>`): times a
+    // corpus-scale centroid dial end-to-end — sampled coarse-descent
+    // training + full-corpus overlapping assignment — through BOTH
+    // centroid carriers, proving the broadcast path (engaged automatically
+    // at nlist ≥ Ivf.bcThreshold) and measuring what the literal carrier
+    // costs at a dial the fixtures never reach. Skips the recall grids.
+    args.drop(1).headOption.map(_.toInt).foreach { nlist =>
+      import operators.Ivf
+      def timed[T](what: String)(body: => T): T = {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"[bignlist] $what: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      println(s"[bignlist] n=$n vectors, nlist=$nlist, " +
+        s"bcThreshold=${Ivf.bcThreshold}, coarseTrainThreshold=${Ivf.coarseTrainThreshold}")
+      val cents = timed(s"train (sample=${25 * nlist}, coarse-step)") {
+        val c = Ivf.centroids(data, nlist, iters = 4, trainSample = 25 * nlist)
+        c.count(); c
+      }
+      timed("assignMulti nassign=2 [broadcast carrier]") {
+        Ivf.assignMulti(data, cents, nassign = 2)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val saved = Ivf.bcThreshold
+      Ivf.bcThreshold = Int.MaxValue
+      try timed("assignMulti nassign=2 [literal carrier]") {
+        Ivf.assignMulti(data, cents, nassign = 2)
+          .write.format("noop").mode("overwrite").save()
+      } finally Ivf.bcThreshold = saved
+      timed("assignMultiCoarse nassign=2 wCoarse=4 [broadcast carrier]") {
+        Ivf.assignMultiCoarse(data, cents, nassign = 2)
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.stop()
+      return
+    }
     val queries = data.filter(col("vec_id") < 50)
     val k = 5
 

@@ -65,17 +65,22 @@ case class DotProduct(left: Expression, right: Expression)
        """.stripMargin
     })
 
-  override protected def withNewChildInternal(newLeft: Expression,
-                                              newRight: Expression): DotProduct =
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "dot_product"
 }
 
 object DotProduct {
+  /** Registry seam (Spark 4's Column hides Expression — the
+    * [[CosineSimilarity]]/[[UnitNormalize]] pattern): idempotent, fixed name.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+
+  /** Column-API entry point (requires [[register]] in the session). */
   def apply(a: Column, b: Column): Column =
-    Column(org.apache.spark.sql.classic.ExpressionUtils.expression(
-      DotProduct(
-        org.apache.spark.sql.classic.ExpressionUtils.expression(a),
-        org.apache.spark.sql.classic.ExpressionUtils.expression(b))))
+    org.apache.spark.sql.functions.call_function("dot_product", a, b)
 }

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -37,6 +38,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * silently truncated), and a NULL embedding yields a NULL probe list
   * (the window form assigned the lowest cell id to all-null sims) — a
   * null cell drops from downstream equi-joins visibly.
+  *
+  * Two carriers for the centroid table, one kernel ([[NearestCells.eval]]
+  * — shared code IS the bit-identity proof between them):
+  *  - [[NearestCells]] embeds the table as constructor literals — exact,
+  *    spec-friendly, but the table rides every serialized task binding
+  *    and is re-sorted per task, so it only scales to fixture nlist;
+  *  - [[NearestCellsBc]] resolves the prebuilt table from a broadcast
+  *    variable executor-side (torrent-fetched once per executor, shared
+  *    across its tasks) — the 100-TB carrier once nlist scales with the
+  *    corpus ([[graft.operators.EmbedDedup]]'s autoNlist dial).
   */
 case class NearestCells(child: Expression, cells: Seq[Long],
                         centroids: Seq[Seq[Double]], nprobe: Int)
@@ -54,15 +65,78 @@ case class NearestCells(child: Expression, cells: Seq[Long],
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  private val ncells = cells.length
-  private val dim = centroids.head.length
-  private val probes = math.min(nprobe, ncells)
+  @transient private lazy val table: NearestCells.Cents =
+    NearestCells.cents(cells, centroids)
 
-  /** Cell-id-sorted flat centroid matrix + per-centroid squared norms
-    * (each the left-to-right fold CosineSimilarity would run).
+  override def nullSafeEval(input: Any): Any =
+    NearestCells.eval(input.asInstanceOf[ArrayData], table, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // Ship the expression itself and run the whole per-row computation in
+    // one JIT-compiled method (the LshProbes/PqEncode codegen seam): no
+    // per-element lambda interpretation, no Catalyst tree walking.
+    val self = ctx.addReferenceObj("nearestCells", this, classOf[NearestCells].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = (ArrayData) $self.nullSafeEval($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+
+  override def prettyName: String = "nearest_cells"
+}
+
+/** [[NearestCells]] over a BROADCAST centroid table — same kernel, so
+  * the assignment is identical by construction (spec-gated anyway in
+  * PlanSpec); only the transport differs. The expression serializes as a
+  * broadcast handle (~bytes), not the table: at nlist ≈ 10⁶ × dim 64 the
+  * literal form ships ~500 MB inside EVERY task binding and re-sorts it
+  * per task, while this form torrent-fetches the prebuilt table once per
+  * executor. `prettyName` keeps a distinct name so `.explain` shows which
+  * carrier a plan compiled.
+  */
+case class NearestCellsBc(child: Expression,
+                          bc: Broadcast[NearestCells.Cents], nprobe: Int)
+    extends UnaryExpression {
+
+  require(nprobe >= 1, s"nearest_cells_bc: nprobe must be >= 1, got $nprobe")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells_bc expects array<double> input, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCells.eval(input.asInstanceOf[ArrayData], bc.value, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("nearestCellsBc", this, classOf[NearestCellsBc].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = (ArrayData) $self.nullSafeEval($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellsBc =
+    copy(child = newChild)
+
+  override def prettyName: String = "nearest_cells_bc"
+}
+
+object NearestCells {
+  /** Cell-id-sorted centroid table: ids, flat matrix, per-centroid
+    * squared norms (each the left-to-right fold [[CosineSimilarity]]
+    * would run). Built ONCE — driver-side for the broadcast carrier,
+    * lazily per task for the literal carrier.
     */
-  @transient private lazy val (ids, mat, sqNorms):
-      (Array[Long], Array[Array[Double]], Array[Double]) = {
+  final case class Cents(ids: Array[Long], mat: Array[Array[Double]],
+                         sqNorms: Array[Double]) {
+    def ncells: Int = ids.length
+    def dim: Int = mat.head.length
+  }
+
+  def cents(cells: Seq[Long], centroids: Seq[Seq[Double]]): Cents = {
+    require(cells.nonEmpty && cells.length == centroids.length,
+      s"nearest_cells: ${cells.length} cell ids for ${centroids.length} centroids")
     val sorted = cells.zip(centroids).sortBy(_._1)
     val i = sorted.map(_._1).toArray
     val m = sorted.map(_._2.toArray).toArray
@@ -71,11 +145,14 @@ case class NearestCells(child: Expression, cells: Seq[Long],
       while (k < c.length) { s += c(k) * c(k); k += 1 }
       s
     }
-    (i, m, n)
+    Cents(i, m, n)
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val e = input.asInstanceOf[ArrayData]
+  /** The shared per-row kernel (both carriers call exactly this). */
+  private[functions] def eval(e: ArrayData, t: Cents, nprobe: Int): Any = {
+    val dim = t.dim
+    val ncells = t.ncells
+    val probes = math.min(nprobe, ncells)
     // Per-row validation, once (the LshProbes convention): an unclamped
     // getDouble past numElements reads adjacent row memory and a null
     // element decodes as 0.0 — both silently-wrong cells.
@@ -92,11 +169,11 @@ case class NearestCells(child: Expression, cells: Seq[Long],
     val sims = new Array[Double](ncells)
     var c = 0
     while (c < ncells) {
-      val cent = mat(c)
+      val cent = t.mat(c)
       var dot = 0.0
       var i = 0
       while (i < dim) { dot += e.getDouble(i) * cent(i); i += 1 }
-      sims(c) = dot / (math.sqrt(en) * math.sqrt(sqNorms(c)))
+      sims(c) = dot / (math.sqrt(en) * math.sqrt(t.sqNorms(c)))
       c += 1
     }
     val out = new Array[Long](probes)
@@ -115,22 +192,9 @@ case class NearestCells(child: Expression, cells: Seq[Long],
         k += 1
       }
       used(best) = true
-      out(r) = ids(best)
+      out(r) = t.ids(best)
       r += 1
     }
     new GenericArrayData(out)
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    // Ship the expression itself and run the whole per-row computation in
-    // one JIT-compiled method (the LshProbes/PqEncode codegen seam): no
-    // per-element lambda interpretation, no Catalyst tree walking.
-    val self = ctx.addReferenceObj("nearestCells", this, classOf[NearestCells].getName)
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = (ArrayData) $self.nullSafeEval($a);")
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): NearestCells =
-    copy(child = newChild)
-
-  override def prettyName: String = "nearest_cells"
 }

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -34,6 +35,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   *    which keep the flat expression;
   *  - fail-loud contract unchanged: dimension mismatch and null elements
   *    throw, a NULL embedding yields a NULL probe list.
+  *
+  * Like [[NearestCells]], two carriers share one kernel: the literal
+  * form below re-runs the coarse-level Lloyd lazily PER TASK (fine at
+  * fixture nlist, where it is a microsecond), while
+  * [[NearestCellsCoarseBc]] broadcasts the fully-built
+  * [[NearestCellsCoarse.CoarseTable]] — at corpus-scale nlist the build
+  * is O(nlist^1.5·d) and must run once driver-side, not once per task.
   */
 case class NearestCellsCoarse(child: Expression, cells: Seq[Long],
                               centroids: Seq[Seq[Double]], nprobe: Int,
@@ -53,22 +61,86 @@ case class NearestCellsCoarse(child: Expression, cells: Seq[Long],
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  private val ncells = cells.length
-  private val dim = centroids.head.length
-  private val probes = math.min(nprobe, ncells)
-  private val ncoarse = math.max(1, math.ceil(math.sqrt(ncells.toDouble)).toInt)
+  @transient private lazy val table: NearestCellsCoarse.CoarseTable =
+    NearestCellsCoarse.build(cells, centroids)
 
-  /** Fine table (cell-id-sorted, as [[NearestCells]]) plus the coarse
-    * level: `coarseMat`/`coarseSq` are the group centers, `groups(g)` the
-    * ascending fine INDICES of group g. Built once per expression with a
-    * deterministic driver-side Lloyd over the fine centroids (init =
-    * evenly-strided centroids in cell-id order; ≤ 8 rounds, converged on
-    * exact equality; empty groups keep their center). Cosine here only
-    * GROUPS — every returned cell is still scored with the exact formula.
+  override def nullSafeEval(input: Any): Any =
+    NearestCellsCoarse.eval(input.asInstanceOf[ArrayData], table, nprobe, wCoarse)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("nearestCellsCoarse", this,
+      classOf[NearestCellsCoarse].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = (ArrayData) $self.nullSafeEval($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellsCoarse =
+    copy(child = newChild)
+
+  override def prettyName: String = "nearest_cells_coarse"
+}
+
+/** [[NearestCellsCoarse]] over a broadcast prebuilt [[NearestCellsCoarse.
+  * CoarseTable]] — same kernel, identical descent; the table (fine
+  * matrix + coarse level + groups) is built once driver-side and
+  * torrent-fetched once per executor instead of being rebuilt from
+  * serialized Seq literals in every task.
+  */
+case class NearestCellsCoarseBc(child: Expression,
+                                bc: Broadcast[NearestCellsCoarse.CoarseTable],
+                                nprobe: Int, wCoarse: Int)
+    extends UnaryExpression {
+
+  require(nprobe >= 1, s"nearest_cells_coarse_bc: nprobe must be >= 1, got $nprobe")
+  require(wCoarse >= 1, s"nearest_cells_coarse_bc: wCoarse must be >= 1, got $wCoarse")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells_coarse_bc expects array<double> input, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCellsCoarse.eval(input.asInstanceOf[ArrayData], bc.value, nprobe, wCoarse)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("nearestCellsCoarseBc", this,
+      classOf[NearestCellsCoarseBc].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = (ArrayData) $self.nullSafeEval($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellsCoarseBc =
+    copy(child = newChild)
+
+  override def prettyName: String = "nearest_cells_coarse_bc"
+}
+
+object NearestCellsCoarse {
+  /** Fine table (cell-id-sorted, as [[NearestCells.Cents]]) plus the
+    * coarse level: `coarseMat`/`coarseSq` are the group centers,
+    * `groups(g)` the ascending fine INDICES of group g.
     */
-  @transient private lazy val (ids, mat, sqNorms, coarseMat, coarseSq, groups):
-      (Array[Long], Array[Array[Double]], Array[Double],
-       Array[Array[Double]], Array[Double], Array[Array[Int]]) = {
+  final case class CoarseTable(ids: Array[Long], mat: Array[Array[Double]],
+                               sqNorms: Array[Double],
+                               coarseMat: Array[Array[Double]],
+                               coarseSq: Array[Double],
+                               groups: Array[Array[Int]]) {
+    def ncells: Int = ids.length
+    def dim: Int = mat.head.length
+    def ncoarse: Int = coarseMat.length
+  }
+
+  /** Build the two-level table with a deterministic driver-side Lloyd
+    * over the fine centroids (init = evenly-strided centroids in cell-id
+    * order; ≤ 8 rounds, converged on exact equality; empty groups keep
+    * their center). Cosine here only GROUPS — every returned cell is
+    * still scored with the exact formula.
+    */
+  def build(cells: Seq[Long], centroids: Seq[Seq[Double]]): CoarseTable = {
+    val ncells = cells.length
+    val dim = centroids.head.length
+    val ncoarse = math.max(1, math.ceil(math.sqrt(ncells.toDouble)).toInt)
     val sorted = cells.zip(centroids).sortBy(_._1)
     val i = sorted.map(_._1).toArray
     val m = sorted.map(_._2.toArray).toArray
@@ -85,7 +157,7 @@ case class NearestCellsCoarse(child: Expression, cells: Seq[Long],
     }
     var cm = Array.tabulate(ncoarse)(g => m(((g.toLong * ncells) / ncoarse).toInt).clone())
     var cn = cm.map(sq)
-    var assignTo = new Array[Int](ncells)
+    val assignTo = new Array[Int](ncells)
     var round = 0
     var converged = false
     while (!converged && round < 8) {
@@ -120,14 +192,35 @@ case class NearestCellsCoarse(child: Expression, cells: Seq[Long],
       cn = cm.map(sq)
       round += 1
     }
+    // One final assignment pass against the FINAL centers: when Lloyd
+    // exits at the round cap without converging, `assignTo` above reflects
+    // the pre-update centers while queries score the post-update coarseMat
+    // — a group/center mismatch that worsens bounded-wCoarse drift. On a
+    // converged exit this pass is a no-op (centers are a fixed point).
+    var ff = 0
+    while (ff < ncells) {
+      var best = 0; var g = 1
+      while (g < ncoarse) {
+        if (java.lang.Double.compare(cos(m(ff), n(ff), cm(g), cn(g)),
+            cos(m(ff), n(ff), cm(best), cn(best))) > 0) best = g
+        g += 1
+      }
+      assignTo(ff) = best
+      ff += 1
+    }
     val gr = Array.fill(ncoarse)(List.newBuilder[Int])
     var f3 = 0
     while (f3 < ncells) { gr(assignTo(f3)) += f3; f3 += 1 }
-    (i, m, n, cm, cn, gr.map(_.result().toArray))
+    CoarseTable(i, m, n, cm, cn, gr.map(_.result().toArray))
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val e = input.asInstanceOf[ArrayData]
+  /** The shared per-row kernel (both carriers call exactly this). */
+  private[functions] def eval(e: ArrayData, t: CoarseTable, nprobe: Int,
+                              wCoarse: Int): Any = {
+    val dim = t.dim
+    val ncells = t.ncells
+    val ncoarse = t.ncoarse
+    val probes = math.min(nprobe, ncells)
     require(e.numElements() == dim,
       s"nearest_cells_coarse: embedding has ${e.numElements()} elements, expected $dim")
     val q = new Array[Double](dim)
@@ -145,10 +238,10 @@ case class NearestCellsCoarse(child: Expression, cells: Seq[Long],
     val csims = new Array[Double](ncoarse)
     var g = 0
     while (g < ncoarse) {
-      val cent = coarseMat(g)
+      val cent = t.coarseMat(g)
       var dot = 0.0; var i = 0
       while (i < dim) { dot += q(i) * cent(i); i += 1 }
-      csims(g) = dot / (enr * math.sqrt(coarseSq(g)))
+      csims(g) = dot / (enr * math.sqrt(t.coarseSq(g)))
       g += 1
     }
     val w = math.min(wCoarse, ncoarse)
@@ -166,7 +259,7 @@ case class NearestCellsCoarse(child: Expression, cells: Seq[Long],
       }
       cused(best) = true
       picked(r) = best
-      cand += groups(best).length
+      cand += t.groups(best).length
       r += 1
     }
     // fine pass over the probed groups' members, ascending cell-id order
@@ -174,7 +267,7 @@ case class NearestCellsCoarse(child: Expression, cells: Seq[Long],
     val fidx = new Array[Int](cand)
     var p = 0; var fi = 0
     while (p < w) {
-      val members = groups(picked(p))
+      val members = t.groups(picked(p))
       var j = 0
       while (j < members.length) { fidx(fi) = members(j); fi += 1; j += 1 }
       p += 1
@@ -183,10 +276,10 @@ case class NearestCellsCoarse(child: Expression, cells: Seq[Long],
     val fsims = new Array[Double](cand)
     var c = 0
     while (c < cand) {
-      val cent = mat(fidx(c))
+      val cent = t.mat(fidx(c))
       var dot = 0.0; var i = 0
       while (i < dim) { dot += q(i) * cent(i); i += 1 }
-      fsims(c) = dot / (enr * math.sqrt(sqNorms(fidx(c))))
+      fsims(c) = dot / (enr * math.sqrt(t.sqNorms(fidx(c))))
       c += 1
     }
     val k = math.min(probes, cand)
@@ -202,20 +295,9 @@ case class NearestCellsCoarse(child: Expression, cells: Seq[Long],
         j += 1
       }
       used(best) = true
-      out(r2) = ids(fidx(best))
+      out(r2) = t.ids(fidx(best))
       r2 += 1
     }
     new GenericArrayData(out)
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val self = ctx.addReferenceObj("nearestCellsCoarse", this,
-      classOf[NearestCellsCoarse].getName)
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = (ArrayData) $self.nullSafeEval($a);")
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): NearestCellsCoarse =
-    copy(child = newChild)
-
-  override def prettyName: String = "nearest_cells_coarse"
 }

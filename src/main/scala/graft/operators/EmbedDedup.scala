@@ -98,17 +98,28 @@ object EmbedDedup {
     */
   def cellPairsAssigned(assigned: DataFrame, threshold: Double,
                         maxCellSize: Int = 100000): DataFrame = {
-    graft.functions.CosineSimilarity.register(assigned.sparkSession)
+    graft.functions.DotProduct.register(assigned.sparkSession)
     val sized = assigned
       .withColumn("csz", count(lit(1)).over(Window.partitionBy(col("cell"))))
       .filter(col("csz") <= maxCellSize)
-      .select(col("vec_id"), col("e"), col("cell"))
+      // per-row norm, folded ONCE instead of re-folded per candidate pair
+      // (each row participates in ~cellsize pairs — the fused cosine paid
+      // 3 accumulators per pair; dot-with-precomputed-norms pays 1). The
+      // sqrt of the same left-to-right square fold makes dot/(nrm·nrm)
+      // below bit-identical to CosineSimilarity's fused result for the
+      // equal-length vectors a corpus carries: IEEE sqrt/mul/div are exact
+      // functions of their operands (DotProductSpec gates the identity).
+      .withColumn("nrm",
+        sqrt(aggregate(col("e"), lit(0.0d), (acc, x) => acc + x * x)))
+      .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
     sized.alias("a")
       .join(sized.alias("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       // exact full-precision cosine on candidates only — rounded like the
       // all-pairs baseline so the two paths' pair sets compare cell-for-cell
-      .withColumn("c", round(graft.functions.CosineSimilarity(col("a.e"), col("b.e")), 6))
+      .withColumn("c", round(
+        graft.functions.DotProduct(col("a.e"), col("b.e"))
+          / (col("a.nrm") * col("b.nrm")), 6))
       .filter(col("c") >= threshold)
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"), col("c"))
       // overlapping assignment surfaces a pair once per shared cell; c is

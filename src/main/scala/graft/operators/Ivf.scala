@@ -39,18 +39,42 @@ object Ivf {
     (rows.map(_._1).toSeq, rows.map(_._2).toSeq)
   }
 
-  /** Column handle on a configured [[graft.functions.NearestCells]] via
-    * the function registry, keyed on centroid CONTENT (Spark 4's Column
+  /** Above this cell count the assign/probe expressions carry their
+    * centroid table in a BROADCAST variable instead of constructor
+    * literals: the literal form serializes the whole table into every
+    * task binding and rebuilds it per task — fine at fixture nlist,
+    * a driver-and-wire ceiling once nlist scales with the corpus
+    * (autoNlist at 10⁹ vectors is ~10⁶ cells ≈ 500 MB of centroids).
+    * Both carriers run the SAME kernel (bit-identical assignment,
+    * spec-gated in PlanSpec); `var` so specs can force the broadcast
+    * path on fixture-sized tables.
+    */
+  @volatile private[graft] var bcThreshold: Int = 1024
+
+  /** Column handle on a configured [[graft.functions.NearestCells]] (or
+    * its broadcast carrier, above [[bcThreshold]] cells) via the function
+    * registry, keyed on centroid CONTENT / broadcast id (Spark 4's Column
     * hides Expression — the LshProbes/PqCodec seam; a session may hold
     * several trained indexes at once).
     */
   private def nearestCellsFn(df: DataFrame, ids: Seq[Long],
                              vecs: Seq[Seq[Double]], nprobe: Int): Column => Column = {
-    val name = s"nearest_cells_${Integer.toHexString((ids, vecs).hashCode)}_$nprobe"
-    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => graft.functions.NearestCells(exprs.head, ids, vecs, nprobe),
-      "scala_udf")
-    c => call_function(name, c)
+    val registry = df.sparkSession.sessionState.functionRegistry
+    if (ids.length >= bcThreshold) {
+      val bc = df.sparkSession.sparkContext.broadcast(
+        graft.functions.NearestCells.cents(ids, vecs))
+      val name = s"nearest_cells_bc_${bc.id}_$nprobe"
+      registry.createOrReplaceTempFunction(
+        name, exprs => graft.functions.NearestCellsBc(exprs.head, bc, nprobe),
+        "scala_udf")
+      c => call_function(name, c)
+    } else {
+      val name = s"nearest_cells_${Integer.toHexString((ids, vecs).hashCode)}_$nprobe"
+      registry.createOrReplaceTempFunction(
+        name, exprs => graft.functions.NearestCells(exprs.head, ids, vecs, nprobe),
+        "scala_udf")
+      c => call_function(name, c)
+    }
   }
 
   /** [[nearestCellsFn]]'s two-level sibling
@@ -62,13 +86,28 @@ object Ivf {
   private def nearestCellsCoarseFn(df: DataFrame, ids: Seq[Long],
                                    vecs: Seq[Seq[Double]], nprobe: Int,
                                    wCoarse: Int): Column => Column = {
-    val name =
-      s"nearest_cells_coarse_${Integer.toHexString((ids, vecs).hashCode)}_${nprobe}_$wCoarse"
-    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name,
-      exprs => graft.functions.NearestCellsCoarse(exprs.head, ids, vecs, nprobe, wCoarse),
-      "scala_udf")
-    c => call_function(name, c)
+    val registry = df.sparkSession.sessionState.functionRegistry
+    if (ids.length >= bcThreshold) {
+      // Broadcasting matters MOST here: the coarse carrier ships the
+      // fully-built two-level table, so the O(nlist^1.5·d) coarse Lloyd
+      // runs once driver-side instead of once per deserialized task.
+      val bc = df.sparkSession.sparkContext.broadcast(
+        graft.functions.NearestCellsCoarse.build(ids, vecs))
+      val name = s"nearest_cells_coarse_bc_${bc.id}_${nprobe}_$wCoarse"
+      registry.createOrReplaceTempFunction(
+        name,
+        exprs => graft.functions.NearestCellsCoarseBc(exprs.head, bc, nprobe, wCoarse),
+        "scala_udf")
+      c => call_function(name, c)
+    } else {
+      val name =
+        s"nearest_cells_coarse_${Integer.toHexString((ids, vecs).hashCode)}_${nprobe}_$wCoarse"
+      registry.createOrReplaceTempFunction(
+        name,
+        exprs => graft.functions.NearestCellsCoarse(exprs.head, ids, vecs, nprobe, wCoarse),
+        "scala_udf")
+      c => call_function(name, c)
+    }
   }
 
   /** Deterministic initial centroids: the `nlist` vectors with smallest
@@ -79,13 +118,27 @@ object Ivf {
       .limit(nlist)
       .select(monotonically_increasing_id().as("cell"), col("e").as("centroid"))
 
-  /** One Lloyd step: assign to nearest centroid (fused — no join, no
-    * shuffle), recompute means. Cells that win no vectors KEEP their
-    * previous centroid (a dropped cell would silently shrink the index
-    * below nlist).
+  /** Above this nlist, Lloyd TRAINING assignment also descends through
+    * the two-level coarse expression: the flat per-row argmax makes each
+    * training round O(sample·nlist·d) — at nlist = 10⁴ and the 25·nlist
+    * sample that is ~10¹⁴ flops/round, infeasible on any cluster budget —
+    * while the coarse descent is O(sample·√nlist·(1+w)·d). Production IVF
+    * trains exactly this way (faiss's quantizer-over-centroids). Training
+    * geometry shifts only near coarse boundaries — a blocking-grade
+    * trade; the fixture-scale dials (sim_ivf specs, nlist ≤ 32) keep the
+    * exact flat training bit-for-bit.
     */
-  private def step(data: DataFrame, cents: DataFrame): DataFrame = {
-    val assigned = assign(data, cents).select(col("cell"), col("e"))
+  @volatile private[graft] var coarseTrainThreshold: Int = 4096
+
+  /** One Lloyd step: assign to nearest centroid (fused — no join, no
+    * shuffle; coarse descent above [[coarseTrainThreshold]]), recompute
+    * means. Cells that win no vectors KEEP their previous centroid (a
+    * dropped cell would silently shrink the index below nlist).
+    */
+  private def step(data: DataFrame, cents: DataFrame, nlist: Int): DataFrame = {
+    val assigned =
+      (if (nlist >= coarseTrainThreshold) assignMultiCoarse(data, cents, nassign = 1)
+       else assign(data, cents)).select(col("cell"), col("e"))
     val means = assigned
       .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
@@ -129,8 +182,16 @@ object Ivf {
     val (train, trainPersisted) =
       if (trainSample <= 0) (data, false)
       else {
+        // The limit executes as TakeOrdered into ONE partition; without a
+        // repartition every Lloyd round over the sample would then run
+        // fully serialized on a single task (bounded cost, zero
+        // parallelism). Spread it across the cluster before persisting —
+        // only the hier/blocking path trains on samples, so the FP-sum
+        // regrouping this introduces is outside the bit-identity specs
+        // (trainSample=0 keeps exact full-data training untouched).
         val s = data.orderBy(xxhash64(col("vec_id")), col("vec_id"))
           .limit(math.max(trainSample, nlist))
+          .repartition(data.sparkSession.sparkContext.defaultParallelism)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (s, true)
       }
@@ -144,7 +205,7 @@ object Ivf {
       var converged = false
       while (!converged && round < iters) {
         val c = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-        val next = step(train, c).collect()
+        val next = step(train, c, nlist).collect()
         converged = digest(next) == digest(rows)
         rows = next
         round += 1

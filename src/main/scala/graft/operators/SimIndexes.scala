@@ -53,7 +53,17 @@ object SimIndexes {
   @volatile private[graft] var builds: Long = 0L
 
   private def memo[T <: AnyRef](s: SparkSession, key: String)(build: => T): T =
-    cache.getOrElseUpdate((s, key), { builds += 1; build }).asInstanceOf[T]
+    cache.synchronized {
+      // Evict dead sessions' entries on access: keys hold strong session
+      // refs, so a stopped test session's plans/persisted frames would
+      // otherwise be pinned for the process lifetime (no unpersist — a
+      // stopped context's blocks are already gone). The coarse lock also
+      // keeps `builds` exact: TrieMap.getOrElseUpdate may run its thunk
+      // more than once under concurrent first calls. Builds are rare and
+      // expensive; serializing them driver-side costs nothing.
+      cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
+      cache.getOrElseUpdate((s, key), { builds += 1; build }).asInstanceOf[T]
+    }
 
   private def materialized(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)

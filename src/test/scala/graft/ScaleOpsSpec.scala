@@ -565,4 +565,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     // the assertions above would already have caught the geometry mixup.
     SimIndexes.clear(spark)
   }
+
+  test("broadcast-carrier NearestCells/Coarse assign identically to the literal carrier") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Ivf
+    val e = transform(col("embedding"), (x: org.apache.spark.sql.Column) => x.cast("double"))
+    val n = graft.Tables(spark, sf, "embeddings").select(col("vec_id"), e.as("e"))
+    val cents = Ivf.centroids(n, nlist = 32, iters = 2)
+    def cellsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def probesOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = n.filter(col("vec_id") < 10)
+    // literal carrier (default threshold is far above 32 cells)
+    val litAssign = cellsOf(Ivf.assign(n, cents))
+    val litMulti = cellsOf(Ivf.assignMulti(n, cents, nassign = 2))
+    val litCoarse = cellsOf(Ivf.assignMultiCoarse(n, cents, nassign = 2, wCoarse = 4))
+    val litProbes = probesOf(Ivf.probeCells(q, cents, 4))
+    // broadcast carrier: force it for every cell count; both carriers
+    // call the same eval kernel, so assignment must be IDENTICAL — this
+    // is the seam that lets corpus-scale nlist ship centroids via
+    // torrent broadcast instead of per-task literals (r7 verdict #3)
+    val saved = Ivf.bcThreshold
+    Ivf.bcThreshold = 1
+    try {
+      assert(cellsOf(Ivf.assign(n, cents)) === litAssign)
+      assert(cellsOf(Ivf.assignMulti(n, cents, nassign = 2)) === litMulti)
+      assert(cellsOf(Ivf.assignMultiCoarse(n, cents, nassign = 2, wCoarse = 4)) === litCoarse)
+      assert(probesOf(Ivf.probeCells(q, cents, 4)) === litProbes)
+    } finally Ivf.bcThreshold = saved
+  }
 }

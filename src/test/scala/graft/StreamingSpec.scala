@@ -97,13 +97,21 @@ class StreamingSpec extends AnyFunSuite {
     // a checkpoint path that is an existing FILE: start() throws before
     // the termination listener ever registers — the r6-advice leak path
     val badCkpt = java.nio.file.Files.createTempFile("graft-ann-bad-ckpt", "")
-    assert(spark.sharedState.cacheManager.isEmpty,
-      "precondition: no cached frames before the failing start()")
+    // Assert on THIS index's cache entry, not cacheManager.isEmpty: suites
+    // share one session and run concurrently under sbt, so the global
+    // cache legitimately holds other suites' frames (the r7 order-dependent
+    // flake). Dataset.storageLevel plan-matches against the cache, and the
+    // test-unique seed guarantees no other suite caches an equivalent plan.
+    val seed = 424242L
+    def indexKeys = graft.operators.Ann
+      .dataIndex(data, tables = 16, planesPerTable = 5, dim = 64, seed = seed).keys
+    assert(indexKeys.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "precondition: this index frame is not cached before the failing start()")
     intercept[Exception] {
       StreamOps.annTopKSink(input.toDF().toDF("vec_id", "e"), data, k = 3,
-        checkpoint = badCkpt.toString, onBatch = (_, _) => ())
+        seed = seed, checkpoint = badCkpt.toString, onBatch = (_, _) => ())
     }
-    assert(spark.sharedState.cacheManager.isEmpty,
+    assert(indexKeys.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
       "the 16x-corpus index cache must not leak when start() fails")
   }
 
