@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   *     see N independent corpora, the honest linear-scaling ground
   *     truth (appending a replica tag instead would make every doc a
   *     near-dup of its 9 clones and inflate candidates super-linearly);
-  *   - event timestamps are untouched (as-of/overlap walk length per
-  *     key is the invariant that matters) and stay LONG nanos on disk,
-  *     preserving the Tables.events read contract.
+  *   - event timestamps are normalized through [[Tables.events]] (µs
+  *     TimestampType regardless of which fixture generation wrote the
+  *     source — LONG nanos or TIMESTAMP(MICROS)) and each replica is
+  *     shifted past the previous one's span, so the output is readable
+  *     by the same Tables.events contract it was read with.
   */
 object ScaleUp {
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
@@ -35,8 +37,9 @@ object ScaleUp {
     val spark = LocalSession.create("32",
       Map("spark.sql.legacy.parquet.nanosAsLong" -> "true"))
 
-    def replicate(name: String, shift: (DataFrame, Int) => DataFrame): Unit = {
-      val base = spark.read.parquet(s"$src/$name.parquet")
+    def replicate(name: String, shift: (DataFrame, Int) => DataFrame,
+                  baseOverride: Option[DataFrame] = None): Unit = {
+      val base = baseOverride.getOrElse(spark.read.parquet(s"$src/$name.parquet"))
       val all = (0 until factor).map(i => shift(base, i)).reduce(_ unionByName _)
       all.write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[scaleup] $name -> ${factor}x")
@@ -71,13 +74,16 @@ object ScaleUp {
     // join_range_binned) would then legitimately produce ~N² pairs —
     // a different workload, not the same workload at N× scale. A real
     // N× corpus covers more TIME, not the same hour N times over.
-    val evRange = spark.read.parquet(s"$src/events.parquet")
-      .agg(min(col("ts")), max(col("ts"))).head()
-    val spanNanos = evRange.getLong(1) - evRange.getLong(0) +
-      2L * 3600L * 1000000000L
+    val evBase = Tables.events(spark, src)
+    val evRange = evBase
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val spanMicros = evRange.getLong(1) - evRange.getLong(0) +
+      2L * 3600L * 1000000L
     replicate("events", (df, i) =>
-      rot(rot(rot(df, "event_id", i, 10000000L), "user_id", i, 1000000L),
-        "ts", i, spanNanos, keyCheck = false))
+      rot(rot(df, "event_id", i, 10000000L), "user_id", i, 1000000L)
+        .withColumn("ts",
+          timestamp_micros(unix_micros(col("ts")) + i * spanMicros)),
+      baseOverride = Some(evBase))
     replicate("documents", (df, i) => {
       // a PERMUTATION per replica, not a rotation: rotations wrap at 26,
       // so factor > 26 would hand replicas i and i+26 the SAME cipher —

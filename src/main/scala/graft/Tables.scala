@@ -2,16 +2,26 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Loader for the driver-generated parquet fixtures (TESTDATA.md).
   *
-  * All tables are plain parquet scans except `events`, whose `ts` column is
-  * parquet TIMESTAMP(NANOS): Spark 4.x refuses it (`PARQUET_TYPE_ILLEGAL`)
-  * unless `spark.sql.legacy.parquet.nanosAsLong=true`, which surfaces the
-  * column as LongType nanos. We convert to a microsecond TimestampType
-  * (`timestamp_micros(ts div 1000)`) — the same truncation DuckDB's
-  * `ts::TIMESTAMP` performs — so all event-time logic and oracle comparisons
-  * are in microseconds (SURVEY.md §7.4 hazard 1).
+  * All tables are plain parquet scans except `events`, whose `ts` column has
+  * shipped in two physical forms across fixture generations:
+  *
+  *   - parquet TIMESTAMP(NANOS): Spark 4.x refuses it (`PARQUET_TYPE_ILLEGAL`)
+  *     unless `spark.sql.legacy.parquet.nanosAsLong=true`, which surfaces the
+  *     column as LongType nanos — we truncate to µs via
+  *     `timestamp_micros(ts div 1000)` (same truncation as DuckDB's
+  *     `ts::TIMESTAMP`).
+  *   - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): read natively, as
+  *     TIMESTAMP_NTZ when `parquet.inferTimestampNTZ` is on (the 3.4+
+  *     default) — we cast to TimestampType, value-identical under the UTC
+  *     session timezone every session factory in this repo pins.
+  *
+  * Branching on the surfaced type (not the fixture generation) keeps every
+  * event-time query and oracle comparison in µs-precision TimestampType
+  * regardless of which generation produced the file (SURVEY.md §7.4 hazard 1).
   */
 object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
@@ -21,8 +31,11 @@ object Tables {
   /** events with `ts` already converted to a µs-precision timestamp. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType      => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 }
