@@ -191,13 +191,26 @@ object MinHash {
     * signature shuffle) + the shared candidates/exact-verify core.
     * `shingles` must be the hashed-shingle relation of the SAME docs
     * (still needed for sizes + exact-Jaccard verification).
+    *
+    * The signature frame is persisted HERE (and released before
+    * returning): [[verifiedPairs]] deliberately never persists a
+    * caller-supplied frame, but this method built the frame itself, and
+    * uncached it would run the row-local signature UDF — tokenize +
+    * numHashes permutations per shingle, the pipeline's dominant CPU —
+    * over the whole corpus once per consumer (candidates AND
+    * droppedBuckets: 2×). Safe to release eagerly because verifiedPairs
+    * localCheckpoints its result and runs droppedBuckets before
+    * returning — no consumer of `sigs` survives the call.
     */
   def nearDuplicatesFromText(docs: DataFrame, shingles: DataFrame,
                              threshold: Double, numHashes: Int = 64,
                              bands: Int = 16, seed: Long = 42L,
-                             maxBucketSize: Int = 500): DataFrame =
-    verifiedPairs(shingles, signaturesLocal(docs, numHashes = numHashes, seed = seed),
-      threshold, numHashes, bands, maxBucketSize)
+                             maxBucketSize: Int = 500): DataFrame = {
+    val sigs = signaturesLocal(docs, numHashes = numHashes, seed = seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try verifiedPairs(shingles, sigs, threshold, numHashes, bands, maxBucketSize)
+    finally sigs.unpersist(false)
+  }
 
   /** End-to-end: candidates verified against the exact shingle Jaccard.
     * `shingles` must be the same (doc_id, s) relation used for signatures.
