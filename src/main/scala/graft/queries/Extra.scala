@@ -170,20 +170,27 @@ object Extra {
     // -- character-n-gram Jaccard near-dup (n-gram flavour of
     //    dedup_neardup; robust to tokenisation differences) ---------------
     "dedup_ngram" -> { (s, dir) =>
+      // g persisted for the sizes + self-join consumers, released by the
+      // eager checkpoint (the LlmOps.nearDupPairs discipline: the gram
+      // relation is the pipeline's largest intermediate, the pair output
+      // its smallest).
       val g = charGrams(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = g.alias("a")
         .join(g.alias("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(count(lit(1)).as("i"))
-      inter
+      val out = inter
         .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
         .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
         .withColumn("jac", round(col("i") / (col("n1") + col("n2") - col("i")), 6))
         .filter(col("jac") >= 0.6)
         .select(col("d1"), col("d2"), col("jac"))
-        .orderBy(col("d1"), col("d2"))
+        .localCheckpoint()
+      g.unpersist(false)
+      out.orderBy(col("d1"), col("d2"))
     },
 
     // -- string scalars, second batch ---------------------------------------

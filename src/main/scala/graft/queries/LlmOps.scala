@@ -53,21 +53,34 @@ object LlmOps {
 
   /** Exact shingle-Jaccard near-dup pairs (d1 < d2, jac ≥ 0.6) — the ONE
     * pair definition shared by `dedup_neardup` and `dedup_cluster`.
+    *
+    * The shingle relation — tokenize + explode + distinct, the pipeline's
+    * largest intermediate — feeds the sizes aggregate AND the self-join
+    * (whose two sides share an exchange, but sizes shuffles on a
+    * different key and re-derives the relation from scratch). Persist it
+    * once; the pairs output is localCheckpoint'd EAGERLY so the cache is
+    * released before returning (the MinHash.nearDuplicatesFromText
+    * discipline: pairs-above-threshold are orders of magnitude smaller
+    * than the shingle relation at any scale).
     */
   private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.alias("a")
       .join(sh.alias("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("i"))
-    inter
+    val out = inter
       .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
       .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .withColumn("jac", round(col("i") / (col("n1") + col("n2") - col("i")), 6))
       .filter(col("jac") >= 0.6)
       .select(col("d1"), col("d2"), col("jac"))
+      .localCheckpoint()
+    sh.unpersist(false)
+    out
   }
 
   /** Per-document token counts — the ONE definition of the corpus
@@ -132,7 +145,10 @@ object LlmOps {
     // (same shape as nearDupPairs) and both directions are emitted from
     // it — no second shingle join.
     "dedup_containment" -> { (s, dir) =>
+      // sh persisted for the same two-consumer reason as nearDupPairs
+      // (sizes + self-join); released by the eager checkpoint below.
       val sh = shingles(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = sh.alias("a")
         .join(sh.alias("b"),
@@ -147,14 +163,16 @@ object LlmOps {
           struct(col("d1").as("src"), col("d2").as("dst"), col("i")),
           struct(col("d2").as("src"), col("d1").as("dst"), col("i")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.i").as("i"))
-      dirs.join(sizes.select(col("doc_id").as("src"), col("n")), "src")
+      val out = dirs.join(sizes.select(col("doc_id").as("src"), col("n")), "src")
         // filter on the UNROUNDED ratio (matches the SQL text) — a
         // rounded 0.7999996→0.8 would otherwise pass here but not there
         .filter(col("i") / col("n") >= 0.8)
         .withColumn("containment", round(col("i") / col("n"), 6))
         .select(col("src").as("contained"), col("dst").as("container"),
           col("containment"))
-        .orderBy(col("contained"), col("container"))
+        .localCheckpoint()
+      sh.unpersist(false)
+      out.orderBy(col("contained"), col("container"))
     },
 
     // -- benchmark decontamination ----------------------------------------
