@@ -48,8 +48,39 @@ object LlmOps {
   }
 
   /** doc_id + distinct lowercase 3-gram word shingles ("a b c"). */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  private[graft] def shingles(s: SparkSession, dir: String): DataFrame =
     shingleRowsRaw(s, dir).distinct()
+
+  /** Lazy asymmetric-containment pipeline over a given shingle relation
+    * (|A∩B|/|A| ≥ 0.8, both directions). Kept SEPARATE from the
+    * registered `dedup_containment` entry so PlanSpec can audit the plan
+    * it describes — the registered query localCheckpoints this frame
+    * eagerly, after which the executed plan is just a scan of the
+    * checkpointed RDD. Both directions come from ONE explode, not a
+    * union of two projections: a union re-executes the whole shingle
+    * self-join per branch (only the scan exchange gets reused — verified
+    * with PlanDump), doubling the dominant cost; explode emits both rows
+    * in the same map pass.
+    */
+  private[graft] def containmentFrom(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.alias("a")
+      .join(sh.alias("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"))
+    val dirs = inter.select(explode(array(
+        struct(col("d1").as("src"), col("d2").as("dst"), col("i")),
+        struct(col("d2").as("src"), col("d1").as("dst"), col("i")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.i").as("i"))
+    dirs.join(sizes.select(col("doc_id").as("src"), col("n")), "src")
+      // filter on the UNROUNDED ratio (matches the SQL text) — a
+      // rounded 0.7999996→0.8 would otherwise pass here but not there
+      .filter(col("i") / col("n") >= 0.8)
+      .withColumn("containment", round(col("i") / col("n"), 6))
+      .select(col("src").as("contained"), col("dst").as("container"),
+        col("containment"))
+  }
 
   /** Exact shingle-Jaccard near-dup pairs (d1 < d2, jac ≥ 0.6) — the ONE
     * pair definition shared by `dedup_neardup` and `dedup_cluster`.
@@ -149,28 +180,7 @@ object LlmOps {
       // (sizes + self-join); released by the eager checkpoint below.
       val sh = shingles(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = sh.alias("a")
-        .join(sh.alias("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("i"))
-      // both directions via ONE explode, not a union of two projections:
-      // a union re-executes the whole shingle self-join per branch (only
-      // the scan exchange gets reused — verified with PlanDump), doubling
-      // the dominant cost; explode emits both rows in the same map pass
-      val dirs = inter.select(explode(array(
-          struct(col("d1").as("src"), col("d2").as("dst"), col("i")),
-          struct(col("d2").as("src"), col("d1").as("dst"), col("i")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.i").as("i"))
-      val out = dirs.join(sizes.select(col("doc_id").as("src"), col("n")), "src")
-        // filter on the UNROUNDED ratio (matches the SQL text) — a
-        // rounded 0.7999996→0.8 would otherwise pass here but not there
-        .filter(col("i") / col("n") >= 0.8)
-        .withColumn("containment", round(col("i") / col("n"), 6))
-        .select(col("src").as("contained"), col("dst").as("container"),
-          col("containment"))
-        .localCheckpoint()
+      val out = containmentFrom(sh).localCheckpoint()
       sh.unpersist(false)
       out.orderBy(col("contained"), col("container"))
     },

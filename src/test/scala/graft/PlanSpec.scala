@@ -206,7 +206,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("dedup_containment emits both directions without re-executing the self-join") {
-    val p = plan("dedup_containment")
+    // The registered query eagerly localCheckpoints its result (its
+    // executed plan is a scan of the checkpointed RDD), so the audit
+    // runs on the LAZY pipeline frame the checkpoint executes.
+    val p = graft.queries.LlmOps
+      .containmentFrom(graft.queries.LlmOps.shingles(spark, sf))
+      .queryExecution.executedPlan.toString
     assert(!p.contains("Union"),
       s"containment regressed to the union-of-projections plan:\n$p")
     assert(p.contains("Generate explode"),
