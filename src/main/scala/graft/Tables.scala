@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loader for the driver-generated parquet fixtures (TESTDATA.md).
   *
@@ -33,9 +33,19 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     raw.schema("ts").dataType match {
-      case LongType      => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampType => raw
-      case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType    => raw
+      // TIMESTAMP_NTZ (micros, isAdjustedToUTC=false under inferTimestampNTZ):
+      // value-identical cast under the pinned UTC session timezone. ONLY this
+      // type falls through — a catch-all cast would silently mis-read the next
+      // encoding drift (e.g. a millis-Long would hit the LongType branch and
+      // be off 1000x, a String ts would cast to nulls); unknown types must
+      // fail loudly here, in the loader, not downstream in query results.
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts surfaced as unexpected type $other — a new fixture " +
+          "generation changed the physical encoding; teach Tables.events the " +
+          "new form explicitly (see FixtureSchemaSpec)")
     }
   }
 }

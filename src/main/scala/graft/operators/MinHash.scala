@@ -241,10 +241,11 @@ object MinHash {
     val sh = shingles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Persist (and later unpersist) the signature frame ONLY when it was
     // built here: unpersisting a caller-supplied frame would evict the
-    // caller's own cache as a side effect. The row-local path's sigs are
-    // a zero-shuffle projection of docs, so recomputing them for the
-    // second consumer (droppedBuckets) costs one map pass — cheaper than
-    // risking a caller cache eviction.
+    // caller's own cache as a side effect. Callers supplying sigs are
+    // therefore responsible for persisting them across this call's two
+    // consumers (candidates + droppedBuckets) — nearDuplicatesFromText
+    // does exactly that since r9, where recomputing the signatures turned
+    // out to be the pipeline's dominant CPU (117.9 → 92.0 s at 100×).
     val ownSigs = sigsOrNull == null
     val sigs =
       if (ownSigs)

@@ -182,14 +182,15 @@ object Extra {
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(count(lit(1)).as("i"))
-      val out = inter
-        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
-        .withColumn("jac", round(col("i") / (col("n1") + col("n2") - col("i")), 6))
-        .filter(col("jac") >= 0.6)
-        .select(col("d1"), col("d2"), col("jac"))
-        .localCheckpoint()
-      g.unpersist(false)
+      val out =
+        try inter
+          .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+          .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+          .withColumn("jac", round(col("i") / (col("n1") + col("n2") - col("i")), 6))
+          .filter(col("jac") >= 0.6)
+          .select(col("d1"), col("d2"), col("jac"))
+          .localCheckpoint()
+        finally { g.unpersist(false); () }
       out.orderBy(col("d1"), col("d2"))
     },
 

@@ -103,15 +103,17 @@ object LlmOps {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("i"))
-    val out = inter
+    // try/finally (the MinHash.nearDuplicatesFromText discipline): if the
+    // eager checkpoint throws, the pipeline's largest intermediate must not
+    // stay cached until the ContextCleaner gets to it (the round-1 leak).
+    try inter
       .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
       .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .withColumn("jac", round(col("i") / (col("n1") + col("n2") - col("i")), 6))
       .filter(col("jac") >= 0.6)
       .select(col("d1"), col("d2"), col("jac"))
       .localCheckpoint()
-    sh.unpersist(false)
-    out
+    finally { sh.unpersist(false); () }
   }
 
   /** Per-document token counts — the ONE definition of the corpus
@@ -180,8 +182,9 @@ object LlmOps {
       // (sizes + self-join); released by the eager checkpoint below.
       val sh = shingles(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val out = containmentFrom(sh).localCheckpoint()
-      sh.unpersist(false)
+      val out =
+        try containmentFrom(sh).localCheckpoint()
+        finally { sh.unpersist(false); () }
       out.orderBy(col("contained"), col("container"))
     },
 

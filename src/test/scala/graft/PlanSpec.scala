@@ -208,14 +208,20 @@ class PlanSpec extends AnyFunSuite {
   test("dedup_containment emits both directions without re-executing the self-join") {
     // The registered query eagerly localCheckpoints its result (its
     // executed plan is a scan of the checkpointed RDD), so the audit
-    // runs on the LAZY pipeline frame the checkpoint executes.
-    val p = graft.queries.LlmOps
-      .containmentFrom(graft.queries.LlmOps.shingles(spark, sf))
-      .queryExecution.executedPlan.toString
-    assert(!p.contains("Union"),
-      s"containment regressed to the union-of-projections plan:\n$p")
-    assert(p.contains("Generate explode"),
-      s"expected the two-direction explode in:\n$p")
+    // runs on the LAZY pipeline frame the checkpoint executes — WITH the
+    // same persist the registered query applies, so the audited physical
+    // plan (InMemory scans feeding the self-join) is the plan that query
+    // actually executes, not the unpersisted parquet-scan variant.
+    val sh = graft.queries.LlmOps.shingles(spark, sf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val p = graft.queries.LlmOps.containmentFrom(sh)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Union"),
+        s"containment regressed to the union-of-projections plan:\n$p")
+      assert(p.contains("Generate explode"),
+        s"expected the two-direction explode in:\n$p")
+    } finally { sh.unpersist(false); () }
   }
 
   test("join_overlap plans a hash join on the bin id, never a nested loop") {
