@@ -41,12 +41,22 @@ object SweepIvf {
         println(f"[bignlist] $what: ${(System.nanoTime() - t0) / 1e9}%.2f s")
         r
       }
+      // Driver-heap probe (GC'd used MB) — the r10 flat-memory evidence
+      // for the streaming-into-broadcast Lloyd refactor: training must
+      // not stack per-round centroid Rows/broadcasts on the driver.
+      def usedMB(): Long = {
+        val rt = Runtime.getRuntime
+        System.gc(); Thread.sleep(200); System.gc()
+        (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+      }
       println(s"[bignlist] n=$n vectors, nlist=$nlist, " +
         s"bcThreshold=${Ivf.bcThreshold}, coarseTrainThreshold=${Ivf.coarseTrainThreshold}")
+      println(s"[bignlist] driver heap before train: ${usedMB()} MB")
       val cents = timed(s"train (sample=${25 * nlist}, coarse-step)") {
         val c = Ivf.centroids(data, nlist, iters = 4, trainSample = 25 * nlist)
         c.count(); c
       }
+      println(s"[bignlist] driver heap after train (rounds=${Ivf.lastRounds}): ${usedMB()} MB")
       timed("assignMulti nassign=2 [broadcast carrier]") {
         Ivf.assignMulti(data, cents, nassign = 2)
           .write.format("noop").mode("overwrite").save()

@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions._
   * k-means-style cells, queries probe only the `nprobe` nearest cells.
   *
   * Centroid init is a deterministic hash-ordered sample; Lloyd
-  * iterations are (fused nearest-cell assign) → (posexplode +
-  * per-dimension mean) — each iteration is one shuffle of n·dim rows
-  * for the means, run a fixed small number of times. At 100 TB you train
-  * centroids on a sample and only the single assign pass sees the full
-  * data.
+  * iterations are (fused nearest-cell assign) → (one
+  * [[graft.functions.VectorSum]]+count aggregate per cell) — map-side
+  * partial vector sums, so each iteration shuffles only
+  * |cells|·|partitions| sum buffers (the r9 posexplode form shuffled
+  * n·dim rows per round), run a fixed small number of times. Centroids
+  * live driver-side as primitive arrays between rounds; per-round
+  * driver traffic is exactly one nlist-row aggregate result in and one
+  * (destroyed-after-use) broadcast out. At 100 TB you train centroids
+  * on a sample and only the single assign pass sees the full data.
   *
   * Cell assignment is a native [[graft.functions.NearestCells]]
   * expression (r7): the r6 formulation crossJoined every row against
@@ -58,7 +62,20 @@ object Ivf {
     * several trained indexes at once).
     */
   private def nearestCellsFn(df: DataFrame, ids: Seq[Long],
-                             vecs: Seq[Seq[Double]], nprobe: Int): Column => Column = {
+                             vecs: Seq[Seq[Double]], nprobe: Int): Column => Column =
+    nearestCellsFnH(df, ids, vecs, nprobe)._1
+
+  /** [[nearestCellsFn]] exposing the broadcast handle (None on the
+    * literal path) so BOUNDED callers — the Lloyd loop, which replaces
+    * its centroid table every round — can `destroy()` the round's
+    * broadcast once its aggregate is collected, instead of stacking
+    * iters stale copies on the driver and executors (at the 10⁶-cell
+    * dial each copy is ~500 MB; steady-state callers keep theirs alive
+    * for the life of the registered function).
+    */
+  private def nearestCellsFnH(df: DataFrame, ids: Seq[Long],
+                              vecs: Seq[Seq[Double]], nprobe: Int)
+      : (Column => Column, Option[org.apache.spark.broadcast.Broadcast[_]]) = {
     val registry = df.sparkSession.sessionState.functionRegistry
     if (ids.length >= bcThreshold) {
       val bc = df.sparkSession.sparkContext.broadcast(
@@ -67,13 +84,13 @@ object Ivf {
       registry.createOrReplaceTempFunction(
         name, exprs => graft.functions.NearestCellsBc(exprs.head, bc, nprobe),
         "scala_udf")
-      c => call_function(name, c)
+      (c => call_function(name, c), Some(bc))
     } else {
       val name = s"nearest_cells_${Integer.toHexString((ids, vecs).hashCode)}_$nprobe"
       registry.createOrReplaceTempFunction(
         name, exprs => graft.functions.NearestCells(exprs.head, ids, vecs, nprobe),
         "scala_udf")
-      c => call_function(name, c)
+      (c => call_function(name, c), None)
     }
   }
 
@@ -85,7 +102,16 @@ object Ivf {
     */
   private def nearestCellsCoarseFn(df: DataFrame, ids: Seq[Long],
                                    vecs: Seq[Seq[Double]], nprobe: Int,
-                                   wCoarse: Int): Column => Column = {
+                                   wCoarse: Int): Column => Column =
+    nearestCellsCoarseFnH(df, ids, vecs, nprobe, wCoarse)._1
+
+  /** Coarse sibling of [[nearestCellsFnH]] — same broadcast-handle
+    * contract for bounded callers.
+    */
+  private def nearestCellsCoarseFnH(df: DataFrame, ids: Seq[Long],
+                                    vecs: Seq[Seq[Double]], nprobe: Int,
+                                    wCoarse: Int)
+      : (Column => Column, Option[org.apache.spark.broadcast.Broadcast[_]]) = {
     val registry = df.sparkSession.sessionState.functionRegistry
     if (ids.length >= bcThreshold) {
       // Broadcasting matters MOST here: the coarse carrier ships the
@@ -98,7 +124,7 @@ object Ivf {
         name,
         exprs => graft.functions.NearestCellsCoarseBc(exprs.head, bc, nprobe, wCoarse),
         "scala_udf")
-      c => call_function(name, c)
+      (c => call_function(name, c), Some(bc))
     } else {
       val name =
         s"nearest_cells_coarse_${Integer.toHexString((ids, vecs).hashCode)}_${nprobe}_$wCoarse"
@@ -106,7 +132,7 @@ object Ivf {
         name,
         exprs => graft.functions.NearestCellsCoarse(exprs.head, ids, vecs, nprobe, wCoarse),
         "scala_udf")
-      c => call_function(name, c)
+      (c => call_function(name, c), None)
     }
   }
 
@@ -130,26 +156,44 @@ object Ivf {
     */
   @volatile private[graft] var coarseTrainThreshold: Int = 4096
 
-  /** One Lloyd step: assign to nearest centroid (fused — no join, no
-    * shuffle; coarse descent above [[coarseTrainThreshold]]), recompute
-    * means. Cells that win no vectors KEEP their previous centroid (a
-    * dropped cell would silently shrink the index below nlist).
+  /** One Lloyd step over driver-held centroid arrays: assign to nearest
+    * centroid (fused — no join, no shuffle; coarse descent above
+    * [[coarseTrainThreshold]]), then ONE [[graft.functions.VectorSum]] +
+    * count aggregate per cell — map-side partial vector sums, so the
+    * shuffle moves |cells|·|partitions| buffers instead of the n·dim
+    * rows the r6–r9 posexplode formulation paid per round. The collect
+    * is the aggregate RESULT (nlist sum-vectors — the mathematical
+    * minimum for a driver-mediated broadcast refresh), not centroid
+    * Rows re-created into a per-round DataFrame; means divide
+    * driver-side. Cells that win no vectors KEEP their previous
+    * centroid (a dropped cell would silently shrink the index below
+    * nlist). The round's broadcast carrier (if any) is destroyed once
+    * the aggregate lands — driver memory stays flat across rounds at
+    * any nlist dial.
     */
-  private def step(data: DataFrame, cents: DataFrame, nlist: Int): DataFrame = {
-    val assigned =
-      (if (nlist >= coarseTrainThreshold) assignMultiCoarse(data, cents, nassign = 1)
-       else assign(data, cents)).select(col("cell"), col("e"))
-    val means = assigned
-      .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
-      .groupBy(col("cell"), col("pos"))
-      .agg(avg(col("v")).as("m"))
-      .groupBy(col("cell"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cell"),
-        transform(col("pm"), (x: Column) => x.getField("m")).as("new_centroid"))
-    cents.join(means, Seq("cell"), "left")
-      .select(col("cell"),
-        coalesce(col("new_centroid"), col("centroid")).as("centroid"))
+  private def stepArrays(train: DataFrame, ids: Seq[Long],
+                         vecs: Array[Array[Double]], nlist: Int): Array[Array[Double]] = {
+    val vseq: Seq[Seq[Double]] = vecs.map(_.toSeq).toSeq
+    val (nc, bcOpt) =
+      if (nlist >= coarseTrainThreshold)
+        nearestCellsCoarseFnH(train, ids, vseq, nprobe = 1, wCoarse = 4)
+      else nearestCellsFnH(train, ids, vseq, nprobe = 1)
+    val agg =
+      try train
+        .withColumn("cell", element_at(nc(col("e")), 1))
+        .groupBy(col("cell"))
+        .agg(call_function("vec_sum", col("e")).as("s"), count(lit(1)).as("cnt"))
+        .collect()
+      finally bcOpt.foreach(_.destroy())
+    val idx = ids.zipWithIndex.toMap
+    val next = vecs.map(_.clone())
+    agg.foreach { r =>
+      val i = idx(r.getLong(0))
+      val s = r.getSeq[Double](1)
+      val cnt = r.getLong(2).toDouble
+      next(i) = Array.tabulate(s.length)(d => s(d) / cnt)
+    }
+    next
   }
 
   /** Rounds the last [[centroids]] call actually ran (diagnostic, read
@@ -162,11 +206,14 @@ object Ivf {
     * a step leaves every centroid bit-identical — once assignments reach
     * a fixed point the recomputed means are deterministic, so
     * bit-equality IS the fixed-point test (the CC convergence-digest
-    * idea; here the digest is free because each round's centroids are
-    * already collected driver-side for lineage truncation). Each round
-    * is MATERIALISED (collected and re-created — nlist rows) so the
-    * iterative training lineage is not re-executed by every downstream
-    * consumer, and so the loop's lineage cannot stack across rounds.
+    * idea; the digest is free because the centroids live driver-side
+    * between rounds). Centroids are collected ONCE (init) and held as
+    * primitive arrays across rounds — no per-round DataFrame re-creation,
+    * no Row boxing, no per-round LocalRelation ship; each round is one
+    * fused assign + one [[graft.functions.VectorSum]] aggregate whose
+    * nlist-row result is the only per-round driver traffic
+    * ([[stepArrays]]). Lineage cannot stack across rounds because no
+    * round's output is a DataFrame.
     */
   def centroids(data: DataFrame, nlist: Int = 8, iters: Int = 8,
                 trainSample: Int = 0): DataFrame = {
@@ -195,23 +242,27 @@ object Ivf {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (s, true)
       }
-    def digest(rows: Array[org.apache.spark.sql.Row]): Seq[(Long, Seq[Double])] =
-      rows.map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    graft.functions.VectorSum.register(spark)
     try {
       val first = init(train, nlist)
       val schema = first.schema
-      var rows = first.collect()
+      val initRows = first.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+      val ids: Seq[Long] = initRows.map(_._1).toSeq
+      var vecs: Array[Array[Double]] = initRows.map(_._2)
       var round = 0
       var converged = false
       while (!converged && round < iters) {
-        val c = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-        val next = step(train, c, nlist).collect()
-        converged = digest(next) == digest(rows)
-        rows = next
+        val next = stepArrays(train, ids, vecs, nlist)
+        converged = vecs.corresponds(next)(java.util.Arrays.equals)
+        vecs = next
         round += 1
       }
       lastRounds = round
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      val out = ids.zip(vecs).map { case (id, v) =>
+        org.apache.spark.sql.Row(id, v.toSeq)
+      }
+      spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
     } finally if (trainPersisted) { train.unpersist(); () }
   }
 
