@@ -50,6 +50,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Joins.oracle ++ SetSort.oracle ++
       Scalars.oracle ++ Windows.oracle ++ LlmOps.oracle ++
+      ScaleOps.oracle ++
       EventTime.oracle ++ Udx.oracle ++ Extra.oracle ++ Extra2.oracle ++
       Extra3.oracle ++ Tpch.oracle ++ Tpch2.oracle ++ Embeddings.oracle ++
       Pipeline.oracle ++ Analytics.oracle

@@ -82,8 +82,20 @@ object TextAnalysis {
   /** BPE-ish subword-unit count: words + digit runs + punctuation marks
     * counted separately (a cheap stand-in for a real tokenizer's unit
     * count; deterministic regex, no vocabulary).
+    *
+    * Formulated as `regexp_extract_all` of alnum runs / single non-alnum
+    * non-space marks — NOT as a lookaround split: the two count the same
+    * units (ScaleOpsSpec pins equality to [[tokenCountBpeIshSplit]] over
+    * the fixture corpus), but lookarounds are Java-regex-only, and this
+    * form is RE2-expressible so the DuckDB oracle can mirror it verbatim.
     */
   def tokenCountBpeIsh(text: Column): Column =
+    size(regexp_extract_all(text, lit("[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}\\s]"), lit(0)))
+
+  /** The original lookaround-split formulation, kept as the reference the
+    * spec compares [[tokenCountBpeIsh]] against.
+    */
+  private[graft] def tokenCountBpeIshSplit(text: Column): Column =
     size(filter(
       split(text, "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"),
       (t: Column) => t.rlike("\\S")))
@@ -94,4 +106,15 @@ object TextAnalysis {
     * joins/bloom filters at scale.
     */
   def fingerprint64(text: Column): Column = xxhash64(text)
+
+  /** ENGINE-PORTABLE compact fingerprint: the first 60 bits of md5 as a
+    * bigint (15 hex chars — fits signed 64-bit in any engine). The
+    * md5-digest discipline of `dedup_doc_exact`: when the fingerprint
+    * crosses system boundaries (keep-lists, audits, the DuckDB oracle)
+    * it must be reproducible outside Spark, which [[fingerprint64]]'s
+    * seeded xxhash64 is not. In-engine hot paths (MinHash shingle
+    * hashing) keep xxhash64 — ~10× cheaper per call.
+    */
+  def fingerprintPortable(text: Column): Column =
+    conv(substring(md5(text), 1, 15), 16, 10).cast("long")
 }

@@ -6,10 +6,12 @@ import graft.operators.{Ann, ConnectedComponents, EmbedDedup, Ivf, Multimodal, M
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-path / probabilistic operators exposed as rows-only queries (no
-  * SQL oracle — they are held to fixture-equality and recall unit tests,
-  * SURVEY.md §7.5): MinHash-LSH and SimHash near-dup, hyperplane-LSH ANN,
-  * heuristic language ID, and the multimodal metadata pipeline.
+/** Scale-path / probabilistic operators exposed as rows-only queries
+  * (held to fixture-equality and recall unit tests, SURVEY.md §7.5):
+  * MinHash-LSH and SimHash near-dup, hyperplane-LSH ANN, heuristic
+  * language ID, and the multimodal metadata pipeline. `text_langid` is
+  * the exception — deterministic end-to-end, so it carries a full DuckDB
+  * oracle ([[oracle]]) since r10.
   */
 object ScaleOps {
   type Q = (SparkSession, String) => DataFrame
@@ -208,7 +210,11 @@ object ScaleOps {
     // Marker-lexicon language ID + token counts per document. Bulk form:
     // one explode + broadcast-join + argmax pass over the corpus instead
     // of five interpreted HOF scans per row (per-row Column fn exists for
-    // single-value use; the two agree — ScaleOpsSpec).
+    // single-value use; the two agree — ScaleOpsSpec). Every column is
+    // deterministic and engine-portable (portable md5-prefix fingerprint,
+    // RE2-expressible token regex), so this row carries a full DuckDB
+    // oracle since r10 — the marker argmax mirrors as list_filter scores
+    // + a declared-priority CASE.
     "text_langid" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       docs
@@ -216,10 +222,10 @@ object ScaleOps {
         .select(col("doc_id"), col("lang").as("declared_lang"),
           size(filter(col("toks"), (t: Column) => t =!= "")).as("n_tokens_ws"),
           TextAnalysis.tokenCountBpeIsh(col("text")).as("n_tokens_bpeish"),
-          TextAnalysis.fingerprint64(col("text")).as("fp64"))
+          TextAnalysis.fingerprintPortable(col("text")).as("fp"))
         .join(TextAnalysis.languageIdBulk(docs, "doc_id", "text"), "doc_id")
         .select(col("doc_id"), col("declared_lang"), col("guessed_lang"),
-          col("n_tokens_ws"), col("n_tokens_bpeish"), col("fp64"))
+          col("n_tokens_ws"), col("n_tokens_bpeish"), col("fp"))
         .orderBy(col("doc_id"))
     },
 
@@ -251,4 +257,46 @@ object ScaleOps {
         .orderBy(col("media_id"))
     }
   )
+
+  /** The one ScaleOps row with a DuckDB oracle (r10): `text_langid` is
+    * fully deterministic, unlike the approximate/recall-gated rest of
+    * this map. Marker score expressions and the declared-priority CASE
+    * are GENERATED from [[TextAnalysis.Markers]], so the oracle lexicon
+    * can never drift from the engine's. The CASE encodes the same argmax
+    * as `languageIdTokens`' left-to-right max scan: a language wins iff
+    * its score is positive and ≥ every LATER language's score (an
+    * earlier language that beat it would have taken its branch first).
+    */
+  val oracle: Map[String, String] = {
+    val score = TextAnalysis.Markers.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(t, x -> x IN ($lst))) AS s_$lang"
+    }.mkString(",\n    ")
+    val langs = TextAnalysis.Markers.map(_._1)
+    val cases = langs.zipWithIndex.map { case (lang, i) =>
+      val later = langs.drop(i + 1)
+      val cond = (s"s_$lang > 0" +: later.map(l => s"s_$lang >= s_$l"))
+        .mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }.mkString("\n    ")
+    Map(
+      "text_langid" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, lang, text, string_split_regex(lower(text), '\\s+') AS t
+           |  FROM documents),
+           |scored AS (
+           |  SELECT doc_id, lang, text, t,
+           |    $score
+           |  FROM toks)
+           |SELECT doc_id,
+           |  lang AS declared_lang,
+           |  CASE
+           |    $cases
+           |    ELSE 'und'
+           |  END AS guessed_lang,
+           |  len(list_filter(t, x -> x <> '')) AS n_tokens_ws,
+           |  len(regexp_extract_all(text, '[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}\\s]')) AS n_tokens_bpeish,
+           |  CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp
+           |FROM scored""".stripMargin)
+  }
 }

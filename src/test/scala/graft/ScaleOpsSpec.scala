@@ -527,6 +527,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got.sameElements(Array("en", "es", "fr", "de", "und")))
   }
 
+  test("portable BpeIsh token count equals the lookaround-split reference form") {
+    import graft.functions.TextAnalysis
+    // The r10 regexp_extract_all formulation (RE2-expressible, mirrored
+    // verbatim by the DuckDB oracle) must count exactly the units the
+    // original Java-lookaround split counted — over the whole fixture
+    // corpus plus hand-picked edges (leading/trailing punctuation,
+    // digit runs glued to letters, consecutive marks, whitespace runs).
+    import spark.implicits._
+    val edges = Seq("", "   ", "a", "a1b2", "!!", "a,b.c", " x-2 ",
+      "tab\tsep\nnl", "é ü ß 漢字, ok", "1 2  3...4").toDF("text")
+    val corpus = graft.Tables(spark, sf, "documents").select(col("text"))
+    for (df <- Seq(edges, corpus)) {
+      val off = df.select(
+          TextAnalysis.tokenCountBpeIsh(col("text")).as("a"),
+          TextAnalysis.tokenCountBpeIshSplit(col("text")).as("b"))
+        .filter(col("a") =!= col("b"))
+      assert(off.isEmpty, off.limit(5).collect().mkString("; "))
+    }
+  }
+
   test("bulk language ID agrees with the per-row Column function") {
     import graft.functions.TextAnalysis
     val docs = graft.Tables(spark, sf, "documents")
