@@ -49,6 +49,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * correctness needs the usual offset-API assumption that the relation is
   * stable for the duration of the read (same as any snapshot isolation
   * expectation on a REST export).
+  *
+  * **Cursor-token APIs** (`option("pagination", "cursor")`) — the other
+  * common REST shape (and the TAK-style ecosystem's usual one): each
+  * response carries the opaque token for the next page, so there is no
+  * stride. The walk runs as ONE partition with request pipelining
+  * ([[HttpCursorReader]]): the next GET is issued the moment the token
+  * is known, overlapping network latency with row decode. Options:
+  *
+  * ```
+  * .option("pagination", "cursor")      // default: "offset"
+  * .option("cursorParam", "cursor")     // request token query param
+  * .option("cursorField", "next_cursor")// response field: next token
+  * .option("itemsField", "items")       // response field: row array
+  * ```
+  *
+  * First request omits the cursor param; a missing/null/empty token or
+  * an empty page ends the walk. Column pruning, advisory filter
+  * pushdown and limit pushdown apply as in offset mode; `numPartitions`
+  * is ignored (repartition after load to fan out downstream). Unlike
+  * offset paging, a keyset cursor is append-safe: rows inserted during
+  * the walk cannot shift already-visited pages, so each pre-existing
+  * row is read exactly once. Batch only — the streaming position must
+  * be a checkpointable row count, which an opaque token cannot provide.
   */
 class HttpTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-http"
@@ -129,10 +152,20 @@ private[sources] class HttpScanBuilder(
   require(url != null, "graft-http requires a 'url' option")
   private val pageSize = options.getInt("pageSize", 1000)
   private val numPartitions = options.getInt("numPartitions", 4)
+  private val pagination =
+    Option(options.get("pagination")).getOrElse("offset")
+  require(pagination == "offset" || pagination == "cursor",
+    s"graft-http: pagination must be 'offset' or 'cursor', got '$pagination'")
   private val offsetParam =
     Option(options.get("offsetParam")).getOrElse("offset")
   private val limitParam =
     Option(options.get("limitParam")).getOrElse("limit")
+  private val cursorParam =
+    Option(options.get("cursorParam")).getOrElse("cursor")
+  private val cursorField =
+    Option(options.get("cursorField")).getOrElse("next_cursor")
+  private val itemsField =
+    Option(options.get("itemsField")).getOrElse("items")
   private val countUrl = Option(options.get("countUrl"))
   private val fieldsParam = Option(options.get("fieldsParam"))
   private val pushCols: Set[String] = Option(options.get("pushFilterColumns"))
@@ -225,12 +258,18 @@ private[sources] class HttpScanBuilder(
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    Array.tabulate(numPartitions)(i =>
+    if (pagination == "cursor") Array(HttpCursorPartition(): InputPartition)
+    else Array.tabulate(numPartitions)(i =>
       HttpInputPartition(i, numPartitions): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new HttpReaderFactory(url, requiredSchema.toDDL, pageSize,
-      offsetParam, limitParam, headers, extraQuery(withFilters = true), limit)
+    if (pagination == "cursor")
+      new HttpCursorReaderFactory(url, requiredSchema.toDDL, pageSize,
+        cursorParam, limitParam, cursorField, itemsField, headers,
+        extraQuery(withFilters = true), limit)
+    else
+      new HttpReaderFactory(url, requiredSchema.toDDL, pageSize,
+        offsetParam, limitParam, headers, extraQuery(withFilters = true), limit)
 
   // -- streaming (micro-batch) form ------------------------------------
   // Incremental ingestion from a GROWING offset API: each trigger reads
@@ -243,7 +282,11 @@ private[sources] class HttpScanBuilder(
   // checkpointable increments instead of one giant first batch.
   // Column pruning (and fieldsParam) applies; filter/limit params do NOT
   // — stream offsets index the unfiltered relation.
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(pagination == "offset",
+      "graft-http streaming requires pagination=offset: the stream " +
+        "position is a checkpointable row count, which an opaque cursor " +
+        "token cannot provide (tokens expire and cannot be compared/split)")
     new HttpMicroBatchStream(
       url,
       countUrl.getOrElse(throw new IllegalArgumentException(
@@ -251,6 +294,7 @@ private[sources] class HttpScanBuilder(
       requiredSchema.toDDL, pageSize, numPartitions, offsetParam, limitParam,
       headers, options.getLong("maxRowsPerTrigger", 0L),
       extraQuery(withFilters = false))
+  }
 }
 
 /** Stream offset = number of rows already ingested. */
@@ -379,11 +423,17 @@ private[sources] class HttpPageFetcher(
   private val client = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(30)).build()
 
-  /** GET one page: rows [offset, offset+limit) as parsed InternalRows. */
-  def fetch(offset: Long, limit: Long): Seq[InternalRow] = {
+  /** GET with retry, returning the raw body. `queryTail` is the
+    * pre-encoded pagination fragment ("offset=0&limit=10" /
+    * "cursor=abc&limit=10"); the configured extraQuery fragments
+    * (fields/filter params) are appended. THREAD-SAFE (HttpClient is;
+    * nothing else is touched) — the cursor reader calls this from its
+    * fetch-ahead thread.
+    */
+  def fetchBody(queryTail: String): String = {
     val sep = if (url.contains("?")) "&" else "?"
     val extras = extraQuery.map("&" + _).mkString
-    val pageUrl = s"$url$sep$offsetParam=$offset&$limitParam=$limit$extras"
+    val pageUrl = s"$url$sep$queryTail$extras"
     val b = HttpRequest.newBuilder(URI.create(pageUrl)).GET()
       .timeout(Duration.ofSeconds(60))
     headers.foreach { case (k, v) => b.header(k, v) }
@@ -412,10 +462,20 @@ private[sources] class HttpPageFetcher(
           Thread.sleep(backoffMs * (1L << (attempt - 1)))
       }
     }
-    parser.parse[String](body,
+    body
+  }
+
+  /** Parse a JSON array (or single object) of records. NOT thread-safe —
+    * call from the task thread only.
+    */
+  def parse(json: String): Seq[InternalRow] =
+    parser.parse[String](json,
       CreateJacksonParser.string(_: JsonFactory, _: String),
       UTF8String.fromString).toSeq
-  }
+
+  /** GET one page: rows [offset, offset+limit) as parsed InternalRows. */
+  def fetch(offset: Long, limit: Long): Seq[InternalRow] =
+    parse(fetchBody(s"$offsetParam=$offset&$limitParam=$limit"))
 }
 
 /** Pages through an exact [startRow, endRow) range with limit-capped
@@ -508,6 +568,103 @@ private[sources] class HttpPartitionReader(
 
   override def get(): InternalRow = rows.next()
   override def close(): Unit = ()
+}
+
+/** The cursor walk is one partition by contract (each page's token only
+  * exists in the previous response — there is nothing to stride).
+  */
+private[sources] case class HttpCursorPartition() extends InputPartition
+
+private[sources] class HttpCursorReaderFactory(
+    url: String, schemaDdl: String, pageSize: Int,
+    cursorParam: String, limitParam: String,
+    cursorField: String, itemsField: String,
+    headers: Map[String, String],
+    extraQuery: Seq[String] = Seq.empty, limit: Int = -1)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new HttpCursorReader(url, schemaDdl, pageSize, cursorParam, limitParam,
+      cursorField, itemsField, headers, extraQuery, limit)
+}
+
+/** Sequential cursor walk with FETCH-AHEAD: cursor pagination is
+  * inherently serial (page k+1's request token is only known from page
+  * k's response), so the parallelism available is pipelining, not
+  * striding — the next GET goes on the wire the moment the token is
+  * extracted from the current body, BEFORE the current page's rows are
+  * parsed and emitted, overlapping network latency with executor-side
+  * decode + downstream consumption. A single daemon thread carries the
+  * in-flight request; [[HttpPageFetcher.fetchBody]] is the thread-safe
+  * part, the Jackson row parse stays on the task thread.
+  *
+  * Envelope contract: the response is an object whose `itemsField` is
+  * the row array and whose `cursorField` is the next token; a missing/
+  * null/empty token — or an empty page — ends the relation. Growth
+  * during the walk is SAFE under the usual keyset-cursor contract
+  * (tokens encode a position in a stable order, so appended rows are
+  * either visited once or not yet visible) — unlike offset paging,
+  * where concurrent inserts shift later pages.
+  */
+private[sources] class HttpCursorReader(
+    url: String, schemaDdl: String, pageSize: Int,
+    cursorParam: String, limitParam: String,
+    cursorField: String, itemsField: String,
+    headers: Map[String, String],
+    extraQuery: Seq[String] = Seq.empty, limit: Int = -1)
+    extends PartitionReader[InternalRow] {
+
+  private val fetcher =
+    new HttpPageFetcher(url, schemaDdl, cursorParam, limitParam, headers,
+      extraQuery)
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val exec = java.util.concurrent.Executors.newSingleThreadExecutor(
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-http-cursor-fetch"); t.setDaemon(true); t
+    })
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+
+  private var fetchedSoFar = 0L
+
+  private def submit(tok: Option[String]): java.util.concurrent.Future[String] = {
+    // Pushed limit: never request more than the rows still missing —
+    // `.limit(10)` costs one small page, not a full walk.
+    val want =
+      if (limit >= 0) math.min(pageSize.toLong, limit - fetchedSoFar)
+      else pageSize.toLong
+    val tail = tok.map(t => s"${enc(cursorParam)}=${enc(t)}&").getOrElse("") +
+      s"$limitParam=$want"
+    exec.submit(
+      (() => fetcher.fetchBody(tail)): java.util.concurrent.Callable[String])
+  }
+
+  private var inFlight: java.util.concurrent.Future[String] = submit(None)
+  private var rows: Iterator[InternalRow] = Iterator.empty
+
+  override def next(): Boolean = {
+    while (!rows.hasNext && inFlight != null) {
+      val body = inFlight.get()
+      inFlight = null
+      val root = mapper.readTree(body)
+      val items = root.get(itemsField)
+      require(items != null && items.isArray,
+        s"graft-http cursor response has no array field '$itemsField' " +
+          s"(set the 'itemsField' option to the row-array field name)")
+      val nextTok = Option(root.get(cursorField))
+        .filterNot(_.isNull).map(_.asText).filter(_.nonEmpty)
+      fetchedSoFar += items.size()
+      // fetch-ahead: issue the NEXT request before parsing THIS page
+      if (items.size() > 0 && nextTok.isDefined &&
+          (limit < 0 || fetchedSoFar < limit))
+        inFlight = submit(nextTok)
+      rows =
+        if (items.size() == 0) Iterator.empty
+        else fetcher.parse(items.toString).iterator
+    }
+    rows.hasNext
+  }
+
+  override def get(): InternalRow = rows.next()
+  override def close(): Unit = { exec.shutdownNow(); () }
 }
 
 /** Batch write side of `graft-http` — the at-scale form of the

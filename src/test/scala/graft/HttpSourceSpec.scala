@@ -32,6 +32,12 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val flakyIngestSeen =
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+  // cursor-endpoint state (independent of the offset endpoints)
+  private val cursorLiveRows = new AtomicInteger(TotalRows)
+  private val cursorRequests = new AtomicInteger(0)
+  private val cursorGrowPerRequest = new AtomicInteger(0)
+  private val seenCursorQueries =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -120,6 +126,40 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         exchange.sendResponseHeaders(200, -1)
         exchange.close()
       }
+    })
+    // Cursor-token (keyset) paginated API: GET /cursor?cursor=T&limit=L
+    // returns {"items":[...], "next_cursor": "id-<last>"} — the token is
+    // the last served id, so pages are positions in a stable order and
+    // appends during a walk can never shift already-visited pages.
+    // cursorGrowPerRequest > 0 makes the table GROW by that many rows
+    // before serving each page (the exactly-once-under-growth case).
+    server.createContext("/cursor", exchange => {
+      cursorRequests.incrementAndGet()
+      lastApiKey = Option(exchange.getRequestHeaders.getFirst("X-API-KEY")).getOrElse("")
+      val q = Option(exchange.getRequestURI.getQuery).getOrElse("")
+      seenCursorQueries.add(q)
+      val params = q.split("&").filter(_.contains("="))
+        .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+      val lim = params.getOrElse("limit", "100").toInt
+      val g = cursorGrowPerRequest.get
+      if (g > 0) cursorLiveRows.addAndGet(g)
+      val total = cursorLiveRows.get.toLong
+      val start = params.get("cursor")
+        .map(t => java.net.URLDecoder.decode(t, "UTF-8").stripPrefix("id-").toLong + 1)
+        .getOrElse(0L)
+      val page = (start until math.min(start + lim, total)).map { i =>
+        s"""{"id": $i, "name": "row-$i", "score": ${i * 0.5}}"""
+      }
+      val nextTok =
+        if (start + page.size >= total) "null"
+        else s""""id-${start + page.size - 1}""""
+      val body =
+        s"""{"items": ${page.mkString("[", ",", "]")}, "next_cursor": $nextTok}"""
+          .getBytes("UTF-8")
+      exchange.getResponseHeaders.add("Content-Type", "application/json")
+      exchange.sendResponseHeaders(200, body.length.toLong)
+      exchange.getResponseBody.write(body)
+      exchange.close()
     })
     // current row count — the streaming source's cheap watermark
     server.createContext("/count", exchange => {
@@ -486,5 +526,89 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("id"), (col("score") * 2).as("s2"))
     assert(df.count() === 129)
     assert(df.agg(max("s2")).head.getDouble(0) === 256.0)
+  }
+
+  // -- cursor-token pagination -------------------------------------------
+
+  private def readCursor(pageSize: Int) =
+    spark.read.format("graft-http")
+      .option("url", s"http://127.0.0.1:$port/cursor")
+      .option("schema", "id LONG, name STRING, score DOUBLE")
+      .option("pagination", "cursor")
+      .option("pageSize", pageSize.toString)
+      .option("numPartitions", "4") // must be ignored in cursor mode
+      .option("header.X-API-KEY", "cursor-key")
+      .load()
+
+  test("cursor walk reads the full relation exactly once as one partition") {
+    cursorLiveRows.set(TotalRows)
+    cursorGrowPerRequest.set(0)
+    cursorRequests.set(0)
+    seenCursorQueries.clear()
+    val df = readCursor(pageSize = 50)
+    // the token only exists in the previous response — one partition by
+    // contract, regardless of numPartitions
+    assert(df.rdd.getNumPartitions === 1)
+    val rows = df.collect()
+    assert(rows.length === TotalRows)
+    assert(rows.map(_.getLong(0)).distinct.length === TotalRows)
+    assert(lastApiKey === "cursor-key")
+    // ceil(257/50) = 6 pages; the 6th is short AND carries a null token
+    assert(cursorRequests.get === 6)
+    // every request after the first must carry the token from the
+    // previous response
+    val qs = seenCursorQueries.asScala.toList
+    assert(qs.count(_.contains("cursor=")) === 5, qs.mkString(" | "))
+  }
+
+  test("cursor walk under append-only growth: pre-existing rows exactly once") {
+    cursorLiveRows.set(TotalRows)
+    cursorGrowPerRequest.set(7) // server appends 7 rows before EVERY page
+    try {
+      val rows = readCursor(pageSize = 50).collect()
+      val ids = rows.map(_.getLong(0))
+      // keyset contract: no duplicates ever, and every row that existed
+      // when the walk started is present (appends land at the tail and
+      // cannot shift visited pages — the failure mode offset paging has)
+      assert(ids.distinct.length === ids.length, "duplicate rows under growth")
+      assert((0L until TotalRows.toLong).forall(ids.contains),
+        "a pre-existing row was skipped under growth")
+      assert(ids.length >= TotalRows)
+    } finally {
+      cursorGrowPerRequest.set(0)
+      cursorLiveRows.set(TotalRows)
+    }
+  }
+
+  test("cursor mode pushes the limit: .limit(10) costs one 10-row request") {
+    cursorLiveRows.set(TotalRows)
+    cursorGrowPerRequest.set(0)
+    cursorRequests.set(0)
+    seenCursorQueries.clear()
+    val got = readCursor(pageSize = 50).limit(10).collect()
+    assert(got.length === 10)
+    assert(cursorRequests.get === 1, seenCursorQueries.asScala.mkString(" | "))
+    assert(seenCursorQueries.asScala.head.contains("limit=10"))
+  }
+
+  test("cursor mode refuses to stream (no checkpointable position)") {
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft-http")
+        .option("url", s"http://127.0.0.1:$port/cursor")
+        .option("schema", "id LONG")
+        .option("pagination", "cursor")
+        .option("countUrl", s"http://127.0.0.1:$port/count")
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-cursor-ck").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("pagination=offset"))),
+      s"unexpected error: $e")
   }
 }
