@@ -75,17 +75,39 @@ object Bench {
         order.map(_._1).zipWithIndex
           .map { case (n, i) => n -> sweeps.map(_(i)) }.toMap
       }
+    // Contention retry (round-10 lesson): BENCH_r09's driver total read
+    // 168.9 s where the same commit benched 113.4 s quiet — pure machine
+    // contention, spread across queries. When a query's two sweep passes
+    // DISAGREE by >30%, at least one of them was contended, so the min
+    // itself is suspect; give exactly those queries one more targeted
+    // pass (bounded to the 12 heaviest by min — they carry the total's
+    // absolute noise; agreeing queries don't pay a third run). The extra
+    // pass runs minutes after the sweeps, so it is a third time window.
+    val retried: Map[String, Seq[(Double, Boolean)]] =
+      if (timedRuns < 2) Map.empty
+      else {
+        val suspects = order.filter { case (n, _) =>
+          val good = passes(n).filter(_._2).map(_._1)
+          good.size >= 2 && good.min > 0.5 && good.max / good.min > 1.3
+        }.sortBy { case (n, _) => -passes(n).filter(_._2).map(_._1).min }
+          .take(12)
+        if (suspects.nonEmpty) System.err.println(
+          s"[bench] contention retry for ${suspects.size} queries: " +
+            suspects.map(_._1).mkString(", "))
+        suspects.map { case (n, fn) => n -> (passes(n) :+ timeOne(n, fn)) }.toMap
+      }
+    val allPasses = passes ++ retried
     // A failed pass must NOT win the min: an error that aborts in 0.3 s
     // would otherwise read as a fake speedup. If EVERY pass failed, the
     // query lands in the JSON's `failed` list (not just on stderr) and
     // its recorded time is the min elapsed — visible failure, unpoisoned
     // total.
     val results = order.map { case (name, _) =>
-      val p = passes(name)
+      val p = allPasses(name)
       val good = p.filter(_._2).map(_._1)
       name -> (if (good.nonEmpty) good.min else p.map(_._1).min)
     }
-    val failed = order.map(_._1).filter(n => passes(n).forall(!_._2))
+    val failed = order.map(_._1).filter(n => allPasses(n).forall(!_._2))
     // Locale.ROOT: the f-interpolator is locale-sensitive and a
     // comma-decimal JVM locale would emit unparseable JSON.
     def fmt(v: Double): String =

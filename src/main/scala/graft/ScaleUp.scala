@@ -32,10 +32,20 @@ object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleUp <srcDir> <outDir> [factor]")
-    val (src, out) = (args(0), args(1))
-    val factor = if (args.length > 2) args(2).toInt else 10
     val spark = LocalSession.create("32",
       Map("spark.sql.legacy.parquet.nanosAsLong" -> "true"))
+    run(spark, args(0), args(1),
+      if (args.length > 2) args(2).toInt else 10)
+    spark.stop()
+  }
+
+  /** The replication body, callable from tests (FixtureSchemaSpec pins
+    * that ScaleUp output surfaces the SAME logical schema through
+    * [[Tables]] as its source — decade numbers must never mix fixture
+    * generations OR loader contracts).
+    */
+  def run(spark: org.apache.spark.sql.SparkSession,
+          src: String, out: String, factor: Int): Unit = {
 
     def replicate(name: String, shift: (DataFrame, Int) => DataFrame,
                   baseOverride: Option[DataFrame] = None): Unit = {
@@ -136,6 +146,5 @@ object ScaleUp {
       if (p.exists())
         spark.read.parquet(p.toString).write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
-    spark.stop()
   }
 }

@@ -31,6 +31,22 @@ object SweepResample {
     time("sorted", SparkEntry.queries("ts_resample")(spark, dir))
     // identical pipeline, no global ORDER BY
     time("unsorted", queries.EventTime.resampleHourly(Tables.events(spark, dir)))
+    // Stage isolation (r10): is the linear floor the events SCAN+AGG or
+    // the grid EXPLODE? scan+agg is the hourly aggregate alone; grid adds
+    // the per-user bounds + sequence() explode on top of it (without the
+    // join/LOCF). grid − scan+agg ≈ the explode's own cost; if that gap
+    // is small, the pipeline is scan-bound and the span-pruned grid
+    // (first→last event per user) is doing its job — no empty-user rows,
+    // no whole-corpus-span grids.
+    def hourly = Tables.events(spark, dir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    time("scan+agg", hourly)
+    time("grid", hourly.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("t0"), max(col("hour")).as("t1"))
+      .select(col("user_id"),
+        explode(sequence(col("t0"), col("t1"), expr("interval 1 hour")))
+          .as("hour")))
     spark.stop()
   }
 }

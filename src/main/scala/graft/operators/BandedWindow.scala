@@ -21,21 +21,19 @@ import org.apache.spark.sql.functions._
   *            ⊕ {u in band(v)-1: u >= v-width}    — previous band's frame slice
   *
   * Term 1 is an intra-band RANGE window (ties all see each other,
-  * preserving RANGE tie semantics). Term 2's form depends on the
-  * aggregate's algebra:
-  *   - INVERTIBLE (count/sum): previous band's total minus its strict
-  *     prefix below the frame edge, both read off ONE ascending window
-  *     pass — PHANTOM PROBE rows (one per row, deduped to one per
-  *     distinct value inside the same pass, placed at `v-width`, ordered
-  *     BEFORE real ties so the running count is strictly-less-than) read
-  *     the running prefix, and the same pass's whole-partition total
-  *     gives the band total;
-  *   - NON-INVERTIBLE (min/max): subtraction doesn't exist, so the probe
-  *     instead reads a running SUFFIX aggregate in a DESCENDING pass over
-  *     the same union (probes ordered AFTER real ties there, so the
-  *     suffix is `u >= edge` inclusive — the frame's lower-edge rule).
-  *     Same shuffle: a second sort within the already-co-located
-  *     (part, band) partition, no new exchange.
+  * preserving RANGE tie semantics). Term 2 is read off ONE DESCENDING
+  * window pass over real rows + PHANTOM PROBE rows (one per row, deduped
+  * to one per distinct value inside the same pass, placed at `v-width`):
+  * with probes ordered AFTER real ties, every running aggregate over
+  * preceding rows at the probe is the SUFFIX `u >= edge` inclusive — the
+  * frame's lower-edge rule — for count and sum exactly as for min/max
+  * and the struct-valued first/last. (Through r9 count/sum instead took
+  * an ASCENDING pass — band total minus strict prefix, the invertible-
+  * aggregate identity — plus a whole-partition totals walk; the suffix
+  * reads the same slice DIRECTLY, so the r10 fuse deletes both extra
+  * walks and every aggregate family shares one sort + one WindowExec —
+  * the SweepBandedStats-measured second walk that made first+last ~2×
+  * the single-aggregate cost at 100×.)
   *
   * The probe results join back on `(part, band, v)`, which the planner
   * co-locates with the term-1 window's `(part, band)` hash partitioning —
@@ -189,26 +187,21 @@ object BandedWindow {
       col("__band").as("__pband"),
       lit(1).as("__real")) ++
       payloadCols.map(col): _*)
-    // ascending pass: probes BEFORE real ties → running count/sum over
-    // preceding rows is the STRICT prefix `u < edge`; subtracting it
-    // from the band total leaves `u >= edge` (count/sum only).
+    // THE descending pass (every aggregate family shares it): real ties
+    // BEFORE the probe → each running aggregate over preceding rows at
+    // the probe is the suffix `u >= edge`, inclusive, matching the
+    // frame's lower edge directly — count/sum as much as min/max (the
+    // suffix IS the prev-band frame slice; no total-minus-prefix needed).
     // __orig_v as tertiary key (r5 advice): two DISTINCT decimal values
     // can collide to the same double __sortv past ~2^53/10^scale, and
     // without it equal-(sortv, real) probes interleave nondeterministic-
     // ally — an (A,B,A,B) run defeats the lag() dedup below and fans the
-    // probe join out into duplicate rows. Reals carry a NULL __orig_v, so
-    // the probe-before-real-ties semantics are untouched.
+    // probe join out into duplicate rows. Reals carry a NULL __orig_v
+    // and are already separated from probes by the __real key, so the
+    // real-ties-before-probe semantics are untouched.
     val wOrd = Window.partitionBy(partCols :+ col("__pband"): _*)
-      .orderBy(col("__sortv").asc, col("__real").asc, col("__orig_v").asc)
-    val wP = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wT = Window.partitionBy(partCols :+ col("__pband"): _*)
-    // descending pass: real ties BEFORE the probe → the running min/max
-    // over preceding rows at the probe is the suffix `u >= edge`,
-    // inclusive, matching the frame's lower edge directly (no
-    // subtraction — min/max has none).
-    val wD = Window.partitionBy(partCols :+ col("__pband"): _*)
-      .orderBy(col("__sortv").desc, col("__real").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .orderBy(col("__sortv").desc, col("__real").desc, col("__orig_v").desc)
+    val wD = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     // struct-valued order key for first/last: probes contribute NULL (the
     // aggregate skips them); reals contribute (v, payload), compared
@@ -216,17 +209,14 @@ object BandedWindow {
     def obStruct(payload: String): Column =
       when(col("__real") === 1,
         struct(col("__sv").as("v"), col(payload).as("p")))
-    var prev = reals.unionByName(probes)
-    if (needCnt) prev = prev
-      .withColumn("__lt_cnt",
-        sum(when(col("__real") === 1, 1L).otherwise(0L)).over(wP))
-      .withColumn("__tot_cnt",
-        sum(when(col("__real") === 1, 1L).otherwise(0L)).over(wT))
-    if (needSum) prev = prev
-      .withColumn("__lt_sum", sum(col("__sv")).over(wP))
-      .withColumn("__tot_sum", sum(col("__sv")).over(wT))
     // each suffix aggregate guarded on its own output (r5 advice: a
     // single-aggregate caller shouldn't pay unused WindowExec buffers)
+    var prev = reals.unionByName(probes)
+    if (needCnt) prev = prev
+      .withColumn("__ge_cnt",
+        sum(when(col("__real") === 1, 1L).otherwise(0L)).over(wD))
+    if (needSum) prev = prev
+      .withColumn("__ge_sum", sum(col("__sv")).over(wD))
     if (minName.isDefined) prev = prev
       .withColumn("__ge_min", min(col("__sv")).over(wD))
     if (maxName.isDefined) prev = prev
@@ -236,16 +226,16 @@ object BandedWindow {
     if (lastName.isDefined) prev = prev
       .withColumn("__ge_lb", max(obStruct(lastName.get._2)).over(wD))
     // duplicate probes (same value appearing on several rows) sort as a
-    // run: equal __sortv, __real=0, reals after. Keep the run's first —
+    // run: equal __sortv, __real=0, reals before. Keep the run's first —
     // lag() shares wOrd's WindowExec, so this dedup is shuffle-free.
     val probeOut = partCols ++ Seq(
       col("__orig_band").as("__band"),
       col("__orig_v").as("__v")) ++
-      (if (needCnt) Seq(
-        (col("__tot_cnt") - col("__lt_cnt")).as("__prev_cnt")) else Nil) ++
+      (if (needCnt) Seq(col("__ge_cnt").as("__prev_cnt")) else Nil) ++
       (if (needSum) Seq(
-        (coalesce(col("__tot_sum"), lit(0).cast(money))
-          - coalesce(col("__lt_sum"), lit(0).cast(money))).as("__prev_sum"))
+        // an empty suffix (no real row at/above the edge) sums to NULL;
+        // the merge below ADDS the complements, so normalize to 0
+        coalesce(col("__ge_sum"), lit(0).cast(money)).as("__prev_sum"))
        else Nil) ++
       minName.map(_ => col("__ge_min").as("__prev_min")).toSeq ++
       maxName.map(_ => col("__ge_max").as("__prev_max")).toSeq ++

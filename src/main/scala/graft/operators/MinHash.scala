@@ -74,13 +74,27 @@ object MinHash {
     * otherwise silently drop trailing hashes from the banding and void
     * the (1 − s^r)^b false-negative bound.
     *
-    * `maxBucketSize` guards the self-join against hot band keys: a bucket
-    * of k docs contributes k·(k−1)/2 pairs, so one skewed key (boilerplate
-    * corpora, adversarial shingles, degenerate vocabularies) goes
-    * quadratic. Buckets above the cap are dropped WHOLE (truncating would
-    * be partition-order-dependent) — standard LSH practice; the recall
-    * loss is confined to docs whose every matching band is oversized,
-    * and [[droppedBuckets]] reports how many buckets the cap removed.
+    * `maxBucketSize` guards pair generation against hot band keys: a
+    * bucket of k docs contributes k·(k−1)/2 pairs, so one skewed key
+    * (boilerplate corpora, adversarial shingles, degenerate vocabularies)
+    * goes quadratic. Buckets above the cap are dropped WHOLE (truncating
+    * would be partition-order-dependent) — standard LSH practice; the
+    * recall loss is confined to docs whose every matching band is
+    * oversized, and [[droppedBuckets]] reports how many buckets the cap
+    * removed.
+    *
+    * Plan shape (the r10 rewrite): ONE hash-aggregate shuffle of the
+    * n·bands bucket relation into bounded per-bucket membership arrays
+    * ([[graft.functions.CappedLongCollect]], ≤ 8·(cap+1) bytes per group
+    * at any skew), then pairs explode MAP-SIDE from the sorted array.
+    * The r2–r9 formulation — window `count() over (band, key)` + bucket
+    * self-join — paid a full shuffle-SORT of the bucket relation plus a
+    * sort-merge self-join on the same keys; that sort was the measured
+    * n·log n term that made dedup_minhash's last decade +14% over linear
+    * (92 s at 100×, PERF.md r9). A hash aggregate has no sort at any
+    * input size, and the self-join disappears entirely. Non-long doc_id
+    * types take the old windowed path ([[lshCandidatesWindowed]] — the
+    * capped-collect buffer is a primitive long array by design).
     */
   def lshCandidates(sigs: DataFrame, bands: Int = 16,
                     maxBucketSize: Int = 500, numHashes: Int = 64): DataFrame = {
@@ -89,6 +103,36 @@ object MinHash {
     // mismatch silently mis-bands (voiding the (1−s^r)^b bound).
     require(numHashes >= bands && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
+    if (sigs.schema("doc_id").dataType !=
+        org.apache.spark.sql.types.LongType)
+      return lshCandidatesWindowed(sigs, bands, maxBucketSize, numHashes)
+    val fn = graft.functions.CappedLongCollect.register(
+      sigs.sparkSession, maxBucketSize)
+    // size ≤ cap ⇒ EXACT membership; size = cap+1 ⇒ true size > cap
+    // (drop whole). Sorting the ≤cap array makes d1 < d2 by construction.
+    val buckets = bucketRows(sigs, bands, numHashes)
+      .groupBy(col("band"), col("key"))
+      .agg(call_function(fn, col("doc_id")).as("docs"))
+      .filter(size(col("docs")).between(2, maxBucketSize))
+      .select(array_sort(col("docs")).as("docs"))
+    buckets
+      .select(posexplode(col("docs")).as(Seq("i", "d1")), col("docs"))
+      // partners of the element at 0-based pos i: 1-based slice i+2 …
+      // end (slice clamps an oversized length; start past the end → [])
+      .select(col("d1"),
+        explode(slice(col("docs"), col("i") + lit(2), size(col("docs")))).as("d2"))
+      .distinct()
+  }
+
+  /** The pre-r10 windowed formulation — kept as the fallback for
+    * non-long doc_id types and as the equality reference in tests.
+    * Sorts the full bucket relation (window over (band,key)) and
+    * self-joins the surviving rows; identical pair set to
+    * [[lshCandidates]] (ScaleOpsSpec pins the equality on the fixture).
+    */
+  private[graft] def lshCandidatesWindowed(
+      sigs: DataFrame, bands: Int, maxBucketSize: Int,
+      numHashes: Int): DataFrame = {
     val w = Window.partitionBy(col("band"), col("key"))
     val buckets = bucketRows(sigs, bands, numHashes)
       .withColumn("bsz", count(lit(1)).over(w))

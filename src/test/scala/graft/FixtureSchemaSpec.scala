@@ -72,6 +72,39 @@ class FixtureSchemaSpec extends AnyFunSuite {
       assert(s(c) == t, s"events.$c is ${s(c)}, queries expect $t")
   }
 
+  // ScaleUp output must surface IDENTICAL logical schemas to its source
+  // through the same Tables loader — the decade tables (PERF.md) are only
+  // comparable if the Nx dirs obey the exact contract the 1x dir does.
+  // This bit the build twice (NOTES_r9): a fixture regeneration changed
+  // the events encoding and stale /tmp/scaleNN dirs from the previous
+  // generation silently mixed generations in the decade numbers. A tiny
+  // factor-2 replication of sf0.001 exercises the REAL generator.
+  test("ScaleUp output surfaces the same logical schema as its source") {
+    val out = java.nio.file.Files.createTempDirectory("graft_scaleup_canary")
+      .toString
+    try {
+      ScaleUp.run(spark, sf, out, 2)
+      val tables = expected.keys.toSeq ++ Seq("orders", "lineitem")
+      for (t <- tables.sorted) {
+        val src = Tables(spark, sf, t).schema.map(f => f.name -> f.dataType)
+        val got = Tables(spark, out, t).schema.map(f => f.name -> f.dataType)
+        assert(got == src,
+          s"ScaleUp drifted $t: source surfaces $src, output surfaces $got")
+      }
+      val ev = Tables.events(spark, out).schema.map(f => f.name -> f.dataType).toMap
+      assert(ev("ts") == TimestampType,
+        s"ScaleUp events.ts surfaced as ${ev("ts")} through Tables.events")
+      // replication sanity: row counts doubled for a replicated table
+      assert(Tables(spark, out, "documents").count() ==
+        2 * Tables(spark, sf, "documents").count())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(out))
+    }
+  }
+
   test("orders/lineitem date columns surface as a datetime type") {
     val o = Tables(spark, sf, "orders").schema.map(f => f.name -> f.dataType).toMap
     val l = Tables(spark, sf, "lineitem").schema.map(f => f.name -> f.dataType).toMap

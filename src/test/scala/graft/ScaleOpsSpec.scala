@@ -73,6 +73,37 @@ class ScaleOpsSpec extends AnyFunSuite {
       "zero-shuffle signature path diverged from the aggregate path")
   }
 
+  test("hash-aggregate lshCandidates equals the windowed self-join form") {
+    // r10 rewrite gate: the capped-collect + map-side pair explode must
+    // produce the IDENTICAL candidate set as the r2–r9 window-sort +
+    // self-join formulation, on the real fixture signatures — at the
+    // default cap and at a tight cap that actually drops buckets.
+    val sigs = MinHash.signatures(graft.queries.ScaleOps.hashedShingles(spark, sf))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (cap <- Seq(500, 2)) {
+        val fast = pairs(MinHash.lshCandidates(sigs, maxBucketSize = cap))
+        val ref = pairs(MinHash.lshCandidatesWindowed(sigs, 16, cap, 64))
+        assert(fast === ref, s"candidate sets diverged at cap=$cap")
+      }
+      assert(pairs(MinHash.lshCandidates(sigs)).nonEmpty)
+    } finally { sigs.unpersist(false); () }
+  }
+
+  test("lshCandidates drops oversized buckets WHOLE (capped-collect bound)") {
+    import spark.implicits._
+    // 6 docs with an identical signature → one bucket of 6 per band.
+    // cap=5 ⇒ every bucket oversized ⇒ zero pairs (drop-whole, never
+    // truncate-to-first-5); cap=6 ⇒ all 15 pairs.
+    val sig = (0 until 64).map(_.toLong)
+    val sigs = (0L until 6L).map(d => (d, sig)).toDF("doc_id", "sig")
+    assert(MinHash.lshCandidates(sigs, maxBucketSize = 5).count() === 0L)
+    assert(MinHash.lshCandidates(sigs, maxBucketSize = 6).count() === 15L)
+    assert(MinHash.droppedBuckets(sigs, 16, 5) === 16L)
+  }
+
   test("row-local SimHash fingerprints equal the grouped-aggregate form") {
     import org.apache.spark.sql.functions.{col, explode, lower, split}
     val toks = Tables(spark, sf, "documents")
