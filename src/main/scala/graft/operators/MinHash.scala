@@ -35,6 +35,43 @@ object MinHash {
     Seq.fill(numHashes)((rnd.nextInt(Int.MaxValue).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
   }
 
+  /** The adaptive band dial: the FEWEST bands (= cheapest run — the
+    * bucket relation is n·bands rows, and bands is the multiplier on
+    * every candidate-side cost) whose false-negative probability at the
+    * caller's similarity threshold stays within `maxMiss`.
+    *
+    * For a pair with Jaccard similarity s, banding `numHashes` hashes
+    * into b bands of r = numHashes/b rows misses the pair with
+    * probability (1 − s^r)^b. Fewer bands ⇒ larger r ⇒ a sharper
+    * threshold curve shifted RIGHT (misses more true pairs near the
+    * threshold) but fewer buckets to shuffle and fewer false-positive
+    * candidates to verify. This scans the divisors of `numHashes` in
+    * ascending band count and returns the first meeting the bound —
+    * replacing the manual sweep-table guidance with the closed form the
+    * sweep was sampling. At the 64-hash default: threshold 0.9 → 8
+    * bands, 0.8 → 16 (the registered queries' hand-picked dial), 0.7 →
+    * 16, 0.6 → 32, 0.5 → 32.
+    *
+    * Throws when even r = 1 (every hash its own band, miss probability
+    * (1 − s)^numHashes) cannot meet the bound: then `numHashes` itself
+    * is too small for the threshold — raise it; no banding can help.
+    */
+  def bandsFor(threshold: Double, numHashes: Int = 64,
+               maxMiss: Double = 0.02): Int = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(maxMiss > 0.0 && maxMiss < 1.0,
+      s"maxMiss must be in (0, 1), got $maxMiss")
+    (1 to numHashes).filter(numHashes % _ == 0)
+      .find { b =>
+        val r = numHashes / b
+        math.pow(1.0 - math.pow(threshold, r), b) <= maxMiss
+      }
+      .getOrElse(throw new IllegalArgumentException(
+        f"numHashes=$numHashes cannot reach miss<=$maxMiss%.3f at " +
+          f"threshold=$threshold%.2f even with 1-row bands - raise numHashes"))
+  }
+
   /** doc_id, sig: array<long> of `numHashes` minhash values.
     * Input: (doc_id, s) distinct shingle rows. Pre-hashed long shingles
     * take the [[graft.functions.MinHashSignature]] imperative aggregate

@@ -92,6 +92,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally { sigs.unpersist(false); () }
   }
 
+  test("bandsFor picks the cheapest banding meeting the miss bound") {
+    // Fixed points at the 64-hash default (hand-checked against the
+    // (1 - s^r)^b closed form; 0.8 reproduces the registered queries'
+    // hand-picked 16-band dial).
+    assert(MinHash.bandsFor(0.9) === 8)
+    assert(MinHash.bandsFor(0.8) === 16)
+    assert(MinHash.bandsFor(0.7) === 16)
+    assert(MinHash.bandsFor(0.6) === 32)
+    assert(MinHash.bandsFor(0.5) === 32)
+    // Properties: result divides numHashes, meets the bound, and the
+    // next-cheaper divisor does NOT (minimality); dial is monotone —
+    // a looser threshold never needs fewer bands.
+    for (th <- Seq(0.5, 0.6, 0.7, 0.8, 0.9, 0.95); nh <- Seq(64, 128)) {
+      val b = MinHash.bandsFor(th, nh)
+      assert(nh % b === 0)
+      def miss(bb: Int) = math.pow(1.0 - math.pow(th, nh / bb), bb)
+      assert(miss(b) <= 0.02)
+      val cheaper = (1 until b).filter(nh % _ == 0)
+      assert(cheaper.forall(miss(_) > 0.02), s"not minimal at th=$th nh=$nh")
+    }
+    val dials = Seq(0.95, 0.9, 0.8, 0.7, 0.6).map(MinHash.bandsFor(_))
+    assert(dials === dials.sorted, "dial must loosen monotonically")
+    // Unreachable bound: even 1-row bands can't catch 0.01-similar pairs
+    // with 64 hashes at 2% miss.
+    intercept[IllegalArgumentException] { MinHash.bandsFor(0.01, 64) }
+    ()
+  }
+
   test("lshCandidates drops oversized buckets WHOLE (capped-collect bound)") {
     import spark.implicits._
     // 6 docs with an identical signature → one bucket of 6 per band.
