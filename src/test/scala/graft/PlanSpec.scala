@@ -254,6 +254,43 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("BroadcastNestedLoop"), p)
     }
 
+  test("lshCandidates plans as hash aggregation — no sort, no self-join") {
+    // The r10 rewrite's whole point (PERF.md round-10 addendum): the
+    // n·bands bucket relation goes through ONE hash aggregate into capped
+    // membership arrays and pairs explode map-side. A Sort, SortAggregate
+    // or any Join node here is the n·log n window/self-join formulation
+    // coming back — the measured term behind the pre-r10 +14%-over-linear
+    // last decade.
+    val sigs = graft.operators.MinHash.signatures(
+      graft.queries.ScaleOps.hashedShingles(spark, sf))
+    val p = graft.operators.MinHash.lshCandidates(sigs)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0) // AQE prints Final then Initial
+    assert(!p.contains("Sort ["), s"a physical sort crept into lshCandidates:\n$p")
+    assert(!p.contains("SortAggregate"), s"aggregate fell back to sort-based:\n$p")
+    assert(!p.contains("Join"), s"the bucket self-join came back:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("HashAggregate"),
+      s"no hash aggregate found:\n$p")
+  }
+
+  test("win_range_frame_stats runs every aggregate family on two shared sorts") {
+    // The r10 pass fusion: count/sum read the previous band's frame slice
+    // off the SAME descending suffix pass min/max/first/last use, so the
+    // whole multi-aggregate query sorts exactly 3 times — the ascending
+    // intra-band pass, the descending probe pass, and the oracle
+    // contract's output ORDER BY. A 4th sort is the deleted ascending
+    // count/sum walk (or the whole-partition totals walk) regressing.
+    // Needs the FINALIZED adaptive plan: pre-AQE the probe join-back
+    // still shows as SMJ with its own (order-satisfied) sorts.
+    val df = SparkEntry.queries("win_range_frame_stats")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("isFinalPlan=true"), s"AQE did not finalize:\n$p")
+    val sorts = p.linesIterator.count(_.contains("Sort ["))
+    assert(sorts <= 3, s"expected <=3 physical sorts, found $sorts:\n$p")
+    assert(!p.contains("SortAggregate"), p)
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // At 100 TB the win: a selective dim filter becomes a bloom filter
     // EVALUATED INSIDE the fact scan, so most of the fact table never
