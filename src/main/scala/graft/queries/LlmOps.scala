@@ -422,6 +422,60 @@ object LlmOps {
         .select(col("doc_id"), md5(col("text")).as("fp"))
         .join(minSh, Seq("doc_id"), "left")
         .orderBy(col("doc_id"))
+    },
+
+    // -- intra-document repetition signals (round 10) ------------------------
+    // The Gopher repetition rules (Rae et al. 2021 §A1.1), token-adapted:
+    // the most frequent bigram's share of bigram slots and the duplicate
+    // fraction of trigram instances. Trigram stats are computed PER ROW
+    // (array_distinct over the row's trigram array — zero shuffle); the
+    // top bigram goes through one map-side-combinable (doc_id, bigram)
+    // count and a deterministic struct-max argmax (count, then bytewise-
+    // greatest bigram — mirrored as ORDER BY c DESC, bg DESC in the
+    // oracle's ROW_NUMBER).
+    "text_repetition" -> { (s, dir) =>
+      val toks = filter(split(lower(col("text")), " "),
+        (t: Column) => t =!= "")
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= 3)
+      val tri = base.select(
+        col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        transform(sequence(lit(1), size(col("t")) - 2), (i: Column) =>
+          concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1),
+            element_at(col("t"), i + 2))).as("tgs"))
+        .select(col("doc_id"), col("n_tokens"),
+          (size(col("tgs"))).cast("long").as("n_tri"),
+          (size(col("tgs")) - size(array_distinct(col("tgs"))))
+            .cast("long").as("n_tri_dup"))
+      val top = base
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("t")) - 1),
+            (i: Column) => concat_ws(" ", element_at(col("t"), i),
+              element_at(col("t"), i + 1)))).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(struct(col("c"), col("bg"))).as("m"))
+        .select(col("doc_id"), col("m.bg").as("top_bigram"),
+          col("m.c").as("top_bigram_n"))
+      tri.join(top, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("top_bigram"),
+          col("top_bigram_n"),
+          round(col("top_bigram_n") / (col("n_tokens") - 1), 6)
+            .as("top_bigram_frac"),
+          round(col("n_tri_dup") / col("n_tri"), 6).as("dup_trigram_frac"))
+        .orderBy(col("doc_id"))
+    },
+
+    // -- cross-document repeated substrings (round 10) -----------------------
+    // Character-level verbatim-overlap pairs — the ExactSubstr dedup idea
+    // (Lee et al. 2022) in its k-gram relational form; see
+    // [[graft.operators.SubstringDedup]] for the sort-free plan shape.
+    "dedup_substring" -> { (s, dir) =>
+      graft.operators.SubstringDedup
+        .sharedGramPairs(Tables(s, dir, "documents"))
+        .orderBy(col("d1"), col("d2"))
     }
   )
 
@@ -638,6 +692,56 @@ object LlmOps {
         |  FROM sh GROUP BY doc_id)
         |SELECT d.doc_id, md5(d.text) AS fp, min_shingle_fp, n_shingles
         |FROM documents d LEFT JOIN minsh USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |base AS (SELECT doc_id, t, len(t) AS n_tokens FROM toks
+        |         WHERE len(t) >= 3),
+        |big AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+        |  FROM base, LATERAL unnest(generate_series(1, len(t)-1)) AS u(i)),
+        |bgc AS (SELECT doc_id, bg, COUNT(*) c FROM big GROUP BY 1, 2),
+        |top AS (
+        |  SELECT doc_id, bg AS top_bigram, c AS top_bigram_n FROM (
+        |    SELECT doc_id, bg, c,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                         ORDER BY c DESC, bg DESC) rn
+        |    FROM bgc) WHERE rn = 1),
+        |tri AS (
+        |  SELECT doc_id, n_tokens,
+        |    len(t) - 2 AS n_tri,
+        |    len(t) - 2 - len(list_distinct(list_transform(
+        |      generate_series(1, len(t)-2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS n_tri_dup
+        |  FROM base)
+        |SELECT tri.doc_id, tri.n_tokens, top.top_bigram,
+        |  CAST(top.top_bigram_n AS BIGINT) AS top_bigram_n,
+        |  ROUND(CAST(top.top_bigram_n AS DOUBLE) / (tri.n_tokens - 1), 6)
+        |    AS top_bigram_frac,
+        |  ROUND(CAST(tri.n_tri_dup AS DOUBLE) / tri.n_tri, 6)
+        |    AS dup_trigram_frac
+        |FROM tri JOIN top USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Exact string grams here vs xxhash64'd grams on the Spark side:
+    // equality up to 64-bit collisions (~10^-10 at fixture gram counts —
+    // the hashed-shingle Jaccard budget), and the sf0.01 corpus is far
+    // under the drop-whole cap (max gram group = 3), so the capped scale
+    // path and this uncapped oracle agree exactly.
+    "dedup_substring" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, substr(text, i, 40) AS gr
+        |  FROM documents,
+        |       LATERAL unnest(generate_series(1, length(text)-39)) AS t(i)
+        |  WHERE length(text) >= 40)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+        |FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) >= 5
+        |ORDER BY d1, d2""".stripMargin
   )
 }
