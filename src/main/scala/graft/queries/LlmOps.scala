@@ -468,6 +468,28 @@ object LlmOps {
         .orderBy(col("doc_id"))
     },
 
+    // -- token-distribution entropy (round 10) -------------------------------
+    // Shannon entropy of each doc's token histogram — the standard
+    // gibberish/boilerplate filter complementing ttr (low entropy =
+    // repetitive/templated, near-log2(n) = no reuse at all). Computed as
+    // log2(n) − (Σ c·log2 c)/n from ONE (doc_id, token) count — two
+    // map-side-combinable hash aggregates, no window, no join. Float
+    // honesty: the Σ c·log2 c fold order differs across engines (~1e-15);
+    // round(…, 6) absorbs it — the agg_corr/regr/stddev budget.
+    "text_entropy" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"),
+          sum(col("c") * log(2.0, col("c"))).as("sclc"))
+        .select(col("doc_id"), col("n").as("n_tokens"), col("n_distinct"),
+          round(log(2.0, col("n")) - col("sclc") / col("n"), 6).as("entropy"))
+        .orderBy(col("doc_id"))
+    },
+
     // -- cross-document repeated substrings (round 10) -----------------------
     // Character-level verbatim-overlap pairs — the ExactSubstr dedup idea
     // (Lee et al. 2022) in its k-gram relational form; see
@@ -726,6 +748,24 @@ object LlmOps {
         |    AS dup_trigram_frac
         |FROM tri JOIN top USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // DuckDB log2() vs Spark's ln(x)/ln 2: last-ulp disagreement per
+    // term, absorbed by round(…, 6) after the fold (see the query's
+    // float-honesty note).
+    "text_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents),
+        |wc AS (SELECT doc_id, w, COUNT(*) c FROM toks
+        |       WHERE w <> '' GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, SUM(c) n, COUNT(*) n_distinct,
+        |               SUM(c * log2(CAST(c AS DOUBLE))) s
+        |        FROM wc GROUP BY 1)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  ROUND(log2(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE), 6)
+        |    AS entropy
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     // Exact string grams here vs xxhash64'd grams on the Spark side:
     // equality up to 64-bit collisions (~10^-10 at fixture gram counts —
