@@ -273,6 +273,23 @@ class PlanSpec extends AnyFunSuite {
       s"no hash aggregate found:\n$p")
   }
 
+  test("dedup_substring plans as hash aggregation — no sort, no self-join") {
+    // Same gate as lshCandidates: the gram relation goes through ONE
+    // hash aggregate into capped membership arrays and pairs explode
+    // map-side; a Sort/SortAggregate/Join node is the n·log n self-join
+    // formulation sneaking in. (The registered query's final ORDER BY is
+    // excluded by auditing the operator frame, as with lshCandidates.)
+    val p = graft.operators.SubstringDedup
+      .sharedGramPairs(Tables(spark, sf, "documents"))
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("Sort ["), s"a physical sort crept into dedup_substring:\n$p")
+    assert(!p.contains("SortAggregate"), s"aggregate fell back to sort-based:\n$p")
+    assert(!p.contains("Join"), s"a self-join came back:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("HashAggregate"),
+      s"no hash aggregate found:\n$p")
+  }
+
   test("win_range_frame_stats runs every aggregate family on two shared sorts") {
     // The r10 pass fusion: count/sum read the previous band's frame slice
     // off the SAME descending suffix pass min/max/first/last use, so the
