@@ -107,4 +107,35 @@ object CappedLongCollect {
       name, exprs => CappedLongCollect(exprs.head, cap), "scala_udf")
     name
   }
+
+  /** The ONE capped group→pairs shape shared by the LSH candidate join
+    * ([[graft.operators.MinHash.lshCandidates]]) and substring dedup
+    * ([[graft.operators.SubstringDedup.sharedGramPairs]]): group `df` by
+    * `keys`, capped-collect the long `idCol` per group, DROP groups over
+    * `cap` WHOLE (truncation would be partition-order-dependent), and
+    * explode each surviving group's sorted membership into (d1, d2)
+    * pairs map-side — one hash-aggregate shuffle, no sort, no self-join
+    * anywhere (the r10 rewrite both call sites' PERF numbers depend on).
+    * Pairs are NOT deduplicated here: a pair surfaces once per group it
+    * shares — callers `.distinct()` (candidates) or count per pair
+    * (shared-gram extent) as their semantics need.
+    */
+  def groupPairs(df: org.apache.spark.sql.DataFrame,
+                 keys: Seq[org.apache.spark.sql.Column],
+                 idCol: org.apache.spark.sql.Column,
+                 cap: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fn = register(df.sparkSession, cap)
+    // size ≤ cap ⇒ EXACT membership; size = cap+1 ⇒ true size > cap
+    // (drop whole). Sorting the ≤cap array makes d1 < d2 by construction.
+    df.groupBy(keys: _*)
+      .agg(call_function(fn, idCol).as("docs"))
+      .filter(size(col("docs")).between(2, cap))
+      .select(array_sort(col("docs")).as("docs"))
+      .select(posexplode(col("docs")).as(Seq("i", "d1")), col("docs"))
+      // partners of the element at 0-based pos i: 1-based slice i+2 …
+      // end (slice clamps an oversized length; start past the end → [])
+      .select(col("d1"),
+        explode(slice(col("docs"), col("i") + lit(2), size(col("docs")))).as("d2"))
+  }
 }

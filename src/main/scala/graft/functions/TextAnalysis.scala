@@ -18,11 +18,29 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
 
+  /** Whitespace written as an EXPLICIT class (for embedding in [...]):
+    * Java regex \\s includes \\x0B (vertical tab) where RE2's — DuckDB's
+    * engine — does not, the one ASCII character the two shorthands
+    * disagree on. Every tokenizer here and every mirrored oracle regex
+    * uses this class, so a \\x0B in a document cannot split tokens on one
+    * engine and not the other.
+    */
+  val Ws: String = " \\t\\n\\x0B\\f\\r"
+
+  /** `\\s+` with the explicit class — the shared tokenizer split. */
+  val WsPlus: String = s"[$Ws]+"
+
+  /** The BPE-ish unit pattern — ONE definition interpolated into both
+    * the engine expression ([[tokenCountBpeIsh]]) and the DuckDB oracle
+    * text (a hand-copy in the SQL string would drift silently).
+    */
+  val BpeIshPattern: String = s"[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}$Ws]"
+
   /** Language guess from marker-word hits; deterministic tiebreak by the
     * declaration order above ("und" = no hits at all).
     */
   def languageId(text: Column): Column =
-    languageIdTokens(split(lower(text), "\\s+"))
+    languageIdTokens(split(lower(text), WsPlus))
 
   /** [[languageId]] over a pre-tokenised column. Higher-order functions
     * are CodegenFallback, so callers scoring many languages should
@@ -58,7 +76,7 @@ object TextAnalysis {
         words.map(w => (w, lang, pri))
       }.toDF("w", "lang", "pri"))
     val hits = docs
-      .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .select(col(idCol), explode(split(lower(col(textCol)), WsPlus)).as("w"))
       .join(markers, Seq("w"))
       .groupBy(col(idCol), col("lang"), col("pri"))
       .agg(count(lit(1)).as("score"))
@@ -77,7 +95,7 @@ object TextAnalysis {
 
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column =
-    size(filter(split(text, "\\s+"), (t: Column) => t =!= ""))
+    size(filter(split(text, WsPlus), (t: Column) => t =!= ""))
 
   /** BPE-ish subword-unit count: words + digit runs + punctuation marks
     * counted separately (a cheap stand-in for a real tokenizer's unit
@@ -90,7 +108,7 @@ object TextAnalysis {
     * form is RE2-expressible so the DuckDB oracle can mirror it verbatim.
     */
   def tokenCountBpeIsh(text: Column): Column =
-    size(regexp_extract_all(text, lit("[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}\\s]"), lit(0)))
+    size(regexp_extract_all(text, lit(BpeIshPattern), lit(0)))
 
   /** The original lookaround-split formulation, kept as the reference the
     * spec compares [[tokenCountBpeIsh]] against.

@@ -181,6 +181,12 @@ object Ivf {
     val agg =
       try train
         .withColumn("cell", element_at(nc(col("e")), 1))
+        // NearestCells is null-safe, so a null embedding yields a null
+        // cell; without this filter the null group's getLong(0) reads 0
+        // (aliasing onto real cell id 0) and its null sum NPEs the mean.
+        // The r9 join-based step dropped the group implicitly — keep
+        // that behavior explicit.
+        .filter(col("cell").isNotNull)
         .groupBy(col("cell"))
         .agg(call_function("vec_sum", col("e")).as("s"), count(lit(1)).as("cnt"))
         .collect()

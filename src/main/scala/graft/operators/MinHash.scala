@@ -143,21 +143,9 @@ object MinHash {
     if (sigs.schema("doc_id").dataType !=
         org.apache.spark.sql.types.LongType)
       return lshCandidatesWindowed(sigs, bands, maxBucketSize, numHashes)
-    val fn = graft.functions.CappedLongCollect.register(
-      sigs.sparkSession, maxBucketSize)
-    // size ≤ cap ⇒ EXACT membership; size = cap+1 ⇒ true size > cap
-    // (drop whole). Sorting the ≤cap array makes d1 < d2 by construction.
-    val buckets = bucketRows(sigs, bands, numHashes)
-      .groupBy(col("band"), col("key"))
-      .agg(call_function(fn, col("doc_id")).as("docs"))
-      .filter(size(col("docs")).between(2, maxBucketSize))
-      .select(array_sort(col("docs")).as("docs"))
-    buckets
-      .select(posexplode(col("docs")).as(Seq("i", "d1")), col("docs"))
-      // partners of the element at 0-based pos i: 1-based slice i+2 …
-      // end (slice clamps an oversized length; start past the end → [])
-      .select(col("d1"),
-        explode(slice(col("docs"), col("i") + lit(2), size(col("docs")))).as("d2"))
+    graft.functions.CappedLongCollect.groupPairs(
+        bucketRows(sigs, bands, numHashes),
+        Seq(col("band"), col("key")), col("doc_id"), maxBucketSize)
       .distinct()
   }
 

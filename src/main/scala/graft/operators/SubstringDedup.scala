@@ -74,18 +74,9 @@ object SubstringDedup {
                       minShared: Long = 5L, maxGroup: Int = 500,
                       idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    val fn = graft.functions.CappedLongCollect.register(
-      docs.sparkSession, maxGroup)
-    grams(docs, gramLen, idCol, textCol)
-      .groupBy(col("g"))
-      .agg(call_function(fn, col("doc_id")).as("docs"))
-      // size ≤ cap ⇒ EXACT membership; size = cap+1 ⇒ true size > cap
-      // (drop whole). Sorting the ≤cap array makes d1 < d2 below.
-      .filter(size(col("docs")).between(2, maxGroup))
-      .select(array_sort(col("docs")).as("docs"))
-      .select(posexplode(col("docs")).as(Seq("i", "d1")), col("docs"))
-      .select(col("d1"),
-        explode(slice(col("docs"), col("i") + lit(2), size(col("docs")))).as("d2"))
+    graft.functions.CappedLongCollect.groupPairs(
+        grams(docs, gramLen, idCol, textCol),
+        Seq(col("g")), col("doc_id"), maxGroup)
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)

@@ -218,7 +218,7 @@ object ScaleOps {
     "text_langid" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       docs
-        .withColumn("toks", split(lower(col("text")), "\\s+"))
+        .withColumn("toks", split(lower(col("text")), TextAnalysis.WsPlus))
         .select(col("doc_id"), col("lang").as("declared_lang"),
           size(filter(col("toks"), (t: Column) => t =!= "")).as("n_tokens_ws"),
           TextAnalysis.tokenCountBpeIsh(col("text")).as("n_tokens_bpeish"),
@@ -282,7 +282,7 @@ object ScaleOps {
     Map(
       "text_langid" ->
         s"""WITH toks AS (
-           |  SELECT doc_id, lang, text, string_split_regex(lower(text), '\\s+') AS t
+           |  SELECT doc_id, lang, text, string_split_regex(lower(text), '${TextAnalysis.WsPlus}') AS t
            |  FROM documents),
            |scored AS (
            |  SELECT doc_id, lang, text, t,
@@ -295,7 +295,7 @@ object ScaleOps {
            |    ELSE 'und'
            |  END AS guessed_lang,
            |  len(list_filter(t, x -> x <> '')) AS n_tokens_ws,
-           |  len(regexp_extract_all(text, '[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}\\s]')) AS n_tokens_bpeish,
+           |  len(regexp_extract_all(text, '${TextAnalysis.BpeIshPattern}')) AS n_tokens_bpeish,
            |  CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp
            |FROM scored""".stripMargin)
   }

@@ -656,6 +656,13 @@ private[sources] class HttpCursorReader(
       if (items.size() > 0 && nextTok.isDefined &&
           (limit < 0 || fetchedSoFar < limit))
         inFlight = submit(nextTok)
+      // items.toString + fetcher.parse re-serializes and re-parses the
+      // subtree the readTree above already built — two extra O(page)
+      // passes, accepted deliberately: pages are bounded by pageSize and
+      // the path is network-bound (fetch-ahead hides the wire, not CPU),
+      // while hand-converting JsonNode→InternalRow here would fork a
+      // second schema-mapping implementation away from the ONE
+      // JacksonParser every other graft-http path funnels through.
       rows =
         if (items.size() == 0) Iterator.empty
         else fetcher.parse(items.toString).iterator

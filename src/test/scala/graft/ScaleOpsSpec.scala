@@ -594,8 +594,11 @@ class ScaleOpsSpec extends AnyFunSuite {
     // corpus plus hand-picked edges (leading/trailing punctuation,
     // digit runs glued to letters, consecutive marks, whitespace runs).
     import spark.implicits._
+    // \x0B (vertical tab) is the one ASCII char Java's \s includes and
+    // RE2's excludes — the r10 explicit Ws class (TextAnalysis.Ws) must
+    // treat it as whitespace in BOTH formulations.
     val edges = Seq("", "   ", "a", "a1b2", "!!", "a,b.c", " x-2 ",
-      "tab\tsep\nnl", "é ü ß 漢字, ok", "1 2  3...4").toDF("text")
+      "tab\tsep\nnl", "vt\u000Bsplit", "é ü ß 漢字, ok", "1 2  3...4").toDF("text")
     val corpus = graft.Tables(spark, sf, "documents").select(col("text"))
     for (df <- Seq(edges, corpus)) {
       val off = df.select(
