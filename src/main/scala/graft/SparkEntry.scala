@@ -23,7 +23,8 @@ object SparkEntry {
     Relational.queries ++ Joins.queries ++ SetSort.queries ++
       Scalars.queries ++ Windows.queries ++ LlmOps.queries ++
       ScaleOps.queries ++ EventTime.queries ++ Udx.queries ++
-      Extra.queries ++ Extra2.queries ++ Extra3.queries ++ Tpch.queries ++
+      Extra.queries ++ Extra2.queries ++ Extra3.queries ++ Extra4.queries ++
+      Tpch.queries ++
       Tpch2.queries ++
       Embeddings.queries ++ Pipeline.queries ++ Analytics.queries ++ Map(
         // Reference-parity pipeline over the embedded fixture; nested CoT
@@ -52,6 +53,7 @@ object SparkEntry {
       Scalars.oracle ++ Windows.oracle ++ LlmOps.oracle ++
       ScaleOps.oracle ++
       EventTime.oracle ++ Udx.oracle ++ Extra.oracle ++ Extra2.oracle ++
-      Extra3.oracle ++ Tpch.oracle ++ Tpch2.oracle ++ Embeddings.oracle ++
+      Extra3.oracle ++ Extra4.oracle ++ Tpch.oracle ++ Tpch2.oracle ++
+      Embeddings.oracle ++
       Pipeline.oracle ++ Analytics.oracle
 }

@@ -132,7 +132,7 @@ object LlmOps {
   /** Embedding as double array + its L2 norm (computed once per vector —
     * pairwise joins then only need the dot product).
     */
-  private def normalized(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def normalized(s: SparkSession, dir: String): DataFrame = {
     val e = transform(col("embedding"), (x: Column) => x.cast("double"))
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), e.as("e"))

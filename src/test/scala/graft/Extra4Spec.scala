@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Extra4
+
+/** Crafted-input tests for the round-10 Extra4 operators. The DuckDB
+  * oracle (144-query set) is the primary gate for these queries; this
+  * spec pins the ALGORITHMIC properties crafted fixtures can show and
+  * hash-comparison can't: the winnowing guarantee, tolerance as-of
+  * exclusion semantics, Gopher rule attribution, boilerplate df
+  * thresholding, and z-score math.
+  */
+class Extra4Spec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // ---- winnowing -------------------------------------------------------
+
+  private def fps(texts: Seq[String]): Map[String, Seq[String]] =
+    texts.zipWithIndex.toDF("text", "doc_id")
+      .filter(length(col("text")) >= Extra4.WinnowK + Extra4.WinnowW - 1)
+      .select(col("doc_id"), Extra4.winnowFingerprints(col("text")).as("f"))
+      .collect()
+      .map(r => r.getInt(0).toString -> r.getSeq[String](1))
+      .toMap
+
+  test("winnowing guarantee: a shared substring of length >= k+w-1 yields a shared fingerprint") {
+    // k=8, w=4 → guarantee threshold 11 chars. The two texts share a
+    // 20-char span inside otherwise-different content.
+    val shared = "zqxjvwpkyhgfdtrmnbcl"
+    val m = fps(Seq(s"aaaaaaaaaaaa${shared}bbbbbbbbbbbb",
+                    s"cccccccccccc${shared}dddddddddddd"))
+    assert(m("0").toSet.intersect(m("1").toSet).nonEmpty,
+      "documents sharing a 20-char substring must share a fingerprint")
+  }
+
+  test("winnowing density: fingerprints are a strict subset of gram hashes and deterministic") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val m1 = fps(Seq(text)); val m2 = fps(Seq(text))
+    assert(m1("0") == m2("0"), "fingerprints must be deterministic")
+    val nGrams = text.length - Extra4.WinnowK + 1
+    assert(m1("0").nonEmpty && m1("0").size < nGrams,
+      s"expected 0 < n_fp < $nGrams gram hashes, got ${m1("0").size}")
+    assert(m1("0") == m1("0").sorted && m1("0").distinct == m1("0"),
+      "fingerprint set must be sorted and distinct")
+  }
+
+  test("winnowing: disjoint-alphabet texts share no fingerprints") {
+    val m = fps(Seq("abababababababababababab", "cdcdcdcdcdcdcdcdcdcdcdcd"))
+    assert(m("0").toSet.intersect(m("1").toSet).isEmpty)
+  }
+
+  // ---- tolerance as-of -------------------------------------------------
+
+  test("asofTolerance picks the latest in-window match and drops out-of-tolerance lefts") {
+    val left = Seq(
+      (1L, 10L, "2024-01-01 12:00:00"),  // two candidates in window
+      (2L, 10L, "2024-01-01 23:00:00"),  // nearest candidate 7h old → no match
+      (3L, 20L, "2024-01-01 12:00:00")   // key with no right rows at all
+    ).toDF("id", "k", "t").withColumn("t", col("t").cast("timestamp"))
+    val right = Seq(
+      (100L, 10L, "2024-01-01 10:00:00"),
+      (101L, 10L, "2024-01-01 11:30:00"),
+      (102L, 30L, "2024-01-01 12:00:00")
+    ).toDF("rid", "rk", "rt").withColumn("rt", col("rt").cast("timestamp"))
+    val out = Extra4.asofTolerance(left, right,
+        leftId = col("id"), leftKey = col("k"), rightKey = col("rk"),
+        leftTime = col("t"), rightTime = col("rt"),
+        rightTieBreak = col("rid"), tolerance = "6 HOURS")
+      .select(col("id"), col("rid")).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 101L),
+      s"expected only left 1 matched to the later candidate 101, got $out")
+  }
+
+  test("asofTolerance breaks exact-time ties by greatest tiebreak") {
+    val left = Seq((1L, 10L, "2024-01-01 12:00:00"))
+      .toDF("id", "k", "t").withColumn("t", col("t").cast("timestamp"))
+    val right = Seq(
+      (100L, 10L, "2024-01-01 11:00:00"),
+      (200L, 10L, "2024-01-01 11:00:00")
+    ).toDF("rid", "rk", "rt").withColumn("rt", col("rt").cast("timestamp"))
+    val out = Extra4.asofTolerance(left, right,
+        leftId = col("id"), leftKey = col("k"), rightKey = col("rk"),
+        leftTime = col("t"), rightTime = col("rt"),
+        rightTieBreak = col("rid"), tolerance = "6 HOURS")
+      .select(col("rid")).as[Long].collect().toSeq
+    assert(out == Seq(200L))
+  }
+
+  // ---- Gopher quality gate ---------------------------------------------
+
+  test("gopherQuality attributes each failing rule independently") {
+    val longDoc = (Seq.fill(30)("the table") ++ Seq.fill(20)("a value"))
+      .mkString(" ")                               // 100 words, passes all
+    val shortDoc = "the a short doc"               // fails ok_len only
+    val longWords = Seq.fill(60)("extraordinarily the a").mkString(" ")
+      // mean word length (17+3+1)/3 = 7 → passes; craft a failing one:
+    val thinWords = (Seq.fill(60)("a b") ++ Seq("the")).mkString(" ")
+      // 121 words, mean len ~1 → fails ok_word_len; has the+a → ok_stop
+    val noStops = Seq.fill(80)("table value").mkString(" ")
+      // 160 words, no stopwords → fails ok_stop only
+    val rows = Extra4.gopherQuality(
+        Seq((0L, longDoc), (1L, shortDoc), (2L, thinWords), (3L, noStops),
+            (4L, longWords))
+          .toDF("doc_id", "text"))
+      .select(col("doc_id"), col("ok_len"), col("ok_word_len"),
+        col("ok_alpha"), col("ok_stop"), col("keep"))
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rows(0L) == (0L, true, true, true, true, true))
+    assert(!rows(1L)._2 && rows(1L)._5 && !rows(1L)._6,
+      s"short doc must fail ok_len only (stop rule still passes): ${rows(1L)}")
+    assert(rows(2L)._2 && !rows(2L)._3 && rows(2L)._5 && !rows(2L)._6,
+      s"thin-words doc must fail ok_word_len only: ${rows(2L)}")
+    assert(rows(3L)._2 && rows(3L)._3 && !rows(3L)._5 && !rows(3L)._6,
+      s"stopword-free doc must fail ok_stop only: ${rows(3L)}")
+    assert(rows(4L)._6, s"long-words doc expected to pass: ${rows(4L)}")
+  }
+
+  // ---- boilerplate -----------------------------------------------------
+
+  test("boilerplateSignals flags cross-document duplicated grams, not intra-doc repeats") {
+    val shared = "alpha beta gamma delta epsilon"     // one shared 5-gram
+    val d0 = s"$shared unique0 tokens here now"
+    val d1 = s"$shared other1 words go here"
+    val d2 = "совершенно different содержание without overlap at all"
+    // intra-doc repetition only — the same 5-gram twice in ONE doc must
+    // NOT count as boilerplate (df counts DISTINCT docs):
+    val d3 = "x1 x2 x3 x4 x5 x1 x2 x3 x4 x5"
+    val out = Extra4.boilerplateSignals(
+        Seq((0L, d0), (1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text"))
+      .select(col("doc_id"), col("n_boiler"), col("flagged"))
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._2 == 1 && out(1L)._2 == 1,
+      s"the shared 5-gram must count once per sharing doc: $out")
+    assert(out(2L)._2 == 0 && !out(2L)._3)
+    assert(out(3L)._2 == 0,
+      s"intra-doc repetition must not be boilerplate: ${out(3L)}")
+  }
+
+  // ---- z-score outliers -------------------------------------------------
+
+  test("ts_outlier z math matches a hand-computed stddev on the fixture shape") {
+    // Values 1..9 plus a 100 outlier for user 1; user 2 constant (sigma=0,
+    // excluded); user 3 has < 5 events (excluded).
+    val ev = ((1 to 9).map(i => (i.toLong, 1L, i.toDouble)) ++
+        Seq((10L, 1L, 100.0)) ++
+        (11 to 16).map(i => (i.toLong, 2L, 7.0)) ++
+        (17 to 19).map(i => (i.toLong, 3L, i.toDouble)))
+      .toDF("event_id", "user_id", "value")
+    val stats = ev.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n"), avg(col("value")).as("mu"),
+        stddev_samp(col("value")).as("sigma"))
+      .filter(col("n") >= 5 && col("sigma") > 0)
+    val out = ev.join(stats, "user_id")
+      .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 6))
+      .filter(abs(col("z")) > 2)
+      .select(col("event_id"), col("z")).as[(Long, Double)].collect().toMap
+    // user 1: mu = 14.5, sigma_samp = sqrt(sum((x-mu)^2)/9); the 100 is
+    // the only |z| > 2 point.
+    val vals = (1 to 9).map(_.toDouble) :+ 100.0
+    val mu = vals.sum / 10
+    val sigma = math.sqrt(vals.map(v => (v - mu) * (v - mu)).sum / 9)
+    val expectedZ = BigDecimal((100.0 - mu) / sigma)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.keySet == Set(10L), s"only the 100.0 point is an outlier: $out")
+    assert(math.abs(out(10L) - expectedZ) < 1e-9,
+      s"z mismatch: got ${out(10L)}, expected $expectedZ")
+  }
+}
