@@ -59,6 +59,38 @@ class Extra4Spec extends AnyFunSuite {
     assert(m("0").toSet.intersect(m("1").toSet).isEmpty)
   }
 
+  test("native winnow_fps is bit-identical to the declarative reference, incl. multi-byte text") {
+    graft.functions.WinnowFingerprints.register(spark)
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaaaaaaaaaa",                       // all-equal digests
+      "héllo wörld — ünïcode ärgument païrs över täst", // 2-byte chars
+      "日本語のテキストで窓最小化を検証する長い文章です",     // 3-byte chars
+      "mixed ascii と 日本語 and móre 🙂🙃 emoji 🙂 text",  // supplementary
+      (1 to 40).map(i => s"w$i").mkString(" "))
+    val df = texts.zipWithIndex.toDF("text", "doc_id")
+      .filter(length(col("text")) >= Extra4.WinnowK + Extra4.WinnowW - 1)
+    val both = df.select(col("doc_id"),
+        Extra4.winnowFingerprints(col("text")).as("ref"),
+        graft.functions.WinnowFingerprints(
+          col("text"), Extra4.WinnowK, Extra4.WinnowW).as("native"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"doc ${r.get(0)}: ref ${r.getSeq[String](1)} != native ${r.getSeq[String](2)}")
+    }
+  }
+
+  test("native winnow_fps returns an empty set below one full window") {
+    graft.functions.WinnowFingerprints.register(spark)
+    val out = Seq("tiny", "exactlyten!").toDF("text")  // 4 and 11 chars; k+w-1 = 11
+      .select(graft.functions.WinnowFingerprints(
+        col("text"), Extra4.WinnowK, Extra4.WinnowW).as("f"))
+      .collect().map(_.getSeq[String](0).size)
+    assert(out.toSeq == Seq(0, 1), s"expected sizes 0 and 1, got ${out.toSeq}")
+  }
+
   // ---- tolerance as-of -------------------------------------------------
 
   test("asofTolerance picks the latest in-window match and drops out-of-tolerance lefts") {

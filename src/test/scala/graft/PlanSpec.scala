@@ -290,6 +290,25 @@ class PlanSpec extends AnyFunSuite {
       s"no hash aggregate found:\n$p")
   }
 
+  test("text_winnow evaluates the fingerprint expression once, above the sort") {
+    // A global orderBy runs its input twice (RangePartitioner sketch pass
+    // + real pass), so the expensive winnow projection must sit ABOVE the
+    // Sort, projecting the narrow (doc_id, text) relation the exchange
+    // carries — measured 88.2 → 45.8 s at 100×. This gate fails if a
+    // future rewrite (or a new optimizer rule) pushes winnow_fps back
+    // below the Sort, silently restoring the 2×.
+    val p = plan("text_winnow").split("== Initial Plan ==")(0)
+    val lines = p.linesIterator.toIndexedSeq
+    val winnowAt = lines.indexWhere(_.contains("winnow_fps"))
+    val sortAt = lines.indexWhere(l => l.contains("Sort [doc_id"))
+    assert(winnowAt >= 0, s"winnow_fps not found in the plan:\n$p")
+    assert(sortAt >= 0, s"Sort not found in the plan:\n$p")
+    assert(winnowAt < sortAt,
+      s"winnow_fps (line $winnowAt) must be ABOVE the Sort (line $sortAt):\n$p")
+    assert(lines.count(_.contains("winnow_fps")) == 1,
+      s"winnow_fps appears in more than one plan node:\n$p")
+  }
+
   test("win_range_frame_stats runs every aggregate family on two shared sorts") {
     // The r10 pass fusion: count/sum read the previous band's frame slice
     // off the SAME descending suffix pass min/max/first/last use, so the
