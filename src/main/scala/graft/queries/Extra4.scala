@@ -286,6 +286,74 @@ object Extra4 {
         .filter(col("c") >= 0.30)
         .select(col("qid"), col("vec_id"), col("c"))
         .orderBy(col("qid"), col("vec_id"))
+    },
+
+    // -- unigram cross-entropy quality signal (round 10) -------------------
+    // The CCNet-style LM quality filter in relational form: per doc, the
+    // mean token surprisal −log2(p_corpus(token)) under the corpus's own
+    // unigram distribution — rote/templated docs score low, rare-token
+    // soup scores high. The token relation is persisted (three
+    // consumers: frequency aggregate, total count, per-doc join) and
+    // released after the eager checkpoint; corpus totals ride a one-row
+    // broadcast (the text_idf rule — never a collect).
+    "text_unigram_xent" -> { (s, dir) =>
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val total = tok.agg(count(lit(1)).as("n_total"))
+      try tok.join(freq, "w")
+        .crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(-log(2.0, col("cnt") / col("n_total"))), 6).as("xent"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      finally { tok.unpersist(false); () }
+    },
+
+    // -- nearest as-of join (round 10) -------------------------------------
+    // pandas merge_asof direction='nearest' with tolerance: the
+    // same-user click with the SMALLEST |Δt| within ±6 h, ties broken
+    // backward-first (click ≤ error preferred, pandas' rule) then by
+    // greatest click id. |Δt| compares in exact integer microseconds —
+    // no float boundary anywhere.
+    "join_asof_nearest" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("cuid"),
+          col("ts").as("click_ts"))
+      val diffUs = abs(unix_micros(col("click_ts")) - unix_micros(col("ts")))
+      errs.join(clicks,
+          col("user_id") === col("cuid") &&
+            col("click_ts") > col("ts") - expr("INTERVAL 6 HOURS") &&
+            col("click_ts") < col("ts") + expr("INTERVAL 6 HOURS"))
+        .withColumn("diff_us", diffUs)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_id"))
+            .orderBy(col("diff_us").asc,
+              when(col("click_ts") <= col("ts"), 0).otherwise(1).asc,
+              col("click_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          col("click_ts"), col("diff_us"))
+        .orderBy(col("event_id"))
+    },
+
+    // -- Bloom-filter membership screen (round 10) -------------------------
+    // Ingest-time approximate dedup: incoming docs probed against a
+    // Bloom filter of the seen corpus's content hashes — no false
+    // negatives, fpp-bounded false positives routed to exact
+    // verification. No oracle (the bit array is Spark's Murmur3 bloom,
+    // not portable SQL); Extra4Spec gates the guarantee cells and
+    // partitioning-invariance, the driver records rows-only.
+    "dedup_bloom" -> { (s, dir) =>
+      graft.operators.BloomDedup
+        .screenReport(s, Tables(s, dir, "documents"), splitId = 250L)
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -388,6 +456,33 @@ object Extra4 {
         |  SELECT qid, vec_id,
         |         ROUND(list_inner_product(qe, e) / (qnorm * norm), 5) c
         |  FROM q JOIN n ON vec_id <> qid)
-        |WHERE c >= 0.30 ORDER BY qid, vec_id""".stripMargin
+        |WHERE c >= 0.30 ORDER BY qid, vec_id""".stripMargin,
+
+    "text_unigram_xent" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) w FROM documents),
+        |t AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+        |freq AS (SELECT w, COUNT(*) cnt FROM t GROUP BY w),
+        |total AS (SELECT COUNT(*) n_total FROM t)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  ROUND(AVG(-log2(CAST(cnt AS DOUBLE) / n_total)), 6) AS xent
+        |FROM t JOIN freq USING (w), total
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "join_asof_nearest" ->
+      """SELECT event_id, user_id, click_id, click_ts, diff_us FROM (
+        |  SELECT e.event_id, e.user_id, c.event_id AS click_id,
+        |         c.ts::TIMESTAMP AS click_ts,
+        |         abs(epoch_us(c.ts::TIMESTAMP) - epoch_us(e.ts::TIMESTAMP)) AS diff_us,
+        |         ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |           ORDER BY abs(epoch_us(c.ts::TIMESTAMP) - epoch_us(e.ts::TIMESTAMP)),
+        |                    CASE WHEN c.ts <= e.ts THEN 0 ELSE 1 END,
+        |                    c.event_id DESC) AS rn
+        |  FROM events e JOIN events c
+        |    ON e.user_id = c.user_id
+        |   AND e.event_type = 'error' AND c.event_type = 'click'
+        |   AND c.ts > e.ts - INTERVAL '6 hours'
+        |   AND c.ts < e.ts + INTERVAL '6 hours')
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin
   )
 }

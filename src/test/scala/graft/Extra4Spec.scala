@@ -179,6 +179,40 @@ class Extra4Spec extends AnyFunSuite {
       s"intra-doc repetition must not be boilerplate: ${out(3L)}")
   }
 
+  // ---- bloom membership screen ------------------------------------------
+
+  test("dedup_bloom screen has zero false negatives and partitioning-invariant flags") {
+    // 200 seen docs; incoming = 100 true duplicates (same text) + 100
+    // fresh docs. Every true duplicate MUST be flagged (the bloom
+    // guarantee); false positives are allowed but must be rare and
+    // correctly labeled in the is_fp cell.
+    val docs = ((0L until 200L).map(i => (i, s"seen document body number $i")) ++
+        (200L until 300L).map(i => (i, s"seen document body number ${i - 200}")) ++
+        (300L until 400L).map(i => (i, s"fresh unseen content ${i * 31}")))
+      .toDF("doc_id", "text")
+    val out = graft.operators.BloomDedup
+      .screenReport(spark, docs, splitId = 200L, fpp = 0.01)
+      .select(col("doc_id"), col("maybe_seen"), col("exact_dup"), col("is_fp"))
+      .as[(Long, Boolean, Boolean, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 200)
+    (200L until 300L).foreach { i =>
+      assert(out(i)._2 && out(i)._3 && !out(i)._4,
+        s"true duplicate $i must be flagged and not a false positive: ${out(i)}")
+    }
+    val fps = (300L until 400L).count(i => out(i)._2)
+    assert((300L until 400L).forall(i => !out(i)._3), "fresh docs are not exact dups")
+    assert((300L until 400L).forall(i => out(i)._2 == out(i)._4),
+      "for fresh docs, maybe_seen must equal is_fp")
+    assert(fps <= 10, s"false-positive count $fps exceeds 10% on a 1% fpp filter")
+    // partitioning invariance: same flags from a different layout
+    val out2 = graft.operators.BloomDedup
+      .screenReport(spark, docs.repartition(13, col("text")), splitId = 200L, fpp = 0.01)
+      .select(col("doc_id"), col("maybe_seen"))
+      .as[(Long, Boolean)].collect().toMap
+    assert((200L until 400L).forall(i => out2(i) == out(i)._2),
+      "maybe_seen must not depend on partitioning")
+  }
+
   // ---- z-score outliers -------------------------------------------------
 
   test("ts_outlier z math matches a hand-computed stddev on the fixture shape") {
