@@ -57,15 +57,23 @@ object BloomDedup {
     */
   def screenReport(spark: SparkSession, docs: DataFrame, splitId: Long,
                    fpp: Double = 0.01): DataFrame = {
+    // The hashed relation has three consumers (the eager bloomFilter
+    // job, the exact seen-set, the probe side) — persist + try/finally
+    // release after the eager checkpoint, the repo's multi-consumer
+    // discipline, so the documents scan+hash runs once, not three times.
     val hashed = docs.select(col("doc_id"), xxhash64(col("text")).as("h"))
-    val seen = hashed.filter(col("doc_id") < splitId)
-    val incoming = hashed.filter(col("doc_id") >= splitId)
-    val seenSet = seen.select(col("h")).distinct()
-      .withColumn("exact_dup", lit(true))
-    flagMaybeSeen(spark, seen, incoming, "h", math.max(splitId, 1L), fpp)
-      .join(broadcast(seenSet), Seq("h"), "left")
-      .select(col("doc_id"), col("h"), col("maybe_seen"),
-        coalesce(col("exact_dup"), lit(false)).as("exact_dup"))
-      .withColumn("is_fp", col("maybe_seen") && !col("exact_dup"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seen = hashed.filter(col("doc_id") < splitId)
+      val incoming = hashed.filter(col("doc_id") >= splitId)
+      val seenSet = seen.select(col("h")).distinct()
+        .withColumn("exact_dup", lit(true))
+      flagMaybeSeen(spark, seen, incoming, "h", math.max(splitId, 1L), fpp)
+        .join(broadcast(seenSet), Seq("h"), "left")
+        .select(col("doc_id"), col("h"), col("maybe_seen"),
+          coalesce(col("exact_dup"), lit(false)).as("exact_dup"))
+        .withColumn("is_fp", col("maybe_seen") && !col("exact_dup"))
+        .localCheckpoint()
+    } finally { hashed.unpersist(false); () }
   }
 }

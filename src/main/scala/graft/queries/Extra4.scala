@@ -152,11 +152,12 @@ object Extra4 {
 
   /** Tolerance-bounded backward as-of join: for each left row, the single
     * right row of the same key with the greatest `rightTime` in
-    * (leftTime − tolerance, leftTime], ties broken by greatest
-    * `rightTieBreak`. Rows with no in-tolerance match are dropped (inner;
-    * pandas merge_asof tolerance semantics). `leftId` must uniquely
-    * identify left rows (it partitions the pick-one window). Shared by
-    * `join_asof_tol` and its crafted-input spec.
+    * [leftTime − tolerance, leftTime] — INCLUSIVE lower bound, matching
+    * pandas merge_asof's `abs(left − right) <= tolerance` — ties broken
+    * by greatest `rightTieBreak`. Rows with no in-tolerance match are
+    * dropped (inner). `leftId` must uniquely identify left rows (it
+    * partitions the pick-one window). Shared by `join_asof_tol` and its
+    * crafted-input spec.
     */
   def asofTolerance(left: DataFrame, right: DataFrame,
                     leftId: Column, leftKey: Column, rightKey: Column,
@@ -165,7 +166,7 @@ object Extra4 {
     left.join(right,
         leftKey === rightKey &&
           rightTime <= leftTime &&
-          rightTime > leftTime - expr(s"INTERVAL $tolerance"))
+          rightTime >= leftTime - expr(s"INTERVAL $tolerance"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(leftId)
           .orderBy(rightTime.desc, rightTieBreak.desc)))
@@ -329,8 +330,8 @@ object Extra4 {
       val diffUs = abs(unix_micros(col("click_ts")) - unix_micros(col("ts")))
       errs.join(clicks,
           col("user_id") === col("cuid") &&
-            col("click_ts") > col("ts") - expr("INTERVAL 6 HOURS") &&
-            col("click_ts") < col("ts") + expr("INTERVAL 6 HOURS"))
+            col("click_ts") >= col("ts") - expr("INTERVAL 6 HOURS") &&
+            col("click_ts") <= col("ts") + expr("INTERVAL 6 HOURS"))
         .withColumn("diff_us", diffUs)
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("event_id"))
@@ -420,17 +421,20 @@ object Extra4 {
          |    WHERE len(t) > 0))
          |ORDER BY doc_id""".stripMargin,
 
+    // every ts comparison casts ::TIMESTAMP (µs) — the FIXTURES §7.4
+    // hazard: uncast TIMESTAMP_NS predicates would compare nanoseconds
+    // DuckDB-side while Spark's Tables.events is µs-truncated.
     "join_asof_tol" ->
       """SELECT event_id, user_id, click_id, click_ts FROM (
         |  SELECT e.event_id, e.user_id, c.event_id AS click_id,
         |         c.ts::TIMESTAMP AS click_ts,
         |         ROW_NUMBER() OVER (PARTITION BY e.event_id
-        |           ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |           ORDER BY c.ts::TIMESTAMP DESC, c.event_id DESC) AS rn
         |  FROM events e JOIN events c
         |    ON e.user_id = c.user_id
         |   AND e.event_type = 'error' AND c.event_type = 'click'
-        |   AND c.ts <= e.ts
-        |   AND c.ts > e.ts - INTERVAL '6 hours')
+        |   AND c.ts::TIMESTAMP <= e.ts::TIMESTAMP
+        |   AND c.ts::TIMESTAMP >= e.ts::TIMESTAMP - INTERVAL '6 hours')
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "ts_outlier" ->
@@ -476,13 +480,13 @@ object Extra4 {
         |         abs(epoch_us(c.ts::TIMESTAMP) - epoch_us(e.ts::TIMESTAMP)) AS diff_us,
         |         ROW_NUMBER() OVER (PARTITION BY e.event_id
         |           ORDER BY abs(epoch_us(c.ts::TIMESTAMP) - epoch_us(e.ts::TIMESTAMP)),
-        |                    CASE WHEN c.ts <= e.ts THEN 0 ELSE 1 END,
+        |                    CASE WHEN c.ts::TIMESTAMP <= e.ts::TIMESTAMP THEN 0 ELSE 1 END,
         |                    c.event_id DESC) AS rn
         |  FROM events e JOIN events c
         |    ON e.user_id = c.user_id
         |   AND e.event_type = 'error' AND c.event_type = 'click'
-        |   AND c.ts > e.ts - INTERVAL '6 hours'
-        |   AND c.ts < e.ts + INTERVAL '6 hours')
+        |   AND c.ts::TIMESTAMP >= e.ts::TIMESTAMP - INTERVAL '6 hours'
+        |   AND c.ts::TIMESTAMP <= e.ts::TIMESTAMP + INTERVAL '6 hours')
         |WHERE rn = 1 ORDER BY event_id""".stripMargin
   )
 }

@@ -113,6 +113,20 @@ class Extra4Spec extends AnyFunSuite {
       s"expected only left 1 matched to the later candidate 101, got $out")
   }
 
+  test("asofTolerance includes a match exactly tolerance away (pandas inclusive bound)") {
+    val left = Seq((1L, 10L, "2024-01-01 18:00:00"))
+      .toDF("id", "k", "t").withColumn("t", col("t").cast("timestamp"))
+    val right = Seq((100L, 10L, "2024-01-01 12:00:00"))  // exactly 6h older
+      .toDF("rid", "rk", "rt").withColumn("rt", col("rt").cast("timestamp"))
+    val out = Extra4.asofTolerance(left, right,
+        leftId = col("id"), leftKey = col("k"), rightKey = col("rk"),
+        leftTime = col("t"), rightTime = col("rt"),
+        rightTieBreak = col("rid"), tolerance = "6 HOURS")
+      .select(col("rid")).as[Long].collect().toSeq
+    assert(out == Seq(100L),
+      s"abs(dt) == tolerance must match (merge_asof semantics), got $out")
+  }
+
   test("asofTolerance breaks exact-time ties by greatest tiebreak") {
     val left = Seq((1L, 10L, "2024-01-01 12:00:00"))
       .toDF("id", "k", "t").withColumn("t", col("t").cast("timestamp"))
