@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the Bloom membership screen: at a REAL split (seen =
+  * half the corpus, not the fixture's 250-doc dial) measure the bloom
+  * build (the driver-merge step whose memory ceiling
+  * `operators/BloomDedup.scala` documents), the serialized filter size,
+  * and the probe pass — substantiating that the probe side is a
+  * broadcast-map over the incoming scan at any corpus size.
+  * `sbt "runMain graft.SweepBloom <sfDir> [fpp]"`.
+  */
+object SweepBloom {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: SweepBloom <sfDir> [fpp]")
+    val dir = args(0)
+    val fpp = if (args.length > 1) args(1).toDouble else 0.01
+    val spark = LocalSession.create("32")
+
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), xxhash64(col("text")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val Row = docs.agg(count(lit(1)), expr("max(doc_id)")).head()
+      val n = Row.getLong(0); val maxId = Row.getLong(1)
+      val splitId = maxId / 2
+      val seen = docs.filter(col("doc_id") < splitId)
+      val incoming = docs.filter(col("doc_id") >= splitId)
+      val nSeen = seen.count(); val nIn = incoming.count()
+      println(f"[sweep-bloom] corpus $n%d docs, seen $nSeen%d, incoming $nIn%d, fpp $fpp")
+
+      val t0 = System.nanoTime()
+      val bf = seen.stat.bloomFilter("h", math.max(nSeen, 1L), fpp)
+      val buildS = (System.nanoTime() - t0) / 1e9
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      println(f"[sweep-bloom] build $buildS%.2f s, filter ${bos.size / 1024.0 / 1024.0}%.1f MiB " +
+        f"(driver-held; the documented ceiling dial)")
+
+      val bc = spark.sparkContext.broadcast(bf)
+      val maybe = udf((h: Long) => bc.value.mightContainLong(h))
+      val t1 = System.nanoTime()
+      val flagged = incoming.withColumn("m", maybe(col("h")))
+        .filter(col("m")).count()
+      val probeS = (System.nanoTime() - t1) / 1e9
+      // exact duplicate count for the fp-rate readout
+      val exact = incoming.join(seen.select(col("h")).distinct(), "h").count()
+      val fpObserved =
+        if (nIn - exact == 0) 0.0 else (flagged - exact).toDouble / (nIn - exact)
+      println(f"[sweep-bloom] probe $probeS%.2f s (broadcast map over the incoming scan), " +
+        f"flagged $flagged%d, exact $exact%d, observed fp rate $fpObserved%.4f (bound $fpp)")
+    } finally { docs.unpersist(false); () }
+    spark.stop()
+  }
+}
