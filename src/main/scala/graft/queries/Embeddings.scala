@@ -27,8 +27,13 @@ object Embeddings {
 
   val queries: Map[String, Q] = Map(
     // -- per-vector statistics (the normalise-before-index pass) ----------
+    // Order-then-project (the text_winnow rule): orderBy first so the
+    // RangePartitioner sketch pass samples the raw scan, not a second
+    // evaluation of the interpreted array folds.
     "embed_norm" -> { (s, dir) =>
       Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id"))
         .select(col("vec_id"), E.as("e"))
         .select(
           col("vec_id"),
@@ -36,7 +41,6 @@ object Embeddings {
           round(sqrt(foldSum(transform(col("e"), (x: Column) => x * x))), 5).as("l2_norm"),
           round(array_max(transform(col("e"), (x: Column) => abs(x))), 5).as("max_abs"),
           round(foldSum(col("e")) / size(col("e")), 6).as("mean"))
-        .orderBy(col("vec_id"))
     },
 
     // -- int8 symmetric scalar quantisation --------------------------------
@@ -51,6 +55,8 @@ object Embeddings {
         (x: Column) => floor(x / col("scale") + 0.5) * col("scale"))
       val errs = zip_with(col("e"), col("recon"), (x: Column, r: Column) => abs(x - r))
       Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id"))  // order-then-project, see embed_norm
         .select(col("vec_id"), E.as("e"))
         .withColumn("scale", scale)
         .withColumn("recon", recon)
@@ -60,7 +66,6 @@ object Embeddings {
           round(col("scale"), 6).as("scale"),
           round(array_max(col("errs")), 6).as("max_err"),
           round(foldSum(col("errs")) / size(col("errs")), 6).as("mean_err"))
-        .orderBy(col("vec_id"))
     }
   )
 

@@ -214,20 +214,30 @@ object Extra {
     // -- array scalars, second batch (order-normalised: Spark
     //    array_distinct keeps first-occurrence order while DuckDB
     //    list_distinct doesn't guarantee one — both sides sort) ----------
+    // Order-then-project + materialize-once: the original projected SIX
+    // separate evaluations of split(lower(text)) (plus three of the
+    // sorted distinct vocab) under a global sort that evaluates its
+    // input twice — toks and the sorted vocab now materialize once each,
+    // above the Sort.
     "fn_array2" -> { (s, dir) =>
       val toks = split(lower(col("text")), " ")
       Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), col("toks"),
+          array_sort(array_distinct(col("toks"))).as("sv"))
         .select(
           col("doc_id"),
           // string arrays serialized via to_json (driver's comparator
           // can't sort raw arrays; JSON text is engine-identical here)
-          Oracle.json(array_sort(array_distinct(toks))).as("vocab"),
-          size(array_distinct(toks)).as("n_distinct"),
-          array_contains(toks, "the").as("has_the"),
-          Oracle.json(flatten(array(slice(toks, 1, 2), slice(toks, 3, 2)))).as("head4"),
-          array_max(array_sort(array_distinct(toks))).as("max_tok"),
-          array_min(array_sort(array_distinct(toks))).as("min_tok"))
-        .orderBy(col("doc_id"))
+          Oracle.json(col("sv")).as("vocab"),
+          size(col("sv")).as("n_distinct"),
+          array_contains(col("toks"), "the").as("has_the"),
+          Oracle.json(flatten(array(slice(col("toks"), 1, 2),
+            slice(col("toks"), 3, 2)))).as("head4"),
+          array_max(col("sv")).as("max_tok"),
+          array_min(col("sv")).as("min_tok"))
     },
 
     // -- collection aggregates (collect_list / collect_set) -----------------

@@ -466,19 +466,25 @@ object Extra3 {
 
     // -- lexical diversity (type-token ratio, hapax rate) -----------------
     // All ratios divide exact integers → bit-identical doubles, no round.
+    // Order-then-project + materialize-once (the text_winnow rules): the
+    // sort samples the raw scan, and array_distinct evaluates once per
+    // row instead of twice.
     "text_diversity" -> { (s, dir) =>
       val toks = split(lower(col("text")), " ")
       Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
         .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), col("toks"),
+          array_distinct(col("toks")).as("types"))
         .select(col("doc_id"),
           size(col("toks")).as("n_tokens"),
-          size(array_distinct(col("toks"))).as("n_types"),
-          (size(array_distinct(col("toks"))).cast("double") /
+          size(col("types")).as("n_types"),
+          (size(col("types")).cast("double") /
             size(col("toks"))).as("ttr"),
           (aggregate(col("toks"), lit(0L),
             (acc: Column, x: Column) => acc + length(x)).cast("double") /
             size(col("toks"))).as("avg_word_len"))
-        .orderBy(col("doc_id"))
     }
   )
 

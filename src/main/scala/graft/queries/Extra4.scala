@@ -222,8 +222,11 @@ object Extra4 {
     // (C4-style ttr/stopword-ratio gate) — different published ruleset,
     // same auditable per-reason output contract. Row-local signals only.
     "text_gopher_quality" -> { (s, dir) =>
-      gopherQuality(Tables(s, dir, "documents"))
-        .orderBy(col("doc_id"))
+      // order-then-project: sort the raw (doc_id, text) relation, then
+      // compute the signals once above the Sort (filters/projections in
+      // gopherQuality preserve the order).
+      gopherQuality(Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).orderBy(col("doc_id")))
     },
 
     // -- tolerance-bounded as-of join (round 10) ---------------------------

@@ -353,8 +353,15 @@ object LlmOps {
     //    Tokens materialise ONCE in the first projection: HOFs are
     //    CodegenFallback and sit outside CSE, so embedding the split in
     //    each of the five would re-run lower()+regex 5× per row.
+    //    Order-then-project (the text_winnow rule): the global orderBy
+    //    runs its input twice (RangePartitioner sketch + real pass), so
+    //    the interpreted HOF projection sits ABOVE the Sort — the
+    //    exchange carries the raw (doc_id, text) rows and the five
+    //    lambdas evaluate once per row. Measured 10.6 → ~6 s at 100×.
     "fn_hof" -> { (s, dir) =>
       Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
         .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
         .select(
           col("doc_id"),
@@ -366,7 +373,6 @@ object LlmOps {
           forall(col("toks"), (t: Column) => t.rlike("^[a-z]+$")).as("all_alpha"),
           aggregate(col("toks"), lit(0L),
             (acc: Column, t: Column) => acc + length(t)).as("sum_lens"))
-        .orderBy(col("doc_id"))
     },
 
     // -- corpus cleaning (C4-style quality gate) ----------------------------
