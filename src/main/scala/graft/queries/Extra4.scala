@@ -347,6 +347,56 @@ object Extra4 {
         .orderBy(col("event_id"))
     },
 
+    // -- weighted source mixture (round 10) --------------------------------
+    // The data-mixing step of a training pipeline: given per-source
+    // weights and a corpus token budget (here: half the corpus), each
+    // source contributes docs in deterministic md5 order until its
+    // token target w_s/Σw × B is reached (greedy fill — the doc that
+    // crosses the boundary is kept). Weights derive from the source id
+    // (1 + n mod 4) so the mixture is reproducible from data alone.
+    //
+    // Scale shape: a per-source cumsum would be a SERIAL walk per source
+    // (a parallelism ceiling of #sources at a 10-source corpus of any
+    // size), so the greedy fill runs per (source, shard) — shard =
+    // first md5 hex char, 16 shards, each filling target/16 — the
+    // text_pack shard-key rule, portable to the oracle because the
+    // shard derives from md5, not xxhash64. The only broadcast is the
+    // one-row grand-total aggregate (the text_idf rule).
+    "sample_mixture" -> { (s, dir) =>
+      val docTok = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(filter(split(lower(col("text")), " "),
+            (t: Column) => t =!= "")).cast("long").as("ntok"))
+        .withColumn("m", md5(col("doc_id").cast("string")))
+        .withColumn("shard", substring(col("m"), 1, 1))
+      val grand = docTok.agg(sum(col("ntok")).as("grand_tokens"))
+      val weights = docTok.select(col("source")).distinct()
+        .withColumn("w",
+          (lit(1) + coalesce(regexp_extract(col("source"), "[0-9]+", 0)
+            .cast("int"), lit(0)) % 4).cast("double"))
+      val wSum = weights.agg(sum(col("w")).as("w_sum"))
+      val targets = weights
+        .crossJoin(broadcast(wSum)).crossJoin(broadcast(grand))
+        .select(col("source"), col("w"),
+          (col("w") / col("w_sum") * col("grand_tokens") * 0.5).as("target_tokens"))
+      val cum = Window.partitionBy(col("source"), col("shard"))
+        .orderBy(col("m"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docTok
+        .withColumn("cum_before", coalesce(sum(col("ntok")).over(cum), lit(0L)))
+        .join(broadcast(targets), "source")
+        .withColumn("kept", col("cum_before") < col("target_tokens") / 16)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("total_tokens"),
+          max(col("w")).as("w"),
+          round(max(col("target_tokens")), 4).as("target_tokens"),
+          count(when(col("kept"), 1)).as("kept_docs"),
+          sum(when(col("kept"), col("ntok")).otherwise(lit(0L)))
+            .as("kept_tokens"))
+        .orderBy(col("source"))
+    },
+
     // -- Bloom-filter membership screen (round 10) -------------------------
     // Ingest-time approximate dedup: incoming docs probed against a
     // Bloom filter of the seen corpus's content hashes — no false
@@ -464,6 +514,33 @@ object Extra4 {
         |         ROUND(list_inner_product(qe, e) / (qnorm * norm), 5) c
         |  FROM q JOIN n ON vec_id <> qid)
         |WHERE c >= 0.30 ORDER BY qid, vec_id""".stripMargin,
+
+    "sample_mixture" ->
+      """WITH dt AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS ntok
+        |  FROM documents),
+        |grand AS (SELECT SUM(ntok) grand_tokens FROM dt),
+        |w AS (SELECT DISTINCT source,
+        |        CAST(1 + COALESCE(TRY_CAST(regexp_extract(source, '[0-9]+') AS INT), 0) % 4
+        |             AS DOUBLE) AS w
+        |      FROM dt),
+        |ws AS (SELECT SUM(w) w_sum FROM w),
+        |tgt AS (SELECT source, w, w / w_sum * grand_tokens * 0.5 AS target_tokens
+        |        FROM w, ws, grand),
+        |c AS (SELECT doc_id, source, ntok,
+        |        COALESCE(SUM(ntok) OVER (PARTITION BY source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR))
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |      FROM dt)
+        |SELECT c.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+        |  MAX(w) AS w, ROUND(MAX(target_tokens), 4) AS target_tokens,
+        |  COUNT(CASE WHEN cum_before < target_tokens / 16 THEN 1 END) AS kept_docs,
+        |  CAST(SUM(CASE WHEN cum_before < target_tokens / 16 THEN ntok ELSE 0 END)
+        |       AS BIGINT) AS kept_tokens
+        |FROM c JOIN tgt ON c.source = tgt.source
+        |GROUP BY c.source ORDER BY c.source""".stripMargin,
 
     "text_unigram_xent" ->
       """WITH tok AS (
