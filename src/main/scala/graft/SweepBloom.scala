@@ -21,9 +21,10 @@ object SweepBloom {
       .select(col("doc_id"), xxhash64(col("text")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val Row = docs.agg(count(lit(1)), expr("max(doc_id)")).head()
-      val n = Row.getLong(0); val maxId = Row.getLong(1)
-      val splitId = maxId / 2
+      val stats = docs.agg(count(lit(1)), expr("max(doc_id)")).head()
+      val n = stats.getLong(0)
+      require(n > 0 && !stats.isNullAt(1), s"no documents under $dir")
+      val splitId = stats.getLong(1) / 2
       val seen = docs.filter(col("doc_id") < splitId)
       val incoming = docs.filter(col("doc_id") >= splitId)
       val nSeen = seen.count(); val nIn = incoming.count()
@@ -37,11 +38,11 @@ object SweepBloom {
       println(f"[sweep-bloom] build $buildS%.2f s, filter ${bos.size / 1024.0 / 1024.0}%.1f MiB " +
         f"(driver-held; the documented ceiling dial)")
 
-      val bc = spark.sparkContext.broadcast(bf)
-      val maybe = udf((h: Long) => bc.value.mightContainLong(h))
+      // the OPERATOR's probe, not a reimplementation — the sweep must
+      // measure what shipping code does
       val t1 = System.nanoTime()
-      val flagged = incoming.withColumn("m", maybe(col("h")))
-        .filter(col("m")).count()
+      val flagged = graft.operators.BloomDedup.probe(spark, bf, incoming, "h")
+        .filter(col("maybe_seen")).count()
       val probeS = (System.nanoTime() - t1) / 1e9
       // exact duplicate count for the fp-rate readout
       val exact = incoming.join(seen.select(col("h")).distinct(), "h").count()
@@ -49,7 +50,9 @@ object SweepBloom {
         if (nIn - exact == 0) 0.0 else (flagged - exact).toDouble / (nIn - exact)
       println(f"[sweep-bloom] probe $probeS%.2f s (broadcast map over the incoming scan), " +
         f"flagged $flagged%d, exact $exact%d, observed fp rate $fpObserved%.4f (bound $fpp)")
-    } finally { docs.unpersist(false); () }
-    spark.stop()
+    } finally {
+      docs.unpersist(false)
+      spark.stop()
+    }
   }
 }

@@ -38,8 +38,16 @@ object BloomDedup {
     */
   def flagMaybeSeen(spark: SparkSession, seen: DataFrame, incoming: DataFrame,
                     hashCol: String, expectedItems: Long,
-                    fpp: Double): DataFrame = {
-    val bf: BloomFilter = seen.stat.bloomFilter(hashCol, expectedItems, fpp)
+                    fpp: Double): DataFrame =
+    probe(spark, seen.stat.bloomFilter(hashCol, expectedItems, fpp),
+      incoming, hashCol)
+
+  /** The probe half alone, over a prebuilt filter — ONE definition of
+    * the broadcast-map probe, shared with `SweepBloom` so the sweep
+    * measures exactly the operator's semantics.
+    */
+  def probe(spark: SparkSession, bf: BloomFilter, incoming: DataFrame,
+            hashCol: String): DataFrame = {
     val bc = spark.sparkContext.broadcast(bf)
     val maybe = udf((h: Long) => bc.value.mightContainLong(h))
     incoming.withColumn("maybe_seen", maybe(col(hashCol)))

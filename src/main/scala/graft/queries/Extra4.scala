@@ -363,17 +363,25 @@ object Extra4 {
     // shard derives from md5, not xxhash64. The only broadcast is the
     // one-row grand-total aggregate (the text_idf rule).
     "sample_mixture" -> { (s, dir) =>
+      // four consumers of the tokenized relation (window chain, grand
+      // total, weights, w-sum) → persist + try/finally release after the
+      // eager checkpoint, the multi-consumer discipline.
       val docTok = Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           size(filter(split(lower(col("text")), " "),
             (t: Column) => t =!= "")).cast("long").as("ntok"))
         .withColumn("m", md5(col("doc_id").cast("string")))
         .withColumn("shard", substring(col("m"), 1, 1))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val grand = docTok.agg(sum(col("ntok")).as("grand_tokens"))
       val weights = docTok.select(col("source")).distinct()
+        // try_cast, not cast: under ANSI a digitless source would make
+        // cast('' as int) THROW before coalesce sees it — the oracle's
+        // TRY_CAST yields null→0 there, and the engines must agree.
         .withColumn("w",
-          (lit(1) + coalesce(regexp_extract(col("source"), "[0-9]+", 0)
-            .cast("int"), lit(0)) % 4).cast("double"))
+          (lit(1) + coalesce(
+            expr("try_cast(regexp_extract(source, '[0-9]+', 0) as int)"),
+            lit(0)) % 4).cast("double"))
       val wSum = weights.agg(sum(col("w")).as("w_sum"))
       val targets = weights
         .crossJoin(broadcast(wSum)).crossJoin(broadcast(grand))
@@ -382,7 +390,7 @@ object Extra4 {
       val cum = Window.partitionBy(col("source"), col("shard"))
         .orderBy(col("m"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      docTok
+      try docTok
         .withColumn("cum_before", coalesce(sum(col("ntok")).over(cum), lit(0L)))
         .join(broadcast(targets), "source")
         .withColumn("kept", col("cum_before") < col("target_tokens") / 16)
@@ -395,6 +403,8 @@ object Extra4 {
           sum(when(col("kept"), col("ntok")).otherwise(lit(0L)))
             .as("kept_tokens"))
         .orderBy(col("source"))
+        .localCheckpoint()
+      finally { docTok.unpersist(false); () }
     },
 
     // -- Bloom-filter membership screen (round 10) -------------------------
