@@ -292,6 +292,31 @@ object Extra4 {
         .orderBy(col("qid"), col("vec_id"))
     },
 
+    // -- winnowing-based near-dup candidates (round 10) --------------------
+    // Winnowing's actual production role (MOSS-style): the fingerprint
+    // SET is the cheap per-doc sketch, and docs sharing ≥ 2 fingerprints
+    // are verbatim-overlap candidates — the dedup_substring contract at
+    // ~2/(w+1) of its gram volume. Longer grams than text_winnow
+    // (k=20, w=8): on a small-vocabulary corpus 8-char grams collide on
+    // common word fragments (measured: near-all-pairs), while 20-char
+    // grams span ~4 words and discriminate. Same sort-free plan as
+    // dedup_substring: row-local fingerprints → ONE capped hash-aggregate
+    // on the fingerprint key → map-side pair explode (groups above the
+    // cap would drop WHOLE; fixture max group is 5).
+    "dedup_winnow" -> { (s, dir) =>
+      graft.functions.WinnowFingerprints.register(s)
+      val fps = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) >= 20 + 8 - 1)
+        .select(col("doc_id"),
+          explode(graft.functions.WinnowFingerprints(col("text"), 20, 8))
+            .as("fp"))
+      graft.functions.CappedLongCollect
+        .groupPairs(fps, Seq(col("fp")), col("doc_id"), 500)
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+        .orderBy(col("d1"), col("d2"))
+    },
+
     // -- unigram cross-entropy quality signal (round 10) -------------------
     // The CCNet-style LM quality filter in relational form: per doc, the
     // mean token surprisal −log2(p_corpus(token)) under the corpus's own
@@ -551,6 +576,28 @@ object Extra4 {
         |       AS BIGINT) AS kept_tokens
         |FROM c JOIN tgt ON c.source = tgt.source
         |GROUP BY c.source ORDER BY c.source""".stripMargin,
+
+    // the oracle runs the naive fingerprint self-join; Spark runs the
+    // capped hash-aggregate — identical output while every fingerprint
+    // group is under the cap (fixture max: 5 vs cap 500, the
+    // dedup_substring budget).
+    "dedup_winnow" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, length(text) - 19),
+        |      i -> md5(substr(text, i, 20))) hs
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(text) >= 27),
+        |f AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(
+        |      list_transform(generate_series(1, len(hs) - 7),
+        |        j -> list_min(list_slice(hs, j, j + 7))))) fp
+        |  FROM h)
+        |SELECT a.doc_id d1, b.doc_id d2, COUNT(*) AS shared
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY d1, d2""".stripMargin,
 
     "text_unigram_xent" ->
       """WITH tok AS (
