@@ -433,45 +433,34 @@ object LlmOps {
     // -- intra-document repetition signals (round 10) ------------------------
     // The Gopher repetition rules (Rae et al. 2021 §A1.1), token-adapted:
     // the most frequent bigram's share of bigram slots and the duplicate
-    // fraction of trigram instances. Trigram stats are computed PER ROW
-    // (array_distinct over the row's trigram array — zero shuffle); the
-    // top bigram goes through one map-side-combinable (doc_id, bigram)
-    // count and a deterministic struct-max argmax (count, then bytewise-
-    // greatest bigram — mirrored as ORDER BY c DESC, bg DESC in the
-    // oracle's ROW_NUMBER).
+    // fraction of trigram instances. Every signal is a pure function of
+    // the row, so the whole computation runs in ONE fused expression
+    // ([[graft.functions.RepetitionStats]]) — the earlier declarative
+    // form shuffled every bigram instance through a (doc_id, bigram)
+    // count + struct-max argmax + join back (31.8 s at 100× vs ~5 fused);
+    // the expression reproduces the same (count, then bytewise-greatest
+    // bigram) tie rule the oracle's ORDER BY c DESC, bg DESC mirrors.
+    // Order-then-project: the sort samples the raw scan, the expression
+    // evaluates once above it.
     "text_repetition" -> { (s, dir) =>
+      graft.functions.RepetitionStats.register(s)
       val toks = filter(split(lower(col("text")), " "),
         (t: Column) => t =!= "")
-      val base = Tables(s, dir, "documents")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
         .select(col("doc_id"), toks.as("t"))
         .filter(size(col("t")) >= 3)
-      val tri = base.select(
-        col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
-        transform(sequence(lit(1), size(col("t")) - 2), (i: Column) =>
-          concat_ws(" ", element_at(col("t"), i),
-            element_at(col("t"), i + 1),
-            element_at(col("t"), i + 2))).as("tgs"))
-        .select(col("doc_id"), col("n_tokens"),
-          (size(col("tgs"))).cast("long").as("n_tri"),
-          (size(col("tgs")) - size(array_distinct(col("tgs"))))
-            .cast("long").as("n_tri_dup"))
-      val top = base
         .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("t")) - 1),
-            (i: Column) => concat_ws(" ", element_at(col("t"), i),
-              element_at(col("t"), i + 1)))).as("bg"))
-        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(max(struct(col("c"), col("bg"))).as("m"))
-        .select(col("doc_id"), col("m.bg").as("top_bigram"),
-          col("m.c").as("top_bigram_n"))
-      tri.join(top, "doc_id")
-        .select(col("doc_id"), col("n_tokens"), col("top_bigram"),
-          col("top_bigram_n"),
-          round(col("top_bigram_n") / (col("n_tokens") - 1), 6)
+          graft.functions.RepetitionStats(col("t")).as("r"))
+        .select(col("doc_id"),
+          col("r.n_tokens").as("n_tokens"),
+          col("r.top_bigram").as("top_bigram"),
+          col("r.top_bigram_n").as("top_bigram_n"),
+          round(col("r.top_bigram_n") / (col("r.n_tokens") - 1), 6)
             .as("top_bigram_frac"),
-          round(col("n_tri_dup") / col("n_tri"), 6).as("dup_trigram_frac"))
-        .orderBy(col("doc_id"))
+          round(col("r.n_tri_dup") / col("r.n_tri"), 6)
+            .as("dup_trigram_frac"))
     },
 
     // -- token-distribution entropy (round 10) -------------------------------
