@@ -120,14 +120,23 @@ object LlmOps {
     * quality signals, shared by `text_quality` and `text_clean` so the
     * two can never drift.
     */
-  private def tokenStats(s: SparkSession, dir: String): DataFrame =
+  // Fused per-row form (round 10): every output is a pure function of
+  // the row's token array, so the corpus-wide (doc_id, token) aggregate
+  // the explode+groupBy form paid is gone — one TokenStats expression
+  // pass, zero shuffle. Same tokenization (split on " ", empties kept)
+  // as the aggregate form it replaces.
+  private def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TokenStats.register(s, Stopwords)
     Tables(s, dir, "documents")
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        countDistinct(col("w")).as("n_distinct"),
-        count(when(col("w").isInCollection(Stopwords), 1)).as("n_stop"))
+      // null text produced NO rows under the explode form — keep that
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.TokenStats(split(lower(col("text")), " ")).as("ts"))
+      .select(col("doc_id"),
+        col("ts.n_tokens").as("n_tokens"),
+        col("ts.n_distinct").as("n_distinct"),
+        col("ts.n_stop").as("n_stop"))
+  }
 
   /** Embedding as double array + its L2 norm (computed once per vector —
     * pairwise joins then only need the dot product).
@@ -466,23 +475,31 @@ object LlmOps {
     // -- token-distribution entropy (round 10) -------------------------------
     // Shannon entropy of each doc's token histogram — the standard
     // gibberish/boilerplate filter complementing ttr (low entropy =
-    // repetitive/templated, near-log2(n) = no reuse at all). Computed as
-    // log2(n) − (Σ c·log2 c)/n from ONE (doc_id, token) count — two
-    // map-side-combinable hash aggregates, no window, no join. Float
-    // honesty: the Σ c·log2 c fold order differs across engines (~1e-15);
-    // round(…, 6) absorbs it — the agg_corr/regr/stddev budget.
+    // repetitive/templated, near-log2(n) = no reuse at all). The
+    // histogram is a pure row function, so the fused TokenStats
+    // expression computes (n, n_distinct, Σ c·log2 c) in one per-row
+    // pass — the earlier two-aggregate form shuffled every (doc_id,
+    // token) pair. Float honesty: the Σ c·log2 c fold order (hashmap
+    // iteration here, partial-agg order before, DuckDB's own order)
+    // differs at ~1e-15; round(…, 6) absorbs it — the agg_corr budget.
+    // Order-then-project: the sort samples the raw scan.
     "text_entropy" -> { (s, dir) =>
+      graft.functions.TokenStats.register(s, Stopwords)
+      val toks = filter(split(lower(col("text")), " "),
+        (t: Column) => t =!= "")
       Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(split(lower(col("text")), " ")).as("w"))
-        .filter(col("w") =!= "")
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"),
-          sum(col("c") * log(2.0, col("c"))).as("sclc"))
-        .select(col("doc_id"), col("n").as("n_tokens"), col("n_distinct"),
-          round(log(2.0, col("n")) - col("sclc") / col("n"), 6).as("entropy"))
+        .select(col("doc_id"), col("text"))
         .orderBy(col("doc_id"))
+        .select(col("doc_id"),
+          graft.functions.TokenStats(toks).as("ts"))
+        // token-free docs had NO (doc_id, w) rows under the explode
+        // form and were absent from the output — keep that
+        .filter(col("ts.n_tokens") > 0)
+        .select(col("doc_id"),
+          col("ts.n_tokens").as("n_tokens"),
+          col("ts.n_distinct").as("n_distinct"),
+          round(log(2.0, col("ts.n_tokens")) -
+            col("ts.sclc") / col("ts.n_tokens"), 6).as("entropy"))
     },
 
     // -- cross-document repeated substrings (round 10) -----------------------
