@@ -427,16 +427,29 @@ object LlmOps {
 
     // -- document fingerprinting ---------------------------------------------
     // Whole-doc md5 + min shingle-md5 (a 1-hash MinHash): identical docs
-    // share fp; near-identical docs usually share min_shingle_fp.
+    // share fp; near-identical docs usually share min_shingle_fp. Both
+    // shingle signals are pure row functions, so they compute row-locally
+    // (distinct 3-gram array per row → min md5 / size) instead of
+    // shuffling the shingle relation through a groupBy + join back
+    // (20.2 → 8.4 s at 100×). Docs with < 3 tokens stay NULL, exactly as
+    // the old left join null-extended them; order-then-project shape.
     "text_fingerprint" -> { (s, dir) =>
-      val sh = shingles(s, dir)
-      val minSh = sh.groupBy(col("doc_id")).agg(
-        min(md5(col("s"))).as("min_shingle_fp"),
-        count(lit(1)).as("n_shingles"))
+      val toks = filter(split(lower(col("text")), " "),
+        (t: Column) => t =!= "")
       Tables(s, dir, "documents")
-        .select(col("doc_id"), md5(col("text")).as("fp"))
-        .join(minSh, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text"))
         .orderBy(col("doc_id"))
+        .select(col("doc_id"), md5(col("text")).as("fp"), toks.as("t"))
+        .select(col("doc_id"), col("fp"),
+          when(size(col("t")) >= 3,
+            array_distinct(transform(sequence(lit(1), size(col("t")) - 2),
+              (i: Column) => concat_ws(" ", element_at(col("t"), i),
+                element_at(col("t"), i + 1), element_at(col("t"), i + 2)))))
+            .as("sh"))
+        .select(col("doc_id"), col("fp"),
+          array_min(transform(col("sh"), (x: Column) => md5(x)))
+            .as("min_shingle_fp"),
+          size(col("sh")).cast("long").as("n_shingles"))
     },
 
     // -- intra-document repetition signals (round 10) ------------------------
