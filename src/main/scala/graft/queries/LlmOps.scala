@@ -434,8 +434,11 @@ object LlmOps {
     // (20.2 → 8.4 s at 100×). Docs with < 3 tokens stay NULL, exactly as
     // the old left join null-extended them; order-then-project shape.
     "text_fingerprint" -> { (s, dir) =>
-      val toks = filter(split(lower(col("text")), " "),
-        (t: Column) => t =!= "")
+      // UNFILTERED split — empties kept, the ONE tokenization the
+      // shingle family and the oracle's string_split share (filtering
+      // empties here would silently change shingle sets on texts with
+      // consecutive spaces).
+      val toks = split(lower(col("text")), " ")
       Tables(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         .orderBy(col("doc_id"))
@@ -470,11 +473,16 @@ object LlmOps {
         (t: Column) => t =!= "")
       Tables(s, dir, "documents")
         .select(col("doc_id"), col("text"))
+        // the ≥3-non-empty-tokens gate as a CHEAP regex (three non-space
+        // runs) so the optimizer pushing it below the Sort re-evaluates
+        // a regex per pass, not the full split+filter tokenization —
+        // exactly equivalent to size(filter(split(text," "),≠"")) >= 3
+        // because non-empty tokens of a single-space split ARE the
+        // maximal non-space runs
+        .filter(col("text").rlike("[^ ]+ +[^ ]+ +[^ ]"))
         .orderBy(col("doc_id"))
-        .select(col("doc_id"), toks.as("t"))
-        .filter(size(col("t")) >= 3)
         .select(col("doc_id"),
-          graft.functions.RepetitionStats(col("t")).as("r"))
+          graft.functions.RepetitionStats(toks).as("r"))
         .select(col("doc_id"),
           col("r.n_tokens").as("n_tokens"),
           col("r.top_bigram").as("top_bigram"),
@@ -497,17 +505,21 @@ object LlmOps {
     // differs at ~1e-15; round(…, 6) absorbs it — the agg_corr budget.
     // Order-then-project: the sort samples the raw scan.
     "text_entropy" -> { (s, dir) =>
-      graft.functions.TokenStats.register(s, Stopwords)
+      // Nil lexicon: entropy never reads n_stop, so don't pay a
+      // per-token stopword lookup for it
+      graft.functions.TokenStats.register(s, Nil)
       val toks = filter(split(lower(col("text")), " "),
         (t: Column) => t =!= "")
       Tables(s, dir, "documents")
         .select(col("doc_id"), col("text"))
+        // token-free docs had NO (doc_id, w) rows under the explode
+        // form and were absent — gated by a CHEAP text predicate
+        // (≥1 non-space char ⟺ ≥1 non-empty token) so the pushed-down
+        // filter costs a trim per sort pass, not a tokenization
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
         .orderBy(col("doc_id"))
         .select(col("doc_id"),
           graft.functions.TokenStats(toks).as("ts"))
-        // token-free docs had NO (doc_id, w) rows under the explode
-        // form and were absent from the output — keep that
-        .filter(col("ts.n_tokens") > 0)
         .select(col("doc_id"),
           col("ts.n_tokens").as("n_tokens"),
           col("ts.n_distinct").as("n_distinct"),
