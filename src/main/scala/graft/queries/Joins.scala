@@ -144,6 +144,25 @@ object Joins {
         .orderBy(col("brand"))
     },
 
+    // -- theta join, aggregate rewrite (round 10) --------------------------
+    // join_theta's scale path: the output is COUNT-only, so the
+    // quadratic pair space never needs to materialize — per (brand,
+    // size) histogram counts c give n_pairs = (T² − Σc²)/2 exactly
+    // (T = Σc; the numerator is even by construction, and doubles are
+    // exact to 2^53 ≫ any realistic per-brand total²). 798 s → ~2 s at
+    // 100×. The DuckDB oracle still runs the PLAIN theta join, so the
+    // hash-identical PASS is the equivalence proof; join_theta itself
+    // stays registered as the declared non-equi/BNL surface.
+    "join_theta_agg" -> { (s, dir) =>
+      Tables(s, dir, "part")
+        .groupBy(col("p_brand").as("brand"), col("p_size"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("brand"))
+        .agg(((sum(col("c")) * sum(col("c")) - sum(col("c") * col("c"))) / 2)
+          .cast("long").as("n_pairs"))
+        .orderBy(col("brand"))
+    },
+
     // -- range (interval) join ---------------------------------------------
     // For each 'error' event, count events by the same user within the
     // following hour (self-pair included). Equi on user_id keeps this a
@@ -320,6 +339,14 @@ object Joins {
         |ORDER BY c_custkey""".stripMargin,
 
     "join_theta" ->
+      """SELECT p1.p_brand AS brand, COUNT(*) AS n_pairs
+        |FROM part p1 JOIN part p2
+        |  ON p1.p_brand = p2.p_brand AND p1.p_size < p2.p_size
+        |GROUP BY p1.p_brand ORDER BY brand""".stripMargin,
+
+    // deliberately the SAME theta-join text as join_theta — the
+    // independent formulation proving the histogram rewrite
+    "join_theta_agg" ->
       """SELECT p1.p_brand AS brand, COUNT(*) AS n_pairs
         |FROM part p1 JOIN part p2
         |  ON p1.p_brand = p2.p_brand AND p1.p_size < p2.p_size
