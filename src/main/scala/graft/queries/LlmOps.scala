@@ -462,7 +462,7 @@ object LlmOps {
     // the row, so the whole computation runs in ONE fused expression
     // ([[graft.functions.RepetitionStats]]) — the earlier declarative
     // form shuffled every bigram instance through a (doc_id, bigram)
-    // count + struct-max argmax + join back (31.8 s at 100× vs ~5 fused);
+    // count + struct-max argmax + join back (31.8 s at 100× vs 3.5 fused);
     // the expression reproduces the same (count, then bytewise-greatest
     // bigram) tie rule the oracle's ORDER BY c DESC, bg DESC mirrors.
     // Order-then-project: the sort samples the raw scan, the expression

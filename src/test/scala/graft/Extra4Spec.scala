@@ -91,6 +91,34 @@ class Extra4Spec extends AnyFunSuite {
     assert(out.toSeq == Seq(0, 1), s"expected sizes 0 and 1, got ${out.toSeq}")
   }
 
+  test("dedup_winnow machinery: a long shared span yields a candidate pair") {
+    // dedup_winnow dials: k=20, w=8, minShared=2. A shared span of
+    // length >= 2·(k + w − 1) = 54 chars guarantees >= 2 shared
+    // fingerprints by the winnowing guarantee applied to its two
+    // disjoint halves — crafted docs sharing a 59-char span MUST pair.
+    graft.functions.WinnowFingerprints.register(spark)
+    val shared = "zq xw vj pk yh gf dt rm nb cl zq xw vj pk yh gf dt rm nb cl"
+    assert(shared.length >= 54)
+    val docs = Seq(
+      (0L, s"prefix0 aaaa $shared zzzz suffix0"),
+      (1L, s"prefix1 bbbb $shared yyyy suffix1"),
+      (2L, "totally unrelated content with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val fps = docs
+      .filter(length(col("text")) >= 27)
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowFingerprints(col("text"), 20, 8)).as("fp"))
+    val pairs = graft.functions.CappedLongCollect
+      .groupPairs(fps, Seq(col("fp")), col("doc_id"), 500)
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+      .select(col("d1"), col("d2")).as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)),
+      s"docs sharing a 59-char span must be winnow candidates, got $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      s"the unrelated doc must not pair: $pairs")
+  }
+
   // ---- tolerance as-of -------------------------------------------------
 
   test("asofTolerance picks the latest in-window match and drops out-of-tolerance lefts") {
