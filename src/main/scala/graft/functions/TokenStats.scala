@@ -96,13 +96,22 @@ object TokenStats {
   /** Function-registry injection; the stop lexicon rides inside the
     * expression (constant of the query), only the token array is a
     * runtime argument.
+    *
+    * The registry is SHARED MUTABLE session state, so each distinct
+    * lexicon must register under a distinct `name` — two builders
+    * re-registering "token_stats" with different lexicons would make
+    * correctness depend on registration-before-analysis ordering
+    * (fragile under deferred analysis or concurrent construction).
     */
   def register(spark: org.apache.spark.sql.SparkSession,
-               stopWords: Seq[String]): Unit =
+               stopWords: Seq[String],
+               name: String = "token_stats"): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "token_stats", exprs => TokenStats(exprs(0), stopWords), "scala_udf")
+      name, exprs => TokenStats(exprs(0), stopWords), "scala_udf")
 
-  /** Column-API entry point (requires [[register]] in the session). */
-  def apply(toks: Column): Column =
-    org.apache.spark.sql.functions.call_function("token_stats", toks)
+  /** Column-API entry point (requires [[register]] in the session
+    * under the same `name`).
+    */
+  def apply(toks: Column, name: String = "token_stats"): Column =
+    org.apache.spark.sql.functions.call_function(name, toks)
 }

@@ -160,6 +160,11 @@ object Joins {
         .groupBy(col("brand"))
         .agg(((sum(col("c")) * sum(col("c")) - sum(col("c") * col("c"))) / 2)
           .cast("long").as("n_pairs"))
+        // the inner theta join emits NO row for a brand with no
+        // qualifying pair (single part, or all p_size equal) — drop
+        // n_pairs=0 brands so the identity matches the join exactly
+        // on ANY data, not just fixtures with ≥2 distinct sizes
+        .filter(col("n_pairs") > 0)
         .orderBy(col("brand"))
     },
 

@@ -506,8 +506,10 @@ object LlmOps {
     // Order-then-project: the sort samples the raw scan.
     "text_entropy" -> { (s, dir) =>
       // Nil lexicon: entropy never reads n_stop, so don't pay a
-      // per-token stopword lookup for it
-      graft.functions.TokenStats.register(s, Nil)
+      // per-token stopword lookup for it. Distinct registry name —
+      // "token_stats" is the Stopwords-lexicon registration
+      // (tokenStats helper) and the registry is shared session state.
+      graft.functions.TokenStats.register(s, Nil, "token_stats_nostop")
       val toks = filter(split(lower(col("text")), " "),
         (t: Column) => t =!= "")
       Tables(s, dir, "documents")
@@ -519,7 +521,7 @@ object LlmOps {
         .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
         .orderBy(col("doc_id"))
         .select(col("doc_id"),
-          graft.functions.TokenStats(toks).as("ts"))
+          graft.functions.TokenStats(toks, "token_stats_nostop").as("ts"))
         .select(col("doc_id"),
           col("ts.n_tokens").as("n_tokens"),
           col("ts.n_distinct").as("n_distinct"),

@@ -255,6 +255,57 @@ class Extra4Spec extends AnyFunSuite {
       "maybe_seen must not depend on partitioning")
   }
 
+  test("sharded bloom screen: k=1 bit-identical, k>1 keeps the guarantee cells") {
+    // The ≥1e9-key escalation: k hash-range blooms, each built and
+    // probed in sequence. k=1 must reproduce the single-bloom screen
+    // EXACTLY (same inserted set, same filter params → identical bit
+    // array → identical flags, FPs included). k=4 uses different
+    // per-shard filters so FP patterns may differ, but the one-sided
+    // guarantee cells cannot: every true duplicate flagged, exact_dup
+    // identical, and for fresh docs maybe_seen ⟺ is_fp.
+    val docs = ((0L until 200L).map(i => (i, s"seen document body number $i")) ++
+        (200L until 300L).map(i => (i, s"seen document body number ${i - 200}")) ++
+        (300L until 400L).map(i => (i, s"fresh unseen content ${i * 31}")))
+      .toDF("doc_id", "text")
+    def cells(shards: Int): Map[Long, (Long, Boolean, Boolean, Boolean)] =
+      graft.operators.BloomDedup
+        .screenReport(spark, docs, splitId = 200L, fpp = 0.01, shards = shards)
+        .select(col("doc_id"), col("maybe_seen"), col("exact_dup"), col("is_fp"))
+        .as[(Long, Boolean, Boolean, Boolean)].collect().map(r => r._1 -> r).toMap
+    val single = cells(1)
+    val k1 = graft.operators.BloomDedup
+      .flagMaybeSeenSharded(spark,
+        docs.filter(col("doc_id") < 200).select(col("doc_id"), xxhash64(col("text")).as("h")),
+        docs.filter(col("doc_id") >= 200).select(col("doc_id"), xxhash64(col("text")).as("h")),
+        "h", expectedItems = 200L, fpp = 0.01, shards = 1)
+      .select(col("doc_id"), col("maybe_seen")).as[(Long, Boolean)].collect().toMap
+    assert((200L until 400L).forall(i => k1(i) == single(i)._2),
+      "shards=1 must be bit-identical to the unsharded screen")
+    val k4 = cells(4)
+    assert(k4.size == 200)
+    (200L until 300L).foreach { i =>
+      assert(k4(i)._2 && k4(i)._3 && !k4(i)._4,
+        s"sharded screen lost a true duplicate: $i -> ${k4(i)}")
+    }
+    (300L until 400L).foreach { i =>
+      assert(!k4(i)._3, s"fresh doc $i marked exact_dup under sharding")
+      assert(k4(i)._2 == k4(i)._4, s"fresh doc $i: maybe_seen must equal is_fp")
+    }
+    assert((200L until 400L).forall(i => k4(i)._3 == single(i)._3),
+      "exact_dup must not depend on sharding")
+  }
+
+  test("bloom probe verdict is never null, even on a null hash") {
+    // A null hash was never inserted; the contract is a non-null
+    // false, not a propagated null (which would poison is_fp too).
+    val bf = Seq(1L, 2L, 3L).toDF("h").stat.bloomFilter("h", 3L, 0.01)
+    val out = graft.operators.BloomDedup
+      .probe(spark, bf, Seq(Some(1L), None, Some(99L)).toDF("h"), "h")
+      .select(col("maybe_seen")).as[Option[Boolean]].collect()
+    assert(out.forall(_.isDefined), s"null verdict leaked: ${out.mkString(",")}")
+    assert(out(0).contains(true) && out(1).contains(false))
+  }
+
   // ---- z-score outliers -------------------------------------------------
 
   test("ts_outlier z math matches a hand-computed stddev on the fixture shape") {

@@ -309,6 +309,56 @@ class PlanSpec extends AnyFunSuite {
       s"winnow_fps appears in more than one plan node:\n$p")
   }
 
+  test("r10 fusion sweep: every expensive projection sits above the final Sort") {
+    // The text_winnow gate generalized to the whole order-then-project
+    // sweep: a global orderBy evaluates its same-stage input TWICE
+    // (RangePartitioner sketch pass + real pass), so each query's
+    // expensive expression — the fused native expression or the
+    // interpreted HOF block — must project the ALREADY-SORTED narrow
+    // relation. The marker is a substring unique to that expensive
+    // expression; every plan line containing it must print ABOVE the
+    // first Sort (plans print output-first). This regression happened
+    // once already (the pushed-below-Sort filter, commit 1ad62a4);
+    // here it fails sbt test instead of costing a silent 2×.
+    val gates = Seq(
+      "text_fingerprint"    -> "md5(",
+      "text_repetition"     -> "repetition_stats(",
+      "text_entropy"        -> "token_stats(",
+      "fn_hof"              -> "lambdafunction",
+      "fn_array2"           -> "array_distinct(",
+      "text_gopher_quality" -> "array_intersect(",
+      "text_diversity"      -> "array_distinct(",
+      "embed_norm"          -> "lambdafunction",
+      "embed_quantize"      -> "lambdafunction")
+    gates.foreach { case (q, marker) =>
+      val p = plan(q).split("== Initial Plan ==")(0)
+      val lines = p.linesIterator.toIndexedSeq
+      val sortAt = lines.indexWhere(_.contains("Sort ["))
+      val markerAt = lines.zipWithIndex.collect {
+        case (l, i) if l.contains(marker) => i
+      }
+      assert(sortAt >= 0, s"$q: no Sort node found:\n$p")
+      assert(markerAt.nonEmpty, s"$q: marker '$marker' not in the plan:\n$p")
+      assert(markerAt.forall(_ < sortAt),
+        s"$q: '$marker' (lines $markerAt) must print ABOVE the Sort " +
+          s"(line $sortAt) — the expensive projection was pushed below " +
+          s"the global orderBy and now evaluates twice:\n$p")
+    }
+  }
+
+  test("join_theta_agg plans as two hash aggregates — zero joins") {
+    // The 1480× theta rewrite (798 → 0.54 s at 100×): count-only theta
+    // joins must use the per-(brand, size) histogram identity
+    // n_pairs = (T² − Σc²)/2 — two hash aggregates, never a pair
+    // materialization. A Join node here means someone "simplified" the
+    // rewrite back into the quadratic form.
+    val p = plan("join_theta_agg").split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), s"a join crept into the aggregate rewrite:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), s"no hash aggregate found:\n$p")
+    assert(!p.contains("SortAggregate"), s"aggregate fell back to sort-based:\n$p")
+  }
+
   test("win_range_frame_stats runs every aggregate family on two shared sorts") {
     // The r10 pass fusion: count/sum read the previous band's frame slice
     // off the SAME descending suffix pass min/max/first/last use, so the
