@@ -22,6 +22,42 @@ object SweepIvf {
     val spark = LocalSession.create("8")
     graft.functions.CosineSimilarity.register(spark)
 
+    // DF-state mode (`runMain graft.SweepIvf df [nlist]`): drives the
+    // DataFrame-resident Lloyd path (Ivf.centroidsDF) at a ≥1e5-cell
+    // SYNTHETIC dial and probes driver heap around training — the r11
+    // evidence that centroid state never materializes on the driver
+    // (the array path would hold nlist·dim doubles between rounds).
+    if (args.headOption.contains("df")) {
+      import operators.Ivf
+      val nlist = args.drop(1).headOption.map(_.toInt).getOrElse(100000)
+      val dim = 32
+      val nVec = math.max((nlist * 1.1).toInt, 1000)
+      def usedMB(): Long = {
+        val rt = Runtime.getRuntime
+        System.gc(); Thread.sleep(200); System.gc()
+        (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+      }
+      val synth = spark.range(0, nVec).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(dim)), (d: Column) =>
+          pmod(xxhash64(col("id"), d), lit(1000L)).cast("double") / 500.0 - 1.0)
+          .as("e"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      synth.count()
+      println(s"[dfstate] synthetic n=$nVec dim=$dim nlist=$nlist " +
+        s"(array-state equivalent: ${nlist.toLong * dim * 8 / 1024 / 1024} MB " +
+        "of driver-held centroids; at the autoNlist 10^6x512 dial, ~4 GB)")
+      println(s"[dfstate] driver heap before train: ${usedMB()} MB")
+      val t0 = System.nanoTime()
+      val cents = Ivf.centroidsDF(synth, nlist, iters = 2, wProbe = 0)
+      val cellCount = cents.count()
+      println(f"[dfstate] rounds=${Ivf.lastRounds} cells=$cellCount " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s; " +
+        s"driver heap after: ${usedMB()} MB")
+      spark.stop()
+      return
+    }
+
     val e = transform(col("embedding"), (x: Column) => x.cast("double"))
     val data = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), e.as("e")).cache()

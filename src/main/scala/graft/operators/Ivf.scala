@@ -222,7 +222,27 @@ object Ivf {
     * round's output is a DataFrame.
     */
   def centroids(data: DataFrame, nlist: Int = 8, iters: Int = 8,
-                trainSample: Int = 0): DataFrame = {
+                trainSample: Int = 0): DataFrame =
+    if (nlist >= dfStateThreshold) centroidsDF(data, nlist, iters, trainSample)
+    else centroidsArrays(data, nlist, iters, trainSample)
+
+  /** Above this nlist the centroid STATE itself leaves the driver:
+    * [[centroids]] delegates to [[centroidsDF]], which holds the
+    * between-rounds centroid table as a persisted DataFrame and runs
+    * each Lloyd step as joins+aggregates — the driver retains only the
+    * √nlist coarse routing table. Below it, [[centroidsArrays]] keeps
+    * the exact flat training whose bit-identity the sim_ivf specs pin.
+    * At the autoNlist extreme (10⁶ cells × 512 dims) the array state is
+    * ~4 GB of driver heap; the DF path caps driver state at
+    * O(√nlist·d). `var` so specs/sweeps can force either path.
+    */
+  @volatile private[graft] var dfStateThreshold: Int = 65536
+
+  /** Exact flat Lloyd training with driver-held centroid arrays — the
+    * default below [[dfStateThreshold]]; see [[centroids]].
+    */
+  private[graft] def centroidsArrays(data: DataFrame, nlist: Int = 8, iters: Int = 8,
+                                     trainSample: Int = 0): DataFrame = {
     val spark = data.sparkSession
     graft.functions.CosineSimilarity.register(spark)
     // Bounded training (opt-in, the Pq.train discipline): Lloyd rounds run
@@ -269,6 +289,112 @@ object Ivf {
         org.apache.spark.sql.Row(id, v.toSeq)
       }
       spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
+    } finally if (trainPersisted) { train.unpersist(); () }
+  }
+
+  /** DataFrame-resident Lloyd training — the extreme-dial form of
+    * [[centroids]] (engaged above [[dfStateThreshold]]): centroid state
+    * never materializes on the driver. The driver holds ONLY a
+    * √nlist-cell coarse routing table (trained by [[centroidsArrays]],
+    * bounded); the nlist fine centroids live in a persisted DataFrame
+    * `(cell, centroid)` and every Lloyd step is joins + aggregates:
+    *
+    *   1. route: each fine centroid → its nearest coarse group (fused
+    *      expression over the √nlist driver table); each train row →
+    *      its `1 + wProbe` nearest coarse groups (same expression,
+    *      exploded) — faiss's quantizer-over-centroids descent, in
+    *      relational form;
+    *   2. candidate join on `group` (hash shuffle keyed on the coarse
+    *      group; ~√nlist·(1+wProbe) candidates per row, never nlist);
+    *   3. per-row argmax via one `max_by` hash aggregate (tie rule
+    *      sim desc, cell asc — the windowed form's rule);
+    *   4. per-cell mean via one [[graft.functions.VectorSum]] aggregate,
+    *      LEFT-joined back to the previous state so empty cells keep
+    *      their centroid (the [[stepArrays]] rule).
+    *
+    * Each round's state is `localCheckpoint`ed (executor-resident
+    * blocks, O(nlist·d) TOTAL — not driver heap) so lineage cannot
+    * stack across rounds; convergence is a changed-cell count per round
+    * (one scalar to the driver — the CC convergence-digest idea).
+    *
+    * Contract differences from the exact path, both inherent to scale
+    * and documented rather than hidden: init is a hash-thresholded
+    * Bernoulli sample of ≈nlist vectors (cell id = the seed vector's
+    * `vec_id`; an exact-k init would be a driver TakeOrdered of the
+    * whole centroid table), and assignment descends through the coarse
+    * groups, so geometry near coarse boundaries can differ from flat
+    * argmax unless `wProbe ≥ nCoarse − 1` (which degenerates to exact —
+    * the spec's setting). A train row whose probed groups contain no
+    * fine cell skips the round, like [[stepArrays]]' null-cell drop.
+    */
+  def centroidsDF(data: DataFrame, nlist: Int, iters: Int = 8,
+                  trainSample: Int = 0, wProbe: Int = 2): DataFrame = {
+    val spark = data.sparkSession
+    graft.functions.CosineSimilarity.register(spark)
+    graft.functions.VectorSum.register(spark)
+    val (train, trainPersisted) =
+      if (trainSample <= 0) (data, false)
+      else {
+        val s = data.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+          .limit(math.max(trainSample, nlist))
+          .repartition(spark.sparkContext.defaultParallelism)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (s, true)
+      }
+    try {
+      // coarse routing table: √nlist cells, the ONLY centroid state the
+      // driver ever holds on this path
+      val nCoarse = math.max(math.ceil(math.sqrt(nlist.toDouble)).toInt, 2)
+      val coarse = centroidsArrays(train, nCoarse, iters)
+      val (cIds, cVecs) = collectCents(coarse)
+
+      // init: hash-thresholded Bernoulli sample, E[cells] = min(nlist, n)
+      val total = train.filter(col("e").isNotNull).count()
+      val m = 1000000L
+      val cut = math.max(math.min(m,
+        math.round(nlist.toDouble / math.max(total, 1L) * m)), 1L)
+      var cents = train.filter(col("e").isNotNull &&
+          pmod(xxhash64(col("vec_id")), lit(m)) < lit(cut))
+        .select(col("vec_id").as("cell"), col("e").as("centroid"))
+        .localCheckpoint()
+
+      var round = 0
+      var converged = false
+      while (!converged && round < iters) {
+        val (routeFn, bcR) = nearestCellsFnH(cents, cIds, cVecs, 1)
+        val (probeFn, bcP) = nearestCellsFnH(train, cIds, cVecs, 1 + wProbe)
+        val centsG = cents.withColumn("group",
+          element_at(routeFn(col("centroid")), 1))
+        val assigned = train
+          .select(col("vec_id"), col("e"),
+            explode(probeFn(col("e"))).as("group"))
+          .join(centsG, Seq("group"))
+          .withColumn("sim", cosine(col("e"), col("centroid")))
+          .groupBy(col("vec_id"))
+          .agg(max_by(struct(col("cell"), col("e")),
+            struct(col("sim"), -col("cell"))).as("b"))
+          .select(col("b.cell").as("cell"), col("b.e").as("e"))
+        val sums = assigned.groupBy(col("cell"))
+          .agg(call_function("vec_sum", col("e")).as("s"),
+            count(lit(1)).as("cnt"))
+        val next =
+          try cents.join(sums, Seq("cell"), "left")
+            .select(col("cell"),
+              when(col("cnt").isNotNull,
+                transform(col("s"), (x: Column) => x / col("cnt")))
+                .otherwise(col("centroid")).as("centroid"))
+            .localCheckpoint()
+          finally { bcR.foreach(_.destroy()); bcP.foreach(_.destroy()); () }
+        val changed = next.alias("n")
+          .join(cents.alias("p"), Seq("cell"))
+          .filter(col("n.centroid") =!= col("p.centroid"))
+          .count()
+        cents = next
+        converged = changed == 0L
+        round += 1
+      }
+      lastRounds = round
+      cents
     } finally if (trainPersisted) { train.unpersist(); () }
   }
 

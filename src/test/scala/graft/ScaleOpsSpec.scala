@@ -424,6 +424,56 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(a.length == 8)
   }
 
+  test("DataFrame-resident Lloyd converges to the k-means fixed point") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Ivf
+    import spark.implicits._
+    val e = transform(col("embedding"), (x: org.apache.spark.sql.Column) => x.cast("double"))
+    val n = graft.Tables(spark, sf, "embeddings").select(col("vec_id"), e.as("e"))
+    // wProbe ≥ nCoarse−1 probes every coarse group, so the DF path's
+    // assignment IS the exact flat argmax — the converged state must
+    // then satisfy the k-means fixed point: every non-empty cell's
+    // centroid equals the mean of its exactly-assigned vectors.
+    val cents = Ivf.centroidsDF(n, nlist = 16, iters = 40, wProbe = 8)
+      .persist()
+    try {
+      assert(Ivf.lastRounds < 40, "training did not converge in 40 rounds")
+      assert(cents.schema.map(f => (f.name, f.dataType.simpleString)) ===
+        Seq(("cell", "bigint"), ("centroid", "array<double>")))
+      val cellIds = cents.select("cell").as[Long].collect()
+      assert(cellIds.distinct.length == cellIds.length, "duplicate cell ids")
+      // Bernoulli init: E[cells]=16 over 500 vectors; a band, not exact-k
+      assert(cellIds.length >= 4 && cellIds.length <= 48,
+        s"cell count ${cellIds.length} outside the Bernoulli band")
+      val vecIds = n.select("vec_id").as[Long].collect().toSet
+      assert(cellIds.forall(vecIds.contains), "cell ids must be seed vec_ids")
+      graft.functions.VectorSum.register(spark)
+      val rec = Ivf.assign(n, cents).groupBy(col("cell"))
+        .agg(call_function("vec_sum", col("e")).as("s"), count(lit(1)).as("cnt"))
+        .select(col("cell"),
+          transform(col("s"), (x: org.apache.spark.sql.Column) => x / col("cnt")).as("m"))
+      val maxErr = cents.join(rec, Seq("cell"), "left")
+        .select(when(col("m").isNull, lit(0.0)).otherwise(
+          array_max(zip_with(col("centroid"), col("m"),
+            (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+              abs(a - b)))).as("err"))
+        .agg(max(col("err"))).as[Double].head()
+      assert(maxErr < 1e-9, s"fixed-point violation: max |centroid - mean| = $maxErr")
+      // dispatch: above dfStateThreshold, centroids() routes here — the
+      // deterministic init means the cell-id SET matches a direct call
+      // (the flat path would emit dense 0..nlist−1 ids instead)
+      val saved = Ivf.dfStateThreshold
+      Ivf.dfStateThreshold = 8
+      try {
+        val viaDispatch = Ivf.centroids(n, nlist = 16, iters = 2)
+          .select("cell").as[Long].collect().toSet
+        val direct = Ivf.centroidsDF(n, nlist = 16, iters = 2)
+          .select("cell").as[Long].collect().toSet
+        assert(viaDispatch === direct, "centroids() did not dispatch to the DF path")
+      } finally Ivf.dfStateThreshold = saved
+    } finally { cents.unpersist(false); () }
+  }
+
   test("IVF top-k reaches usable recall vs brute force") {
     import org.apache.spark.sql.functions._
     val e = transform(col("embedding"), (x: org.apache.spark.sql.Column) => x.cast("double"))
