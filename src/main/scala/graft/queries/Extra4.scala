@@ -443,10 +443,78 @@ object Extra4 {
       graft.operators.BloomDedup
         .screenReport(s, Tables(s, dir, "documents"), splitId = 250L)
         .orderBy(col("doc_id"))
+    },
+
+    // -- line-level corpus dedup (round 11) --------------------------------
+    // The RefinedWeb/CCNet step text_boilerplate only MEASURES: remove
+    // every line duplicated across the corpus (df ≥ 2 distinct docs) and
+    // REWRITE the document from its surviving lines. The fixture has no
+    // newlines, so "lines" are deterministic 10-token chunks (the
+    // text_pii_mask synthetic-structure convention — both engines derive
+    // the identical segmentation). Output: per-doc line counts and the
+    // md5 of the reconstructed text (NULL when nothing survives, exactly
+    // DuckDB's filtered string_agg).
+    //
+    // Scale shape (the text_boilerplate plan on lines): one persisted
+    // line relation feeds a distinct + hash aggregate (corpus df) and a
+    // line-keyed hash join back; reconstruction is a per-doc
+    // sort_array(collect_list) bounded by document size. No sort, no
+    // self-join; the duplicated-line table stays distributed.
+    "text_line_dedup" -> { (s, dir) =>
+      val lines = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), (t: Column) => t =!= "").as("t"))
+        .filter(size(col("t")) > 0)
+        .select(col("doc_id"),
+          transform(sequence(lit(1), ceil(size(col("t")) / lit(10.0)).cast("int")),
+            (i: Column) => array_join(
+              slice(col("t"), (i - lit(1)) * lit(10) + lit(1), lit(10)), " "))
+            .as("ls"))
+        .select(col("doc_id"), posexplode(col("ls")).as(Seq("pos", "line")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("idx"), col("line"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfRel = lines.select(col("doc_id"), col("line")).distinct()
+        .groupBy(col("line")).agg(count(lit(1)).as("df"))
+      try lines.join(dfRel, Seq("line"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_lines"),
+          count(when(col("df") === 1, 1)).as("n_kept"),
+          sort_array(collect_list(
+            when(col("df") === 1, struct(col("idx"), col("line"))))).as("kl"))
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          when(col("n_kept") > 0,
+            md5(array_join(transform(col("kl"),
+              (x: Column) => x.getField("line")), "\n"))).as("kept_fp"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      finally { lines.unpersist(false); () }
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "text_line_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t
+        |  FROM documents
+        |  WHERE text IS NOT NULL
+        |    AND len(list_filter(string_split(text, ' '), x -> x <> '')) > 0),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, CAST(ceil(len(t)/10.0) AS BIGINT) + 1),
+        |      i -> array_to_string(list_slice(t, (i-1)*10+1, (i-1)*10+10), ' ')) ls
+        |  FROM base),
+        |lines AS (
+        |  SELECT doc_id, unnest(ls) AS line, unnest(range(1, len(ls)+1)) AS idx
+        |  FROM chunks),
+        |df AS (SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY 1)
+        |SELECT l.doc_id,
+        |  count(*) AS n_lines,
+        |  count(*) FILTER (WHERE df.df = 1) AS n_kept,
+        |  md5(string_agg(l.line, chr(10) ORDER BY l.idx)
+        |    FILTER (WHERE df.df = 1)) AS kept_fp
+        |FROM lines l JOIN df ON l.line = df.line
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_winnow" ->
       s"""WITH h AS (
          |  SELECT doc_id,
