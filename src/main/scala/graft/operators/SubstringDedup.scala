@@ -82,6 +82,54 @@ object SubstringDedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** ONE builder-facing entry point for verbatim-overlap candidate
+    * pairs — `dedup_substring` and `dedup_winnow` fill the same
+    * contract at different density/guarantee dials, and this is where
+    * the choice (and its bound) lives so callers can't pick blind:
+    *
+    *  - `mode = "exact"`: every position contributes a gram
+    *    ([[sharedGramPairs]]). GUARANTEE: any pair sharing a verbatim
+    *    span of ≥ `gramLen + minShared − 1` chars is emitted (complete
+    *    at the gram level; hash-collision budget in the object doc).
+    *    The densest signal and the priciest: 115.5 s at the 100×
+    *    fixture decade (PERF.md).
+    *  - `mode = "winnow"`: Schleimer-et-al winnowing fingerprints at
+    *    ~2/(window+1) the gram density (66.3 s at 100×). GUARANTEE
+    *    (conservative): any shared span of
+    *    ≥ `gramLen + (minShared + 1)·window − 2` chars contains
+    *    `minShared` disjoint interior gram windows, each of which
+    *    selects ≥ 1 fingerprint — content-determined, hence selected
+    *    identically in both documents — so the pair is emitted. Shorter
+    *    overlaps are emitted best-effort, never spuriously (a shared
+    *    fingerprint IS a shared gram).
+    *
+    * Both modes emit `(d1 < d2, shared)` through the same capped
+    * bucket machinery (groups above `maxGroup` dropped whole).
+    * `window` is read only by the winnow mode.
+    */
+  def candidates(docs: DataFrame, mode: String = "exact",
+                 gramLen: Int = 40, minShared: Long = 5L, maxGroup: Int = 500,
+                 window: Int = 8,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    mode match {
+      case "exact" =>
+        sharedGramPairs(docs, gramLen, minShared, maxGroup, idCol, textCol)
+      case "winnow" =>
+        graft.functions.WinnowFingerprints.register(docs.sparkSession)
+        val fps = docs
+          .filter(col(textCol).isNotNull &&
+            length(col(textCol)) >= gramLen + window - 1)
+          .select(col(idCol).as("doc_id"),
+            explode(graft.functions.WinnowFingerprints(col(textCol), gramLen, window))
+              .as("fp"))
+        graft.functions.CappedLongCollect
+          .groupPairs(fps, Seq(col("fp")), col("doc_id"), maxGroup)
+          .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= minShared)
+      case other => throw new IllegalArgumentException(
+        s"SubstringDedup.candidates mode must be 'exact' or 'winnow', got '$other'")
+    }
+
   /** Number of gram groups the `maxGroup` cap removes — the
     * [[MinHash.droppedBuckets]] analogue for the recall/cost trade.
     */

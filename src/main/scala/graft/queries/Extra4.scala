@@ -304,16 +304,9 @@ object Extra4 {
     // on the fingerprint key → map-side pair explode (groups above the
     // cap would drop WHOLE; fixture max group is 5).
     "dedup_winnow" -> { (s, dir) =>
-      graft.functions.WinnowFingerprints.register(s)
-      val fps = Tables(s, dir, "documents")
-        .filter(col("text").isNotNull && length(col("text")) >= 20 + 8 - 1)
-        .select(col("doc_id"),
-          explode(graft.functions.WinnowFingerprints(col("text"), 20, 8))
-            .as("fp"))
-      graft.functions.CappedLongCollect
-        .groupPairs(fps, Seq(col("fp")), col("doc_id"), 500)
-        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 2)
+      graft.operators.SubstringDedup
+        .candidates(Tables(s, dir, "documents"), mode = "winnow",
+          gramLen = 20, minShared = 2L, window = 8)
         .orderBy(col("d1"), col("d2"))
     },
 

@@ -535,7 +535,7 @@ object LlmOps {
     // [[graft.operators.SubstringDedup]] for the sort-free plan shape.
     "dedup_substring" -> { (s, dir) =>
       graft.operators.SubstringDedup
-        .sharedGramPairs(Tables(s, dir, "documents"))
+        .candidates(Tables(s, dir, "documents"), mode = "exact")
         .orderBy(col("d1"), col("d2"))
     }
   )

@@ -411,6 +411,14 @@ private[sources] class HttpRangeReaderFactory(
   * whole partition; cheap request-level retries absorb blips first.
   * 4xx (other than 429) never retries: the request itself is wrong.
   */
+private[sources] object HttpPageFetcher {
+  /** Cap on honoring `Retry-After`: the server's pacing wins over the
+    * exponential backoff up to this bound, past which a buggy or
+    * hostile header would just be parking executor tasks.
+    */
+  val MaxRetryAfterMs: Long = 30000L
+}
+
 private[sources] class HttpPageFetcher(
     url: String, schemaDdl: String,
     offsetParam: String, limitParam: String, headers: Map[String, String],
@@ -447,22 +455,49 @@ private[sources] class HttpPageFetcher(
           val code = resp.statusCode()
           if (code / 100 == 2) Right(resp.body())
           else if (code == 429 || code / 100 == 5)
-            Left(s"HTTP $code") // transient: server-side / throttled
+            // transient: server-side / throttled — carry Retry-After so
+            // the sleep honors the server's own pacing (the first thing
+            // a real API sends back at partitioned-read fan-out)
+            Left((s"HTTP $code", retryAfterMs(resp)))
           else throw new IllegalStateException(
             s"graft-http GET $pageUrl failed: HTTP $code") // caller bug
         } catch {
-          case e: java.io.IOException => Left(e.toString) // connection blip
+          case e: java.io.IOException => Left((e.toString, None)) // connection blip
         }
       outcome match {
         case Right(ok) => body = ok
-        case Left(err) =>
+        case Left((err, retryAfter)) =>
           attempt += 1
           if (attempt > maxRetries) throw new IllegalStateException(
             s"graft-http GET $pageUrl failed after $maxRetries retries: $err")
-          Thread.sleep(backoffMs * (1L << (attempt - 1)))
+          val base = backoffMs * (1L << (attempt - 1))
+          // server wins when it asks for MORE than the backoff, capped
+          // so a hostile/buggy header can't park the task indefinitely
+          Thread.sleep(retryAfter.fold(base)(r =>
+            math.max(base, math.min(r, HttpPageFetcher.MaxRetryAfterMs))))
       }
     }
     body
+  }
+
+  /** `Retry-After` in millis, from either RFC 9110 form (delta-seconds
+    * or an HTTP-date); None when absent or unparseable.
+    */
+  private def retryAfterMs(resp: HttpResponse[String]): Option[Long] = {
+    val v = resp.headers().firstValue("Retry-After")
+    if (!v.isPresent) None
+    else {
+      val s = v.get().trim
+      s.toLongOption.map(_ * 1000L).orElse {
+        try {
+          val at = java.time.ZonedDateTime.parse(
+            s, java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+          Some(math.max(
+            java.time.Duration.between(java.time.ZonedDateTime.now(at.getZone), at)
+              .toMillis, 0L))
+        } catch { case _: java.time.format.DateTimeParseException => None }
+      }
+    }
   }
 
   /** Parse a JSON array (or single object) of records. NOT thread-safe —

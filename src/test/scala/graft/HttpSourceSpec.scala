@@ -32,6 +32,12 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val flakyIngestSeen =
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+  // rate-limit endpoint state: first-hit nanos per URI + observed
+  // 429→retry gaps
+  private val rlFirstSeen =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val rlRetryGapsMs =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[Long]())
   // cursor-endpoint state (independent of the offset endpoints)
   private val cursorLiveRows = new AtomicInteger(TotalRows)
   private val cursorRequests = new AtomicInteger(0)
@@ -90,6 +96,33 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         exchange.sendResponseHeaders(503, -1)
         exchange.close()
       } else {
+        val q = Option(exchange.getRequestURI.getQuery).getOrElse("")
+        val params = q.split("&").filter(_.contains("="))
+          .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+        val off = params.getOrElse("offset", "0").toLong
+        val lim = params.getOrElse("limit", "100").toInt
+        val rows = (off until math.min(off + lim, TotalRows.toLong)).map { i =>
+          s"""{"id": $i, "name": "row-$i", "score": ${i * 0.5}}"""
+        }
+        val body = rows.mkString("[", ",", "]").getBytes("UTF-8")
+        exchange.sendResponseHeaders(200, body.length.toLong)
+        exchange.getResponseBody.write(body)
+        exchange.close()
+      }
+    })
+    // rate-limited variant: the FIRST request of each distinct URI 429s
+    // with `Retry-After: 1`; retries serve normally. Records the gap
+    // between the 429 and its retry so the spec can assert the reader
+    // slept the server's full second, not its own 200 ms backoff.
+    server.createContext("/ratelimited", exchange => {
+      val uri = exchange.getRequestURI.toString
+      val prev = rlFirstSeen.putIfAbsent(uri, java.lang.Long.valueOf(System.nanoTime()))
+      if (prev == null) {
+        exchange.getResponseHeaders.add("Retry-After", "1")
+        exchange.sendResponseHeaders(429, -1)
+        exchange.close()
+      } else {
+        rlRetryGapsMs.add((System.nanoTime() - prev.longValue()) / 1000000L)
         val q = Option(exchange.getRequestURI.getQuery).getOrElse("")
         val params = q.split("&").filter(_.contains("="))
           .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
@@ -246,6 +279,26 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // every 3rd request fails; with 3 retries every page still lands
     assert(df.count() === TotalRows)
     assert(df.select(countDistinct(col("id"))).head.getLong(0) === TotalRows)
+  }
+
+  test("429 retries honor the server's Retry-After over the local backoff") {
+    rlFirstSeen.clear(); rlRetryGapsMs.clear()
+    val df = spark.read.format("graft-http")
+      .option("url", s"http://127.0.0.1:$port/ratelimited")
+      .option("schema", "id LONG, name STRING, score DOUBLE")
+      .option("pageSize", "200")
+      .option("numPartitions", "2")
+      .load()
+    // every page's first request 429s; the read still lands exactly once
+    assert(df.count() === TotalRows)
+    assert(df.select(countDistinct(col("id"))).head.getLong(0) === TotalRows)
+    // and each retry waited the demanded 1 s (default first backoff is
+    // 200 ms — a gap under ~1 s means the header was ignored)
+    import scala.jdk.CollectionConverters._
+    val gaps = rlRetryGapsMs.asScala.toList
+    assert(gaps.nonEmpty, "server never saw a retry")
+    assert(gaps.forall(_ >= 950L),
+      s"a retry arrived before the Retry-After second elapsed: $gaps ms")
   }
 
   test("micro-batch streaming reads append-only growth exactly once") {

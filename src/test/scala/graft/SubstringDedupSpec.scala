@@ -66,6 +66,29 @@ class SubstringDedupSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("candidates() dispatches exact/winnow to the same-contract pair sets") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("d1", "d2", "shared").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // exact mode IS sharedGramPairs (the dedup_substring oracle shape)
+    assert(pairs(SubstringDedup.candidates(docs, mode = "exact")) ===
+      pairs(SubstringDedup.sharedGramPairs(docs)))
+    // winnow mode at the dedup_winnow dial: its pairs are a SUBSET of
+    // the exact pairs at the same gram length (a shared fingerprint is
+    // a shared gram — never spurious), and non-empty on this corpus
+    val win = pairs(SubstringDedup.candidates(docs, mode = "winnow",
+      gramLen = 20, minShared = 1L))
+    val exact20 = pairs(SubstringDedup.candidates(docs, mode = "exact",
+      gramLen = 20, minShared = 1L)).map(p => (p._1, p._2))
+    assert(win.nonEmpty)
+    assert(win.map(p => (p._1, p._2)).subsetOf(exact20),
+      "winnow emitted a pair with no shared 20-gram")
+    intercept[IllegalArgumentException] {
+      SubstringDedup.candidates(docs, mode = "minhash")
+    }
+  }
+
   test("text_repetition stays bounded and its value equality holds vs DuckDB") {
     // Value-level correctness is the driver's DuckDB oracle (the query is
     // oracle-checked); this gate pins the invariants the oracle compare
