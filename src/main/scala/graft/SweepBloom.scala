@@ -50,6 +50,28 @@ object SweepBloom {
         if (nIn - exact == 0) 0.0 else (flagged - exact).toDouble / (nIn - exact)
       println(f"[sweep-bloom] probe $probeS%.2f s (broadcast map over the incoming scan), " +
         f"flagged $flagged%d, exact $exact%d, observed fp rate $fpObserved%.4f (bound $fpp)")
+
+      // sharded escalation (round 11): k hash-range blooms built and
+      // probed in sequence — the per-shard filter is the PEAK driver /
+      // executor residency, vs the whole filter above. Latency trades a
+      // k× job count for the k× smaller merge; same guarantee cells.
+      for (k <- Seq(4, 16)) {
+        val t2 = System.nanoTime()
+        val shardBytes = {
+          val b = seen.filter(pmod(col("h"), lit(k.toLong)) === 0L)
+            .stat.bloomFilter("h", math.max(nSeen / k, 1L), fpp)
+          val s = new java.io.ByteArrayOutputStream(); b.writeTo(s); s.size
+        }
+        val flaggedSharded = graft.operators.BloomDedup
+          .flagMaybeSeenSharded(spark, seen, incoming, "h",
+            math.max(nSeen, 1L), fpp, shards = k)
+          .filter(col("maybe_seen")).count()
+        val shardS = (System.nanoTime() - t2) / 1e9
+        println(f"[sweep-bloom] sharded k=$k%d: build+probe $shardS%.2f s, " +
+          f"peak filter ${shardBytes / 1024.0 / 1024.0}%.2f MiB/shard " +
+          f"(vs ${bos.size / 1024.0 / 1024.0}%.1f single), flagged $flaggedSharded%d " +
+          f"(exact $exact%d still all caught: ${flaggedSharded >= exact})")
+      }
     } finally {
       docs.unpersist(false)
       spark.stop()
