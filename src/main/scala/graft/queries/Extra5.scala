@@ -1,0 +1,301 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-11 extension operators — the training-data EXPORT wave: the
+  * steps that sit between a cleaned corpus and a training run. The
+  * reference (/root/reference/task.ts, a 224-line single-connector ETL)
+  * has no analogue of any of these; they are engine surface demanded by
+  * the brief's "operations a large-scale training-data pipeline would
+  * need".
+  *
+  * All four are full-oracle queries (SURVEY §7.5 determinism discipline:
+  * total ORDER BY or provably-unique group keys, doubles rounded to 4,
+  * counts cast to long so both engines surface BIGINT).
+  *
+  * Scale notes (the 100 TB lens, per query):
+  *   - `text_chunk`: pure row-local explode — ZERO shuffle beyond the
+  *     oracle's total order (the signaturesLocal rule). Context-window
+  *     chunking is the single highest-volume op in a pretraining
+  *     pipeline; anything with a shuffle here would dominate the job.
+  *   - `corpus_prune`: exact percentile pruning WITHOUT a global sort —
+  *     the score histogram (bounded distinct keys, scores rounded to 4)
+  *     is hash-aggregated distributed, and only the tiny histogram runs
+  *     through the single-partition cumulative window; thresholds then
+  *     broadcast back. Nearest-rank exact, corpus-size independent.
+  *   - `text_bm25`: postings are filtered to the broadcast query-term
+  *     set BEFORE the tf aggregate, so the shuffle is O(query-term
+  *     matches), not O(tokens); df and corpus stats are tiny broadcast
+  *     relations; final top-k is TakeOrdered (no global sort).
+  *   - `export_shards`: one hash aggregate keyed on the shard prefix;
+  *     the manifest checksum is an ORDER-INDEPENDENT sum of 48-bit hash
+  *     prefixes (commutative → partial-aggregable), deliberately not a
+  *     string_agg of per-shard sorted hashes (which would serialize each
+  *     shard through one task and ship O(corpus) strings).
+  */
+object Extra5 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Context-window chunking dials: chunk size (tokens) and stride.
+    * stride < size ⇒ (size − stride)-token overlap between consecutive
+    * chunks, the usual pretraining packing-with-overlap shape.
+    */
+  val ChunkSize   = 32
+  val ChunkStride = 24
+
+  /** BM25 dials (Robertson & Zaragoza 2009): k1 term-frequency
+    * saturation, b length normalization; idf is the Lucene-convention
+    * always-positive form ln((N − df + 0.5)/(df + 0.5) + 1).
+    * K1p1/OneMinusB are spelled as literals — NOT derived (1.2 + 1.0)
+    * — because constant folding of 1.2+1.0 can land one ulp away from
+    * the literal 2.2 and the two engines must fold identically.
+    */
+  val BmK1        = 1.2
+  val BmK1p1      = 2.2
+  val BmB         = 0.75
+  val BmOneMinusB = 0.25
+
+  /** Fixed retrieval query terms (present in the fixture vocabulary so
+    * the score surface is non-trivial).
+    */
+  val BmTerms: Seq[String] = Seq("spark", "join", "vector", "stream")
+  private val bmTermsSql: String = BmTerms.map(t => s"'$t'").mkString(", ")
+
+  /** Corpus-prune percentile band: keep docs whose score sits within
+    * [P5, P95] by nearest-rank (cum count ≥ ceil(q·N)).
+    */
+  val PruneLoQ = 0.05
+  val PruneHiQ = 0.95
+
+  private def toks(c: Column): Column =
+    filter(split(c, " "), (t: Column) => t =!= "")
+
+  val queries: Map[String, Q] = Map(
+    // -- context-window chunking ------------------------------------------
+    // Split each document's token stream into ChunkSize-token windows
+    // advancing by ChunkStride (overlapping; final partial chunk kept).
+    // Emits per chunk: index, token count, md5 of the re-joined text —
+    // the downstream identity for packed-example dedup. Row-local: the
+    // chunk index set is sequence(0, floor((n−1)/stride)) and each chunk
+    // is a slice — no shuffle anywhere in the computation.
+    "text_chunk" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .filter(size(col("t")) > 0)
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0),
+            floor((size(col("t")) - 1) / lit(ChunkStride.toDouble)).cast("int")))
+            .as("i"))
+        .select(col("doc_id"), col("i").cast("long").as("chunk_idx"),
+          slice(col("t"), col("i") * ChunkStride + 1, lit(ChunkSize)).as("c"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("c")).cast("long").as("n_tok"),
+          md5(array_join(col("c"), " ")).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // -- exact percentile corpus pruning (no global sort) -----------------
+    // Quality-band filter: score = mean chars/token (rounded to 4 so the
+    // histogram key set is bounded), keep docs inside the nearest-rank
+    // [P5, P95] band, report per-source survival. The percentile is
+    // EXACT but computed from the distributed score histogram — the only
+    // single-partition work is the cumulative window over the (tiny)
+    // histogram, never the corpus. Four consumers of the scored relation
+    // → persist + try/finally (the repo's multi-consumer discipline).
+    "corpus_prune" -> { (s, dir) =>
+      val scored = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          size(toks(col("text"))).as("ntok"))
+        .filter(col("ntok") > 0)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(col("n_chars").cast("double") / col("ntok"), 4).as("score"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("c"))
+      val total = hist.agg(sum(col("c")).as("n"))
+      // Default RANGE-to-current-row frame == DuckDB's default; keys are
+      // distinct (grouped) so RANGE and ROWS agree by construction.
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("score"))))
+        .crossJoin(broadcast(total))
+      val thr = cum.agg(
+        min(when(col("cum") >= ceil(lit(PruneLoQ) * col("n")), col("score"))).as("lo"),
+        min(when(col("cum") >= ceil(lit(PruneHiQ) * col("n")), col("score"))).as("hi"))
+      val kept = col("score") >= col("lo") && col("score") <= col("hi")
+      try scored
+        .crossJoin(broadcast(thr))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(kept, 1)).as("kept_docs"),
+          coalesce(sum(when(kept, col("n_chars"))), lit(0L)).cast("long")
+            .as("kept_chars"),
+          min(col("lo")).as("lo"), min(col("hi")).as("hi"))
+        .orderBy(col("source"))
+        .localCheckpoint()
+      finally { scored.unpersist(false); () }
+    },
+
+    // -- BM25 retrieval scoring -------------------------------------------
+    // Okapi BM25 of every document against the fixed BmTerms query set;
+    // top-100 by rounded score (doc_id tie-break → deterministic LIMIT).
+    // The token relation is consumed by both the length side and the
+    // postings side → persist; postings are filtered to the query terms
+    // BEFORE aggregation, so the tf shuffle carries only matching
+    // (doc, term) pairs. df and the (N, avgdl) row broadcast.
+    "text_bm25" -> { (s, dir) =>
+      val tok = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), toks(lower(col("text"))).as("t"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dl = tok.filter(size(col("t")) > 0)
+        .select(col("doc_id"), size(col("t")).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"),
+        avg(col("dl").cast("double")).as("avgdl"))
+      val tf = tok
+        .select(col("doc_id"), explode(col("t")).as("term"))
+        .filter(col("term").isin(BmTerms: _*))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+      val score = idf * col("tf") * BmK1p1 /
+        (col("tf") + lit(BmK1) * (lit(BmOneMinusB) + lit(BmB) * col("dl") / col("avgdl")))
+      try tf
+        .join(broadcast(dfr), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .groupBy(col("doc_id")).agg(sum(score).as("score"))
+        .select(col("doc_id"), round(col("score"), 4).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(100)
+        .localCheckpoint()
+      finally { tok.unpersist(false); () }
+    },
+
+    // -- sharded export manifest ------------------------------------------
+    // The output step of a data pipeline: docs hashed into 16 shards by
+    // md5(doc_id) prefix (the text_pack shard-key rule), one manifest
+    // row per shard — counts, token/char volume, hash range, and an
+    // order-independent content checksum (sum of each doc-hash's first
+    // 48 bits; commutative, so it partial-aggregates map-side and never
+    // depends on row order). One hash aggregate end to end.
+    "export_shards" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(
+          substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"),
+          col("n_chars"),
+          size(toks(col("text"))).as("ntok"),
+          md5(col("text")).as("h"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).cast("long").as("total_tokens"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          min(col("h")).as("min_hash"), max(col("h")).as("max_hash"),
+          sum(conv(substring(col("h"), 1, 12), 16, 10).cast("long"))
+            .cast("long").as("checksum"))
+        .orderBy(col("shard"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_chunk" -> s"""
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ), tok2 AS (
+        SELECT doc_id, t, len(t) AS n FROM tok WHERE len(t) > 0
+      ), idx AS (
+        SELECT doc_id, t,
+               UNNEST(generate_series(0,
+                 CAST(floor((n - 1) / ${ChunkStride}.0) AS INT))) AS i
+        FROM tok2
+      ), ch AS (
+        SELECT doc_id, i AS chunk_idx,
+               list_slice(t, 1 + i*$ChunkStride, i*$ChunkStride + $ChunkSize) AS c
+        FROM idx
+      )
+      SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             CAST(len(c) AS BIGINT) AS n_tok,
+             md5(array_to_string(c, ' ')) AS chunk_hash
+      FROM ch ORDER BY doc_id, chunk_idx
+    """,
+
+    "corpus_prune" -> s"""
+      WITH d AS (
+        SELECT doc_id, source, n_chars,
+               len(list_filter(string_split(text, ' '), t -> t <> '')) AS ntok
+        FROM documents WHERE text IS NOT NULL
+      ), s AS (
+        SELECT doc_id, source, n_chars,
+               round(CAST(n_chars AS DOUBLE) / ntok, 4) AS score
+        FROM d WHERE ntok > 0
+      ), hist AS (
+        SELECT score, count(*) AS c FROM s GROUP BY score
+      ), cum AS (
+        SELECT score, sum(c) OVER (ORDER BY score) AS cum,
+               (SELECT sum(c) FROM hist) AS n
+        FROM hist
+      ), thr AS (
+        SELECT min(CASE WHEN cum >= ceil($PruneLoQ * n) THEN score END) AS lo,
+               min(CASE WHEN cum >= ceil($PruneHiQ * n) THEN score END) AS hi
+        FROM cum
+      )
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(CASE WHEN score >= lo AND score <= hi THEN 1 END)
+               AS BIGINT) AS kept_docs,
+             CAST(coalesce(sum(CASE WHEN score >= lo AND score <= hi
+               THEN n_chars END), 0) AS BIGINT) AS kept_chars,
+             min(lo) AS lo, min(hi) AS hi
+      FROM s CROSS JOIN thr GROUP BY source ORDER BY source
+    """,
+
+    "text_bm25" -> s"""
+      WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ), dl AS (
+        SELECT doc_id, len(t) AS dl FROM tok WHERE len(t) > 0
+      ), stats AS (
+        SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+      ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM (
+          SELECT doc_id, UNNEST(t) AS term FROM tok
+        ) WHERE term IN ($bmTermsSql) GROUP BY doc_id, term
+      ), dfr AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+      ), sc AS (
+        SELECT tf.doc_id,
+               sum( ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                    * tf * $BmK1p1
+                    / (tf + $BmK1 * ($BmOneMinusB + $BmB * dl / avgdl)) ) AS score
+        FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        GROUP BY tf.doc_id
+      )
+      SELECT doc_id, round(score, 4) AS bm25
+      FROM sc ORDER BY bm25 DESC, doc_id LIMIT 100
+    """,
+
+    "export_shards" -> """
+      WITH d AS (
+        SELECT doc_id, n_chars,
+               md5(CAST(doc_id AS VARCHAR)) AS m, md5(text) AS h,
+               len(list_filter(string_split(text, ' '), t -> t <> '')) AS ntok
+        FROM documents WHERE text IS NOT NULL
+      )
+      SELECT substr(m, 1, 1) AS shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(ntok) AS BIGINT) AS total_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             min(h) AS min_hash, max(h) AS max_hash,
+             CAST(sum(CAST('0x' || substr(h, 1, 12) AS BIGINT)) AS BIGINT)
+               AS checksum
+      FROM d GROUP BY shard ORDER BY shard
+    """
+  )
+}

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Extra5
+
+/** Crafted-input tests for the round-11 Extra5 export-wave operators.
+  * The DuckDB oracle is the primary gate; this spec pins the
+  * algorithmic properties hash-comparison can't show: chunk coverage/
+  * overlap, nearest-rank band math, BM25 monotonicity, and the
+  * ORDER-INDEPENDENCE of the shard manifest checksum (the property that
+  * makes it partial-aggregable at scale).
+  */
+class Extra5Spec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- text_chunk ------------------------------------------------------
+
+  test("text_chunk: chunks cover every token and overlap by size-stride") {
+    val rows = Extra5.queries("text_chunk")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (_, ch) =>
+      val sorted = ch.sortBy(_.getLong(1))
+      // indices are dense from 0
+      assert(sorted.map(_.getLong(1)).toSeq == (0L until sorted.length).toSeq)
+      // last chunk starts at stride*(k-1) and the index rule guarantees
+      // lastLen <= stride < size, so N = stride*(k-1) + lastLen exactly;
+      // every chunk i then has length min(size, N - i*stride) — with
+      // overlap the second-to-last chunk may be partial too (N=51 →
+      // 32, 27, 3), which is the correct covering rule, not a bug.
+      val lastLen = sorted.last.getLong(2)
+      assert(lastLen >= 1L && lastLen <= Extra5.ChunkStride.toLong)
+      val n = Extra5.ChunkStride.toLong * (sorted.length - 1) + lastLen
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(2) ==
+          math.min(Extra5.ChunkSize.toLong, n - i * Extra5.ChunkStride.toLong))
+      }
+    }
+  }
+
+  test("text_chunk: a doc shorter than one chunk yields exactly one partial chunk") {
+    import spark.implicits._
+    val one = Seq((1L, "a b c")).toDF("doc_id", "text")
+    one.createOrReplaceTempView("ignored")
+    val chunks = one
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          floor((size(split(col("text"), " ")) - 1) /
+            lit(Extra5.ChunkStride.toDouble)).cast("int"))).as("i"))
+      .collect()
+    assert(chunks.length == 1 && chunks.head.getInt(1) == 0)
+  }
+
+  // ---- corpus_prune ----------------------------------------------------
+
+  test("corpus_prune: band keeps ~90% and bounds hold") {
+    val rows = Extra5.queries("corpus_prune")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getLong(1)).sum
+    val kept = rows.map(_.getLong(2)).sum
+    // nearest-rank [P5,P95] keeps at least 85% and never more than all
+    assert(kept <= n && kept >= (n * 0.80).toLong,
+      s"kept $kept of $n outside the expected band")
+    rows.foreach { r =>
+      assert(r.getDouble(4) <= r.getDouble(5), "lo must be <= hi")
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+  }
+
+  // ---- text_bm25 -------------------------------------------------------
+
+  test("text_bm25: scores positive, bounded count, deterministic") {
+    val a = Extra5.queries("text_bm25")(spark, sf).collect()
+    val b = Extra5.queries("text_bm25")(spark, sf).collect()
+    assert(a.nonEmpty && a.length <= 100)
+    a.foreach(r => assert(r.getDouble(1) > 0.0, "BM25 with +1 idf is strictly positive"))
+    assert(a.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      b.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
+  test("text_bm25: saturation — tf doubling gains less than score doubling") {
+    import spark.implicits._
+    // two synthetic docs, identical length, one with 2x the term count:
+    // k1 saturation requires score(d2) < 2*score(d1)
+    val docs = Seq(
+      (1L, "spark x x x x x x x"),
+      (2L, "spark spark x x x x x x")).toDF("doc_id", "text")
+    val terms = Seq("spark")
+    val tok = docs.select(col("doc_id"),
+      filter(split(lower(col("text")), " "), t => t =!= "").as("t"))
+    val dl = tok.select(col("doc_id"), size(col("t")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl"))
+    val tf = tok.select(col("doc_id"), explode(col("t")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val score = idf * col("tf") * Extra5.BmK1p1 /
+      (col("tf") + lit(Extra5.BmK1) * (lit(Extra5.BmOneMinusB) +
+        lit(Extra5.BmB) * col("dl") / col("avgdl")))
+    val m = tf.join(dfr, "term").join(dl, "doc_id").crossJoin(stats)
+      .groupBy(col("doc_id")).agg(sum(score).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(2L) > m(1L), "more matches must score higher")
+    assert(m(2L) < 2.0 * m(1L), "k1 saturation must be sub-linear in tf")
+  }
+
+  // ---- export_shards ---------------------------------------------------
+
+  test("export_shards: manifest is partitioning- and order-invariant") {
+    val base = Extra5.queries("export_shards")(spark, sf)
+    val a = base.collect().map(_.toSeq).toSeq
+    // same computation over a deliberately re-shuffled input: the
+    // checksum is a commutative sum, so every cell must be identical
+    val docs = Tables(spark, sf, "documents").repartition(7).sortWithinPartitions(col("n_chars"))
+    val b = docs
+      .filter(col("text").isNotNull)
+      .select(
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"),
+        col("n_chars"),
+        size(filter(split(col("text"), " "), t => t =!= "")).as("ntok"),
+        md5(col("text")).as("h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).cast("long").as("total_tokens"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        min(col("h")).as("min_hash"), max(col("h")).as("max_hash"),
+        sum(conv(substring(col("h"), 1, 12), 16, 10).cast("long"))
+          .cast("long").as("checksum"))
+      .orderBy(col("shard"))
+      .collect().map(_.toSeq).toSeq
+    assert(a == b, "shard manifest must not depend on input partitioning/order")
+  }
+
+  test("export_shards: doc counts partition the corpus") {
+    val rows = Extra5.queries("export_shards")(spark, sf).collect()
+    val total = rows.map(_.getLong(1)).sum
+    val corpus = Tables(spark, sf, "documents").filter(col("text").isNotNull).count()
+    assert(total == corpus, "every doc lands in exactly one shard")
+  }
+}
