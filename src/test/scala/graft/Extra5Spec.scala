@@ -115,6 +115,18 @@ class Extra5Spec extends AnyFunSuite {
     assert(m(2L) < 2.0 * m(1L), "k1 saturation must be sub-linear in tf")
   }
 
+  // ---- quality_lr ------------------------------------------------------
+
+  test("quality_lr: training is deterministic and recovers the rule") {
+    val a = Extra5.queries("quality_lr")(spark, sf).collect().head
+    val b = Extra5.queries("quality_lr")(spark, sf).collect().head
+    assert(a.toSeq == b.toSeq, "per-iteration 1e-6 snapping must make training deterministic")
+    val (tp, fp, tn, fn) = (a.getLong(4), a.getLong(5), a.getLong(6), a.getLong(7))
+    assert(tp + fn > 0 && tn + fp > 0, "both classes must be present")
+    val acc = (tp + tn).toDouble / (tp + fp + tn + fn)
+    assert(acc >= 0.9, s"classifier must recover the quality rule, got acc=$acc")
+  }
+
   // ---- export_shards ---------------------------------------------------
 
   test("export_shards: manifest is partitioning- and order-invariant") {
