@@ -260,6 +260,13 @@ object Extra5 {
     // order-independent content checksum (sum of each doc-hash's first
     // 48 bits; commutative, so it partial-aggregates map-side and never
     // depends on row order). One hash aggregate end to end.
+    //
+    // Every aggregated value is FIXED-WIDTH on purpose: the hash range
+    // is min/max over the 48-bit numeric prefix, not over the hex
+    // string — var-length agg buffers (string min/max) force Spark into
+    // a SortAggregate fallback with a per-partition sort, which the
+    // PlanSpec gate rejects. Same range information, one true hash
+    // aggregate.
     "export_shards" -> { (s, dir) =>
       Tables(s, dir, "documents")
         .filter(col("text").isNotNull)
@@ -267,14 +274,13 @@ object Extra5 {
           substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"),
           col("n_chars"),
           size(toks(col("text"))).as("ntok"),
-          md5(col("text")).as("h"))
+          conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long").as("hk"))
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("ntok")).cast("long").as("total_tokens"),
           sum(col("n_chars")).cast("long").as("total_chars"),
-          min(col("h")).as("min_hash"), max(col("h")).as("max_hash"),
-          sum(conv(substring(col("h"), 1, 12), 16, 10).cast("long"))
-            .cast("long").as("checksum"))
+          min(col("hk")).as("min_key"), max(col("hk")).as("max_key"),
+          sum(col("hk")).cast("long").as("checksum"))
         .orderBy(col("shard"))
     }
   )
@@ -410,7 +416,8 @@ object Extra5 {
     "export_shards" -> """
       WITH d AS (
         SELECT doc_id, n_chars,
-               md5(CAST(doc_id AS VARCHAR)) AS m, md5(text) AS h,
+               md5(CAST(doc_id AS VARCHAR)) AS m,
+               CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) AS hk,
                len(list_filter(string_split(text, ' '), t -> t <> '')) AS ntok
         FROM documents WHERE text IS NOT NULL
       )
@@ -418,9 +425,8 @@ object Extra5 {
              CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(ntok) AS BIGINT) AS total_tokens,
              CAST(sum(n_chars) AS BIGINT) AS total_chars,
-             min(h) AS min_hash, max(h) AS max_hash,
-             CAST(sum(CAST('0x' || substr(h, 1, 12) AS BIGINT)) AS BIGINT)
-               AS checksum
+             min(hk) AS min_key, max(hk) AS max_key,
+             CAST(sum(hk) AS BIGINT) AS checksum
       FROM d GROUP BY shard ORDER BY shard
     """
   )

@@ -141,14 +141,13 @@ class Extra5Spec extends AnyFunSuite {
         substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"),
         col("n_chars"),
         size(filter(split(col("text"), " "), t => t =!= "")).as("ntok"),
-        md5(col("text")).as("h"))
+        conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long").as("hk"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("ntok")).cast("long").as("total_tokens"),
         sum(col("n_chars")).cast("long").as("total_chars"),
-        min(col("h")).as("min_hash"), max(col("h")).as("max_hash"),
-        sum(conv(substring(col("h"), 1, 12), 16, 10).cast("long"))
-          .cast("long").as("checksum"))
+        min(col("hk")).as("min_key"), max(col("hk")).as("max_key"),
+        sum(col("hk")).cast("long").as("checksum"))
       .orderBy(col("shard"))
       .collect().map(_.toSeq).toSeq
     assert(a == b, "shard manifest must not depend on input partitioning/order")

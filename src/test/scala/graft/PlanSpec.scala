@@ -359,6 +359,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortAggregate"), s"aggregate fell back to sort-based:\n$p")
   }
 
+  test("text_chunk is a map-only explode — no join, no aggregate") {
+    // Context-window chunking is the highest-volume op in a pretraining
+    // pipeline: the plan must be scan → project → Generate(explode) →
+    // (oracle-contract Sort). Any Join or aggregate here means the
+    // chunking picked up a shuffle it doesn't need.
+    val p = plan("text_chunk").split("== Initial Plan ==")(0)
+    assert(p.contains("Generate"), s"explode missing:\n$p")
+    assert(!p.contains("Join"), s"a join crept into row-local chunking:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"an aggregate crept into row-local chunking:\n$p")
+  }
+
+  test("export_shards is one hash aggregate with map-side combine") {
+    // The manifest checksum is a commutative sum precisely so the whole
+    // manifest builds in ONE partial-aggregable hash aggregate. A
+    // SortAggregate (string min/max fallback) or a Join would break the
+    // single-pass contract; absence of partial_* means the combine
+    // stopped happening map-side and the shuffle carries raw rows.
+    val p = plan("export_shards").split("== Initial Plan ==")(0)
+    assert(p.contains("HashAggregate"), s"hash aggregate missing:\n$p")
+    assert(p.contains("partial_"), s"map-side combine missing:\n$p")
+    assert(!p.contains("SortAggregate"), s"fell back to sort aggregate:\n$p")
+    assert(!p.contains("Join"), s"a join crept into the manifest:\n$p")
+  }
+
   test("win_range_frame_stats runs every aggregate family on two shared sorts") {
     // The r10 pass fusion: count/sum read the previous band's frame slice
     // off the SAME descending suffix pass min/max/first/last use, so the
