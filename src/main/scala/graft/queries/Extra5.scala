@@ -196,6 +196,46 @@ object Extra5 {
       finally { tok.unpersist(false); () }
     },
 
+    // -- bigram LM cross-entropy (CCNet-style perplexity filter) ----------
+    // The text_unigram_xent ladder's next rung: per-doc cross-entropy
+    // under a corpus-trained interpolated bigram model,
+    // p(w2|w1) = 0.9·c(w1,w2)/c(w1·) + 0.1·c(·w2)/T (left/right bigram
+    // marginals — one persisted bigram relation feeds all three count
+    // aggregates and the probe side). Scale shape: every join is keyed
+    // on the gram (vocabulary-bounded build sides, AQE broadcasts them
+    // when small), the only corpus-sized traffic is the bigram relation
+    // itself, and nothing is ever collected; the one-row total
+    // broadcasts (the text_idf rule). Inner joins are total by
+    // construction — every probe bigram contributed to the counts.
+    "text_bigram_xent" -> { (s, dir) =>
+      val bg = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), toks(lower(col("text"))).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("t")) - 1),
+            (i: Column) => struct(element_at(col("t"), i).as("w1"),
+              element_at(col("t"), i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val c1  = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val cr  = bg.groupBy(col("w2")).agg(count(lit(1)).as("cr"))
+      val tot = bg.agg(count(lit(1)).as("tt"))
+      val p = lit(0.9) * col("c12") / col("c1") + lit(0.1) * col("cr") / col("tt")
+      try bg
+        .join(c12, Seq("w1", "w2"))
+        .join(c1, Seq("w1"))
+        .join(cr, Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(-avg(log(p)), 4).as("xent"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      finally { bg.unpersist(false); () }
+    },
+
     // -- distilled quality classifier (in-engine LR training) -------------
     // The DCLM/fastText pattern: distill an expensive quality rule into a
     // cheap linear classifier. Target = the Gopher-ish rule (ntok ≥ 50,
@@ -304,6 +344,26 @@ object Extra5 {
   }
 
   val oracle: Map[String, String] = Map(
+    "text_bigram_xent" -> """
+      WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ), bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 1)) AS i
+              FROM tok WHERE len(t) >= 2)
+      ), c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+      c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+      cr AS (SELECT w2, count(*) AS cr FROM bg GROUP BY w2),
+      tot AS (SELECT count(*) AS tt FROM bg)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(-avg(ln(0.9 * c12 / c1 + 0.1 * cr / tt)), 4) AS xent
+      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) JOIN cr USING (w2)
+              CROSS JOIN tot
+      GROUP BY doc_id ORDER BY doc_id
+    """,
+
     "quality_lr" -> s"""
       WITH tok AS (
         SELECT doc_id,

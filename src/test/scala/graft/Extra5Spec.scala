@@ -115,6 +115,47 @@ class Extra5Spec extends AnyFunSuite {
     assert(m(2L) < 2.0 * m(1L), "k1 saturation must be sub-linear in tf")
   }
 
+  // ---- text_bigram_xent ------------------------------------------------
+
+  test("text_bigram_xent: predictable bigrams score lower cross-entropy") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y x y x y x y x y"),   // one dominant bigram pattern
+      (2L, "x q y z q x z y q z")    // scrambled transitions
+    ).toDF("doc_id", "text")
+    val bg = docs
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), " "), t => t =!= "").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val cr = bg.groupBy(col("w2")).agg(count(lit(1)).as("cr"))
+    val tot = bg.agg(count(lit(1)).as("tt"))
+    val p = lit(0.9) * col("c12") / col("c1") + lit(0.1) * col("cr") / col("tt")
+    val m = bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1")).join(cr, Seq("w2"))
+      .crossJoin(tot)
+      .groupBy(col("doc_id")).agg((-avg(log(p))).as("xent"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(1L) < m(2L),
+      s"repetitive doc must be more predictable: ${m(1L)} vs ${m(2L)}")
+    assert(m.values.forall(_ > 0.0), "cross-entropy of non-degenerate corpus is positive")
+  }
+
+  test("text_bigram_xent: every multi-token doc gets a row") {
+    val rows = Extra5.queries("text_bigram_xent")(spark, sf).collect()
+    val expected = Tables(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .filter(size(filter(split(lower(col("text")), " "), t => t =!= "")) >= 2)
+      .count()
+    assert(rows.length.toLong == expected)
+    rows.foreach(r => assert(r.getDouble(2) > 0.0))
+  }
+
   // ---- quality_lr ------------------------------------------------------
 
   test("quality_lr: training is deterministic and recovers the rule") {
