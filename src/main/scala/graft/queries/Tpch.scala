@@ -8,12 +8,37 @@ import org.apache.spark.sql.functions._
 /** TPC-H-shaped analytical pipelines adapted to the fixture schema —
   * recognisable multi-join + aggregate + top-k workloads that exercise
   * the whole optimizer path at once (join ordering, broadcast selection,
-  * partial aggregation, ordered limits). Q1's shape is `agg_pricing`.
+  * partial aggregation, ordered limits). `tpch_q1` is the full
+  * 8-column published shape; `agg_pricing` remains the abridged
+  * flagship form the driver smoke-checks.
   */
 object Tpch {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // Q1, the full 8-column pricing summary (agg_pricing is the
+    // abridged flagship form; this is the complete published shape,
+    // charge included). All money aggregates run in exact decimal
+    // (Oracle.revenue discipline — charge keeps scale 6, lossless),
+    // float avgs rounded to 4. One partial-aggregating scan, ~6 groups.
+    "tpch_q1" -> { (s, dir) =>
+      val charge = (Oracle.revenue(col("l_extendedprice"), col("l_discount")) *
+        Oracle.dec(lit(1) + col("l_tax"))).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Oracle.out(sum(Oracle.dec(col("l_quantity")))).as("sum_qty"),
+          Oracle.out(sum(Oracle.dec(col("l_extendedprice")))).as("sum_base_price"),
+          Oracle.out(sum(Oracle.revenue(col("l_extendedprice"), col("l_discount")))).as("sum_disc_price"),
+          Oracle.out(sum(charge)).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
     // Q3 shape: shipping-priority revenue for one segment, top 10.
     "tpch_q3" -> { (s, dir) =>
       val cutoff = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
@@ -152,6 +177,21 @@ object Tpch {
   )
 
   val oracle: Map[String, String] = Map(
+    "tpch_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |CAST(SUM(${Oracle.revenueSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS sum_disc_price,
+         |CAST(SUM(CAST(${Oracle.revenueSql("l_extendedprice", "l_discount")} * CAST(1 + l_tax AS DECIMAL(18,2)) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+         |ROUND(AVG(l_quantity), 4) AS avg_qty,
+         |ROUND(AVG(l_extendedprice), 4) AS avg_price,
+         |ROUND(AVG(l_discount), 4) AS avg_disc,
+         |COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
     "tpch_q3" ->
       s"""SELECT o_orderkey, o_orderdate,
          |CAST(SUM(${Oracle.revenueSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue
