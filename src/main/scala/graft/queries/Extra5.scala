@@ -94,6 +94,25 @@ object Extra5 {
   private def toks(c: Column): Column =
     filter(split(c, " "), (t: Column) => t =!= "")
 
+  /** embed_project dials: target dimension and the deterministic ±1
+    * Rademacher projection matrix (Achlioptas 2003 — database-friendly
+    * random projections). Entry (j, d) is derived from md5("j:d"): first
+    * hex digit < 8 → +1 else −1 — reproducible from nothing but the
+    * indices, so BOTH engines carry the identical matrix as literals and
+    * no randomness crosses the engine boundary. Scaled by 1/√k to make
+    * the projection distance-preserving in expectation (the JL lemma).
+    */
+  val ProjK = 8
+  val EmbDim = 64
+  val ProjSigns: IndexedSeq[IndexedSeq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    IndexedSeq.tabulate(ProjK, EmbDim) { (j, d) =>
+      val h = md.digest(s"$j:$d".getBytes("UTF-8"))
+      md.reset()
+      if (((h(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // -- context-window chunking ------------------------------------------
     // Split each document's token stream into ChunkSize-token windows
@@ -194,6 +213,31 @@ object Extra5 {
         .limit(100)
         .localCheckpoint()
       finally { tok.unpersist(false); () }
+    },
+
+    // -- Johnson–Lindenstrauss embedding projection -----------------------
+    // Dimensionality reduction ahead of ANN: project 64-dim float
+    // embeddings onto ProjK Rademacher directions. Entirely ROW-LOCAL —
+    // the sign matrix is a plan literal (8×64 doubles, bytes in the
+    // task binary, nothing broadcast or joined) and each output dim is
+    // one sequential zip_with/aggregate fold, so this is a map-only
+    // stage at any corpus size; composes with Ivf/Ann downstream. The
+    // fold order is element order in both engines (Spark aggregate(),
+    // DuckDB list_sum over list_transform) → bit-identical doubles
+    // before the final round.
+    "embed_project" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull)
+      val outs = (0 until ProjK).map { j =>
+        val signs = typedLit(ProjSigns(j))
+        round(
+          aggregate(
+            zip_with(col("embedding"), signs,
+              (x: Column, sg: Column) => x.cast("double") * sg),
+            lit(0.0), (acc: Column, x: Column) => acc + x) / sqrt(lit(ProjK.toDouble)),
+          4).as(s"p$j")
+      }
+      emb.select(col("vec_id") +: outs: _*).orderBy(col("vec_id"))
     },
 
     // -- bigram LM cross-entropy (CCNet-style perplexity filter) ----------
@@ -343,7 +387,24 @@ object Extra5 {
     )"""
   }
 
+  /** The projection matrix rendered as DuckDB list literals — generated
+    * from the same [[ProjSigns]] constant the Spark plan embeds, so the
+    * two engines cannot drift.
+    */
+  private def projSignsSql(j: Int): String =
+    ProjSigns(j).map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+
   val oracle: Map[String, String] = Map(
+    "embed_project" -> s"""
+      SELECT vec_id,
+             ${(0 until ProjK).map(j =>
+               s"""round(list_sum(list_transform(range(1, ${EmbDim + 1}),
+                  i -> CAST(embedding[i] AS DOUBLE) * (${projSignsSql(j)})[i]))
+                  / sqrt(${ProjK}.0), 4) AS p$j""").mkString(",\n             ")}
+      FROM embeddings WHERE embedding IS NOT NULL
+      ORDER BY vec_id
+    """,
+
     "text_bigram_xent" -> """
       WITH tok AS (
         SELECT doc_id,

@@ -115,6 +115,41 @@ class Extra5Spec extends AnyFunSuite {
     assert(m(2L) < 2.0 * m(1L), "k1 saturation must be sub-linear in tf")
   }
 
+  // ---- embed_project ---------------------------------------------------
+
+  test("embed_project: JL projection preserves norms in expectation") {
+    val rows = Extra5.queries("embed_project")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val emb = Tables(spark, sf, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val ratios = rows.map { r =>
+      val pn2 = (1 to graft.queries.Extra5.ProjK)
+        .map(j => r.getDouble(j)).map(x => x * x).sum
+      val xn2 = emb(r.getLong(0)).map(x => x.toDouble * x).sum
+      pn2 / xn2
+    }
+    val mean = ratios.sum / ratios.length
+    // E[||p||^2] = ||x||^2 for the 1/sqrt(k)-scaled Rademacher matrix;
+    // k=8 gives per-vector variance, but the corpus mean concentrates
+    assert(mean > 0.6 && mean < 1.6,
+      s"mean norm ratio $mean outside the JL concentration band")
+  }
+
+  test("embed_project: matrix is the deterministic md5 derivation") {
+    // recompute entry (j=0, d=0..2) by hand and check a projected value
+    import graft.queries.Extra5.{ProjSigns, ProjK, EmbDim}
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 3).foreach { d =>
+      val h = md.digest(s"0:$d".getBytes("UTF-8")); md.reset()
+      val expect = if (((h(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+      assert(ProjSigns(0)(d) == expect)
+    }
+    assert(ProjSigns.length == ProjK && ProjSigns.forall(_.length == EmbDim))
+    assert(ProjSigns.flatten.count(_ > 0) > 100 &&
+      ProjSigns.flatten.count(_ < 0) > 100, "signs must be mixed")
+  }
+
   // ---- text_bigram_xent ------------------------------------------------
 
   test("text_bigram_xent: predictable bigrams score lower cross-entropy") {
