@@ -215,6 +215,57 @@ object Extra5 {
       finally { tok.unpersist(false); () }
     },
 
+    // -- overlapping-interval merge ---------------------------------------
+    // The classic interval-coalesce: each event spans [ts, ts+5min);
+    // per user, overlapping-or-touching spans merge into maximal
+    // intervals (running-max-end window flags gap starts, cumsum groups,
+    // one aggregate per merged interval). Distinct from win_session
+    // (gap-to-NEXT-event semantics) and win_islands (integer adjacency):
+    // this is containment-aware — a short span swallowed by a long
+    // predecessor does not reopen the interval, which the running MAX
+    // (not lag) is there for. Every stage hashes/partitions on user_id;
+    // merged intervals per user are disjoint, so (user_id, merged_start)
+    // is a total order.
+    "win_interval_merge" -> { (s, dir) =>
+      val wPrev = Window.partitionBy(col("user_id"))
+        .orderBy(col("s"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.partitionBy(col("user_id"))
+        .orderBy(col("s"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts").as("s"),
+          (col("ts") + expr("INTERVAL 5 MINUTES")).as("e"))
+        .withColumn("pmax", max(col("e")).over(wPrev))
+        .withColumn("ng",
+          when(col("pmax").isNull || col("s") > col("pmax"), 1).otherwise(0))
+        .withColumn("g", sum(col("ng")).over(wCum))
+        .groupBy(col("user_id"), col("g"))
+        .agg(min(col("s")).as("merged_start"), max(col("e")).as("merged_end"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("merged_start"), col("merged_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("merged_start"))
+    },
+
+    // -- deterministic per-group mode -------------------------------------
+    // mode() with an UNSPECIFIED tie-break differs across engines, so
+    // the mode is computed explicitly: value counts (hash agg), then
+    // row_number over (count desc, value asc) — ties resolve to the
+    // SMALLEST value on both sides. Two aggregates + a tiny per-group
+    // window (group count = distinct values per flag, bounded).
+    "agg_mode" -> { (s, dir) =>
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("cnt").desc, col("mode_qty").asc)
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity").as("mode_qty"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("mode_qty"), col("cnt"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // -- Johnson–Lindenstrauss embedding projection -----------------------
     // Dimensionality reduction ahead of ANN: project 64-dim float
     // embeddings onto ProjK Rademacher directions. Entirely ROW-LOCAL —
@@ -395,6 +446,44 @@ object Extra5 {
     ProjSigns(j).map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
 
   val oracle: Map[String, String] = Map(
+    "win_interval_merge" -> """
+      WITH iv AS (
+        SELECT user_id, event_id, ts::TIMESTAMP AS s,
+               ts::TIMESTAMP + INTERVAL 5 MINUTE AS e
+        FROM events
+      ), flg AS (
+        SELECT user_id, event_id, s, e,
+               CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                    OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS ng
+        FROM iv
+      ), grp AS (
+        SELECT user_id, s, e,
+               sum(ng) OVER (PARTITION BY user_id ORDER BY s, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        FROM flg
+      )
+      SELECT user_id, min(s) AS merged_start, max(e) AS merged_end,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM grp GROUP BY user_id, g ORDER BY user_id, merged_start
+    """,
+
+    "agg_mode" -> """
+      WITH c AS (
+        SELECT l_returnflag, l_quantity AS mode_qty, count(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+      ), r AS (
+        SELECT l_returnflag, mode_qty, cnt,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY cnt DESC, mode_qty ASC) AS rn
+        FROM c
+      )
+      SELECT l_returnflag, mode_qty, cnt FROM r WHERE rn = 1
+      ORDER BY l_returnflag
+    """,
+
     "embed_project" -> s"""
       SELECT vec_id,
              ${(0 until ProjK).map(j =>

@@ -115,6 +115,65 @@ class Extra5Spec extends AnyFunSuite {
     assert(m(2L) < 2.0 * m(1L), "k1 saturation must be sub-linear in tf")
   }
 
+  // ---- win_interval_merge ----------------------------------------------
+
+  test("interval merge: running max handles containment (swallowed span does not reopen)") {
+    import spark.implicits._
+    // user 1: [0,100), [10,20), [90,200) — all one interval because the
+    // FIRST span's end (100) bridges past the short swallowed one; a
+    // lag(e)-based flag would see 20 < 90 and wrongly split.
+    val iv = Seq(
+      (1L, 1L, 0L, 100L), (1L, 2L, 10L, 20L), (1L, 3L, 90L, 200L),
+      (1L, 4L, 300L, 400L),
+      (2L, 5L, 0L, 10L), (2L, 6L, 10L, 20L) // touching spans merge
+    ).toDF("user_id", "event_id", "s", "e")
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+      .rowsBetween(Long.MinValue, -1)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+      .rowsBetween(Long.MinValue, 0)
+    val m = iv
+      .withColumn("pmax", max(col("e")).over(wPrev))
+      .withColumn("ng", when(col("pmax").isNull || col("s") > col("pmax"), 1).otherwise(0))
+      .withColumn("g", sum(col("ng")).over(wCum))
+      .groupBy(col("user_id"), col("g"))
+      .agg(min(col("s")).as("ms"), max(col("e")).as("me"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(m.toSeq == Seq((1L, 0L, 200L, 3L), (1L, 300L, 400L, 1L), (2L, 0L, 20L, 2L)))
+  }
+
+  test("win_interval_merge: merged intervals are disjoint per user and cover all events") {
+    val rows = Extra5.queries("win_interval_merge")(spark, sf).collect()
+    val total = rows.map(_.getLong(3)).sum
+    assert(total == Tables(spark, sf, "events").count())
+    rows.groupBy(_.getLong(0)).foreach { case (_, ivs) =>
+      val sorted = ivs.sortBy(_.getTimestamp(1).getTime)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!a.getTimestamp(2).after(b.getTimestamp(1)),
+            "merged intervals must not overlap")
+        case _ =>
+      }
+    }
+  }
+
+  // ---- agg_mode --------------------------------------------------------
+
+  test("agg_mode: ties resolve to the smallest value") {
+    import spark.implicits._
+    val df = Seq(("A", 1.0), ("A", 1.0), ("A", 2.0), ("A", 2.0), ("A", 3.0))
+      .toDF("k", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("cnt").desc, col("v").asc)
+    val m = df.groupBy(col("k"), col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect()
+    assert(m.length == 1 && m.head.getDouble(1) == 1.0,
+      "tie between counts must pick the smallest value")
+  }
+
   // ---- embed_project ---------------------------------------------------
 
   test("embed_project: JL projection preserves norms in expectation") {
