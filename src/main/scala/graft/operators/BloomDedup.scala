@@ -97,12 +97,12 @@ object BloomDedup {
                       incoming: DataFrame, hashCol: String)
       : (DataFrame, Broadcast[BloomFilter]) = {
     val bc = spark.sparkContext.broadcast(bf)
-    val maybe = udf((h: Long) => bc.value.mightContainLong(h))
-    // coalesce: a primitive-Long UDF returns null on a null hash; the
-    // contract is a NEVER-null verdict, and a null hash was never
-    // inserted, so the correct verdict is false ("not seen")
+    // codegen'd native probe (graft.functions.BloomMightContain): stays
+    // inside the whole-stage span, no per-row Long boxing, and the
+    // never-null contract (null hash ⇒ false) lives in the expression
+    // itself — no coalesce wrapper
     (incoming.withColumn("maybe_seen",
-      coalesce(maybe(col(hashCol)), lit(false))), bc)
+      graft.functions.BloomMightContain(spark, bc, col(hashCol))), bc)
   }
 
   /** The registered-query shape: split `docs` at `splitId` into seen

@@ -306,6 +306,25 @@ class Extra4Spec extends AnyFunSuite {
     assert(out(0).contains(true) && out(1).contains(false))
   }
 
+  test("bloom probe is a codegen'd native expression, not a UDF") {
+    // The round-11 polish: the probe must stay inside the whole-stage
+    // codegen span. No UDF invocation in the plan, and the strict
+    // no-fallback mode must still execute (a doGenCode failure would
+    // throw instead of silently interpreting).
+    val bf = Seq(1L, 2L, 3L).toDF("h").stat.bloomFilter("h", 3L, 0.01)
+    // spark.range, not a local Seq: ConvertToLocalRelation would fold
+    // the probe away at optimization time and leave only a
+    // LocalTableScan to assert on
+    val df = graft.operators.BloomDedup
+      .probe(spark, bf, spark.range(1, 3).select((col("id") * 49).as("h")), "h")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"probe regressed to a UDF:\n$plan")
+    assert(plan.contains("bloom_probe"), s"native probe missing:\n$plan")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try assert(df.collect().length == 2)
+    finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   // ---- z-score outliers -------------------------------------------------
 
   test("ts_outlier z math matches a hand-computed stddev on the fixture shape") {
