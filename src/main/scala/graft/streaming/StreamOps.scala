@@ -206,6 +206,104 @@ object StreamOps {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** A closed merged interval emitted by [[IntervalMergeProcessor]] —
+    * the streaming row shape of the batch `win_interval_merge` query.
+    */
+  case class MergedInterval(user_id: Long, merged_start: java.sql.Timestamp,
+                            merged_end: java.sql.Timestamp, n_events: Long)
+
+  /** Streaming overlapping-interval coalesce — `win_interval_merge`'s
+    * streaming form (round 11). Each event opens a span
+    * [ts, ts + spanMs); per user, overlapping-or-touching spans merge
+    * incrementally into the open-interval LIST state (normally one
+    * entry; out-of-order arrivals inside the watermark can briefly hold
+    * disjoint earlier intervals, which is why the state is a list and
+    * not a scalar). An interval closes when the WATERMARK passes its
+    * max end: any future event has ts ≥ watermark > maxEnd, so it can
+    * never touch-or-overlap again — the emission is final, with the
+    * exact batch semantics (touching merges: s ≤ maxEnd, the batch
+    * query's `s > pmax` negated; closes strictly: maxEnd < watermark).
+    *
+    * State is O(open intervals per user), independent of event count —
+    * the merge happens at ingest, not at query time. One armed timer
+    * per key at (earliest open end + 1 ms), re-armed on change (the
+    * GridResample discipline; listTimers materialised before deleting).
+    */
+  class IntervalMergeProcessor(spanMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, MergedInterval] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TimeMode, TimerValues}
+    import org.apache.spark.sql.Encoders
+
+    // open merged intervals, sorted by start: (startMs, endMs, count)
+    @transient private var open: ListState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getListState[(Long, Long, Long)]("open",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    private def rearm(intervals: Seq[(Long, Long, Long)]): Unit = {
+      getHandle.listTimers().toSeq.foreach(t => getHandle.deleteTimer(t))
+      if (intervals.nonEmpty)
+        getHandle.registerTimer(intervals.map(_._2).min + 1L)
+    }
+
+    /** Sort by (start, end) and coalesce touching-or-overlapping runs —
+      * the batch query's running-max grouping, replayed locally over
+      * the (tiny) open set plus this batch's spans.
+      */
+    private def coalesce(all: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] = {
+      val sorted = all.sortBy(t => (t._1, t._2))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      sorted.foreach { case (s, e, n) =>
+        if (out.nonEmpty && s <= out.last._2) {
+          val (ps, pe, pn) = out.last
+          out(out.size - 1) = (ps, math.max(pe, e), pn + n)
+        } else out += ((s, e, n))
+      }
+      out.toSeq
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[MergedInterval] = {
+      val spans = rows.map(e => (e.ts.getTime, e.ts.getTime + spanMs, 1L)).toSeq
+      val merged = coalesce(open.get().toSeq ++ spans)
+      open.put(merged.toArray)
+      rearm(merged)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[MergedInterval] = {
+      val wm = timers.getCurrentWatermarkInMs()
+      val (closed, stillOpen) = open.get().toSeq.partition(_._2 < wm)
+      if (stillOpen.isEmpty) open.clear() else open.put(stillOpen.toArray)
+      rearm(stillOpen)
+      closed.sortBy(_._1).map { case (s, e, n) =>
+        MergedInterval(user, new java.sql.Timestamp(s),
+          new java.sql.Timestamp(e), n)
+      }.iterator
+    }
+  }
+
+  /** [[IntervalMergeProcessor]] wired onto a watermarked stream. */
+  def intervalMerge(events: org.apache.spark.sql.Dataset[Event],
+                    span: String = "5 minutes", watermark: String = "1 second")
+      : org.apache.spark.sql.Dataset[MergedInterval] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(span))
+    require(iv.months == 0,
+      s"intervalMerge span must be day-time ('$span' has months); use days/hours/minutes")
+    val ms = iv.days * 86400000L + iv.microseconds / 1000L
+    require(ms > 0, s"intervalMerge span must be positive, got '$span'")
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new IntervalMergeProcessor(ms),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** One emitted grid cell of [[gridResample]] — the streaming row shape
     * of the batch `ts_resample` query (same columns, same fill rule).
     */

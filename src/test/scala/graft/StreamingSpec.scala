@@ -461,4 +461,81 @@ class StreamingSpec extends AnyFunSuite {
       assert(ids == Seq(1L, 2L, 3L))
     }
   }
+
+  test("streaming interval merge matches the batch win_interval_merge semantics") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val q = StreamOps.intervalMerge(input.toDS(), span = "5 minutes")
+        .writeStream.format("memory").queryName("interval_merge_out")
+        .outputMode("append").start()
+      withQuery(q) {
+        // out-of-order WITHIN the batch: 10:03 arrives before 10:00; the
+        // two merge (gap 3 min < 5 min span); 10:30 is disjoint; user 2
+        // independent. Touch/overlap semantics identical to the batch
+        // query: spans [ts, ts+5min), s <= running max end merges.
+        input.addData(Seq(
+          Event(1, ts("2024-01-01 10:03:00"), 1, "view", 1.0),
+          Event(2, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+          Event(3, ts("2024-01-01 10:30:00"), 1, "view", 1.0),
+          Event(4, ts("2024-01-01 11:00:00"), 2, "view", 1.0)))
+        q.processAllAvailable()
+        // watermark (max 11:00 − 1s) passed 10:08 and 10:35: user 1's
+        // two intervals close on the timer; user 2's is still open
+        input.addData(Seq(Event(5, ts("2024-01-01 12:00:00"), 99, "view", 1.0)))
+        q.processAllAvailable()
+        input.addData(Seq(Event(6, ts("2024-01-01 12:00:01"), 99, "view", 1.0)))
+        q.processAllAvailable()
+        val out = spark.table("interval_merge_out")
+          .select(col("user_id"), col("merged_start").cast("string"),
+            col("merged_end").cast("string"), col("n_events"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+          .toSet
+        // exactly the batch result on the same (non-sentinel) events
+        assert(out == Set(
+          (1L, "2024-01-01 10:00:00", "2024-01-01 10:08:00", 2L),
+          (1L, "2024-01-01 10:30:00", "2024-01-01 10:35:00", 1L),
+          (2L, "2024-01-01 11:00:00", "2024-01-01 11:05:00", 1L)),
+          s"streamed intervals diverge from batch semantics: $out")
+        // the sentinel user's interval is still open — emission is
+        // final-only, nothing speculative leaked
+        assert(!out.exists(_._1 == 99L))
+      }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("streaming interval merge: a swallowed span cannot reopen a closed interval") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val q = StreamOps.intervalMerge(input.toDS(), span = "5 minutes")
+        .writeStream.format("memory").queryName("interval_merge_out2")
+        .outputMode("append").start()
+      withQuery(q) {
+        // same-batch chain: 10:00, 10:04, 10:08 — each extends the
+        // running max end (final end 10:13); count 3, ONE interval
+        input.addData(Seq(
+          Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+          Event(2, ts("2024-01-01 10:04:00"), 1, "view", 1.0),
+          Event(3, ts("2024-01-01 10:08:00"), 1, "view", 1.0)))
+        q.processAllAvailable()
+        input.addData(Seq(Event(4, ts("2024-01-01 11:00:00"), 99, "view", 1.0)))
+        q.processAllAvailable()
+        input.addData(Seq(Event(5, ts("2024-01-01 11:00:01"), 99, "view", 1.0)))
+        q.processAllAvailable()
+        val out = spark.table("interval_merge_out2")
+          .select(col("user_id"), col("merged_start").cast("string"),
+            col("merged_end").cast("string"), col("n_events"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+          .toSet
+        assert(out == Set((1L, "2024-01-01 10:00:00", "2024-01-01 10:13:00", 3L)), s"$out")
+      }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
