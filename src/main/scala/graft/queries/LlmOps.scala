@@ -297,6 +297,22 @@ object LlmOps {
       val bc = s.sparkContext.broadcast(all)
       val pairs = vecs.mapPartitions { it =>
         val others = bc.value
+        // Cauchy–Schwarz tail norms at the PfxLen prefix boundary, one
+        // pass per partition: Σ_{j≥PfxLen} e_j² per vector. For any
+        // pair, Σ_{j≥PfxLen} e1_j·e2_j ≤ √(rem1·rem2), so a pair whose
+        // prefix dot plus that bound cannot reach the threshold is
+        // pruned after PfxLen of the dim multiplies — and a SURVIVOR
+        // continues the SAME sequential sum from i = PfxLen, so the
+        // final acc (and the rounded output) is bit-identical to the
+        // unpruned fold.
+        val PfxLen = 16
+        val rem = Array.tabulate(others.length) { j =>
+          val e = others(j)._3
+          var s = 0.0
+          var i = math.min(PfxLen, e.length)
+          while (i < e.length) { s += e(i) * e(i); i += 1 }
+          s
+        }
         it.flatMap { case (v1, label1, e1, norm1) =>
           // binary search to the first id > v1 (others sorted by vec_id)
           var lo = 0
@@ -305,13 +321,33 @@ object LlmOps {
             val mid = (lo + hi) >>> 1
             if (others(mid)._1 <= v1) lo = mid + 1 else hi = mid
           }
-          others.iterator.drop(lo).flatMap { case (v2, label2, e2, norm2) =>
+          var rem1 = 0.0
+          var ri = math.min(PfxLen, e1.length)
+          while (ri < e1.length) { rem1 += e1(ri) * e1(ri); ri += 1 }
+          val pfx = math.min(PfxLen, e1.length)
+          // prune/emit margins: 0.4499994 is strictly below every
+          // double that can HALF_UP-round to ≥ 0.45 at 6 dp, with
+          // ~5e-8 absolute slack — float error in a 64-term dot
+          // (~1e-14) cannot cross it, so the exact BigDecimal check
+          // still decides every boundary case. The per-pair BigDecimal
+          // was the kernel's original cost (~100 ns × N²/2 pairs); now
+          // only near-threshold survivors pay it.
+          (lo until others.length).iterator.flatMap { j =>
+            val (v2, label2, e2, norm2) = others(j)
             var acc = 0.0
             var i = 0
-            while (i < e1.length) { acc += e1(i) * e2(i); i += 1 }
-            val c = BigDecimal(acc / (norm1 * norm2))
-              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-            if (c >= 0.45) Some((v1, v2, c, label1, label2)) else None
+            while (i < pfx) { acc += e1(i) * e2(i); i += 1 }
+            if (acc + math.sqrt(rem1 * rem(j)) < 0.44999940 * (norm1 * norm2)) None
+            else {
+              while (i < e1.length) { acc += e1(i) * e2(i); i += 1 }
+              val raw = acc / (norm1 * norm2)
+              if (raw < 0.44999949) None
+              else {
+                val c = BigDecimal(raw)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (c >= 0.45) Some((v1, v2, c, label1, label2)) else None
+              }
+            }
           }
         }
       }
