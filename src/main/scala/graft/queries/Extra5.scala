@@ -76,6 +76,12 @@ object Extra5 {
   val PruneLoQ = 0.05
   val PruneHiQ = 0.95
 
+  /** Temperature-sampling exponent α (Conneau & Lample 2019 / mT5):
+    * p_s ∝ (n_s/N)^α — α < 1 flattens the source distribution toward
+    * uniform, up-weighting low-resource sources.
+    */
+  val TempAlpha = 0.7
+
   /** quality_lr dials: batch-gradient-descent logistic regression,
     * full-batch, LrIters rounds at rate LrRate over centered features.
     * Weights are rounded to 6 decimals AFTER EVERY ITERATION in both
@@ -213,6 +219,42 @@ object Extra5 {
         .limit(100)
         .localCheckpoint()
       finally { tok.unpersist(false); () }
+    },
+
+    // -- temperature-scaled source sampling -------------------------------
+    // The multilingual mixing rule (XLM/mT5): sampling probability
+    // p_s ∝ (n_s/N)^α with α = 0.7 up-weights low-resource sources
+    // relative to raw token share (the other half of the mixing story
+    // next to sample_mixture's greedy budget fill). Two hash aggregates
+    // (per-source, then the one-row grand/normalizer pair broadcast
+    // back); everything after the per-source rollup is
+    // source-cardinality-sized. Both engines compute the identical
+    // long/double divisions and pow args; the α-power normalizer sums
+    // source-count doubles → round(·, 4) absorbs order drift (the
+    // agg_corr precedent).
+    "sample_temperature" -> { (s, dir) =>
+      val per = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("source"), size(toks(lower(col("text")))).as("ntok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).cast("long").as("n_tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val grand = per.agg(sum(col("n_tokens")).as("grand"))
+      val norm = per.crossJoin(broadcast(grand))
+        .agg(
+          sum(pow(col("n_tokens") / col("grand").cast("double"), TempAlpha))
+            .as("z"),
+          max(col("grand")).as("grand"))
+      val share = col("n_tokens") / col("grand").cast("double")
+      try per
+        .crossJoin(broadcast(norm))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(share, 4).as("p_raw"),
+          round(pow(share, TempAlpha) / col("z"), 4).as("p_temp"))
+        .orderBy(col("source"))
+        .localCheckpoint()
+      finally { per.unpersist(false); () }
     },
 
     // -- overlapping-interval merge ---------------------------------------
@@ -446,6 +488,27 @@ object Extra5 {
     ProjSigns(j).map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
 
   val oracle: Map[String, String] = Map(
+    "sample_temperature" -> s"""
+      WITH tok AS (
+        SELECT source,
+               len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS ntok
+        FROM documents WHERE text IS NOT NULL
+      ), per AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS n_tokens
+        FROM tok GROUP BY source
+      ), tot AS (
+        SELECT sum(n_tokens) AS grand,
+               sum(pow(n_tokens /
+                 CAST((SELECT sum(n_tokens) FROM per) AS DOUBLE), $TempAlpha)) AS z
+        FROM per
+      )
+      SELECT source, n_docs, n_tokens,
+             round(n_tokens / CAST(grand AS DOUBLE), 4) AS p_raw,
+             round(pow(n_tokens / CAST(grand AS DOUBLE), $TempAlpha) / z, 4) AS p_temp
+      FROM per CROSS JOIN tot ORDER BY source
+    """,
+
     "win_interval_merge" -> """
       WITH iv AS (
         SELECT user_id, event_id, ts::TIMESTAMP AS s,

@@ -115,6 +115,28 @@ class Extra5Spec extends AnyFunSuite {
     assert(m(2L) < 2.0 * m(1L), "k1 saturation must be sub-linear in tf")
   }
 
+  // ---- sample_temperature ----------------------------------------------
+
+  test("sample_temperature: alpha < 1 flattens the source distribution toward uniform") {
+    val rows = Extra5.queries("sample_temperature")(spark, sf).collect()
+    assert(rows.length > 1)
+    val pRaw = rows.map(_.getDouble(3))
+    val pTemp = rows.map(_.getDouble(4))
+    // both are (rounded) probability vectors
+    assert(math.abs(pRaw.sum - 1.0) < 0.01 && math.abs(pTemp.sum - 1.0) < 0.01)
+    def variance(xs: Array[Double]): Double = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    assert(variance(pTemp) <= variance(pRaw) + 1e-12,
+      "temperature scaling must move the distribution toward uniform")
+    // order preserved: bigger sources never become smaller-probability
+    val byTokens = rows.sortBy(_.getLong(2))
+    assert(byTokens.map(_.getDouble(4)).sliding(2).forall {
+      case Array(a, b) => a <= b + 1e-9; case _ => true
+    }, "temperature scaling must preserve the source ordering")
+  }
+
   // ---- win_interval_merge ----------------------------------------------
 
   test("interval merge: running max handles containment (swallowed span does not reopen)") {
