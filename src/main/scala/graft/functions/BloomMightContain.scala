@@ -86,4 +86,18 @@ object BloomMightContain {
       name, exprs => BloomMightContain(exprs.head, bc), "scala_udf")
     org.apache.spark.sql.functions.call_function(name, hash)
   }
+
+  /** Deregister the probe function for `bc`. Safe the moment every
+    * Dataset using the probe Column has been CONSTRUCTED — Dataset
+    * construction analyzes eagerly, baking the resolved expression
+    * (with its captured broadcast handle) into the plan, after which
+    * the registry entry is dead weight. Without this, a long-lived
+    * session doing repeated screens grows the function registry one
+    * `bloom_probe_<id>` entry per probe (round-11 ADVICE). Idempotent.
+    */
+  def drop(spark: SparkSession, bc: Broadcast[BloomFilter]): Unit = {
+    spark.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(s"bloom_probe_${bc.id}"))
+    ()
+  }
 }

@@ -70,12 +70,34 @@ object BloomDedup {
     if (shards == 1)
       return flagMaybeSeen(spark, seen, incoming, hashCol, expectedItems, fpp)
     val perShard = math.max(expectedItems / shards, 1L)
+    val shardOf = pmod(col(hashCol), lit(shards.toLong))
+    // One up-front pass prices every block (≤ `shards` rows collected).
+    // Needed because `stat.bloomFilter` cannot build from ZERO rows (its
+    // aggregate buffer stays null → NPE), and with k shards over a
+    // skewed or small seen set an empty block is routine. Null seen
+    // hashes are excluded — a null was never inserted.
+    val seenPerShard: Map[Long, Long] = seen
+      .filter(col(hashCol).isNotNull)
+      .groupBy(shardOf.as("shard")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     (0 until shards).map { i =>
-      val block = pmod(col(hashCol), lit(shards.toLong)) === i.toLong
-      val bf = seen.filter(block).stat.bloomFilter(hashCol, perShard, fpp)
-      val (flagged, bc) = probeWithHandle(spark, bf, incoming.filter(block), hashCol)
-      try flagged.localCheckpoint()
-      finally { bc.destroy(); () }
+      // Seen side: a bare `pmod === i` drops null hashes — correct there.
+      // Incoming side must NOT use it: the null-on-null predicate would
+      // exclude a null-hash row from EVERY shard's probe subset,
+      // shrinking the output and breaking the "a flag is NEVER null — a
+      // null hash reads false" contract (round-11 ADVICE). Route nulls
+      // deterministically to shard 0, where they read false.
+      val inShard = incoming.filter(coalesce(shardOf, lit(0L)) === i.toLong)
+      if (!seenPerShard.contains(i.toLong)) {
+        // Nothing was ever inserted in this block: every probe is false.
+        inShard.withColumn("maybe_seen", lit(false)).localCheckpoint()
+      } else {
+        val bf = seen.filter(shardOf === i.toLong)
+          .stat.bloomFilter(hashCol, perShard, fpp)
+        val (flagged, bc) = probeWithHandle(spark, bf, inShard, hashCol)
+        try flagged.localCheckpoint()
+        finally { bc.destroy(); () }
+      }
     }.reduce(_.unionAll(_))
   }
 
@@ -101,8 +123,15 @@ object BloomDedup {
     // inside the whole-stage span, no per-row Long boxing, and the
     // never-null contract (null hash ⇒ false) lives in the expression
     // itself — no coalesce wrapper
-    (incoming.withColumn("maybe_seen",
-      graft.functions.BloomMightContain(spark, bc, col(hashCol))), bc)
+    val out = incoming.withColumn("maybe_seen",
+      graft.functions.BloomMightContain(spark, bc, col(hashCol)))
+    // withColumn analyzes eagerly, so the resolved expression (carrying
+    // this broadcast's handle) is already baked into `out`'s plan — the
+    // temp registry entry has done its one job. Drop it now so repeated
+    // screens in a long-lived session don't grow the function registry
+    // one entry per probe (round-11 ADVICE).
+    graft.functions.BloomMightContain.drop(spark, bc)
+    (out, bc)
   }
 
   /** The registered-query shape: split `docs` at `splitId` into seen

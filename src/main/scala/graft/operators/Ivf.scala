@@ -327,6 +327,20 @@ object Ivf {
     * the spec's setting). A train row whose probed groups contain no
     * fine cell skips the round, like [[stepArrays]]' null-cell drop.
     */
+  /** Release the RDD blocks behind a `localCheckpoint`ed DataFrame.
+    * The Dataset API has no explicit release for checkpoints (blocks
+    * otherwise live until the ContextCleaner GCs the RDD), so walk the
+    * analyzed plan's `LogicalRDD` leaves and unpersist directly.
+    * No-op on non-checkpoint plans. Callers must only pass state that
+    * nothing downstream will recompute from.
+    */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
   def centroidsDF(data: DataFrame, nlist: Int, iters: Int = 8,
                   trainSample: Int = 0, wProbe: Int = 2): DataFrame = {
     val spark = data.sparkSession
@@ -389,6 +403,13 @@ object Ivf {
           .join(cents.alias("p"), Seq("cell"))
           .filter(col("n.centroid") =!= col("p.centroid"))
           .count()
+        // `next` is materialized (eager localCheckpoint) and `changed`
+        // has consumed the old state — free the superseded round's
+        // blocks NOW. Without this each round's O(nlist·d) state stays
+        // block-manager resident until GC triggers the ContextCleaner,
+        // so several rounds coexist (~4 GB each at the 10⁶-cell/512-dim
+        // dial), at odds with the O(nlist·d) TOTAL claim (r11 ADVICE).
+        freeLocalCheckpoint(cents)
         cents = next
         converged = changed == 0L
         round += 1

@@ -295,6 +295,27 @@ class Extra4Spec extends AnyFunSuite {
       "exact_dup must not depend on sharding")
   }
 
+  test("sharded bloom screen routes null hashes: never dropped, verdict false") {
+    // `pmod(null, k) === i` is null → a bare shard filter would exclude
+    // a null-hash row from EVERY shard's probe subset, silently
+    // shrinking the output (round-11 ADVICE). The contract says a null
+    // hash reads false, so the sharded form routes nulls to shard 0.
+    val seen = Seq((1L, Option(10L)), (2L, Option(11L))).toDF("id", "h")
+    val incoming =
+      Seq((3L, Option(10L)), (4L, Option.empty[Long]),
+        (5L, Option(99L)), (6L, Option.empty[Long])).toDF("id", "h")
+    (1 to 4).foreach { k =>
+      val out = graft.operators.BloomDedup
+        .flagMaybeSeenSharded(spark, seen, incoming, "h",
+          expectedItems = 2L, fpp = 0.01, shards = k)
+        .select(col("id"), col("maybe_seen"))
+        .as[(Long, Boolean)].collect().toMap
+      assert(out.size == 4, s"shards=$k dropped rows: $out")
+      assert(out(3L), s"shards=$k lost a true duplicate")
+      assert(!out(4L) && !out(6L), s"shards=$k: a null hash must read false")
+    }
+  }
+
   test("bloom probe verdict is never null, even on a null hash") {
     // A null hash was never inserted; the contract is a non-null
     // false, not a propagated null (which would poison is_fp too).

@@ -57,9 +57,15 @@ def main():
     added = sorted(set(cq) - set(pq))
     removed = sorted(set(pq) - set(cq))
 
-    regressions, improvements = [], []
+    regressions, improvements, zero_base = [], [], []
     for q in common:
         p, c = pq[q], cq[q]
+        if p == 0:
+            # crashed or sub-ms baseline: the ratio is meaningless (and
+            # would divide by zero below) — report, don't flag
+            if c >= args.abs_floor:
+                zero_base.append((q, p, c))
+            continue
         if c >= args.ratio * p and c - p >= args.abs_floor:
             regressions.append((q, p, c))
         elif p >= args.ratio * c and p - c >= args.abs_floor:
@@ -75,6 +81,9 @@ def main():
     for name, rows in (("IMPROVED", improvements), ("REGRESSED", regressions)):
         for q, p, c in sorted(rows, key=lambda r: r[1] - r[2]):
             print(f"{name}  {q}: {p:.2f}s -> {c:.2f}s (x{c / p:.2f})")
+    for q, p, c in zero_base:
+        print(f"ZERO-BASELINE  {q}: {p:.2f}s -> {c:.2f}s "
+              "(prev crashed or sub-ms; no ratio)")
     if cur.get("failed"):
         print(f"FAILED in current run: {cur['failed']}")
     if not regressions:
