@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-12 extension operators — composing the round-11 export wave
+  * into end-to-end pipeline steps. The reference
+  * (/root/reference/task.ts) has no analogue; this is engine surface
+  * for the brief's "operations a large-scale training-data pipeline
+  * would need".
+  *
+  * Scale notes (the 100 TB lens, per query):
+  *   - `sample_mix_plan`: the full mixing decision in one query —
+  *     temperature-scaled source probabilities (the mT5 rule,
+  *     [[Extra5]] `sample_temperature`) drive the greedy per-source
+  *     token-budget fill ([[Extra4]] `sample_mixture`). Everything
+  *     between the per-source rollup and the final join-back is
+  *     source-cardinality-sized and broadcast; the fill runs per
+  *     (source, md5-shard) so per-source cumsums never serialize a
+  *     source through one task (16-way intra-source parallelism, the
+  *     text_pack shard-key rule).
+  *   - `quality_lr_score`: the SERVING half of `quality_lr` (training
+  *     without serving is half the DCLM pattern): apply a stored
+  *     weight row to unseen documents. Weights enter as a one-row
+  *     broadcast relation — NOT plan literals — because that is the
+  *     production shape (a model table joined in, refreshable without
+  *     replanning); scoring itself is row-local (map-only above the
+  *     scan), and the output is the per-doc decision stream a filter
+  *     step consumes. Top/bottom reporting is TakeOrdered-bounded.
+  */
+object Extra6 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Mixing dials: temperature alpha (shared with sample_temperature —
+    * ONE constant, so the two queries can never drift apart) and the
+    * corpus token-budget fraction filled by the plan.
+    */
+  val MixAlpha: Double = Extra5.TempAlpha
+  val MixBudgetFrac = 0.5
+  val MixShards = 16
+
+  /** Stored `quality_lr` model weights (w0..w3 over the centered
+    * features x1..x3 — see Extra5's feature definitions). Frozen from a
+    * converged sf0.01 training run, snapped to the same 1e-6 grid the
+    * trainer uses; spelled as literals so BOTH engines score with the
+    * identical model (the BmK1p1 literal-folding rule).
+    */
+  val LrW: IndexedSeq[Double] = IndexedSeq(0.102871, 2.370442, -0.029346, -0.000031)
+
+  private def toks(c: Column): Column =
+    filter(split(c, " "), (t: Column) => t =!= "")
+
+  val queries: Map[String, Q] = Map(
+    // -- temperature-weighted mixture plan ---------------------------------
+    // sample_temperature produces probabilities; sample_mixture fills a
+    // token budget from weights. A real pipeline runs exactly their
+    // composition: p_temp_s = (n_s/N)^α / Z decides each source's slice
+    // of the budget B = MixBudgetFrac · N, and each source contributes
+    // docs in deterministic md5 order until its slice is full (greedy —
+    // the doc crossing the boundary is kept). The fill is per
+    // (source, shard): shard = first md5 hex char, each filling
+    // slice/16, so the cumsum window never serializes a whole source.
+    //
+    // Determinism discipline: Z sums #sources doubles whose addition
+    // order differs between engines, so p_temp is snapped to a 1e-6
+    // grid BEFORE the target derives from it (the quality_lr
+    // weight-snapping precedent) — the kept-decision is then a pure
+    // function of the snapped probability on both sides. Output doubles
+    // round to 4 for display; group key `source` is unique so ORDER BY
+    // source is a total order.
+    "sample_mix_plan" -> { (s, dir) =>
+      // five consumers of the tokenized relation (per-source rollup,
+      // grand, Z, window chain, final agg) → persist + try/finally
+      // release after the eager checkpoint (multi-consumer discipline).
+      val docTok = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          size(toks(lower(col("text")))).cast("long").as("ntok"))
+        .withColumn("m", md5(col("doc_id").cast("string")))
+        .withColumn("shard", substring(col("m"), 1, 1))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val per = docTok.groupBy(col("source"))
+        .agg(sum(col("ntok")).cast("long").as("n_tokens"))
+      val grand = per.agg(sum(col("n_tokens")).as("grand"))
+      // one-row (Z, grand) normalizer pair, broadcast back (text_idf rule)
+      val norm = per.crossJoin(broadcast(grand))
+        .agg(sum(pow(col("n_tokens") / col("grand").cast("double"), MixAlpha))
+               .as("z"),
+             max(col("grand")).as("grand"))
+      val pTemp = round(
+        pow(col("n_tokens") / col("grand").cast("double"), MixAlpha) / col("z"),
+        6)
+      val targets = per.crossJoin(broadcast(norm))
+        .select(col("source"), pTemp.as("p_temp"),
+          (pTemp * col("grand") * MixBudgetFrac).as("target_tokens"))
+      val cum = Window.partitionBy(col("source"), col("shard"))
+        .orderBy(col("m"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val kept = col("cum_before") < col("target_tokens") / MixShards
+      try docTok
+        .withColumn("cum_before", coalesce(sum(col("ntok")).over(cum), lit(0L)))
+        .join(broadcast(targets), "source")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).cast("long").as("total_tokens"),
+          round(max(col("p_temp")), 6).as("p_temp"),
+          round(max(col("target_tokens")), 4).as("target_tokens"),
+          count(when(kept, 1)).as("kept_docs"),
+          sum(when(kept, col("ntok")).otherwise(lit(0L))).cast("long")
+            .as("kept_tokens"))
+        .orderBy(col("source"))
+        .localCheckpoint()
+      finally { docTok.unpersist(false); () }
+    },
+
+    // -- trained-classifier batch scoring ----------------------------------
+    // Apply the stored LrW model to documents: recompute the x1..x3
+    // features (identical definitions to the trainer — ONE drift and
+    // train/serve skew appears, the classic serving bug), join the
+    // one-row weight relation in broadcast, emit sigmoid score +
+    // decision. Output: the 50 highest- and 50 lowest-scoring docs
+    // (deterministic doc_id tie-break), the shape a human audits a
+    // filter with. Row-local except the one-row broadcast and the
+    // bounded TakeOrdered.
+    "quality_lr_score" -> { (s, dir) =>
+      val w = s.range(1).select(
+        lit(LrW(0)).as("w0"), lit(LrW(1)).as("w1"),
+        lit(LrW(2)).as("w2"), lit(LrW(3)).as("w3"))
+      // two consumers of the scored relation (top and bottom band) →
+      // persist + try/finally release after the eager checkpoint
+      val scored = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), toks(lower(col("text"))).as("t"))
+        .filter(size(col("t")) > 0)
+        .select(col("doc_id"),
+          size(col("t")).as("ntok"),
+          aggregate(col("t"), lit(0), (acc, x) => acc + length(x))
+            .cast("double").as("wls"),
+          size(filter(col("t"), (x: Column) => length(x) >= 5))
+            .cast("double").as("nl"))
+        .select(col("doc_id"),
+          ((col("ntok") - 50) / 50.0).as("x1"),
+          (col("wls") / col("ntok") - 4.5).as("x2"),
+          (col("nl") / col("ntok") - 0.5).as("x3"))
+        .crossJoin(broadcast(w))
+        .select(col("doc_id"),
+          (col("w0") + col("w1") * col("x1") + col("w2") * col("x2") +
+            col("w3") * col("x3")).as("z"))
+        .select(col("doc_id"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("p"),
+          when(col("z") >= 0, 1L).otherwise(0L).as("keep"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val top = scored.orderBy(col("p").desc, col("doc_id")).limit(50)
+        .withColumn("band", lit("top"))
+      val bot = scored.orderBy(col("p").asc, col("doc_id")).limit(50)
+        .withColumn("band", lit("bottom"))
+      try top.unionAll(bot)
+        .select(col("band"), col("doc_id"), col("p"), col("keep"))
+        .orderBy(col("band"), col("doc_id"))
+        .localCheckpoint()
+      finally { scored.unpersist(false); () }
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sample_mix_plan" -> s"""
+      WITH dt AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                 t -> t <> '')) AS BIGINT) AS ntok,
+               md5(CAST(doc_id AS VARCHAR)) AS m
+        FROM documents WHERE text IS NOT NULL
+      ), per AS (
+        SELECT source, CAST(sum(ntok) AS BIGINT) AS n_tokens FROM dt GROUP BY source
+      ), tot AS (
+        SELECT sum(n_tokens) AS grand,
+               sum(pow(n_tokens /
+                 CAST((SELECT sum(n_tokens) FROM per) AS DOUBLE), $MixAlpha)) AS z
+        FROM per
+      ), tgt AS (
+        SELECT source,
+               round(pow(n_tokens / CAST(grand AS DOUBLE), $MixAlpha) / z, 6) AS p_temp,
+               round(pow(n_tokens / CAST(grand AS DOUBLE), $MixAlpha) / z, 6)
+                 * grand * $MixBudgetFrac AS target_tokens
+        FROM per CROSS JOIN tot
+      ), c AS (
+        SELECT doc_id, source, ntok,
+               COALESCE(SUM(ntok) OVER (PARTITION BY source, substr(m, 1, 1)
+                 ORDER BY m
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM dt
+      )
+      SELECT c.source, COUNT(*) AS n_docs,
+             CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+             round(MAX(p_temp), 6) AS p_temp,
+             round(MAX(target_tokens), 4) AS target_tokens,
+             COUNT(CASE WHEN cum_before < target_tokens / $MixShards THEN 1 END) AS kept_docs,
+             CAST(SUM(CASE WHEN cum_before < target_tokens / $MixShards
+                           THEN ntok ELSE 0 END) AS BIGINT) AS kept_tokens
+      FROM c JOIN tgt ON c.source = tgt.source
+      GROUP BY c.source ORDER BY c.source
+    """,
+
+    "quality_lr_score" -> s"""
+      WITH f AS (
+        SELECT doc_id,
+               len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS ntok,
+               CAST(list_sum(list_transform(
+                 list_filter(string_split(lower(text), ' '), t -> t <> ''),
+                 t -> length(t))) AS DOUBLE) AS wls,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                 t -> length(t) >= 5)) AS DOUBLE) AS nl
+        FROM documents WHERE text IS NOT NULL
+      ), x AS (
+        SELECT doc_id,
+               (ntok - 50) / 50.0 AS x1,
+               wls / ntok - 4.5 AS x2,
+               nl / ntok - 0.5 AS x3
+        FROM f WHERE ntok > 0
+      ), z AS (
+        SELECT doc_id,
+               ${LrW(0)} + ${LrW(1)} * x1 + ${LrW(2)} * x2 + ${LrW(3)} * x3 AS z
+        FROM x
+      ), scored AS (
+        SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS p,
+               CASE WHEN z >= 0 THEN 1 ELSE 0 END AS keep
+        FROM z
+      ), top AS (
+        SELECT 'top' AS band, doc_id, p, keep FROM scored
+        ORDER BY p DESC, doc_id LIMIT 50
+      ), bot AS (
+        SELECT 'bottom' AS band, doc_id, p, keep FROM scored
+        ORDER BY p ASC, doc_id LIMIT 50
+      )
+      SELECT band, doc_id, p, CAST(keep AS BIGINT) AS keep
+      FROM (SELECT * FROM top UNION ALL SELECT * FROM bot)
+      ORDER BY band, doc_id
+    """
+  )
+}

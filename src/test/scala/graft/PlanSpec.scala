@@ -603,6 +603,58 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sample_mix_plan: hash exchanges key only on (source, shard); targets broadcast back") {
+    // The composed mixing pipeline (round 12): temperature probabilities
+    // → per-source budget targets → greedy (source, shard) fill. The
+    // corpus may reshuffle ONLY for the per-source rollup and the
+    // 16-way sharded cumsum window; targets must join back broadcast,
+    // and the one-row grand/Z normalizers stay single-partition over
+    // aggregated rows.
+    val nodes = executedPlans("sample_mix_plan").flatMap(p => flattenPlan(p._2))
+    assert(nodes.count(_.isInstanceOf[WindowExec]) == 1,
+      "expected exactly one (sharded cumsum) window")
+    nodes.foreach {
+      case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[HashPartitioning] =>
+        val keys = e.outputPartitioning.asInstanceOf[HashPartitioning]
+          .expressions.map(_.toString)
+        assert(keys.forall(k => k.contains("source") || k.contains("shard")),
+          s"a hash exchange keys outside (source, shard):\n$e")
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
+        assert(hasAggBelow(e.child),
+          s"a single-partition exchange sees un-aggregated corpus rows:\n$e")
+      case _ => ()
+    }
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "the targets join-back degenerated to sort-merge — it must broadcast")
+    assert(nodes.exists {
+      case j: BroadcastHashJoinExec =>
+        (j.leftKeys ++ j.rightKeys).exists(_.toString.contains("source"))
+      case _ => false
+    }, "per-source targets must broadcast-join back on source")
+    assert(!nodes.exists(_.isInstanceOf[SortAggregateExec]), "sort-agg fallback")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]), "cartesian appeared")
+  }
+
+  test("quality_lr_score: scoring is map-only — no hash exchange, bounded TakeOrdered bands") {
+    // The serving half of quality_lr: feature recompute + one-row
+    // broadcast weight join + sigmoid is row-local; the only plan
+    // structure allowed beyond the scan is the broadcast weights BNL
+    // (once — the scored relation is cached, not recomputed per band)
+    // and TakeOrdered band extraction.
+    val nodes = executedPlans("quality_lr_score").flatMap(p => flattenPlan(p._2))
+    assert(!nodes.exists {
+      case e: ShuffleExchangeExec => e.outputPartitioning.isInstanceOf[HashPartitioning]
+      case _ => false
+    }, "scoring must not reshuffle the corpus")
+    assert(nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "band extraction must be TakeOrdered, not a global sort")
+    assert(nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) <= 1,
+      "the one-row weight join must run once over the cached scored relation")
+    assert(!nodes.exists(n => n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[ShuffledHashJoinExec] || n.isInstanceOf[CartesianProductExec]),
+      "an unexpected join appeared in the scoring path")
+  }
+
   test("quality_lr: each GD round is ONE aggregate over the cached features") {
     val plans = executedPlans("quality_lr")
     val rounds = plans.filter(_._1 == "head")
