@@ -385,23 +385,11 @@ object Extra5 {
     // at the z ≥ 0 decision boundary (99.2% accuracy at sf0.01 — the
     // classifier genuinely recovers the rule).
     "quality_lr" -> { (s, dir) =>
-      val feat = Tables(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), toks(lower(col("text"))).as("t"))
-        .filter(size(col("t")) > 0)
-        .select(col("doc_id"),
-          size(col("t")).as("ntok"),
-          aggregate(col("t"), lit(0), (acc, x) => acc + length(x))
-            .cast("double").as("wls"),
-          size(filter(col("t"), (x: Column) => length(x) >= 5))
-            .cast("double").as("nl"))
-        .select(col("doc_id"),
-          ((col("ntok") - 50) / 50.0).as("x1"),
-          (col("wls") / col("ntok") - 4.5).as("x2"),
-          (col("nl") / col("ntok") - 0.5).as("x3"),
-          when(col("ntok") >= 50 &&
-               col("wls") / col("ntok") >= 3.0 &&
-               col("wls") / col("ntok") <= 10.0, 1.0).otherwise(0.0).as("y"))
+      // feature definitions live in graft.operators.QualityScorer — ONE
+      // definition shared with the serving path (quality_lr_score and
+      // the streaming scorer); a fork here is train/serve skew
+      val feat = graft.operators.QualityScorer
+        .features(Tables(s, dir, "documents"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def z(w: Array[Double]): Column =
         lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +

@@ -130,28 +130,11 @@ object Extra6 {
         lit(LrW(0)).as("w0"), lit(LrW(1)).as("w1"),
         lit(LrW(2)).as("w2"), lit(LrW(3)).as("w3"))
       // two consumers of the scored relation (top and bottom band) →
-      // persist + try/finally release after the eager checkpoint
-      val scored = Tables(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), toks(lower(col("text"))).as("t"))
-        .filter(size(col("t")) > 0)
-        .select(col("doc_id"),
-          size(col("t")).as("ntok"),
-          aggregate(col("t"), lit(0), (acc, x) => acc + length(x))
-            .cast("double").as("wls"),
-          size(filter(col("t"), (x: Column) => length(x) >= 5))
-            .cast("double").as("nl"))
-        .select(col("doc_id"),
-          ((col("ntok") - 50) / 50.0).as("x1"),
-          (col("wls") / col("ntok") - 4.5).as("x2"),
-          (col("nl") / col("ntok") - 0.5).as("x3"))
-        .crossJoin(broadcast(w))
-        .select(col("doc_id"),
-          (col("w0") + col("w1") * col("x1") + col("w2") * col("x2") +
-            col("w3") * col("x3")).as("z"))
-        .select(col("doc_id"),
-          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("p"),
-          when(col("z") >= 0, 1L).otherwise(0L).as("keep"))
+      // persist + try/finally release after the eager checkpoint. The
+      // scoring transform itself is graft.operators.QualityScorer — ONE
+      // definition shared with the trainer and the streaming scorer.
+      val scored = graft.operators.QualityScorer
+        .score(Tables(s, dir, "documents"), w)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val top = scored.orderBy(col("p").desc, col("doc_id")).limit(50)
         .withColumn("band", lit("top"))

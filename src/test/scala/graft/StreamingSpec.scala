@@ -538,4 +538,44 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("streaming quality scorer equals the batch scorer per micro-batch") {
+    // The serving half of quality_lr at ingest time: QualityScorer.score
+    // is stateless and row-local, so the IDENTICAL transform runs over
+    // the stream (stream-static broadcast weight join) — stream ≡ batch
+    // by construction, verified here across two micro-batches against
+    // the batch scorer on exactly those rows.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .limit(40)
+      .as[(Long, String)].collect()
+    val w = graft.queries.Extra6.LrW
+    val weights = spark.range(1).select(
+      lit(w(0)).as("w0"), lit(w(1)).as("w1"),
+      lit(w(2)).as("w2"), lit(w(3)).as("w3"))
+
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.QualityScorer
+      .score(input.toDF().toDF("doc_id", "text"), weights)
+      .writeStream.format("memory").queryName("lr_score_out")
+      .outputMode("append").start()
+    withQuery(q) {
+      input.addData(docs.take(20).toSeq)
+      q.processAllAvailable()
+      val afterFirst = spark.table("lr_score_out").count()
+      input.addData(docs.drop(20).toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("lr_score_out")
+        .collect().map(_.toSeq).toSet
+      val batch = graft.operators.QualityScorer
+        .score(docs.toSeq.toDF("doc_id", "text"), weights)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch, "stream and batch scorer disagree")
+      assert(afterFirst > 0 && afterFirst < streamed.size,
+        "expected append-mode incremental emission across micro-batches")
+    }
+  }
 }
