@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 
 /** Bench main (driver contract): time every registered query at the sf dir
   * given by SPARK_GRAFT_SF_DIR.
@@ -11,12 +12,81 @@ package graft
   * Output (round-1 lesson: the driver reads a bounded TAIL of stdout, and
   * a single 2.4 KB JSON line got its head truncated → `parsed: null`):
   *   1. one long line `{"metric":"detail","queries":{...}}` with every
-  *      per-query time (and the same JSON written to BENCH_DETAIL.json);
+  *      per-query time (the same JSON — plus per-query executor metrics —
+  *      is written to BENCH_DETAIL.json on FULL-surface runs only, so a
+  *      single-query iteration run can no longer clobber the round's
+  *      full-surface detail, the r11 footgun);
   *   2. LAST, a short parseable summary line `{"metric":"total",...}`.
+  *
+  * Declared-baseline split (round-12): `SparkEntry.baselineQueries` (the
+  * deliberate quadratic oracle surfaces) are reported apart from the
+  * production engine — `engine_sec` + `baseline_sec` in both lines — so
+  * the headline measures the engine and the baselines stay priced, not
+  * hidden.
+  *
+  * Built-in regression canary (round-12): a full-surface run diffs its
+  * per-query times against the archived previous-round detail (newest
+  * `BENCH_DETAIL_r*.json` in cwd, or SPARK_GRAFT_PREV_DETAIL) with the
+  * bench_diff envelope (≥1.5× AND ≥0.5 s) and emits the offenders into
+  * the detail JSON (`"regressions"`) and stderr — the canary runs
+  * whenever the bench runs, not when someone remembers the script.
+  * Lane discipline: the diff is skipped (with a note) when the sf dirs
+  * differ.
+  *
+  * Per-query executor metrics (round-12): a SparkListener accumulates
+  * task metrics (shuffle read/write, spill, input, peak execution
+  * memory, task count) attributed to the query running at task-end
+  * time; queries run serially and the bus is drained to quiescence
+  * between queries, so attribution is exact up to listener-delivery
+  * stragglers. Captured on the FIRST timed sweep only — bytes are plan
+  * properties, not noise, so one sample suffices and later sweeps stay
+  * unperturbed. A scale-killer (new spill, shuffle-bytes blowup) now
+  * shows numerically even when wall-time noise hides it.
   *
   * Optional args: query names to run (default: all) — local iteration aid.
   */
 object Bench {
+  /** Per-query executor-metric totals (bytes / counts). */
+  final class QueryMetrics {
+    var shuffleRead, shuffleWrite, spillMem, spillDisk, input, tasks = 0L
+    var peakMem = 0L
+    def json: String =
+      s"""{"shuffle_read":$shuffleRead,"shuffle_write":$shuffleWrite,""" +
+        s""""spill_mem":$spillMem,"spill_disk":$spillDisk,"input":$input,""" +
+        s""""peak_mem":$peakMem,"tasks":$tasks}"""
+  }
+
+  /** Accumulates task metrics into whichever query's sink is armed. */
+  final class MetricsListener extends SparkListener {
+    @volatile var sink: QueryMetrics = _
+    val events = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      events.incrementAndGet()
+      val s = sink
+      val m = e.taskMetrics
+      if (s != null && m != null) s.synchronized {
+        s.shuffleRead += m.shuffleReadMetrics.totalBytesRead
+        s.shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+        s.spillMem += m.memoryBytesSpilled
+        s.spillDisk += m.diskBytesSpilled
+        s.input += m.inputMetrics.bytesRead
+        s.peakMem = math.max(s.peakMem, m.peakExecutionMemory)
+        s.tasks += 1
+      }
+    }
+    /** Listener delivery is async: wait until no event has arrived for
+      * two consecutive 20 ms windows (≈40 ms/query; bounded 1 s).
+      */
+    def quiesce(): Unit = {
+      var (last, stable, waited) = (-1L, 0, 0)
+      while (stable < 2 && waited < 1000) {
+        Thread.sleep(20); waited += 20
+        val n = events.get
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = LocalSession.create("4",
@@ -37,6 +107,9 @@ object Bench {
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
     }
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    val metrics = scala.collection.mutable.Map[String, QueryMetrics]()
     // Best-of-N per query (round-5 lesson): a single timed pass makes the
     // official record hostage to one-shot VM noise — driver r5 read 9
     // queries at >2x their reproducible steady-state times (tpch_q5 8.11 s
@@ -57,7 +130,12 @@ object Bench {
     val sameWindow = sys.env.get("SPARK_GRAFT_BENCH_SAMEWINDOW").contains("1")
     val order = selected.toSeq.sortBy(_._1)
     def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
-        org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+        org.apache.spark.sql.DataFrame,
+        captureMetrics: Boolean): (Double, Boolean) = {
+      if (captureMetrics) {
+        listener.quiesce() // drain the PREVIOUS query's stragglers first
+        listener.sink = metrics.getOrElseUpdate(name, new QueryMetrics)
+      }
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -65,13 +143,17 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (captureMetrics) { listener.quiesce(); listener.sink = null }
+      (dt, ok)
     }
     val passes: Map[String, Seq[(Double, Boolean)]] =
       if (sameWindow)
-        order.map { case (n, fn) => n -> (1 to timedRuns).map(_ => timeOne(n, fn)) }.toMap
+        order.map { case (n, fn) =>
+          n -> (1 to timedRuns).map(i => timeOne(n, fn, i == 1)) }.toMap
       else {
-        val sweeps = (1 to timedRuns).map(_ => order.map { case (n, fn) => timeOne(n, fn) })
+        val sweeps = (1 to timedRuns).map(i =>
+          order.map { case (n, fn) => timeOne(n, fn, i == 1) })
         order.map(_._1).zipWithIndex
           .map { case (n, i) => n -> sweeps.map(_(i)) }.toMap
       }
@@ -94,7 +176,7 @@ object Bench {
         if (suspects.nonEmpty) System.err.println(
           s"[bench] contention retry for ${suspects.size} queries: " +
             suspects.map(_._1).mkString(", "))
-        suspects.map { case (n, fn) => n -> (passes(n) :+ timeOne(n, fn)) }.toMap
+        suspects.map { case (n, fn) => n -> (passes(n) :+ timeOne(n, fn, false)) }.toMap
       }
     val allPasses = passes ++ retried
     // A failed pass must NOT win the min: an error that aborts in 0.3 s
@@ -115,16 +197,94 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Declared-baseline split: the headline measures the engine.
+    val baseline = SparkEntry.baselineQueries
+    val baselineSec = results.filter(r => baseline(r._1)).map(_._2).sum
+    val engineSec = total - baselineSec
+    val baselineJson = results.map(_._1).filter(baseline)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val detail =
-      s"""{"metric":"detail","unit":"sec","sf":"$sfDir","failed":$failedJson,"queries":$qs}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
-    catch { case _: Throwable => () } // best-effort; stdout line below is canonical
-    println(detail)
+    // Built-in canary: diff against the archived previous-round detail.
+    val regressions: Seq[(String, Double, Double)] =
+      if (args.nonEmpty) Nil
+      else prevDetail() match {
+        case Some((path, prevSf, prevQ)) if prevSf == sfDir =>
+          val r = results.flatMap { case (n, c) =>
+            prevQ.get(n) match {
+              case Some(p) if p > 0 && c >= 1.5 * p && c - p >= 0.5 => Some((n, p, c))
+              case _ => None
+            }
+          }
+          r.foreach { case (n, p, c) => System.err.println(
+            f"[bench] REGRESSION $n: $p%.2f s -> $c%.2f s (x${c / p}%.2f) vs $path") }
+          if (r.isEmpty) System.err.println(
+            s"[bench] canary clean vs $path (>=1.5x and >=0.5s envelope)")
+          r
+        case Some((path, prevSf, _)) =>
+          System.err.println(
+            s"[bench] canary skipped: $path is lane $prevSf, this run is $sfDir")
+          Nil
+        case None =>
+          System.err.println("[bench] canary skipped: no previous detail found")
+          Nil
+      }
+    val regJson = regressions.map { case (n, p, c) =>
+      s"""["$n",${fmt(p)},${fmt(c)}]""" }.mkString("[", ",", "]")
+    val head =
+      s""""unit":"sec","sf":"$sfDir","failed":$failedJson,"baseline":$baselineJson,""" +
+        s""""engine_sec":${fmt(engineSec)},"baseline_sec":${fmt(baselineSec)},""" +
+        s""""regressions":$regJson"""
+    // stdout detail stays times-only (the driver tails stdout); the FILE
+    // adds per-query executor metrics, and only a FULL-surface run may
+    // write it.
+    println(s"""{"metric":"detail",$head,"queries":$qs}""")
+    if (args.isEmpty) {
+      val mJson = order.map(_._1).flatMap(n => metrics.get(n).map(m =>
+        "\"" + n + "\":" + m.json)).mkString("{", ",", "}")
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        s"""{"metric":"detail",$head,"queries":$qs,"metrics":$mJson}""" + "\n")
+      catch { case _: Throwable => () } // best-effort; stdout is canonical
+    } else System.err.println(
+      "[bench] partial run: BENCH_DETAIL.json NOT written (full-surface only)")
     // Keep the summary line SHORT and LAST so a tail-window parse always
     // sees a complete JSON object.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""n_queries":${results.size},"n_failed":${failed.size},""" +
+      s""""engine_sec":${fmt(engineSec)},"baseline_sec":${fmt(baselineSec)},""" +
+      s""""n_regressed":${regressions.size},"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Locate and minimally parse the previous-round full-surface detail:
+    * SPARK_GRAFT_PREV_DETAIL if set, else the newest `BENCH_DETAIL_r*`
+    * in cwd. Returns (path, sf, per-query seconds). Hand-rolled parse —
+    * query names are `[a-z0-9_]+` and values plain decimals, and the
+    * build has no JSON dependency by design.
+    */
+  private def prevDetail(): Option[(String, String, Map[String, Double])] = {
+    val explicit = sys.env.get("SPARK_GRAFT_PREV_DETAIL")
+    val path = explicit.orElse {
+      val d = new java.io.File(".").listFiles()
+      Option(d).toSeq.flatten.map(_.getName)
+        .filter(n => n.startsWith("BENCH_DETAIL_r") && n.endsWith(".json"))
+        // numeric round sort — lexicographic would rank r9 above r10
+        .sortBy(n => """\d+""".r.findFirstIn(n).map(_.toInt).getOrElse(0))
+        .lastOption
+    }
+    path.flatMap { p =>
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8)
+        val sf = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+        val qBlock = """"queries"\s*:\s*\{([^}]*)\}""".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        val pairs = qBlock.map { b =>
+          """"([a-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(b)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+        for (s <- sf; q <- pairs if q.nonEmpty) yield (p, s, q)
+      } catch { case _: Throwable => None }
+    }
   }
 }

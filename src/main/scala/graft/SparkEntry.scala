@@ -46,6 +46,25 @@ object SparkEntry {
         })
       )
 
+  /** Declared ORACLE-BASELINE queries: quadratic/all-pairs forms kept
+    * deliberately as the oracle-checkable contract surface, each with a
+    * plan-gated scale sibling that runs the same contract at production
+    * shape. Bench splits these out of the engine total so the headline
+    * number measures the production paths and the baselines stay priced
+    * alongside, never hidden:
+    *   - join_theta       → join_theta_agg (histogram identity, 0 joins)
+    *   - dedup_embed      → dedup_embed_cells/_cluster (IVF canopy)
+    *   - dedup_ngram      → dedup_minhash (LSH-bucketed candidates)
+    *   - dedup_neardup    → dedup_minhash (same contract, bucketed)
+    *   - text_editdist    → levenshtein confined to the MinHash
+    *                        candidate pairs (quadratic in candidates,
+    *                        not corpus — kept here because its cost is
+    *                        still pair-driven at the oracle dial)
+    */
+  def baselineQueries: Set[String] = Set(
+    "join_theta", "dedup_embed", "dedup_ngram", "dedup_neardup",
+    "text_editdist")
+
   /** DuckDB-equivalent SQL per key in [[queries]]; keys absent here are
     * covered by unit/golden/streaming tests instead (oracle=no rows).
     */

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Recall-vs-baseline sweep for the corpus-scale embedding dedup dial
+  * ([[graft.operators.EmbedDedup]]): against the exact all-pairs
+  * baseline's pair set (`dedup_embed`, computed ONCE), measure each
+  * (nassign × maxCellSize) grid point's pair recall, false positives
+  * (structurally zero — the sweep proves it), and wall time — so the
+  * `dedup_embed_cells` default dial ships with a MEASURED recall floor
+  * at the capstone scale instead of a fixture-only one. Results recorded
+  * in PERF.md; the chosen dial's floor is pinned in EmbedDedupSpec. Not
+  * part of the driver contract; a local iteration aid like [[SweepIvf]].
+  *
+  * Usage: `sbt "runMain graft.SweepEmbedDedup [dir] [threshold]"`.
+  */
+object SweepEmbedDedup {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val threshold = args.drop(1).headOption.map(_.toDouble).getOrElse(0.45)
+    val spark = LocalSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val n = queries.ScaleOps.normalized(spark, dir)
+      .select(col("vec_id"), col("e"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rows = n.count()
+    val nlist = operators.EmbedDedup.autoNlist(rows)
+    val t0 = System.nanoTime()
+    val base = SparkEntry.queries("dedup_embed")(spark, dir)
+      .select("v1", "v2").persist(StorageLevel.MEMORY_AND_DISK)
+    val nBase = base.count()
+    println(f"[sweep-embed] dir=$dir rows=$rows nlist=$nlist " +
+      f"baselinePairs=$nBase baselineSec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    for (nassign <- Seq(1, 2, 3); cap <- Seq(1000, 10000, 100000)) {
+      val t1 = System.nanoTime()
+      val pairs = operators.EmbedDedup
+        .cellPairs(n, threshold, nlist = nlist, maxCellSize = cap,
+          nassign = nassign)
+        .select("v1", "v2").persist(StorageLevel.MEMORY_AND_DISK)
+      val nPairs = pairs.count()
+      val dt = (System.nanoTime() - t1) / 1e9
+      // intersect rather than trust orientation: recall counts only
+      // pairs the baseline also emitted; falsePos must read 0
+      val hit = pairs.join(base, Seq("v1", "v2")).count()
+      pairs.unpersist(false)
+      println(f"[sweep-embed] nassign=$nassign cap=$cap pairs=$nPairs " +
+        f"recall=${hit.toDouble / math.max(nBase, 1)}%.4f " +
+        f"falsePos=${nPairs - hit} sec=$dt%.1f")
+    }
+    base.unpersist(false)
+    n.unpersist(false)
+    spark.stop()
+  }
+}

@@ -33,7 +33,7 @@ object ScaleOps {
       .select(col("doc_id"), xxhash64(col("s")).as("s"))
       .distinct()
 
-  private def normalized(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def normalized(s: SparkSession, dir: String): DataFrame = {
     val e = transform(col("embedding"), (x: Column) => x.cast("double"))
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), e.as("e"))

@@ -34,8 +34,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *   .option("offsetParam", "offset")            // query-param names
   *   .option("limitParam", "limit")
   *   .option("header.X-API-KEY", "…")            // forwarded headers
+  *   .option("maxInflight", "4")   // per-EXECUTOR concurrent-request cap
+  *   .option("staggerMs", "50")    // partition i's first GET waits i×50ms
   *   .load()
   * ```
+  *
+  * Throttle-aware fan-out: `maxInflight` bounds concurrent requests per
+  * executor JVM (cluster-wide ≈ maxInflight × executors — the executor
+  * is Spark's coordination-free unit); the semaphore slot is held only
+  * while a request is on the wire, never across a Retry-After/backoff
+  * sleep. `staggerMs` de-lockstops the fan-out: partition i's FIRST
+  * request waits i × staggerMs (capped at 30 s), so N readers arrive
+  * spread over a window instead of as one burst a rate-limited API
+  * 429s wholesale. Both default off.
   *
   * Partitioning is STRIDED paging: partition i fetches pages
   * i, i+N, i+2N, … so no total row count is needed up front. Each page is
@@ -167,6 +178,13 @@ private[sources] class HttpScanBuilder(
   private val itemsField =
     Option(options.get("itemsField")).getOrElse("items")
   private val countUrl = Option(options.get("countUrl"))
+  // throttle-aware fan-out dials (round 12): `maxInflight` bounds this
+  // EXECUTOR's concurrent requests to the host (cluster-wide bound is
+  // maxInflight × executors — see HttpPageFetcher.gate); `staggerMs`
+  // spreads partition FIRST requests over idx × staggerMs so N readers
+  // don't hit a throttling server in lockstep. Both default OFF.
+  private val maxInflight = options.getInt("maxInflight", 0)
+  private val staggerMs = options.getLong("staggerMs", 0L)
   private val fieldsParam = Option(options.get("fieldsParam"))
   private val pushCols: Set[String] = Option(options.get("pushFilterColumns"))
     .map(_.split(",").iterator.map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
@@ -269,7 +287,8 @@ private[sources] class HttpScanBuilder(
         extraQuery(withFilters = true), limit)
     else
       new HttpReaderFactory(url, requiredSchema.toDDL, pageSize,
-        offsetParam, limitParam, headers, extraQuery(withFilters = true), limit)
+        offsetParam, limitParam, headers, extraQuery(withFilters = true), limit,
+        maxInflight, staggerMs)
 
   // -- streaming (micro-batch) form ------------------------------------
   // Incremental ingestion from a GROWING offset API: each trigger reads
@@ -293,7 +312,7 @@ private[sources] class HttpScanBuilder(
         "graft-http streaming requires a 'countUrl' option")),
       requiredSchema.toDDL, pageSize, numPartitions, offsetParam, limitParam,
       headers, options.getLong("maxRowsPerTrigger", 0L),
-      extraQuery(withFilters = false))
+      extraQuery(withFilters = false), maxInflight)
   }
 }
 
@@ -307,7 +326,7 @@ private[sources] class HttpMicroBatchStream(
     url: String, countUrl: String, schemaDdl: String, pageSize: Int,
     numPartitions: Int, offsetParam: String, limitParam: String,
     headers: Map[String, String], maxRowsPerTrigger: Long,
-    extraQuery: Seq[String] = Seq.empty)
+    extraQuery: Seq[String] = Seq.empty, maxInflight: Int = 0)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   import org.apache.spark.sql.connector.read.streaming.Offset
@@ -382,7 +401,7 @@ private[sources] class HttpMicroBatchStream(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new HttpRangeReaderFactory(url, schemaDdl, pageSize,
-      offsetParam, limitParam, headers, extraQuery)
+      offsetParam, limitParam, headers, extraQuery, maxInflight)
 }
 
 /** Exact row range [startRow, endRow) for one micro-batch partition. */
@@ -392,12 +411,12 @@ private[sources] case class HttpRangePartition(startRow: Long, endRow: Long)
 private[sources] class HttpRangeReaderFactory(
     url: String, schemaDdl: String, pageSize: Int,
     offsetParam: String, limitParam: String, headers: Map[String, String],
-    extraQuery: Seq[String] = Seq.empty)
+    extraQuery: Seq[String] = Seq.empty, maxInflight: Int = 0)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[HttpRangePartition]
     new HttpRangeReader(url, schemaDdl, pageSize, offsetParam, limitParam,
-      headers, p.startRow, p.endRow, extraQuery)
+      headers, p.startRow, p.endRow, extraQuery, maxInflight)
   }
 }
 
@@ -417,13 +436,40 @@ private[sources] object HttpPageFetcher {
     * hostile header would just be parking executor tasks.
     */
   val MaxRetryAfterMs: Long = 30000L
+
+  /** Cap on the per-partition first-request stagger (idx × staggerMs):
+    * same reasoning as [[MaxRetryAfterMs]] — a misconfigured dial must
+    * not park a task for minutes.
+    */
+  val MaxStaggerMs: Long = 30000L
+
+  /** Per-executor inflight gates, keyed host#permits. The `maxInflight`
+    * dial bounds CONCURRENT requests from THIS executor JVM to the
+    * source host — Spark's coordination-free unit; on a cluster the
+    * effective global bound is maxInflight × executors (a truly global
+    * limit would need an external coordinator, which a data source has
+    * no business running). Keyed by the dial too, so two reads of the
+    * same host with different dials don't fight over one semaphore.
+    */
+  private val gates =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.Semaphore]
+  def gate(authority: String, permits: Int): java.util.concurrent.Semaphore =
+    gates.computeIfAbsent(s"$authority#$permits",
+      _ => new java.util.concurrent.Semaphore(permits, true))
 }
 
 private[sources] class HttpPageFetcher(
     url: String, schemaDdl: String,
     offsetParam: String, limitParam: String, headers: Map[String, String],
     extraQuery: Seq[String] = Seq.empty,
-    maxRetries: Int = 3, backoffMs: Long = 200L) {
+    maxRetries: Int = 3, backoffMs: Long = 200L, maxInflight: Int = 0) {
+  // the slot is held only while a request is ON THE WIRE — never across
+  // a backoff/Retry-After sleep, so a throttled task parks itself, not
+  // a concurrency slot another partition could be using
+  private val inflightGate: Option[java.util.concurrent.Semaphore] =
+    if (maxInflight > 0)
+      Some(HttpPageFetcher.gate(URI.create(url).getAuthority, maxInflight))
+    else None
   private val parser = new JacksonParser(
     StructType.fromDDL(schemaDdl),
     new JSONOptions(Map.empty[String, String], "UTC", ""),
@@ -451,7 +497,10 @@ private[sources] class HttpPageFetcher(
     while (body == null) {
       val outcome =
         try {
-          val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+          inflightGate.foreach(_.acquire())
+          val resp =
+            try client.send(req, HttpResponse.BodyHandlers.ofString())
+            finally inflightGate.foreach(_.release())
           val code = resp.statusCode()
           if (code / 100 == 2) Right(resp.body())
           else if (code == 429 || code / 100 == 5)
@@ -520,12 +569,13 @@ private[sources] class HttpPageFetcher(
 private[sources] class HttpRangeReader(
     url: String, schemaDdl: String, pageSize: Int,
     offsetParam: String, limitParam: String, headers: Map[String, String],
-    startRow: Long, endRow: Long, extraQuery: Seq[String] = Seq.empty)
+    startRow: Long, endRow: Long, extraQuery: Seq[String] = Seq.empty,
+    maxInflight: Int = 0)
     extends PartitionReader[InternalRow] {
 
   private val fetcher =
     new HttpPageFetcher(url, schemaDdl, offsetParam, limitParam, headers,
-      extraQuery)
+      extraQuery, maxInflight = maxInflight)
   private var cursor = startRow
   private var rows: Iterator[InternalRow] = Iterator.empty
 
@@ -552,12 +602,13 @@ private[sources] case class HttpInputPartition(idx: Int, stride: Int)
 private[sources] class HttpReaderFactory(
     url: String, schemaDdl: String, pageSize: Int,
     offsetParam: String, limitParam: String, headers: Map[String, String],
-    extraQuery: Seq[String] = Seq.empty, limit: Int = -1)
+    extraQuery: Seq[String] = Seq.empty, limit: Int = -1,
+    maxInflight: Int = 0, staggerMs: Long = 0L)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[HttpInputPartition]
     new HttpPartitionReader(url, schemaDdl, pageSize, offsetParam, limitParam,
-      headers, p.idx, p.stride, extraQuery, limit)
+      headers, p.idx, p.stride, extraQuery, limit, maxInflight, staggerMs)
   }
 }
 
@@ -565,18 +616,29 @@ private[sources] class HttpPartitionReader(
     url: String, schemaDdl: String, pageSize: Int,
     offsetParam: String, limitParam: String, headers: Map[String, String],
     firstPage: Int, stride: Int,
-    extraQuery: Seq[String] = Seq.empty, limit: Int = -1)
+    extraQuery: Seq[String] = Seq.empty, limit: Int = -1,
+    maxInflight: Int = 0, staggerMs: Long = 0L)
     extends PartitionReader[InternalRow] {
 
   private val fetcher =
     new HttpPageFetcher(url, schemaDdl, offsetParam, limitParam, headers,
-      extraQuery)
+      extraQuery, maxInflight = maxInflight)
   private var page = firstPage
   private var emitted = 0L
   private var exhausted = false
+  private var staggered = staggerMs <= 0
   private var rows: Iterator[InternalRow] = Iterator.empty
 
   override def next(): Boolean = {
+    if (!staggered) {
+      // deterministic fan-out de-lockstep: partition i's FIRST request
+      // waits i × staggerMs (capped), so N partitions arrive spread over
+      // a window instead of as one synchronized burst a throttling
+      // server 429s wholesale. One sleep per partition lifetime.
+      Thread.sleep(math.min(firstPage.toLong * staggerMs,
+        HttpPageFetcher.MaxStaggerMs))
+      staggered = true
+    }
     while (!rows.hasNext && !exhausted) {
       // Pushed limit: this partition never needs more than `limit` rows
       // (Spark applies the global limit above), so cap the page request

@@ -38,6 +38,12 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private val rlRetryGapsMs =
     java.util.Collections.synchronizedList(new java.util.ArrayList[Long]())
+  // throttle-endpoint state: live + max observed concurrent requests
+  private val throttledInflight = new AtomicInteger(0)
+  private val throttledMaxInflight = new AtomicInteger(0)
+  private val throttledSeen =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
   // cursor-endpoint state (independent of the offset endpoints)
   private val cursorLiveRows = new AtomicInteger(TotalRows)
   private val cursorRequests = new AtomicInteger(0)
@@ -201,6 +207,37 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       exchange.getResponseBody.write(body)
       exchange.close()
     })
+    // throttle-sensitive variant (round 12): tracks CONCURRENT in-flight
+    // requests (the thing `maxInflight` bounds) and 429s the first hit
+    // of every distinct URI so the exactly-once path still runs through
+    // retries. State shared with the spec via the atomics below.
+    server.createContext("/throttled", exchange => {
+      val now = throttledInflight.incrementAndGet()
+      throttledMaxInflight.updateAndGet(m => math.max(m, now))
+      try {
+        val uri = exchange.getRequestURI.toString
+        if (throttledSeen.add(uri)) {
+          exchange.sendResponseHeaders(429, -1)
+          exchange.close()
+        } else {
+          val q = Option(exchange.getRequestURI.getQuery).getOrElse("")
+          val params = q.split("&").filter(_.contains("="))
+            .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+          val off = params.getOrElse("offset", "0").toLong
+          val lim = params.getOrElse("limit", "100").toInt
+          val rows = (off until math.min(off + lim, TotalRows.toLong)).map { i =>
+            s"""{"id": $i, "name": "row-$i", "score": ${i * 0.5}}"""
+          }
+          val body = rows.mkString("[", ",", "]").getBytes("UTF-8")
+          exchange.sendResponseHeaders(200, body.length.toLong)
+          exchange.getResponseBody.write(body)
+          exchange.close()
+        }
+      } finally { throttledInflight.decrementAndGet(); () }
+    })
+    // handlers must run CONCURRENTLY or the server itself serializes
+    // requests and the maxInflight observation reads 1 by construction
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
     server.start()
     port = server.getAddress.getPort
   }
@@ -218,6 +255,30 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .option("numPartitions", numPartitions.toString)
       .option("header.X-API-KEY", "test-key")
       .load()
+
+  test("maxInflight bounds concurrent requests under a 429-ing server, exactly-once") {
+    // 8 partitions on a local[4] session would otherwise fan out 4
+    // concurrent requests; the dial caps the EXECUTOR at 2 and the
+    // stagger spreads first arrivals. The server 429s every URI's first
+    // hit, so the bound must hold across the retry traffic too, and the
+    // relation must still land exactly once.
+    throttledMaxInflight.set(0)
+    throttledSeen.clear()
+    val df = spark.read.format("graft-http")
+      .option("url", s"http://127.0.0.1:$port/throttled")
+      .option("schema", "id LONG, name STRING, score DOUBLE")
+      .option("pageSize", "16")
+      .option("numPartitions", "8")
+      .option("maxInflight", "2")
+      .option("staggerMs", "10")
+      .load()
+    val ids = df.select(col("id")).collect().map(_.getLong(0))
+    assert(ids.length === TotalRows, "rows lost or duplicated under throttling")
+    assert(ids.toSet.size === TotalRows)
+    val peak = throttledMaxInflight.get
+    assert(peak <= 2, s"server observed $peak concurrent requests with maxInflight=2")
+    assert(peak >= 1)
+  }
 
   test("reads the full paged relation exactly once") {
     val df = read(pageSize = 50, numPartitions = 4)

@@ -84,12 +84,31 @@ def main():
     for q, p, c in zero_base:
         print(f"ZERO-BASELINE  {q}: {p:.2f}s -> {c:.2f}s "
               "(prev crashed or sub-ms; no ratio)")
+
+    # Executor-metric canary (round 12): shuffle bytes and spill are plan
+    # properties, so a blowup is a scale-killer even when wall-time noise
+    # hides it. Flags when BOTH ratio and absolute-delta trip (same
+    # philosophy as the time envelope). Older detail files have no
+    # "metrics" key -> silently skipped.
+    pm, cm = prev.get("metrics", {}), cur.get("metrics", {})
+    metric_regs = []
+    for q in sorted(set(pm) & set(cm)):
+        ps = pm[q].get("shuffle_read", 0) + pm[q].get("shuffle_write", 0)
+        cs = cm[q].get("shuffle_read", 0) + cm[q].get("shuffle_write", 0)
+        if cs >= 1.5 * ps and cs - ps >= 8 * 1024 * 1024:
+            metric_regs.append((q, f"shuffle {ps >> 20}MiB -> {cs >> 20}MiB"))
+        pd = pm[q].get("spill_disk", 0) + pm[q].get("spill_mem", 0)
+        cd = cm[q].get("spill_disk", 0) + cm[q].get("spill_mem", 0)
+        if pd < 1 << 20 <= cd:
+            metric_regs.append((q, f"NEW SPILL {cd >> 20}MiB (prev {pd >> 20}MiB)"))
+    for q, msg in metric_regs:
+        print(f"METRIC-REGRESSED  {q}: {msg}")
     if cur.get("failed"):
         print(f"FAILED in current run: {cur['failed']}")
     if not regressions:
         print("no per-query regressions "
               f"(>={args.ratio}x and >={args.abs_floor}s)")
-    return 1 if regressions or cur.get("failed") else 0
+    return 1 if regressions or metric_regs or cur.get("failed") else 0
 
 
 if __name__ == "__main__":
