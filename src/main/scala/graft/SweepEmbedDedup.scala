@@ -13,6 +13,10 @@ import org.apache.spark.storage.StorageLevel
   * in PERF.md; the chosen dial's floor is pinned in EmbedDedupSpec. Not
   * part of the driver contract; a local iteration aid like [[SweepIvf]].
   *
+  * The exact baseline pair set is CACHED as parquet next to /tmp (one
+  * ~470 s computation per (dir, threshold), reused across sweep runs)
+  * — iterate on the grid, not the ground truth.
+  *
   * Usage: `sbt "runMain graft.SweepEmbedDedup [dir] [threshold]"`.
   */
 object SweepEmbedDedup {
@@ -24,17 +28,27 @@ object SweepEmbedDedup {
       .select(col("vec_id"), col("e"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val rows = n.count()
-    val nlist = operators.EmbedDedup.autoNlist(rows)
+    val nlistAuto = operators.EmbedDedup.autoNlist(rows)
+    val cachePath = s"/tmp/sweep_embed_baseline_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$threshold"
     val t0 = System.nanoTime()
-    val base = SparkEntry.queries("dedup_embed")(spark, dir)
-      .select("v1", "v2").persist(StorageLevel.MEMORY_AND_DISK)
+    val base = (
+      if (new java.io.File(cachePath).exists()) spark.read.parquet(cachePath)
+      else {
+        SparkEntry.queries("dedup_embed")(spark, dir)
+          .select("v1", "v2").write.parquet(cachePath)
+        spark.read.parquet(cachePath)
+      }).persist(StorageLevel.MEMORY_AND_DISK)
     val nBase = base.count()
-    println(f"[sweep-embed] dir=$dir rows=$rows nlist=$nlist " +
+    println(f"[sweep-embed] dir=$dir rows=$rows nlistAuto=$nlistAuto " +
       f"baselinePairs=$nBase baselineSec=${(System.nanoTime() - t0) / 1e9}%.1f")
-    for (nassign <- Seq(1, 2, 3); cap <- Seq(1000, 10000, 100000)) {
+    // grid: cell size (nlist) is the recall lever at boundary-tight
+    // thresholds (bigger cells ⇒ two 63°-apart vectors co-assign more
+    // often); nassign is the cross-cell patch; cap prices hot cells
+    for (nlist <- Seq(nlistAuto, nlistAuto / 4, nlistAuto / 16).distinct;
+         nassign <- Seq(1, 2, 3, 4); cap <- Seq(1000, 100000)) {
       val t1 = System.nanoTime()
       val pairs = operators.EmbedDedup
-        .cellPairs(n, threshold, nlist = nlist, maxCellSize = cap,
+        .cellPairs(n, threshold, nlist = math.max(nlist, 1), maxCellSize = cap,
           nassign = nassign)
         .select("v1", "v2").persist(StorageLevel.MEMORY_AND_DISK)
       val nPairs = pairs.count()
@@ -43,7 +57,7 @@ object SweepEmbedDedup {
       // pairs the baseline also emitted; falsePos must read 0
       val hit = pairs.join(base, Seq("v1", "v2")).count()
       pairs.unpersist(false)
-      println(f"[sweep-embed] nassign=$nassign cap=$cap pairs=$nPairs " +
+      println(f"[sweep-embed] nlist=$nlist nassign=$nassign cap=$cap pairs=$nPairs " +
         f"recall=${hit.toDouble / math.max(nBase, 1)}%.4f " +
         f"falsePos=${nPairs - hit} sec=$dt%.1f")
     }

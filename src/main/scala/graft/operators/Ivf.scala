@@ -327,19 +327,8 @@ object Ivf {
     * the spec's setting). A train row whose probed groups contain no
     * fine cell skips the round, like [[stepArrays]]' null-cell drop.
     */
-  /** Release the RDD blocks behind a `localCheckpoint`ed DataFrame.
-    * The Dataset API has no explicit release for checkpoints (blocks
-    * otherwise live until the ContextCleaner GCs the RDD), so walk the
-    * analyzed plan's `LogicalRDD` leaves and unpersist directly.
-    * No-op on non-checkpoint plans. Callers must only pass state that
-    * nothing downstream will recompute from.
-    */
-  private def freeLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false); ()
-      case _ => ()
-    }
+  /** Superseded-round checkpoint release — see [[Checkpoints.free]]. */
+  private def freeLocalCheckpoint(df: DataFrame): Unit = Checkpoints.free(df)
 
   def centroidsDF(data: DataFrame, nlist: Int, iters: Int = 8,
                   trainSample: Int = 0, wProbe: Int = 2): DataFrame = {

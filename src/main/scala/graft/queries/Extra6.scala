@@ -50,6 +50,17 @@ object Extra6 {
     */
   val LrW: IndexedSeq[Double] = IndexedSeq(0.102871, 2.370442, -0.029346, -0.000031)
 
+  /** PageRank dials: damping, rounds, and the per-round snap grid.
+    * Ranks are O(1/N) ≈ 1e-4, so the 1e-10 grid keeps ~6 significant
+    * digits — the same relative precision quality_lr's 1e-6 grid gives
+    * its O(1) weights. Snapping after EVERY round is what makes the
+    * iteration cross-engine deterministic: the per-node contribution
+    * sum is order-sensitive double addition (~1e-18 drift), which the
+    * grid absorbs before it can compound.
+    */
+  val PrDamping = 0.85
+  val PrIters   = 5
+
   private def toks(c: Column): Column =
     filter(split(c, " "), (t: Column) => t =!= "")
 
@@ -145,10 +156,99 @@ object Extra6 {
         .orderBy(col("band"), col("doc_id"))
         .localCheckpoint()
       finally { scored.unpersist(false); () }
+    },
+
+    // -- bounded-iteration PageRank ----------------------------------------
+    // Iterative graph analytics in-engine (the quality_lr pattern with
+    // relation-sized state instead of 4 doubles): PageRank over the
+    // symmetric customer↔supplier co-order graph (edge = the pair
+    // transacted at least once). Each round is one node-keyed join
+    // (ranks ⋈ degrees — both node-cardinality) + one edge-keyed join +
+    // one hash aggregate, with the new state eagerly checkpointed and
+    // the superseded round's blocks freed (the Ivf Lloyd discipline) —
+    // residency is ONE round's O(nodes), traffic per round is O(edges),
+    // and nothing corpus-sized ever reaches the driver (only the node
+    // count does, once). The graph is symmetric so every node has
+    // degree ≥ 1 — no dangling-mass term. Output: top-20 nodes.
+    "graph_pagerank" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey"))
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("ok"), col("o_custkey"))
+      val e0 = li.join(o, "ok")
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      // two consumers per round (degree join + propagation) → persist
+      val edges = e0
+        .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      try {
+        val nNodes = deg.count() // the ONLY driver-side value
+        val teleport = (1.0 - PrDamping) / nNodes
+        var ranks = deg
+          .select(col("src").as("node"), round(lit(1.0 / nNodes), 10).as("pr"))
+          .localCheckpoint()
+        for (_ <- 1 to PrIters) {
+          // contribution weight per SOURCE first (node-sized join), then
+          // one edge join fans it out — never pr/outdeg per edge twice
+          val w = ranks.join(deg, ranks("node") === deg("src"))
+            .select(col("node"), (col("pr") / col("outdeg")).as("w"))
+          val next = edges.join(w, edges("src") === w("node"))
+            .groupBy(col("dst"))
+            .agg(round(lit(teleport) + lit(PrDamping) * sum(col("w")), 10)
+              .as("pr"))
+            .select(col("dst").as("node"), col("pr"))
+            .localCheckpoint()
+          graft.operators.Checkpoints.free(ranks)
+          ranks = next
+        }
+        val out = ranks.orderBy(col("pr").desc, col("node")).limit(20)
+          .select(col("node"), col("pr"))
+          .localCheckpoint()
+        graft.operators.Checkpoints.free(ranks) // final state: 20 rows survive
+        out
+      } finally { edges.unpersist(false); () }
     }
   )
 
+  /** One unrolled PageRank round as a DuckDB CTE: the previous round's
+    * rank relation joins degrees (per-source weight), fans out over the
+    * edge relation, re-aggregates per destination, and snaps to the
+    * same 1e-10 grid the Spark side uses. Mirrors the engine loop
+    * exactly — the quality_lr unrolled-iteration precedent.
+    */
+  private def prIterSql(k: Int): String = s"""
+      r$k AS (
+        SELECT e.dst AS node,
+               round((1.0 - $PrDamping) / (SELECT n FROM nn)
+                     + $PrDamping * SUM(r.pr / d.outdeg), 10) AS pr
+        FROM edges e
+        JOIN r${k - 1} r ON e.src = r.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+      )"""
+
   val oracle: Map[String, String] = Map(
+    "graph_pagerank" -> s"""
+      WITH e0 AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      ), edges AS (
+        SELECT src, dst FROM e0
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM e0
+      ), deg AS (
+        SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+      ), nn AS (
+        SELECT COUNT(*) AS n FROM deg
+      ), r0 AS (
+        SELECT src AS node, round(1.0 / (SELECT n FROM nn), 10) AS pr FROM deg
+      ), ${(1 to PrIters).map(prIterSql).mkString(",")}
+      SELECT node, pr FROM r$PrIters ORDER BY pr DESC, node LIMIT 20
+    """,
     "sample_mix_plan" -> s"""
       WITH dt AS (
         SELECT doc_id, source,
