@@ -43,6 +43,20 @@ import org.apache.spark.sql.functions._
   * (truncating would be partition-order-dependent — the
   * [[MinHash.lshCandidates]] rule) and [[droppedCells]] reports how
   * many; recall loss is confined to pairs inside oversized cells.
+  *
+  * Measured dial guidance (SweepEmbedDedup at the 200k-vector 100×
+  * dial, θ=0.45, PERF.md round-12 addendum): on the ADVERSARIAL
+  * isotropic fixture — true pairs planted AT the threshold, ~63° apart,
+  * so a pair's cell assignments are near-independent — recall grows
+  * ∝≈ nassign²·cellshare and the recall/cost frontier CROSSES the exact
+  * baseline's cost at ≈55–60% recall (nlist=50/nassign=4 pays 601 s for
+  * 0.76 recall vs exact-everything at 319 s). Conclusion shipped with
+  * the operator: the default dial (autoNlist, nassign=2) is the
+  * linear-cost candidate-screen point; where the threshold is
+  * boundary-tight AND full recall is required, use the exact
+  * `dedup_embed` kernel (guarded) or LSH — blocking's domain is the
+  * near-colinear (θ ≥ ~0.8) regime real semantic dups live in, where
+  * co-assignment probability approaches 1.
   */
 object EmbedDedup {
   /** The dial rule the linearity claim above depends on: `nlist` scaled

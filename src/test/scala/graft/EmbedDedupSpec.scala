@@ -44,6 +44,35 @@ class EmbedDedupSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall below floor: cells=$cells exact=$exact")
   }
 
+  test("the recovery dial (bigger cells + more assigns) strictly buys recall") {
+    // The SweepEmbedDedup finding pinned as a gate (PERF.md round-12
+    // addendum): recall ∝≈ nassign² · cellshare, so the boundary-regime
+    // recovery dial (nlist/4, nassign=4) must beat the default screen
+    // dial (autoNlist, nassign=2) — a dial regression (e.g. an
+    // assignment change that stops honoring nassign) shows here as an
+    // ordering flip, not a silent recall cliff at 100x.
+    import org.apache.spark.sql.functions._
+    val e = transform(col("embedding"),
+      (x: org.apache.spark.sql.Column) => x.cast("double"))
+    val n = graft.Tables(spark, sf, "embeddings").select(col("vec_id"), e.as("e"))
+    val auto = graft.operators.EmbedDedup.autoNlist(n.count())
+    def recallAt(nlist: Int, nassign: Int): Double = {
+      val got = graft.operators.EmbedDedup
+        .cellPairs(n, threshold = 0.45, nlist = nlist, nassign = nassign)
+        .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = exactPairs
+      assert((got -- exact).isEmpty, s"false positives at ($nlist, $nassign)")
+      got.size.toDouble / exact.size
+    }
+    val screen = recallAt(auto, 2)
+    val recovery = recallAt(math.max(auto / 4, 1), 4)
+    info(f"screen dial ($auto, 2): $screen%.3f; recovery (${auto / 4}, 4): $recovery%.3f")
+    assert(recovery > screen,
+      f"recovery dial must buy recall: $recovery%.3f <= $screen%.3f")
+    assert(recovery >= 0.8,
+      f"recovery-dial fixture floor: $recovery%.3f < 0.8")
+  }
+
   test("oversized cells are dropped whole and counted, never truncated") {
     import spark.implicits._
     // 40 near-identical vectors in one hot cell + two small cells, cap=10:
