@@ -210,6 +210,94 @@ object Extra6 {
         graft.operators.Checkpoints.free(ranks) // final state: 20 rows survive
         out
       } finally { edges.unpersist(false); () }
+    },
+
+    // -- the whole pipeline, end to end --------------------------------------
+    // clean → exact content dedup → exact percentile prune → temperature
+    // mix → shard manifest, composed as ONE query — the run a user
+    // actually executes between a raw crawl and a training job, checked
+    // against one oracle. Every stage is the registered operator's exact
+    // logic (same constants, same snapping); the output is the 16-row
+    // export manifest, so the oracle hash transitively pins every
+    // upstream decision (a single doc kept/dropped differently anywhere
+    // flips a shard checksum). Scale shape: stages hand off through
+    // hash-partitioned relations (content hash → score histogram →
+    // (source, shard) fill → shard manifest); the only single-partition
+    // work is the bounded histogram window; targets/thresholds broadcast.
+    "pipeline_end2end" -> { (s, dir) =>
+      // stage 1+2: clean + exact dedup — canonical = min doc_id per
+      // md5(text) (the dedup_doc_exact tie-break)
+      val canon = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+        .withColumn("ch", md5(col("text")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("ch")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+      // stage 3: chars/token score + exact [P5, P95] band from the
+      // distributed histogram (corpus_prune's logic, same constants)
+      val scored = canon
+        .select(col("doc_id"), col("source"), col("n_chars"), col("ch"),
+          size(toks(col("text"))).as("ntok"))
+        .filter(col("ntok") > 0)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("ch"),
+          col("ntok"),
+          round(col("n_chars").cast("double") / col("ntok"), 4).as("score"),
+          md5(col("doc_id").cast("string")).as("m"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("c"))
+      val total = hist.agg(sum(col("c")).as("n"))
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("score"))))
+        .crossJoin(broadcast(total))
+      val thr = cum.agg(
+        min(when(col("cum") >= ceil(lit(Extra5.PruneLoQ) * col("n")),
+          col("score"))).as("lo"),
+        min(when(col("cum") >= ceil(lit(Extra5.PruneHiQ) * col("n")),
+          col("score"))).as("hi"))
+      val kept1 = scored.crossJoin(broadcast(thr))
+        .filter(col("score") >= col("lo") && col("score") <= col("hi"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("ch"),
+          col("ntok"), col("m"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // stage 4: temperature-weighted greedy (source, shard) budget fill
+      // over the SURVIVORS (sample_mix_plan's logic, same grid snap)
+      val per = kept1.groupBy(col("source"))
+        .agg(sum(col("ntok")).cast("long").as("n_tokens"))
+      val grand = per.agg(sum(col("n_tokens")).as("grand"))
+      val norm = per.crossJoin(broadcast(grand))
+        .agg(sum(pow(col("n_tokens") / col("grand").cast("double"), MixAlpha))
+               .as("z"),
+             max(col("grand")).as("grand"))
+      val pT = round(
+        pow(col("n_tokens") / col("grand").cast("double"), MixAlpha) / col("z"),
+        6)
+      val targets = per.crossJoin(broadcast(norm))
+        .select(col("source"), (pT * col("grand") * MixBudgetFrac).as("target_tokens"))
+      val cumW = Window
+        .partitionBy(col("source"), substring(col("m"), 1, 1))
+        .orderBy(col("m"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sel = kept1
+        .withColumn("cum_before", coalesce(sum(col("ntok")).over(cumW), lit(0L)))
+        .join(broadcast(targets), "source")
+        .filter(col("cum_before") < col("target_tokens") / MixShards)
+      // stage 5: the 16-shard export manifest over the final keep-set
+      // (export_shards' logic — fixed-width numeric hash range, so the
+      // whole manifest is one true hash aggregate)
+      try sel
+        .select(substring(col("m"), 1, 1).as("shard"), col("ntok"),
+          col("n_chars"),
+          conv(substring(col("ch"), 1, 12), 16, 10).cast("long").as("hk"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).cast("long").as("total_tokens"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          min(col("hk")).as("min_key"), max(col("hk")).as("max_key"),
+          sum(col("hk")).cast("long").as("checksum"))
+        .orderBy(col("shard"))
+        .localCheckpoint()
+      finally { scored.unpersist(false); kept1.unpersist(false); () }
     }
   )
 
@@ -231,6 +319,67 @@ object Extra6 {
       )"""
 
   val oracle: Map[String, String] = Map(
+    "pipeline_end2end" -> s"""
+      WITH canon AS (
+        SELECT doc_id, source, n_chars, text, ch FROM (
+          SELECT doc_id, source, n_chars, text, md5(text) AS ch,
+                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM documents WHERE text IS NOT NULL
+        ) WHERE rn = 1
+      ), scored AS (
+        SELECT doc_id, source, n_chars, ch, ntok,
+               round(CAST(n_chars AS DOUBLE) / ntok, 4) AS score,
+               md5(CAST(doc_id AS VARCHAR)) AS m
+        FROM (
+          SELECT *, len(list_filter(string_split(text, ' '), t -> t <> '')) AS ntok
+          FROM canon
+        ) WHERE ntok > 0
+      ), hist AS (
+        SELECT score, count(*) AS c FROM scored GROUP BY score
+      ), cum AS (
+        SELECT score, sum(c) OVER (ORDER BY score) AS cum,
+               (SELECT sum(c) FROM hist) AS n
+        FROM hist
+      ), thr AS (
+        SELECT min(CASE WHEN cum >= ceil(${Extra5.PruneLoQ} * n) THEN score END) AS lo,
+               min(CASE WHEN cum >= ceil(${Extra5.PruneHiQ} * n) THEN score END) AS hi
+        FROM cum
+      ), kept1 AS (
+        SELECT doc_id, source, n_chars, ch, ntok, m
+        FROM scored, thr WHERE score >= lo AND score <= hi
+      ), per AS (
+        SELECT source, CAST(sum(ntok) AS BIGINT) AS n_tokens FROM kept1 GROUP BY source
+      ), tot AS (
+        SELECT sum(n_tokens) AS grand,
+               sum(pow(n_tokens /
+                 CAST((SELECT sum(n_tokens) FROM per) AS DOUBLE), $MixAlpha)) AS z
+        FROM per
+      ), tgt AS (
+        SELECT source,
+               round(pow(n_tokens / CAST(grand AS DOUBLE), $MixAlpha) / z, 6)
+                 * grand * $MixBudgetFrac AS target_tokens
+        FROM per CROSS JOIN tot
+      ), fill AS (
+        SELECT k.*,
+               COALESCE(SUM(ntok) OVER (PARTITION BY source, substr(m, 1, 1)
+                 ORDER BY m
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM kept1 k
+      ), sel AS (
+        SELECT f.* FROM fill f JOIN tgt t ON f.source = t.source
+        WHERE cum_before < target_tokens / $MixShards
+      )
+      SELECT substr(m, 1, 1) AS shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(ntok) AS BIGINT) AS total_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             min(hk) AS min_key, max(hk) AS max_key,
+             CAST(sum(hk) AS BIGINT) AS checksum
+      FROM (SELECT m, ntok, n_chars,
+              CAST('0x' || substr(ch, 1, 12) AS BIGINT) AS hk FROM sel)
+      GROUP BY shard ORDER BY shard
+    """,
+
     "graph_pagerank" -> s"""
       WITH e0 AS (
         SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,

@@ -655,6 +655,38 @@ class PlanSpec extends AnyFunSuite {
       "an unexpected join appeared in the scoring path")
   }
 
+  test("pipeline_end2end: stages hand off hash-partitioned; thresholds/targets broadcast") {
+    // The five-stage composition: corpus-sized rows may reshuffle only on
+    // the stage keys (content hash, score, source, (source, shard),
+    // shard); the bounded relations (histogram total, prune thresholds,
+    // mix normalizer/targets) stay single-partition-over-aggregates or
+    // broadcast. Exactly three windows: the dedup row_number (per
+    // content hash), the histogram cumsum, the (source, shard) fill.
+    val nodes = executedPlans("pipeline_end2end").flatMap(p => flattenPlan(p._2))
+    assert(nodes.count(_.isInstanceOf[WindowExec]) == 3,
+      s"expected 3 windows (dedup, histogram, fill), found ${nodes.count(_.isInstanceOf[WindowExec])}")
+    nodes.foreach {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
+        assert(hasAggBelow(e.child),
+          s"a single-partition exchange sees un-aggregated corpus rows:\n$e")
+      case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[HashPartitioning] =>
+        val keys = e.outputPartitioning.asInstanceOf[HashPartitioning]
+          .expressions.map(_.toString)
+        // _wN = Catalyst's projected window partition key (the fill
+        // window's substring(m, 1, 1) shard) — still a stage key
+        assert(keys.forall(k => k.contains("ch") || k.contains("score") ||
+          k.contains("source") || k.contains("shard") || k.contains("substring") ||
+          k.contains("md5") || k.contains("_w")),
+          s"a hash exchange keys outside the stage keys:\n$e")
+      case _ => ()
+    }
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]) &&
+           !nodes.exists(_.isInstanceOf[ShuffledHashJoinExec]),
+      "thresholds/targets must broadcast, never shuffle-join the corpus")
+    assert(!nodes.exists(_.isInstanceOf[SortAggregateExec]), "sort-agg fallback")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]), "cartesian appeared")
+  }
+
   test("quality_lr: each GD round is ONE aggregate over the cached features") {
     val plans = executedPlans("quality_lr")
     val rounds = plans.filter(_._1 == "head")
