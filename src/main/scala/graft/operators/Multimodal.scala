@@ -50,6 +50,13 @@ object Multimodal {
     def frameFeature(row: MediaRow, frameIdx: Int, dim: Int): Array[Float]
     /** Whole-media embedding from decoded content bytes. */
     def mediaFeature(payload: Array[Byte], dim: Int): Array[Float]
+    /** Row-major w×h luminance grid of the DECODED content — the input
+      * to perceptual hashing ([[Multimodal.dHash]]). Must be a pure
+      * function of the decoded pixels, independent of the envelope
+      * (container/encoding), so a PNG and a BMP of the same raster hash
+      * identically — that envelope-invariance IS the phash dedup win.
+      */
+    def luma(row: MediaRow, width: Int, height: Int): Array[Int]
   }
 
   /** STUB codec. "Header": bytes 0-3 width, 4-7 height, 8-15 duration
@@ -98,6 +105,24 @@ object Multimodal {
     override def mediaFeature(bytes: Array[Byte], dim: Int): Array[Float] = {
       val rnd = new scala.util.Random(java.util.Arrays.hashCode(bytes).toLong)
       Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    }
+
+    /** Fake luminance: payload bytes bucket-averaged into w×h cells —
+      * content-keyed and locality-preserving (close payloads → close
+      * grids), the properties [[Multimodal.dHash]] relies on.
+      */
+    override def luma(row: MediaRow, width: Int, height: Int): Array[Int] = {
+      val p = payload(row)
+      val cells = width * height
+      val sums = new Array[Long](cells)
+      val counts = new Array[Long](cells)
+      var i = 0
+      while (i < p.length) {
+        val c = (i.toLong * cells / math.max(1, p.length)).toInt
+        sums(c) += (p(i) & 0xff); counts(c) += 1
+        i += 1
+      }
+      Array.tabulate(cells)(c => if (counts(c) == 0) 0 else (sums(c) / counts(c)).toInt)
     }
   }
 
@@ -242,6 +267,23 @@ object Multimodal {
       val total = math.max(1L, payload.length.toLong)
       hist.map(c => (c.toDouble / total - 1.0 / dim).toFloat)
     }
+
+    /** Real luminance grid: NEAREST-pixel sampling of the decoded raster
+      * (deliberately not Graphics2D resampling — nearest is a pure
+      * integer function of the pixels, deterministic across JDKs/AA
+      * settings, which the dHash identity requires), Rec.601 luma.
+      */
+    override def luma(row: MediaRow, width: Int, height: Int): Array[Int] = {
+      val img = readImage(row.bytes)
+      val (sw, sh) = (img.getWidth, img.getHeight)
+      Array.tabulate(width * height) { c =>
+        val (x, y) = (c % width, c / width)
+        val rgb = img.getRGB(math.min(x * sw / width, sw - 1),
+          math.min(y * sh / height, sh - 1))
+        (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+      }
+    }
   }
 
   /** Decode metadata for every media row — partition-local, batched. */
@@ -324,6 +366,103 @@ object Multimodal {
                   else ImageIoCodec.encodeBmp(img)
       MediaRow(i, "image", bytes)
     }.repartition(col("media_id"))
+  }
+
+  /** Difference-hash perceptual fingerprint (dHash, 64-bit): luminance
+    * sampled on a (hashW+1)×hashH grid; bit (y·hashW + x) is set iff
+    * luma(x, y) < luma(x+1, y). Row-local (one decode per row, zero
+    * shuffle), envelope-invariant (hashes the decoded raster, so PNG ≡
+    * BMP of the same pixels), and LOCALITY-PRESERVING: small pixel edits
+    * flip few horizontal-gradient signs, so near-duplicate images land
+    * within a small Hamming distance — the image analogue of SimHash,
+    * and the standard cheap screen ahead of embedding-based dedup.
+    */
+  def dHash(media: Dataset[MediaRow],
+            codec: MediaCodec = FakeCodec): DataFrame = {
+    import media.sparkSession.implicits._
+    val (hashW, hashH) = (8, 8)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val l = codec.luma(r, hashW + 1, hashH)
+        var h = 0L
+        var y = 0
+        while (y < hashH) {
+          var x = 0
+          while (x < hashW) {
+            if (l(y * (hashW + 1) + x) < l(y * (hashW + 1) + x + 1))
+              h |= 1L << (y * hashW + x)
+            x += 1
+          }
+          y += 1
+        }
+        (r.media_id, h)
+      }
+    }.toDF("media_id", "phash")
+  }
+
+  /** Near-duplicate pairs among perceptual hashes: Hamming(h1, h2) ≤
+    * maxDistance, found WITHOUT the quadratic all-pairs scan via
+    * pigeonhole banding (the SimHash rule): the 64 bits split into
+    * maxDistance+1 bands, and any pair within distance maxDistance
+    * matches at least one band EXACTLY (≤ maxDistance differing bits
+    * cannot touch all maxDistance+1 bands) — so candidates come from a
+    * band-keyed hash join and only candidates pay the popcount verify.
+    * Exact (guarantee, not heuristic): zero false negatives, and the
+    * verify kills band-collision false positives.
+    */
+  def phashDupes(hashes: DataFrame, maxDistance: Int = 6): DataFrame = {
+    require(maxDistance >= 0 && maxDistance < 64, s"bad maxDistance $maxDistance")
+    val bands = maxDistance + 1
+    val w = 64 / bands
+    val bandCols = (0 until bands).map { b =>
+      val off = b * w
+      val width = if (b == bands - 1) 64 - off else w
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("phash"), off).bitwiseAND(lit(mask)).as("v"))
+    }
+    val banded = hashes
+      .select(col("media_id"), col("phash"),
+        explode(array(bandCols: _*)).as("bv"))
+      .select(col("media_id"), col("phash"),
+        col("bv.band").as("band"), col("bv.v").as("v"))
+    val a = banded.select(col("band"), col("v"),
+      col("media_id").as("id1"), col("phash").as("h1"))
+    val b = banded.select(col("band"), col("v"),
+      col("media_id").as("id2"), col("phash").as("h2"))
+    a.join(b, Seq("band", "v"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).as("dist"))
+      .filter(col("dist") <= maxDistance)
+      .distinct() // a pair may match several bands
+  }
+
+  /** [[syntheticImages]] plus planted duplicates: every 4th image also
+    * appears (a) re-encoded in the OTHER envelope with the SAME raster
+    * (id+1000 — exact content dup, the cross-format case) and (b) with
+    * one pixel nudged (id+2000 — near dup). Deterministic.
+    */
+  def syntheticImagesWithDups(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    syntheticImages(spark, n).flatMap { r =>
+      if (r.media_id % 4 != 0) Seq(r)
+      else {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+        val other =
+          if (r.media_id % 2 == 0) ImageIoCodec.encodeBmp(img)
+          else ImageIoCodec.encodePng(img)
+        val noised = new java.awt.image.BufferedImage(
+          img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = noised.createGraphics()
+        g.drawImage(img, 0, 0, null); g.dispose()
+        noised.setRGB(0, 0, img.getRGB(0, 0) ^ 0x080808)
+        Seq(r,
+          r.copy(media_id = r.media_id + 1000, bytes = other),
+          r.copy(media_id = r.media_id + 2000,
+            bytes = ImageIoCodec.encodePng(noised)))
+      }
+    }
   }
 
   /** Deterministic synthetic media table for tests/demos. */

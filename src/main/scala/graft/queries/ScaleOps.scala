@@ -255,6 +255,21 @@ object ScaleOps {
             lit(0.0), (a: Column, x: Column) => a + x * x), 5).as("feat_sq_norm"))
       meta.join(feats, Seq("media_id"), "left")
         .orderBy(col("media_id"))
+    },
+
+    // Perceptual-hash image dedup (round 12): real ImageIO rasters →
+    // row-local 64-bit dHash → pigeonhole-banded Hamming pairs. The
+    // image analogue of dedup_simhash: envelope-invariant (the planted
+    // PNG↔BMP same-raster dups land at distance 0) and locality-
+    // preserving (the one-pixel-nudged dups land within the band
+    // guarantee). No SQL oracle (image decode isn't portable SQL);
+    // ScaleOpsSpec pins envelope invariance, the near-dup recovery, and
+    // banded ≡ brute-force exactness.
+    "multimodal_phash" -> { (s, _) =>
+      val media = Multimodal.syntheticImagesWithDups(s, 48)
+      val hashes = Multimodal.dHash(media, Multimodal.ImageIoCodec)
+      Multimodal.phashDupes(hashes, maxDistance = 6)
+        .orderBy(col("id1"), col("id2"))
     }
   )
 

@@ -521,6 +521,8 @@ class ScaleOpsSpec extends AnyFunSuite {
         Array.fill(dim)(i.toFloat)
       override def mediaFeature(p: Array[Byte], dim: Int): Array[Float] =
         Array.fill(dim)(p.length.toFloat)
+      override def luma(r: Multimodal.MediaRow, w: Int, h: Int): Array[Int] =
+        Multimodal.FakeCodec.luma(r, w, h)
     }
     val media = Multimodal.synthetic(spark, 9)
     val meta = Multimodal.decodeMeta(media, LenCodec).collect()
@@ -726,5 +728,51 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert(cellsOf(Ivf.assignMultiCoarse(n, cents, nassign = 2, wCoarse = 4)) === litCoarse)
       assert(probesOf(Ivf.probeCells(q, cents, 4)) === litProbes)
     } finally Ivf.bcThreshold = saved
+  }
+
+  test("dHash is envelope-invariant and locality-preserving on real images") {
+    // The planted fixture: id → id+1000 is the SAME raster in the other
+    // envelope (PNG↔BMP) — a perceptual hash that notices the container
+    // is broken; id → id+2000 is a one-pixel nudge — it must stay within
+    // a small Hamming distance (locality), and unrelated gradients far.
+    val media = Multimodal.syntheticImagesWithDups(spark, 24)
+    val h = Multimodal.dHash(media, Multimodal.ImageIoCodec)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val planted = h.keys.filter(id => id < 1000 && id % 4 == 0).toSeq
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      assert(h(id) == h(id + 1000),
+        s"envelope changed the hash for $id: ${h(id)} vs ${h(id + 1000)}")
+      val d = java.lang.Long.bitCount(h(id) ^ h(id + 2000))
+      assert(d <= 6, s"one-pixel nudge moved $id by $d bits")
+    }
+  }
+
+  test("banded phash dup pairs equal the brute-force Hamming scan exactly") {
+    // The pigeonhole guarantee is exactness, not a heuristic: ≤ k
+    // differing bits cannot touch all k+1 bands, so the band join loses
+    // nothing, and the popcount verify kills collisions — banded output
+    // must EQUAL all-pairs.
+    val media = Multimodal.syntheticImagesWithDups(spark, 24)
+    val hs = Multimodal.dHash(media, Multimodal.ImageIoCodec)
+    val k = 6
+    val banded = Multimodal.phashDupes(hs, maxDistance = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val all = hs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (i1, h1) <- all; (i2, h2) <- all if i1 < i2
+      d = java.lang.Long.bitCount(h1 ^ h2) if d <= k
+    } yield (i1, i2, d)).toSet
+    assert(brute.nonEmpty, "fixture planted no close pairs — vacuous")
+    assert(banded === brute)
+  }
+
+  test("dHash runs on the stub codec too (the pluggable-seam law)") {
+    val media = Multimodal.synthetic(spark, 12)
+    val a = Multimodal.dHash(media).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Multimodal.dHash(media.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b, "dHash must be partitioning-invariant")
+    assert(a.size == 12)
   }
 }
