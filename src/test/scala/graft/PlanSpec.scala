@@ -655,6 +655,39 @@ class PlanSpec extends AnyFunSuite {
       "an unexpected join appeared in the scoring path")
   }
 
+  test("graph_pagerank: every per-round exchange is post-combine (node-sized)") {
+    // What keeps the rounds O(edges) COMPUTE but only O(nodes) NETWORK:
+    // each round's groupBy(dst) must map-side combine BEFORE its
+    // exchange, so the per-round shuffle carries ≤ nodes×partitions
+    // rows, never the edge relation. (The cached edges are also
+    // pre-partitioned by dst, but an AQE-wrapped cached plan does not
+    // expose its partitioning to consumers — EnsureRequirements still
+    // inserts the exchange, and the partial aggregate is what makes it
+    // cheap. This gate pins the partial aggregate, the property that
+    // actually bounds the wire.) Propagate joins must broadcast the
+    // node-sized side, never sort-merge the edges.
+    val nodes = executedPlans("graph_pagerank").flatMap(p => flattenPlan(p._2))
+    val roundExchanges = nodes.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[HashPartitioning] &&
+          e.outputPartitioning.asInstanceOf[HashPartitioning].expressions.size == 1 &&
+          e.outputPartitioning.asInstanceOf[HashPartitioning]
+            .expressions.head.toString.contains("dst") &&
+          e.shuffleOrigin.toString == "ENSURE_REQUIREMENTS" => e
+    }
+    assert(roundExchanges.nonEmpty, "no round exchanges captured — vacuous")
+    roundExchanges.foreach { e =>
+      assert(flattenPlan(e.child).exists {
+        case a: BaseAggregateExec =>
+          a.aggregateExpressions.exists(_.mode.toString.contains("Partial"))
+        case _ => false
+      }, s"a round's exchange carries un-combined edge rows:\n$e")
+    }
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "a propagate join degenerated to sort-merge — node-sized sides must broadcast")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]), "cartesian appeared")
+  }
+
   test("pipeline_end2end: stages hand off hash-partitioned; thresholds/targets broadcast") {
     // The five-stage composition: corpus-sized rows may reshuffle only on
     // the stage keys (content hash, score, source, (source, shard),
