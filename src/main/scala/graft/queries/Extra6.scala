@@ -230,6 +230,58 @@ object Extra6 {
       } finally { edges.unpersist(false); () }
     },
 
+    // -- higher-moment group statistics --------------------------------------
+    // Skewness/kurtosis per group WITHOUT trusting either engine's
+    // built-in (Spark's skewness is population g1, DuckDB's is the
+    // sample estimator — they disagree by design): both engines compute
+    // the IDENTICAL central-moment formulas from raw power sums. The
+    // sums themselves are bit-identical across engines and partitionings
+    // because l_quantity is integral (1–50): Σx..Σx⁴ are integer-valued
+    // doubles far below 2⁵³ at oracle scale, so double addition is
+    // EXACT in any order. One hash aggregate, map-side partial.
+    "agg_moments" -> { (s, dir) =>
+      val m = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag").as("rf"),
+          col("l_quantity").cast("double").as("x"))
+        .groupBy(col("rf"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("s1"),
+          sum(col("x") * col("x")).as("s2"),
+          sum(col("x") * col("x") * col("x")).as("s3"),
+          sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+      val mean = col("s1") / col("n")
+      val m2 = col("s2") / col("n") - mean * mean
+      val m3 = col("s3") / col("n") - mean * (col("s2") / col("n")) * 3 +
+        mean * mean * mean * 2
+      val m4 = col("s4") / col("n") - mean * (col("s3") / col("n")) * 4 +
+        mean * mean * (col("s2") / col("n")) * 6 -
+        mean * mean * mean * mean * 3
+      m.select(col("rf"), col("n"),
+          round(mean, 6).as("mean"),
+          round(m2, 6).as("m2"),
+          round(m3 / pow(m2, 1.5), 6).as("skewness"),
+          round(m4 / (m2 * m2) - 3.0, 6).as("kurtosis"))
+        .orderBy(col("rf"))
+    },
+
+    // -- regex extraction surface ---------------------------------------------
+    // regexp_extract_all over the documents corpus: per doc the count of
+    // word-initial capital tokens plus first/last match — the remaining
+    // regex function family next to fn_string2's extract/replace.
+    // Row-local; the only shuffle is the oracle total order.
+    "fn_regex2" -> { (s, dir) =>
+      val ms = regexp_extract_all(col("text"), lit("\\b[a-z]{7,}\\b"), lit(0))
+      Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), ms.as("ms"))
+        .select(col("doc_id"),
+          size(col("ms")).cast("long").as("n_long_words"),
+          element_at(col("ms"), 1).as("first_match"),
+          element_at(col("ms"), -1).as("last_match"))
+        .filter(col("n_long_words") > 0)
+        .orderBy(col("doc_id"))
+    },
+
     // -- the whole pipeline, end to end --------------------------------------
     // clean → exact content dedup → exact percentile prune → temperature
     // mix → shard manifest, composed as ONE query — the run a user
@@ -337,6 +389,39 @@ object Extra6 {
       )"""
 
   val oracle: Map[String, String] = Map(
+    "agg_moments" -> """
+      WITH m AS (
+        SELECT l_returnflag AS rf, CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(l_quantity AS DOUBLE)) AS s1,
+               sum(CAST(l_quantity AS DOUBLE) * l_quantity) AS s2,
+               sum(CAST(l_quantity AS DOUBLE) * l_quantity * l_quantity) AS s3,
+               sum(CAST(l_quantity AS DOUBLE) * l_quantity * l_quantity * l_quantity) AS s4
+        FROM lineitem GROUP BY l_returnflag
+      )
+      SELECT rf, n,
+             round(s1 / n, 6) AS mean,
+             round(s2 / n - (s1 / n) * (s1 / n), 6) AS m2,
+             round((s3 / n - (s1 / n) * (s2 / n) * 3
+                    + (s1 / n) * (s1 / n) * (s1 / n) * 2)
+                   / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skewness,
+             round((s4 / n - (s1 / n) * (s3 / n) * 4
+                    + (s1 / n) * (s1 / n) * (s2 / n) * 6
+                    - (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) * 3)
+                   / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n)))
+                   - 3.0, 6) AS kurtosis
+      FROM m ORDER BY rf
+    """,
+
+    "fn_regex2" -> """
+      WITH x AS (
+        SELECT doc_id, regexp_extract_all(text, '\b[a-z]{7,}\b') AS ms
+        FROM documents WHERE text IS NOT NULL
+      )
+      SELECT doc_id, CAST(len(ms) AS BIGINT) AS n_long_words,
+             ms[1] AS first_match, ms[-1] AS last_match
+      FROM x WHERE len(ms) > 0 ORDER BY doc_id
+    """,
+
     "pipeline_end2end" -> s"""
       WITH canon AS (
         SELECT doc_id, source, n_chars, text, ch FROM (
