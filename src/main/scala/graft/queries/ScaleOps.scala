@@ -270,6 +270,24 @@ object ScaleOps {
       val hashes = Multimodal.dHash(media, Multimodal.ImageIoCodec)
       Multimodal.phashDupes(hashes, maxDistance = 6)
         .orderBy(col("id1"), col("id2"))
+    },
+
+    // Image duplicate CLUSTERS (round 12): phash pairs → large-star/
+    // small-star connected components → (doc_id, cluster_id,
+    // is_canonical) — the dedup_cluster contract over the image pair
+    // graph, so the multimodal dedup story composes end to end exactly
+    // like the text/embedding ones (screen → pairs → clusters →
+    // canonical member). Rows-only; ScaleOpsSpec pins clusters ≡ CC
+    // over the operator's own pairs.
+    "multimodal_phash_cluster" -> { (s, _) =>
+      val media = Multimodal.syntheticImagesWithDups(s, 48)
+      val edges = Multimodal
+        .phashDupes(Multimodal.dHash(media, Multimodal.ImageIoCodec),
+          maxDistance = 6)
+        .select(col("id1").as("src"), col("id2").as("dst"))
+      graft.operators.ConnectedComponents
+        .clusterLabels(graft.operators.ConnectedComponents.componentsStar(edges))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -767,6 +767,28 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(banded === brute)
   }
 
+  test("phash clusters equal connected components over the operator's own pairs") {
+    // The dedup_cluster contract on the image graph: every planted
+    // trio (original, other-envelope copy, one-pixel nudge) must land
+    // in ONE cluster with the original (min id) canonical.
+    val labels = SparkEntry.queries("multimodal_phash_cluster")(spark, "unused")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byCluster = labels.groupBy(_._2)
+    val planted = labels.map(_._1).filter(id => id < 1000 && id % 4 == 0)
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      val cid = labels.find(_._1 == id).get._2
+      val members = byCluster(cid).map(_._1).toSet
+      assert(members.contains(id + 1000) && members.contains(id + 2000),
+        s"planted trio of $id split across clusters: $members")
+    }
+    byCluster.foreach { case (cid, ms) =>
+      val canon = ms.filter(_._3).map(_._1)
+      assert(canon.toSeq == Seq(ms.map(_._1).min),
+        s"cluster $cid canonical is not the min member")
+    }
+  }
+
   test("dHash runs on the stub codec too (the pluggable-seam law)") {
     val media = Multimodal.synthetic(spark, 12)
     val a = Multimodal.dHash(media).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
