@@ -264,6 +264,41 @@ object Extra6 {
         .orderBy(col("rf"))
     },
 
+    // -- robust group statistics: exact MAD -----------------------------------
+    // Median absolute deviation per group, EXACT, with engine-neutral
+    // median semantics: built-in medians disagree (DuckDB interpolates,
+    // Spark's percentile interpolates differently), so both engines
+    // compute the nearest-rank lower median EXPLICITLY from the bounded
+    // per-group value histogram (the corpus_prune machinery, grouped):
+    // first value whose running count reaches ceil(n/2). Two passes
+    // (median, then deviations' median), every windowed relation is
+    // histogram-sized, medians broadcast back. l_quantity is integral →
+    // deviations are integral → both medians are exact integers, no
+    // rounding needed anywhere.
+    "agg_mad" -> { (s, dir) =>
+      val x = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag").as("rf"),
+          col("l_quantity").cast("double").as("x"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = x.groupBy(col("rf")).agg(count(lit(1)).as("n"))
+      def nearestRankMedian(vals: DataFrame, v: String, out: String): DataFrame =
+        vals.groupBy(col("rf"), col(v)).agg(count(lit(1)).as("c"))
+          .withColumn("cum",
+            sum(col("c")).over(Window.partitionBy(col("rf")).orderBy(col(v))))
+          .join(broadcast(tot), "rf")
+          .filter(col("cum") >= ceil(col("n") / lit(2.0)))
+          .groupBy(col("rf")).agg(min(col(v)).as(out))
+      val med = nearestRankMedian(x, "x", "median")
+      val dev = x.join(broadcast(med), "rf")
+        .select(col("rf"), abs(col("x") - col("median")).as("d"))
+      val mad = nearestRankMedian(dev, "d", "mad")
+      try tot.join(med, "rf").join(mad, "rf")
+        .select(col("rf"), col("n"), col("median"), col("mad"))
+        .orderBy(col("rf"))
+        .localCheckpoint()
+      finally { x.unpersist(false); () }
+    },
+
     // -- regex extraction surface ---------------------------------------------
     // regexp_extract_all over the documents corpus: per doc the count of
     // word-initial capital tokens plus first/last match — the remaining
@@ -410,6 +445,33 @@ object Extra6 {
                    / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n)))
                    - 3.0, 6) AS kurtosis
       FROM m ORDER BY rf
+    """,
+
+    "agg_mad" -> """
+      WITH x AS (
+        SELECT l_returnflag AS rf, CAST(l_quantity AS DOUBLE) AS x FROM lineitem
+      ), tot AS (
+        SELECT rf, CAST(count(*) AS BIGINT) AS n FROM x GROUP BY rf
+      ), h1 AS (
+        SELECT rf, x, count(*) AS c FROM x GROUP BY rf, x
+      ), med AS (
+        SELECT rf, min(x) AS median FROM (
+          SELECT h1.rf, x, sum(c) OVER (PARTITION BY h1.rf ORDER BY x) AS cum, n
+          FROM h1 JOIN tot ON h1.rf = tot.rf
+        ) WHERE cum >= ceil(n / 2.0) GROUP BY rf
+      ), dev AS (
+        SELECT x.rf, abs(x.x - med.median) AS d FROM x JOIN med ON x.rf = med.rf
+      ), h2 AS (
+        SELECT rf, d, count(*) AS c FROM dev GROUP BY rf, d
+      ), mad AS (
+        SELECT rf, min(d) AS mad FROM (
+          SELECT h2.rf, d, sum(c) OVER (PARTITION BY h2.rf ORDER BY d) AS cum, n
+          FROM h2 JOIN tot ON h2.rf = tot.rf
+        ) WHERE cum >= ceil(n / 2.0) GROUP BY rf
+      )
+      SELECT tot.rf, n, median, mad
+      FROM tot JOIN med ON tot.rf = med.rf JOIN mad ON tot.rf = mad.rf
+      ORDER BY tot.rf
     """,
 
     "fn_regex2" -> """
