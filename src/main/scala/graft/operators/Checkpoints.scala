@@ -9,16 +9,33 @@ import org.apache.spark.sql.DataFrame
   * iterative algorithms that checkpoint each round (Ivf's Lloyd,
   * PageRank) would keep EVERY round's state block-manager resident
   * until a GC happens to run — at odds with their O(state) residency
-  * claims. [[free]] walks the analyzed plan's `LogicalRDD` leaves and
-  * unpersists directly; callers must only pass state nothing downstream
-  * will recompute from.
+  * claims. [[free]] unpersists the checkpoint's RDD blocks directly;
+  * callers must only pass state nothing downstream will recompute
+  * from — localCheckpoint truncates lineage, so a freed block another
+  * live DataFrame still references is an UNRECOVERABLE failure later.
   */
 object Checkpoints {
-  /** No-op on non-checkpoint plans. */
-  def free(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false); ()
-      case _ => ()
+  /** Free a superseded checkpoint's blocks. The contract is enforced
+    * structurally, not by comment: the plan must be exactly ONE
+    * `LogicalRDD` leaf under projections/filters (the shape
+    * `df.localCheckpoint()` returns, and the only call-site shape) —
+    * a plan with several RDD leaves (e.g. a join of two checkpoints)
+    * means this frame does not exclusively OWN its leaves, and freeing
+    * shared lineage-truncated blocks is how downstream consumers die
+    * with block-missing errors. Such plans (and plans with no RDD leaf
+    * at all) are left untouched.
+    */
+  def free(df: DataFrame): Unit = {
+    val leaves = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr
     }
+    leaves match {
+      case Seq(only) => only.rdd.unpersist(blocking = false); ()
+      case Seq() => () // not a checkpoint — no-op by contract
+      case many =>
+        System.err.println(
+          s"[checkpoints] free() skipped: plan has ${many.size} RDD leaves " +
+            "(shared ownership — freeing would strand other consumers)")
+    }
+  }
 }

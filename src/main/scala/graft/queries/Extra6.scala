@@ -164,12 +164,19 @@ object Extra6 {
     // symmetric customer↔supplier co-order graph (edge = the pair
     // transacted at least once). Each round is one node-keyed join
     // (ranks ⋈ degrees — both node-cardinality) + one edge-keyed join +
-    // one hash aggregate, with the new state eagerly checkpointed and
-    // the superseded round's blocks freed (the Ivf Lloyd discipline) —
-    // residency is ONE round's O(nodes), traffic per round is O(edges),
+    // one hash aggregate. The five rounds chain LAZILY into one
+    // scheduled job (each round's state is consumed exactly once, so
+    // nothing recomputes — see the loop comment; contrast Ivf's Lloyd,
+    // which must materialize per round because its convergence test
+    // reads each round's state twice). Traffic per round is O(edges)
+    // bounded by the map-side combine, the wire per round is O(nodes),
     // and nothing corpus-sized ever reaches the driver (only the node
-    // count does, once). The graph is symmetric so every node has
-    // degree ≥ 1 — no dangling-mass term. Output: top-20 nodes.
+    // count does, once). The fixed-point/early-exit OPERATOR form —
+    // which DOES checkpoint-and-free per round, because convergence
+    // reads each round's state twice — is [[graft.operators.PageRank]].
+    // The graph is symmetric so every node has degree ≥ 1 — no
+    // dangling-mass term here (the operator form handles dangling
+    // mass). Output: top-20 nodes.
     "graph_pagerank" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_suppkey"))
@@ -301,8 +308,8 @@ object Extra6 {
 
     // -- regex extraction surface ---------------------------------------------
     // regexp_extract_all over the documents corpus: per doc the count of
-    // word-initial capital tokens plus first/last match — the remaining
-    // regex function family next to fn_string2's extract/replace.
+    // long lowercase words (7+ letters) plus first/last match — the
+    // remaining regex function family next to fn_string2's extract/replace.
     // Row-local; the only shuffle is the oracle total order.
     "fn_regex2" -> { (s, dir) =>
       val ms = regexp_extract_all(col("text"), lit("\\b[a-z]{7,}\\b"), lit(0))

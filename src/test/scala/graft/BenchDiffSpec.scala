@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Red/green proof that tools/bench_diff.py's executor-metric canary
+  * actually FIRES (round-13, verdict item): the shuffle-blowup and
+  * new-spill rules had never gated anything — an archived ledger with a
+  * silently broken diff is indistinguishable from a healthy one. Each
+  * case injects a synthetic detail pair and asserts the exit code + the
+  * flagged line, so a future edit to the thresholds or the JSON shape
+  * breaks HERE, not silently in a round close.
+  *
+  * No Spark session — pure subprocess tests against the same python3
+  * the round-close recipe uses for tools/check.py.
+  */
+class BenchDiffSpec extends AnyFunSuite {
+  private val tool = new java.io.File("tools/bench_diff.py").getAbsolutePath
+
+  private def detail(path: java.nio.file.Path, sec: Double,
+                     shuffle: Long, spill: Long): String = {
+    val f = path.toString
+    java.nio.file.Files.writeString(path,
+      s"""{"metric":"detail","unit":"sec","sf":"/root/testdata/sf0.1",""" +
+        s""""failed":[],"queries":{"q_x":$sec,"q_ok":1.0},""" +
+        s""""metrics":{"q_x":{"shuffle_read":$shuffle,"shuffle_write":0,""" +
+        s""""spill_mem":0,"spill_disk":$spill,"input":100,"peak_mem":1,"tasks":4},""" +
+        s""""q_ok":{"shuffle_read":1000,"shuffle_write":1000,"spill_mem":0,""" +
+        s""""spill_disk":0,"input":100,"peak_mem":1,"tasks":4}}}""")
+    f
+  }
+
+  /** (exit code, combined stdout+stderr). */
+  private def run(prev: String, cur: String): (Int, String) = {
+    val pb = new ProcessBuilder("python3", tool, prev, cur)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    (p.waitFor(), out)
+  }
+
+  private def tmp(name: String) =
+    java.nio.file.Files.createTempDirectory("benchdiff").resolve(name)
+
+  test("shuffle blowup >=1.5x and >=8MiB trips METRIC-REGRESSED, exit 1") {
+    // 10 MiB -> 40 MiB: both the ratio (4x >= 1.5x) and the absolute
+    // floor (30 MiB >= 8 MiB) trip; wall-time flat so ONLY the metric
+    // rule can be what fires.
+    val prev = detail(tmp("prev.json"), 2.0, 10L << 20, 0)
+    val cur = detail(tmp("cur.json"), 2.0, 40L << 20, 0)
+    val (code, out) = run(prev, cur)
+    assert(out.contains("METRIC-REGRESSED  q_x"), out)
+    assert(out.contains("shuffle 10MiB -> 40MiB"), out)
+    assert(code == 1, s"metric regression must gate (exit 1): $out")
+  }
+
+  test("sub-floor shuffle growth does NOT trip (8 MiB absolute floor)") {
+    // 1 MiB -> 4 MiB is 4x but only +3 MiB — ratio alone must not flag
+    // (small-query jitter), mirroring the wall-time envelope philosophy.
+    val prev = detail(tmp("prev.json"), 2.0, 1L << 20, 0)
+    val cur = detail(tmp("cur.json"), 2.0, 4L << 20, 0)
+    val (code, out) = run(prev, cur)
+    assert(!out.contains("METRIC-REGRESSED"), out)
+    assert(code == 0, s"sub-floor growth must not gate: $out")
+  }
+
+  test("new spill >=1MiB where prev <1MiB trips, exit 1") {
+    val prev = detail(tmp("prev.json"), 2.0, 1000, 0)
+    val cur = detail(tmp("cur.json"), 2.0, 1000, 2L << 20)
+    val (code, out) = run(prev, cur)
+    assert(out.contains("NEW SPILL"), out)
+    assert(code == 1, s"new spill must gate (exit 1): $out")
+  }
+
+  test("identical metrics and flat times exit 0") {
+    val prev = detail(tmp("prev.json"), 2.0, 10L << 20, 0)
+    val cur = detail(tmp("cur.json"), 2.1, 10L << 20, 0)
+    val (code, out) = run(prev, cur)
+    assert(code == 0, out)
+    assert(out.contains("no per-query regressions"), out)
+  }
+}
