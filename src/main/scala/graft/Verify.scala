@@ -4,11 +4,16 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional trailing query names: dump only those (iteration aid —
+    // the driver always runs the full surface)
+    val selected =
+      if (args.length <= 2) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.drop(2).toSet).toMap
     val spark = LocalSession.create("4")
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -19,7 +24,7 @@ object Verify {
     // self-diagnosing exit line: a local run predicts the driver's red
     // rows without diffing dump directories (contract unchanged — a
     // failed query still shows as a missing dump)
-    val total = SparkEntry.queries.size
+    val total = selected.size
     if (failed.isEmpty)
       System.err.println(s"[verify] $total/$total dumped, 0 failed")
     else

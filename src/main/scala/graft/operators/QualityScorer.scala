@@ -36,37 +36,53 @@ object QualityScorer {
     * (ntok ≥ 50, mean word length in [3,10]) — the trainer's target,
     * free to compute here and ignored by [[score]]. Input needs
     * (doc_id, text); empty/null texts drop (no tokens → no features).
+    *
+    * `carry` columns pass through untouched: a pipeline gating on the
+    * score keeps the doc payload alongside it ROW-LOCALLY instead of
+    * paying a corpus-sized doc_id join-back after scoring — the
+    * difference between a map-only keep-gate and an extra shuffle at
+    * every serving site (pipeline_end2end_full's stage 5).
     */
-  def features(docs: DataFrame): DataFrame =
+  def features(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val c = carry.map(col)
+    // working columns are _qs_-prefixed so an arbitrary carry column
+    // (e.g. the pipeline's own "ntok") can never collide with them;
+    // only doc_id / x1..x3 / y are the output contract
     docs
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), toks(lower(col("text"))).as("t"))
-      .filter(size(col("t")) > 0)
-      .select(col("doc_id"),
-        size(col("t")).as("ntok"),
-        aggregate(col("t"), lit(0), (acc, x) => acc + length(x))
-          .cast("double").as("wls"),
-        size(filter(col("t"), (x: Column) => length(x) >= 5))
-          .cast("double").as("nl"))
-      .select(col("doc_id"),
-        ((col("ntok") - 50) / 50.0).as("x1"),
-        (col("wls") / col("ntok") - 4.5).as("x2"),
-        (col("nl") / col("ntok") - 0.5).as("x3"),
-        when(col("ntok") >= 50 &&
-             col("wls") / col("ntok") >= 3.0 &&
-             col("wls") / col("ntok") <= 10.0, 1.0).otherwise(0.0).as("y"))
+      .select(col("doc_id") +: toks(lower(col("text"))).as("_qs_t") +: c: _*)
+      .filter(size(col("_qs_t")) > 0)
+      .select(col("doc_id") +:
+        size(col("_qs_t")).as("_qs_ntok") +:
+        aggregate(col("_qs_t"), lit(0), (acc, x) => acc + length(x))
+          .cast("double").as("_qs_wls") +:
+        size(filter(col("_qs_t"), (x: Column) => length(x) >= 5))
+          .cast("double").as("_qs_nl") +: c: _*)
+      .select(col("doc_id") +:
+        ((col("_qs_ntok") - 50) / 50.0).as("x1") +:
+        (col("_qs_wls") / col("_qs_ntok") - 4.5).as("x2") +:
+        (col("_qs_nl") / col("_qs_ntok") - 0.5).as("x3") +:
+        when(col("_qs_ntok") >= 50 &&
+             col("_qs_wls") / col("_qs_ntok") >= 3.0 &&
+             col("_qs_wls") / col("_qs_ntok") <= 10.0, 1.0).otherwise(0.0).as("y") +:
+        c: _*)
+  }
 
   /** Score docs under a one-row (w0, w1, w2, w3) weight relation:
-    * (doc_id, p = sigmoid(z) rounded to 6, keep = [z ≥ 0]). Works
-    * unchanged on a streaming `docs` (stream-static broadcast join).
+    * (doc_id, p = sigmoid(z) rounded to 6, keep = [z ≥ 0], carry...).
+    * Works unchanged on a streaming `docs` (stream-static broadcast
+    * join).
     */
-  def score(docs: DataFrame, weights: DataFrame): DataFrame =
-    features(docs)
+  def score(docs: DataFrame, weights: DataFrame,
+            carry: Seq[String] = Nil): DataFrame = {
+    val c = carry.map(col)
+    features(docs, carry)
       .crossJoin(broadcast(weights))
-      .select(col("doc_id"),
+      .select(col("doc_id") +:
         (col("w0") + col("w1") * col("x1") + col("w2") * col("x2") +
-          col("w3") * col("x3")).as("z"))
-      .select(col("doc_id"),
-        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("p"),
-        when(col("z") >= 0, 1L).otherwise(0L).as("keep"))
+          col("w3") * col("x3")).as("_qs_z") +: c: _*)
+      .select(col("doc_id") +:
+        round(lit(1.0) / (lit(1.0) + exp(-col("_qs_z"))), 6).as("p") +:
+        when(col("_qs_z") >= 0, 1L).otherwise(0L).as("keep") +: c: _*)
+  }
 }

@@ -1,0 +1,328 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.Tables
+
+/** Round-13 extension operators. The reference
+  * (/root/reference/task.ts) has no analogue; this is engine surface
+  * for the brief's "operations a large-scale training-data pipeline
+  * would need".
+  *
+  * `pipeline_end2end_full` — the PRODUCTION pipeline. Round-12's
+  * `pipeline_end2end` composed clean → exact dedup → prune → mix →
+  * manifest; every published pipeline it emulates (RefinedWeb, DCLM)
+  * runs two more stages this adds: NEAR-DUP dedup (shingle-Jaccard
+  * pair graph → connected components → keep the cluster-canonical doc
+  * only — the `dedup_cluster` contract) after the exact pass, and a
+  * MODEL quality filter (the trained `quality_lr` classifier's keep
+  * decision, ONE feature definition via
+  * [[graft.operators.QualityScorer]]) between prune and mix. All seven
+  * stages run as ONE query against one oracle: the 16-row manifest
+  * hash transitively pins every upstream keep/drop decision, so a
+  * single doc surviving near-dup dedup differently — or one flipped
+  * model decision — flips a shard checksum.
+  *
+  * Scale shape (the 100 TB lens): stages hand off through
+  * hash-partitioned relations (content hash → shingle → pair →
+  * component label → score histogram → (source, shard) fill → shard
+  * manifest). The near-dup stage is the exact shingle-join form — the
+  * oracle-checkable contract, same as `dedup_cluster`; at unbounded
+  * scale the MinHash-LSH candidate generator (`dedup_minhash_cluster`,
+  * spec-pinned equal on fixtures) replaces the shingle self-join and
+  * everything downstream is unchanged. The model filter is ROW-LOCAL:
+  * [[graft.operators.QualityScorer.score]] with the doc payload
+  * carried through, so the keep-gate adds zero shuffles (no join-back
+  * — the carry seam exists exactly for this). Connected components is
+  * the iterative min-label operator (small-diameter near-dup cliques
+  * close in 2–3 rounds); only its per-round node-keyed aggregates
+  * shuffle.
+  */
+object Extra7 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def toks(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(split(c, " "), (t: org.apache.spark.sql.Column) => t =!= "")
+
+  /** Stage 1+2 of the pipeline: clean + exact content dedup — canonical
+    * = min doc_id per md5(text). Exposed as a seam so Extra7Spec can
+    * run the MinHash-variant near-dup stage over the SAME survivor set
+    * the query uses.
+    */
+  private[graft] def canonDocs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+      .withColumn("ch", md5(col("text")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("ch")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("text"),
+        col("ch"))
+
+  /** Distinct lowercase 3-gram word shingles of an arbitrary
+    * (doc_id, text) relation — the LlmOps tokenization over a derived
+    * doc set instead of the raw table.
+    */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (id, t) =>
+        if (t.length < 3) Iterator.empty
+        else (0 to t.length - 3).iterator.map { i =>
+          (id, s"${t(i)} ${t(i + 1)} ${t(i + 2)}")
+        }
+      }
+      .toDF("doc_id", "s").distinct()
+  }
+
+  /** Exact shingle-Jaccard pair graph (jac ≥ `threshold`, rounded to 6)
+    * over a given shingle relation — the dedup_cluster pair rule.
+    */
+  private[graft] def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    sh.alias("a")
+      .join(sh.alias("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("jac",
+        round(col("i") / (col("n1") + col("n2") - col("i")), 6))
+      .filter(col("jac") >= threshold)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // -- the production pipeline, end to end ---------------------------------
+    // clean → exact dedup → NEAR-DUP dedup (pair graph + CC, canonical
+    // survives) → exact percentile prune → MODEL keep-gate → temperature
+    // mix → shard manifest. Each stage is the registered operator's
+    // exact logic and constants (dedup_doc_exact tie-break,
+    // dedup_cluster's jac ≥ 0.6 pair rule + min-id canonical,
+    // corpus_prune's [P5,P95] histogram band, quality_lr_score's stored
+    // LrW model, sample_mix_plan's snapped temperature fill,
+    // export_shards' manifest).
+    "pipeline_end2end_full" -> { (s, dir) =>
+      // stage 1+2: clean + exact content dedup ([[canonDocs]]). canon
+      // feeds THREE consumers (shingles, prune scoring, the quality
+      // gate input rides along) → persist + try/finally release after
+      // the eager checkpoint.
+      val canon = canonDocs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      // stage 3: near-dup dedup over the exact-dedup survivors — the
+      // dedup_cluster pipeline (LlmOps shingle tokenization, jac ≥ 0.6
+      // on the UNROUNDED-int ratio rounded to 6, CC min-label, cluster
+      // canonical = min doc_id). Shingles feed two consumers (sizes +
+      // self-join) → persist; CC materializes eagerly (per-round
+      // localCheckpoint), after which sh is released.
+      val sh = shinglesOf(canon).persist(StorageLevel.MEMORY_AND_DISK)
+      val labels =
+        try graft.operators.ConnectedComponents.components(
+          jaccardPairs(sh, 0.6))
+        finally { sh.unpersist(false); () }
+      // non-canonical cluster members drop; docs in no cluster survive
+      // (left_anti against the node-sized drop list — AQE broadcasts it)
+      val dropNd = labels.filter(col("v") =!= col("c"))
+        .select(col("v").as("doc_id"))
+      val keepNd = canon.join(dropNd, Seq("doc_id"), "left_anti")
+      // stage 4: chars/token score + exact [P5, P95] band (corpus_prune's
+      // histogram — no global sort; text CARRIES THROUGH so the model
+      // gate below stays row-local)
+      val scored = keepNd
+        .select(col("doc_id"), col("source"), col("n_chars"), col("ch"),
+          col("text"), size(toks(col("text"))).as("ntok"))
+        .filter(col("ntok") > 0)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("ch"),
+          col("text"), col("ntok"),
+          round(col("n_chars").cast("double") / col("ntok"), 4).as("score"),
+          md5(col("doc_id").cast("string")).as("m"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("c"))
+      val total = hist.agg(sum(col("c")).as("n"))
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("score"))))
+        .crossJoin(broadcast(total))
+      val thr = cum.agg(
+        min(when(col("cum") >= ceil(lit(Extra5.PruneLoQ) * col("n")),
+          col("score"))).as("lo"),
+        min(when(col("cum") >= ceil(lit(Extra5.PruneHiQ) * col("n")),
+          col("score"))).as("hi"))
+      val kept1 = scored.crossJoin(broadcast(thr))
+        .filter(col("score") >= col("lo") && col("score") <= col("hi"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("ch"),
+          col("text"), col("ntok"), col("m"))
+      // stage 5: the trained-model keep-gate (quality_lr_score's stored
+      // LrW weights, ONE feature definition via QualityScorer) — the doc
+      // payload rides the carry seam, so the gate is map-only: score,
+      // filter keep, drop the model columns. No join-back.
+      val w = s.range(1).select(
+        lit(Extra6.LrW(0)).as("w0"), lit(Extra6.LrW(1)).as("w1"),
+        lit(Extra6.LrW(2)).as("w2"), lit(Extra6.LrW(3)).as("w3"))
+      val kept2 = graft.operators.QualityScorer
+        .score(kept1, w, carry = Seq("source", "n_chars", "ch", "ntok", "m"))
+        .filter(col("keep") === 1L)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("ch"),
+          col("ntok"), col("m"))
+      // stage 6: temperature-weighted greedy (source, md5-shard) budget
+      // fill over the model-approved survivors (sample_mix_plan's logic,
+      // same 1e-6 Z snap, same MixShards fill)
+      val per = kept2.groupBy(col("source"))
+        .agg(sum(col("ntok")).cast("long").as("n_tokens"))
+      val grand = per.agg(sum(col("n_tokens")).as("grand"))
+      val norm = per.crossJoin(broadcast(grand))
+        .agg(sum(pow(col("n_tokens") / col("grand").cast("double"),
+               Extra6.MixAlpha)).as("z"),
+             max(col("grand")).as("grand"))
+      val pT = round(
+        pow(col("n_tokens") / col("grand").cast("double"), Extra6.MixAlpha)
+          / col("z"), 6)
+      val targets = per.crossJoin(broadcast(norm))
+        .select(col("source"),
+          (pT * col("grand") * Extra6.MixBudgetFrac).as("target_tokens"))
+      val cumW = Window
+        .partitionBy(col("source"), substring(col("m"), 1, 1))
+        .orderBy(col("m"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sel = kept2
+        .withColumn("cum_before",
+          coalesce(sum(col("ntok")).over(cumW), lit(0L)))
+        .join(broadcast(targets), "source")
+        .filter(col("cum_before") < col("target_tokens") / Extra6.MixShards)
+      // stage 7: the 16-shard export manifest (export_shards' logic)
+      try sel
+        .select(substring(col("m"), 1, 1).as("shard"), col("ntok"),
+          col("n_chars"),
+          conv(substring(col("ch"), 1, 12), 16, 10).cast("long").as("hk"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).cast("long").as("total_tokens"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          min(col("hk")).as("min_key"), max(col("hk")).as("max_key"),
+          sum(col("hk")).cast("long").as("checksum"))
+        .orderBy(col("shard"))
+        .localCheckpoint()
+      finally { scored.unpersist(false); canon.unpersist(false); () }
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "pipeline_end2end_full" -> s"""
+      WITH RECURSIVE canon AS (
+        SELECT doc_id, source, n_chars, text, ch FROM (
+          SELECT doc_id, source, n_chars, text, md5(text) AS ch,
+                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM documents WHERE text IS NOT NULL
+        ) WHERE rn = 1
+      ), ctoks AS (
+        SELECT doc_id, string_split(lower(text), ' ') t FROM canon
+      ), cidx AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM ctoks
+      ), csh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM cidx
+      ), csizes AS (
+        SELECT doc_id, COUNT(*) n FROM csh GROUP BY doc_id
+      ), cinter AS (
+        SELECT a.doc_id d1, b.doc_id d2, COUNT(*) i
+        FROM csh a JOIN csh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ), cpairs AS (
+        SELECT d1, d2 FROM (
+          SELECT d1, d2, ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) jac
+          FROM cinter JOIN csizes s1 ON d1 = s1.doc_id
+                      JOIN csizes s2 ON d2 = s2.doc_id)
+        WHERE jac >= 0.6
+      ), cedges AS (
+        SELECT d1 v1, d2 v2 FROM cpairs UNION ALL SELECT d2, d1 FROM cpairs
+      ), cverts AS (
+        SELECT DISTINCT v1 AS v FROM cedges
+      ), reach(v, r) AS (
+        SELECT v, v FROM cverts
+        UNION
+        SELECT e.v1, reach.r FROM cedges e JOIN reach ON e.v2 = reach.v
+      ), dropnd AS (
+        SELECT v AS doc_id FROM reach GROUP BY v HAVING v <> MIN(r)
+      ), keepnd AS (
+        SELECT c.* FROM canon c
+        WHERE NOT EXISTS (SELECT 1 FROM dropnd d WHERE d.doc_id = c.doc_id)
+      ), scored AS (
+        SELECT doc_id, source, n_chars, ch, text, ntok,
+               round(CAST(n_chars AS DOUBLE) / ntok, 4) AS score,
+               md5(CAST(doc_id AS VARCHAR)) AS m
+        FROM (
+          SELECT *, len(list_filter(string_split(text, ' '), t -> t <> '')) AS ntok
+          FROM keepnd
+        ) WHERE ntok > 0
+      ), hist AS (
+        SELECT score, count(*) AS c FROM scored GROUP BY score
+      ), cum AS (
+        SELECT score, sum(c) OVER (ORDER BY score) AS cum,
+               (SELECT sum(c) FROM hist) AS n
+        FROM hist
+      ), thr AS (
+        SELECT min(CASE WHEN cum >= ceil(${Extra5.PruneLoQ} * n) THEN score END) AS lo,
+               min(CASE WHEN cum >= ceil(${Extra5.PruneHiQ} * n) THEN score END) AS hi
+        FROM cum
+      ), kept1 AS (
+        SELECT doc_id, source, n_chars, ch, text, ntok, m
+        FROM scored, thr WHERE score >= lo AND score <= hi
+      ), qf AS (
+        SELECT doc_id,
+               len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS qtok,
+               CAST(list_sum(list_transform(
+                 list_filter(string_split(lower(text), ' '), t -> t <> ''),
+                 t -> length(t))) AS DOUBLE) AS wls,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                 t -> length(t) >= 5)) AS DOUBLE) AS nl
+        FROM kept1
+      ), qkeep AS (
+        SELECT doc_id FROM qf
+        WHERE ${Extra6.LrW(0)} + ${Extra6.LrW(1)} * ((qtok - 50) / 50.0)
+              + ${Extra6.LrW(2)} * (wls / qtok - 4.5)
+              + ${Extra6.LrW(3)} * (nl / qtok - 0.5) >= 0
+      ), kept2 AS (
+        SELECT k.doc_id, source, n_chars, ch, ntok, m
+        FROM kept1 k JOIN qkeep q ON k.doc_id = q.doc_id
+      ), per AS (
+        SELECT source, CAST(sum(ntok) AS BIGINT) AS n_tokens
+        FROM kept2 GROUP BY source
+      ), tot AS (
+        SELECT sum(n_tokens) AS grand,
+               sum(pow(n_tokens /
+                 CAST((SELECT sum(n_tokens) FROM per) AS DOUBLE),
+                 ${Extra6.MixAlpha})) AS z
+        FROM per
+      ), tgt AS (
+        SELECT source,
+               round(pow(n_tokens / CAST(grand AS DOUBLE), ${Extra6.MixAlpha}) / z, 6)
+                 * grand * ${Extra6.MixBudgetFrac} AS target_tokens
+        FROM per CROSS JOIN tot
+      ), fill AS (
+        SELECT k.*,
+               COALESCE(SUM(ntok) OVER (PARTITION BY source, substr(m, 1, 1)
+                 ORDER BY m
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM kept2 k
+      ), sel AS (
+        SELECT f.* FROM fill f JOIN tgt t ON f.source = t.source
+        WHERE cum_before < target_tokens / ${Extra6.MixShards}
+      )
+      SELECT substr(m, 1, 1) AS shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(ntok) AS BIGINT) AS total_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             min(hk) AS min_key, max(hk) AS max_key,
+             CAST(sum(hk) AS BIGINT) AS checksum
+      FROM (SELECT m, ntok, n_chars,
+              CAST('0x' || substr(ch, 1, 12) AS BIGINT) AS hk FROM sel)
+      GROUP BY shard ORDER BY shard
+    """
+  )
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{ConnectedComponents, MinHash}
+import graft.queries.Extra7
+
+/** pipeline_end2end_full invariants beyond the oracle hash (SURVEY.md
+  * §7.5): the MinHash-LSH near-dup variant must make the SAME drop
+  * decisions on fixtures (the dedup_minhash_cluster precedent — at
+  * unbounded scale the LSH candidate generator replaces the shingle
+  * self-join, and the swap must be behavior-preserving where recall is
+  * 1), and the composed pipeline must be partitioning-invariant.
+  */
+class Extra7Spec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def dropSet(pairs: org.apache.spark.sql.DataFrame): Set[Long] =
+    ConnectedComponents.components(pairs)
+      .filter(col("v") =!= col("c"))
+      .select(col("v")).collect().map(_.getLong(0)).toSet
+
+  test("near-dup stage: MinHash-LSH variant drops the same docs on fixtures") {
+    // The swap the scaladoc promises: stage 3's exact shingle-join pair
+    // graph vs MinHash-LSH candidates + exact verification, both over
+    // the SAME canon survivor set, both through the same CC + min-id
+    // canonical rule. On the fixtures LSH recall is 1 (64 hashes × 16
+    // bands at jac ≥ 0.6), so the drop sets must be EQUAL — a future
+    // signature/banding change that loses fixture pairs fails here, not
+    // silently at 100 TB.
+    val canon = Extra7.canonDocs(spark, sf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sh = Extra7.shinglesOf(canon)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exact =
+        try dropSet(Extra7.jaccardPairs(sh, 0.6))
+        finally sh.unpersist(false)
+      // the scale path hashes shingles to 64-bit keys (ScaleOps rule)
+      val hashed = Extra7.shinglesOf(canon)
+        .select(col("doc_id"), xxhash64(col("s")).as("s")).distinct()
+      val mh = dropSet(
+        MinHash.nearDuplicatesFromText(canon, hashed, threshold = 0.6)
+          .select(col("d1").as("src"), col("d2").as("dst")))
+      assert(exact.nonEmpty, "fixture has no near-dup drops — vacuous test")
+      assert(mh === exact,
+        s"MinHash variant diverged: onlyExact=${exact -- mh} onlyMh=${mh -- exact}")
+    } finally { canon.unpersist(false); () }
+  }
+
+  test("pipeline_end2end_full output is partitioning-invariant") {
+    // The manifest checksums are order-independent sums and the fill
+    // decision a pure function of (m, snapped target) — so the 16-row
+    // output must not move when the input partitioning does. Guards the
+    // classic composed-pipeline failure: a stage accidentally depending
+    // on partition order (e.g. a truncating cap or a non-deterministic
+    // tie-break) shows here as a checksum flip.
+    val base = SparkEntry.queries("pipeline_end2end_full")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val p = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val alt = SparkEntry.queries("pipeline_end2end_full")(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(base.nonEmpty && base === alt)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", p)
+  }
+}

@@ -720,6 +720,57 @@ class PlanSpec extends AnyFunSuite {
     assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]), "cartesian appeared")
   }
 
+  test("pipeline_end2end_full: stage-key exchanges only; the model gate adds no shuffle") {
+    // The seven-stage production pipeline (round 13): the five-stage
+    // invariants carry over (exactly 3 windows — the near-dup and model
+    // stages add NONE; single-partition exchanges only above
+    // aggregates; no cartesian, no sort-agg fallback), plus the new
+    // stages' keys join the allowed set: shingle (s), pair (d1/d2),
+    // doc_id (sizes joins + the anti-join + CC), CC labels (v/c/src/
+    // dst/nc). The model keep-gate must be invisible here — it is
+    // row-local via the QualityScorer carry seam, so NO exchange may
+    // key on the scorer's _qs_ working columns (a join-back would).
+    // Unlike the five-stage gate, shuffled joins ARE allowed: the
+    // shingle self-join and CC rounds are corpus-sized on both sides
+    // by design.
+    val nodes = executedPlans("pipeline_end2end_full").flatMap(p => flattenPlan(p._2))
+    // Distinct window KINDS, not WindowExec node count: the pipeline
+    // materializes eagerly several times (CC rounds + checkpoints), and
+    // each captured action re-embeds upstream lineage — the same dedup
+    // window appears in several plans. Strip exprIds so re-derived
+    // instances of one spec collapse.
+    val winKinds = nodes.collect { case w: WindowExec =>
+      (w.partitionSpec.map(_.toString.replaceAll("#\\d+", "")),
+        w.orderSpec.map(_.toString.replaceAll("#\\d+", "")))
+    }.toSet
+    assert(winKinds.size == 3,
+      s"expected 3 window kinds (dedup, histogram, fill), found:\n${winKinds.mkString("\n")}")
+    nodes.foreach {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
+        // aggregated rows OR limit-bounded rows (CC's convergence probe
+        // is `…limit(1).count()` — a LocalLimit caps the exchange at
+        // one row per partition)
+        assert(hasAggBelow(e.child) || flattenPlan(e.child).exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.LocalLimitExec]),
+          s"a single-partition exchange sees un-aggregated corpus rows:\n$e")
+      case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[HashPartitioning] =>
+        val keys = e.outputPartitioning.asInstanceOf[HashPartitioning]
+          .expressions.map(_.toString)
+        assert(keys.forall(k => !k.contains("_qs_")),
+          s"the model keep-gate leaked a shuffle (scorer working column in keys):\n$e")
+        assert(keys.forall(k => k.contains("ch") || k.contains("score") ||
+          k.contains("source") || k.contains("shard") || k.contains("substring") ||
+          k.contains("md5") || k.contains("_w") || k.contains("doc_id") ||
+          k.contains("d1") || k.contains("d2") || k.contains("s#") ||
+          k.contains("v#") || k.contains("c#") || k.contains("src") ||
+          k.contains("dst") || k.contains("nc")),
+          s"a hash exchange keys outside the stage keys:\n$e")
+      case _ => ()
+    }
+    assert(!nodes.exists(_.isInstanceOf[SortAggregateExec]), "sort-agg fallback")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]), "cartesian appeared")
+  }
+
   test("quality_lr: each GD round is ONE aggregate over the cached features") {
     val plans = executedPlans("quality_lr")
     val rounds = plans.filter(_._1 == "head")
