@@ -61,6 +61,23 @@ object SweepEmbedDedup {
         f"recall=${hit.toDouble / math.max(nBase, 1)}%.4f " +
         f"falsePos=${nPairs - hit} sec=$dt%.1f")
     }
+    // LSH grid (round 13): the boundary-tight-regime path — collision
+    // calibrated to the threshold's angle instead of cluster geometry.
+    // planes bound bucket sizes, tables/nprobe buy recall back.
+    for (planes <- Seq(6, 8, 10); tables <- Seq(8, 16); nprobe <- Seq(0, 2)) {
+      val t1 = System.nanoTime()
+      val pairs = operators.EmbedDedup
+        .lshPairs(n, threshold, tables = tables, planesPerTable = planes,
+          nprobe = nprobe)
+        .select("v1", "v2").persist(StorageLevel.MEMORY_AND_DISK)
+      val nPairs = pairs.count()
+      val dt = (System.nanoTime() - t1) / 1e9
+      val hit = pairs.join(base, Seq("v1", "v2")).count()
+      pairs.unpersist(false)
+      println(f"[sweep-embed] lsh planes=$planes tables=$tables nprobe=$nprobe " +
+        f"pairs=$nPairs recall=${hit.toDouble / math.max(nBase, 1)}%.4f " +
+        f"falsePos=${nPairs - hit} sec=$dt%.1f")
+    }
     base.unpersist(false)
     n.unpersist(false)
     spark.stop()

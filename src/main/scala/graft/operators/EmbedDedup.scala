@@ -29,13 +29,25 @@ import org.apache.spark.sql.functions._
   * the above-threshold pairs whose endpoints land in different cells.
   * That loss is the documented trade (SemDeDup's too), smallest for the
   * tight clusters dedup actually targets, and measured on the fixtures
-  * in EmbedDedupSpec. Hyperplane LSH is NOT a better blocking here: its
-  * bucket count is fixed at 2^planes regardless of n, so pair
-  * enumeration over all-n queries stays quadratic-over-constant, and at
-  * a mid-similarity threshold (the fixtures' true pairs sit at cosine
-  * ≈ 0.45, an ~63° angle) per-table collision is ~0.65^planes — recall
-  * collapses exactly when planes grow enough to bound buckets. Cells
-  * scale with n; planes don't.
+  * in EmbedDedupSpec.
+  *
+  * Two blocking schemes, two regimes (the round-12 SweepEmbedDedup
+  * finding): CELLS ([[cellPairs]]) block by cluster geometry — linear
+  * cost when nlist scales with n, recall ≈ 1 in the near-colinear
+  * (θ ≥ ~0.8) regime real semantic dups live in, but at boundary-tight
+  * thresholds (the fixtures' adversarial θ = 0.45, ~63° pairs) the
+  * recall/cost frontier crosses the exact baseline at ~55–60% recall.
+  * LSH ([[lshPairs]]) blocks by distance-calibrated collision — a
+  * hyperplane separates a θ-apart pair with probability θ/π
+  * independent of the data's cluster structure, so recall at a FIXED
+  * threshold is a designed quantity (1−(1−p^b)^L before probing, p =
+  * 1−acos(θ)/π), which canopies cannot promise. Its cost caveat is the
+  * mirror image: buckets per table are 2^b regardless of n, so b must
+  * grow ~log n to bound bucket sizes and tables/probes must grow to
+  * hold recall — sub-quadratic (n^(1+ln(1/p1)/ln(1/p2))), not linear.
+  * Dial guidance shipped with the operators: cells for the
+  * near-colinear screen regime (default), LSH where the threshold is
+  * boundary-tight AND full recall matters.
   *
   * Skew: a hot cell of k vectors contributes k·(k−1)/2 pairs, so one
   * degenerate cell (duplicate-heavy corpora collapse into few cells)
@@ -139,6 +151,73 @@ object EmbedDedup {
       // overlapping assignment surfaces a pair once per shared cell; c is
       // functionally determined by (v1, v2), so dedup AFTER scoring ships
       // only (v1, v2, c) through the exchange (the Ann.lshTopK rule)
+      .dropDuplicates("v1", "v2")
+  }
+
+  /** Exact-cosine threshold pairs (v1 < v2, c ≥ threshold) via
+    * random-hyperplane LSH blocking — the boundary-tight-regime sibling
+    * of [[cellPairs]] (same output contract, interchangeable
+    * downstream). Reuses [[Ann]]'s hashing machinery: every vector is
+    * keyed into its base bucket per table (the data-side index), and
+    * probes base + `nprobe` nearest-margin flips + the Hamming-2 pair
+    * flip (Multi-Probe LSH, Lv et al. VLDB 2007) — a pair surfaces when
+    * EITHER endpoint's probe list hits the other's base bucket, so the
+    * directional probe join buys ~2× the one-sided collision rate for
+    * free. Candidates are scored with the full-precision cosine and
+    * filtered at the threshold: precision is EXACT (no false
+    * positives, like cellPairs); recall misses only pairs whose
+    * endpoints collide in no table.
+    *
+    * Scale shape: the probe↔base join is an equi shuffle join on
+    * (table, bucket); hot buckets (mass duplication collapses vectors
+    * into one bucket) are dropped WHOLE from the base side above
+    * `maxBucketSize` — the [[MinHash.lshCandidates]] rule, truncation
+    * would be partition-order-dependent — and candidate cost is
+    * bounded by Σ_bucket |probe∩B|·|base∩B| ≤ n·(1+probes)·cap per
+    * table. Tuning: `planesPerTable` bounds bucket sizes (grow ~log n),
+    * `tables`/`nprobe` buy recall at p_table = p^b per-table collision
+    * (p = 1 − acos(θ)/π; at θ=0.45, b=6: p≈0.648, p_table≈0.074,
+    * 16 tables + probes ⇒ measured 0.97+ recall on the adversarial
+    * uniform fixture — the regime canopy blocking tops out near 0.6).
+    */
+  def lshPairs(vecs: DataFrame, threshold: Double, tables: Int = 16,
+               planesPerTable: Int = 6, dim: Int = 64, seed: Long = 42L,
+               nprobe: Int = 2, maxBucketSize: Int = 10000): DataFrame = {
+    graft.functions.DotProduct.register(vecs.sparkSession)
+    // per-row norm folded ONCE before the ×tables explode (each row
+    // participates in ~tables×bucketsize candidates — the cellPairs
+    // precompute rule); sqrt of the same left-to-right fold keeps
+    // dot/(n1·n2) bit-identical to the fused CosineSimilarity
+    val withNorm = vecs
+      .select(col("vec_id"), col("e"),
+        sqrt(aggregate(col("e"), lit(0.0d), (acc, x) => acc + x * x)).as("nrm"))
+    val base = Ann.bucketKeys(withNorm, tables, planesPerTable, dim, seed)
+      .select(col("vec_id"), col("e"), col("nrm"), col("table"), col("bucket"))
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy(col("table"), col("bucket"))))
+      .filter(col("bsz") <= maxBucketSize)
+      .select(col("vec_id"), col("e"), col("nrm"), col("table"), col("bucket"))
+    val probe = (
+      if (nprobe > 0)
+        Ann.probedBucketKeys(withNorm, tables, planesPerTable, dim, seed, nprobe)
+      else Ann.bucketKeys(withNorm, tables, planesPerTable, dim, seed))
+      .select(col("vec_id").as("pid"), col("e").as("pe"),
+        col("nrm").as("pnrm"), col("table"), col("bucket"))
+    probe.join(base, Seq("table", "bucket"))
+      .filter(col("pid") =!= col("vec_id"))
+      // exact full-precision cosine on candidates, rounded like the
+      // all-pairs baseline so pair sets compare cell-for-cell; score
+      // BEFORE the dedup so only (v1, v2, c) ships through the
+      // exchange (the Ann.lshTopK / cellPairsAssigned rule)
+      .withColumn("c", round(
+        graft.functions.DotProduct(col("pe"), col("e"))
+          / (col("pnrm") * col("nrm")), 6))
+      .filter(col("c") >= threshold)
+      // canonicalize (either direction may have surfaced the pair —
+      // keeping only pid < vec_id would throw away the probes that
+      // fired in the other direction)
+      .select(least(col("pid"), col("vec_id")).as("v1"),
+        greatest(col("pid"), col("vec_id")).as("v2"), col("c"))
       .dropDuplicates("v1", "v2")
   }
 

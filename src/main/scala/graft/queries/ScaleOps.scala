@@ -131,6 +131,19 @@ object ScaleOps {
         .orderBy(col("v1"), col("v2"))
     },
 
+    // -- embedding near-dup, the boundary-tight-regime path ---------------
+    // Random-hyperplane LSH blocking (round 13): distance-calibrated
+    // collision instead of cluster geometry — the regime round-12's
+    // sweep proved canopies lose (recall topped out ~0.6 for more than
+    // exact cost at the θ=0.45 adversarial fixture). Same contract as
+    // dedup_embed_cells; exact-verified candidates, zero false
+    // positives; recall floor measured in EmbedDedupSpec.
+    "dedup_embed_lsh" -> { (s, dir) =>
+      val n = normalized(s, dir).select(col("vec_id"), col("e"))
+      EmbedDedup.lshPairs(n, threshold = 0.45)
+        .orderBy(col("v1"), col("v2"))
+    },
+
     // Cells → pairs → connected components: the full semantic-dedup
     // pipeline (cluster id + canonical member), dedup_cluster's contract
     // over the embedding pair graph.

@@ -73,6 +73,42 @@ class EmbedDedupSpec extends AnyFunSuite {
       f"recovery-dial fixture floor: $recovery%.3f < 0.8")
   }
 
+  test("LSH pairs: exact precision and boundary-tight recall vs all-pairs") {
+    // The round-13 verdict path: at θ=0.45 (true pairs AT the threshold,
+    // ~63° apart — the regime the round-12 sweep proved canopy blocking
+    // tops out near 0.6 recall) hyperplane collision is distance-
+    // calibrated, so the default dial (16 tables × 6 planes, nprobe=2)
+    // must hold a HIGH floor where cells hold a low one. Precision is
+    // structural (candidates scored with the full-precision cosine).
+    val exact = exactPairs
+    assert(exact.nonEmpty, "fixture has no above-threshold pairs — vacuous test")
+    val lsh = SparkEntry.queries("dedup_embed_lsh")(spark, sf)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((lsh -- exact).isEmpty, s"false positives: ${lsh -- exact}")
+    val recall = lsh.size.toDouble / exact.size
+    info(s"LSH recall at theta=0.45: ${lsh.size}/${exact.size} = $recall")
+    assert(recall >= 0.9,
+      s"boundary-tight LSH recall $recall below floor 0.9 — the dial this " +
+        "path exists for")
+  }
+
+  test("LSH pair scores equal the all-pairs baseline's on the shared pairs") {
+    // Interchangeability downstream needs equal COSINES, not just equal
+    // pair ids: both paths round the same dot/(n1·n2) to 6 — a drift
+    // here (e.g. a re-fused norm) would make cluster thresholds differ
+    // between the baseline and the scale path.
+    val base = SparkEntry.queries("dedup_embed")(spark, sf)
+      .select("v1", "v2", "c").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = SparkEntry.queries("dedup_embed_lsh")(spark, sf)
+      .select("v1", "v2", "c").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (k, c) =>
+      assert(base.get(k).contains(c), s"score drift on $k: lsh=$c base=${base.get(k)}")
+    }
+  }
+
   test("oversized cells are dropped whole and counted, never truncated") {
     import spark.implicits._
     // 40 near-identical vectors in one hot cell + two small cells, cap=10:
