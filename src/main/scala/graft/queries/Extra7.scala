@@ -47,6 +47,18 @@ object Extra7 {
   private def toks(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     filter(split(c, " "), (t: org.apache.spark.sql.Column) => t =!= "")
 
+  /** Dynamic-shard dial: target token mass per fill shard. A source's
+    * md5-prefix length grows with its token mass — plen 1 (16 shards)
+    * below 16·this, plen 2 (256) below 256·this, plen 3 (4096) above —
+    * so a dominant source at 100 TB fans its cumsum across thousands of
+    * tasks instead of serializing through a fixed 16, while fixture-
+    * sized sources keep the static-16 plan EXACTLY (the identity
+    * Extra7Spec pins). The kept-decision stays a pure function of
+    * (m, target/shards): plen derives from the exact integer n_tokens,
+    * never from floats.
+    */
+  val DynShardTokens = 65536L
+
   /** Stage 1+2 of the pipeline: clean + exact content dedup — canonical
     * = min doc_id per md5(text). Exposed as a seam so Extra7Spec can
     * run the MinHash-variant near-dup stage over the SAME survivor set
@@ -100,7 +112,79 @@ object Extra7 {
       .select(col("d1").as("src"), col("d2").as("dst"))
   }
 
+  /** The dynamic-shard mixture plan over a prepared
+    * (doc_id, source, ntok, m) relation — the seam Extra7Spec's
+    * synthetic level-2/3 fixtures drive directly (the registered query
+    * prepares docTok from the documents table). Logic is
+    * sample_mix_plan's with ONE change: the fill-shard count per source
+    * is 16^plen with plen from the source's exact integer token mass
+    * ([[DynShardTokens]]), instead of a fixed 16.
+    */
+  private[graft] def mixPlanDynamic(docTok: DataFrame): DataFrame = {
+    val per = docTok.groupBy(col("source"))
+      .agg(sum(col("ntok")).cast("long").as("n_tokens"))
+    val grand = per.agg(sum(col("n_tokens")).as("grand"))
+    val norm = per.crossJoin(broadcast(grand))
+      .agg(sum(pow(col("n_tokens") / col("grand").cast("double"),
+             Extra6.MixAlpha)).as("z"),
+           max(col("grand")).as("grand"))
+    val pT = round(
+      pow(col("n_tokens") / col("grand").cast("double"), Extra6.MixAlpha)
+        / col("z"), 6)
+    // plen and n_shards both derive from the same exact-integer
+    // thresholds — grid-deterministic cross-engine by construction
+    val plen = when(col("n_tokens") >= lit(256L * DynShardTokens), 3)
+      .when(col("n_tokens") >= lit(16L * DynShardTokens), 2)
+      .otherwise(1)
+    val nShards = when(col("n_tokens") >= lit(256L * DynShardTokens), 4096L)
+      .when(col("n_tokens") >= lit(16L * DynShardTokens), 256L)
+      .otherwise(16L)
+    val targets = per.crossJoin(broadcast(norm))
+      .select(col("source"), pT.as("p_temp"),
+        (pT * col("grand") * Extra6.MixBudgetFrac).as("target_tokens"),
+        plen.as("plen"), nShards.as("n_shards"))
+    // targets (with plen) join BEFORE the window — the fill partition
+    // key depends on the per-source prefix length; still a broadcast
+    val cum = Window
+      .partitionBy(col("source"), expr("substring(m, 1, plen)"))
+      .orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val kept = col("cum_before") < col("target_tokens") / col("n_shards")
+    docTok.join(broadcast(targets), "source")
+      .withColumn("cum_before",
+        coalesce(sum(col("ntok")).over(cum), lit(0L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).cast("long").as("total_tokens"),
+        round(max(col("p_temp")), 6).as("p_temp"),
+        round(max(col("target_tokens")), 4).as("target_tokens"),
+        max(col("n_shards")).as("n_shards"),
+        count(when(kept, 1)).as("kept_docs"),
+        sum(when(kept, col("ntok")).otherwise(lit(0L))).cast("long")
+          .as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // -- dynamic-shard temperature mixture plan ------------------------------
+    // sample_mix_plan with the round-13 shard dial: MixShards = 16 was
+    // a fixed fan-out, which serializes a dominant source through 16
+    // tasks at 100 TB; here each source's greedy fill runs across
+    // 16^plen md5-prefix shards with plen growing with its token mass.
+    // Fixture-sized sources take the ELSE branch and reproduce the
+    // static plan exactly (Extra7Spec pins the identity); the /tmp
+    // scale dials cross the level-2 threshold for real.
+    "sample_mix_dynamic" -> { (s, dir) =>
+      val docTok = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          size(toks(lower(col("text")))).cast("long").as("ntok"))
+        .withColumn("m", md5(col("doc_id").cast("string")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try mixPlanDynamic(docTok).localCheckpoint()
+      finally { docTok.unpersist(false); () }
+    },
+
     // -- the production pipeline, end to end ---------------------------------
     // clean → exact dedup → NEAR-DUP dedup (pair graph + CC, canonical
     // survives) → exact percentile prune → MODEL keep-gate → temperature
@@ -213,6 +297,51 @@ object Extra7 {
   )
 
   val oracle: Map[String, String] = Map(
+    "sample_mix_dynamic" -> s"""
+      WITH dt AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                 t -> t <> '')) AS BIGINT) AS ntok,
+               md5(CAST(doc_id AS VARCHAR)) AS m
+        FROM documents WHERE text IS NOT NULL
+      ), per AS (
+        SELECT source, CAST(sum(ntok) AS BIGINT) AS n_tokens FROM dt GROUP BY source
+      ), tot AS (
+        SELECT sum(n_tokens) AS grand,
+               sum(pow(n_tokens /
+                 CAST((SELECT sum(n_tokens) FROM per) AS DOUBLE),
+                 ${Extra6.MixAlpha})) AS z
+        FROM per
+      ), tgt AS (
+        SELECT source,
+               round(pow(n_tokens / CAST(grand AS DOUBLE), ${Extra6.MixAlpha}) / z, 6) AS p_temp,
+               round(pow(n_tokens / CAST(grand AS DOUBLE), ${Extra6.MixAlpha}) / z, 6)
+                 * grand * ${Extra6.MixBudgetFrac} AS target_tokens,
+               CASE WHEN n_tokens >= ${256L * DynShardTokens} THEN 3
+                    WHEN n_tokens >= ${16L * DynShardTokens} THEN 2
+                    ELSE 1 END AS plen,
+               CAST(CASE WHEN n_tokens >= ${256L * DynShardTokens} THEN 4096
+                         WHEN n_tokens >= ${16L * DynShardTokens} THEN 256
+                         ELSE 16 END AS BIGINT) AS n_shards
+        FROM per CROSS JOIN tot
+      ), c AS (
+        SELECT dt.doc_id, dt.source, ntok, p_temp, target_tokens, n_shards,
+               COALESCE(SUM(ntok) OVER (PARTITION BY dt.source, substr(m, 1, plen)
+                 ORDER BY m
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM dt JOIN tgt ON dt.source = tgt.source
+      )
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+             round(MAX(p_temp), 6) AS p_temp,
+             round(MAX(target_tokens), 4) AS target_tokens,
+             MAX(n_shards) AS n_shards,
+             COUNT(CASE WHEN cum_before < target_tokens / n_shards THEN 1 END) AS kept_docs,
+             CAST(SUM(CASE WHEN cum_before < target_tokens / n_shards
+                           THEN ntok ELSE 0 END) AS BIGINT) AS kept_tokens
+      FROM c GROUP BY source ORDER BY source
+    """,
+
     "pipeline_end2end_full" -> s"""
       WITH RECURSIVE canon AS (
         SELECT doc_id, source, n_chars, text, ch FROM (

@@ -57,6 +57,54 @@ class Extra7Spec extends AnyFunSuite {
     } finally { canon.unpersist(false); () }
   }
 
+  test("sample_mix_dynamic reproduces the static 16-shard plan on fixtures") {
+    // Fixture sources sit far below the level-2 threshold (16 ·
+    // DynShardTokens tokens), so every source takes the ELSE branch —
+    // the dynamic query must be the static sample_mix_plan EXACTLY
+    // (same kept set, not just similar): the dial only ever changes
+    // behavior for sources big enough to need it.
+    val stat = SparkEntry.queries("sample_mix_plan")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val dyn = SparkEntry.queries("sample_mix_dynamic")(spark, sf)
+      .drop("n_shards").collect().map(_.toSeq).toSeq
+    assert(stat.nonEmpty && dyn === stat)
+  }
+
+  test("dynamic shards: a dominant source fans out to 256 and fills its budget") {
+    import spark.implicits._
+    // synthetic docTok through the seam: src_big crosses the level-2
+    // threshold (1.2M tokens > 16·65536), src_small stays level 1
+    val big = (0L until 4000L).map(i => (i, "src_big", 300L))
+    val small = (100000L until 100200L).map(i => (i, "src_small", 100L))
+    val docTok = (big ++ small).toDF("doc_id", "source", "ntok")
+      .withColumn("m", org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("doc_id").cast("string")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rows = Extra7.mixPlanDynamic(docTok).collect()
+        .map(r => r.getAs[String]("source") -> r).toMap
+      assert(rows("src_big").getAs[Long]("n_shards") == 256L,
+        "big source must get 256 shards")
+      assert(rows("src_small").getAs[Long]("n_shards") == 16L,
+        "small source must keep 16")
+      // greedy budget-fill bound: each of the S shards overshoots its
+      // slice by at most one doc, so |kept − target| < S · max(ntok)
+      val target = rows("src_big").getAs[Double]("target_tokens")
+      val kept = rows("src_big").getAs[Long]("kept_tokens")
+      assert(math.abs(kept - target) < 256L * 300L,
+        s"big-source fill missed its budget: kept=$kept target=$target")
+      // the kept-decision is a pure function of (m, target/shards) —
+      // partitioning must not move it
+      val p = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        val alt = Extra7.mixPlanDynamic(docTok).collect()
+          .map(r => r.getAs[String]("source") -> r.getAs[Long]("kept_tokens")).toMap
+        assert(alt("src_big") == kept)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", p)
+    } finally { docTok.unpersist(false); () }
+  }
+
   test("pipeline_end2end_full output is partitioning-invariant") {
     // The manifest checksums are order-independent sums and the fill
     // decision a pure function of (m, snapped target) — so the 16-row

@@ -635,6 +635,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]), "cartesian appeared")
   }
 
+  test("sample_mix_dynamic: same exchange discipline as the static plan, dynamic key") {
+    // The round-13 shard dial must not change the plan CLASS: one
+    // (sharded cumsum) window, hash exchanges keyed only on
+    // (source, substring-shard) — the window partition key is now the
+    // projected substring(m, 1, plen) expression (_wN) — targets (with
+    // plen) broadcast back, no sort-merge, no cartesian.
+    val nodes = executedPlans("sample_mix_dynamic").flatMap(p => flattenPlan(p._2))
+    assert(nodes.count(_.isInstanceOf[WindowExec]) == 1,
+      "expected exactly one (sharded cumsum) window")
+    nodes.foreach {
+      case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[HashPartitioning] =>
+        val keys = e.outputPartitioning.asInstanceOf[HashPartitioning]
+          .expressions.map(_.toString)
+        assert(keys.forall(k => k.contains("source") || k.contains("shard") ||
+          k.contains("substring") || k.contains("_w")),
+          s"a hash exchange keys outside (source, shard):\n$e")
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
+        assert(hasAggBelow(e.child),
+          s"a single-partition exchange sees un-aggregated corpus rows:\n$e")
+      case _ => ()
+    }
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "the targets join-back degenerated to sort-merge — it must broadcast")
+    assert(nodes.exists {
+      case j: BroadcastHashJoinExec =>
+        (j.leftKeys ++ j.rightKeys).exists(_.toString.contains("source"))
+      case _ => false
+    }, "per-source targets must broadcast-join back on source")
+    assert(!nodes.exists(_.isInstanceOf[SortAggregateExec]), "sort-agg fallback")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]), "cartesian appeared")
+  }
+
   test("quality_lr_score: scoring is map-only — no hash exchange, bounded TakeOrdered bands") {
     // The serving half of quality_lr: feature recompute + one-row
     // broadcast weight join + sigmoid is row-local; the only plan
