@@ -350,14 +350,24 @@ object Multimodal {
     spark.range(n.toLong).map { i =>
       val w = 8 + (i % 5).toInt
       val h = 6 + (i % 4).toInt
+      // golden-ratio-mixed per-image offsets de-cycle the gradient: the
+      // original (i·7)%256 constants repeated with period ~1.3k ids,
+      // which collapsed a 100× dial into ~500 distinct hashes and turned
+      // the band join into an identical-hash stress test instead of a
+      // scale measurement (the duplicate-collapsed regime is covered by
+      // the maxBucketSize spec instead). Still fully deterministic.
+      val s = i * 0x9E3779B97F4A7C15L
+      val a = ((s >>> 56) & 0xFF).toInt
+      val b = ((s >>> 40) & 0xFF).toInt
+      val c = ((s >>> 24) & 0xFF).toInt
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          img.setRGB(x, y, (((x * 37 + y * 11 + i.toInt * 7) % 256) << 16)
-            | (((x * 5 + i.toInt) % 256) << 8) | ((y * 13) % 256))
+          img.setRGB(x, y, (((x * 37 + y * 11 + a) % 256) << 16)
+            | (((x * 5 + y * 3 + b) % 256) << 8) | ((y * 13 + x * 29 + c) % 256))
           x += 1
         }
         y += 1
@@ -409,8 +419,20 @@ object Multimodal {
     * band-keyed hash join and only candidates pay the popcount verify.
     * Exact (guarantee, not heuristic): zero false negatives, and the
     * verify kills band-collision false positives.
+    *
+    * Skew guard (round 13, the [[SimHash]]/[[MinHash.lshCandidates]]
+    * rule): a duplicate-collapsed corpus funnels thousands of hashes
+    * into one (band, value) bucket and the self-join goes quadratic in
+    * that bucket; buckets above `maxBucketSize` are dropped WHOLE
+    * (truncation would be partition-order-dependent), which is then the
+    * ONE source of false negatives — and only for pairs whose every
+    * matching band is hot. The default is sized to keep the exactness
+    * guarantee at fixture/bench dials; dial it down for corpora known
+    * to be duplicate-collapsed, and screen exact dups first (distance-0
+    * mass belongs in a cheap hash-groupBy, not a pair join).
     */
-  def phashDupes(hashes: DataFrame, maxDistance: Int = 6): DataFrame = {
+  def phashDupes(hashes: DataFrame, maxDistance: Int = 6,
+                 maxBucketSize: Int = 100000): DataFrame = {
     require(maxDistance >= 0 && maxDistance < 64, s"bad maxDistance $maxDistance")
     val bands = maxDistance + 1
     val w = 64 / bands
@@ -426,6 +448,10 @@ object Multimodal {
         explode(array(bandCols: _*)).as("bv"))
       .select(col("media_id"), col("phash"),
         col("bv.band").as("band"), col("bv.v").as("v"))
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("v"))))
+      .filter(col("bsz") <= maxBucketSize)
     val a = banded.select(col("band"), col("v"),
       col("media_id").as("id1"), col("phash").as("h1"))
     val b = banded.select(col("band"), col("v"),
@@ -440,11 +466,15 @@ object Multimodal {
 
   /** [[syntheticImages]] plus planted duplicates: every 4th image also
     * appears (a) re-encoded in the OTHER envelope with the SAME raster
-    * (id+1000 — exact content dup, the cross-format case) and (b) with
-    * one pixel nudged (id+2000 — near dup). Deterministic.
+    * (id+off — exact content dup, the cross-format case) and (b) with
+    * one pixel nudged (id+2·off — near dup), where off = max(1000, n)
+    * so dup ids never collide with base ids at scale dials (the fixed
+    * +1000 of the 48-image fixture is preserved for every n ≤ 1000).
+    * Deterministic.
     */
   def syntheticImagesWithDups(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
+    val off = math.max(1000L, n.toLong)
     syntheticImages(spark, n).flatMap { r =>
       if (r.media_id % 4 != 0) Seq(r)
       else {
@@ -458,8 +488,8 @@ object Multimodal {
         g.drawImage(img, 0, 0, null); g.dispose()
         noised.setRGB(0, 0, img.getRGB(0, 0) ^ 0x080808)
         Seq(r,
-          r.copy(media_id = r.media_id + 1000, bytes = other),
-          r.copy(media_id = r.media_id + 2000,
+          r.copy(media_id = r.media_id + off, bytes = other),
+          r.copy(media_id = r.media_id + 2 * off,
             bytes = ImageIoCodec.encodePng(noised)))
       }
     }

@@ -767,6 +767,51 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(banded === brute)
   }
 
+  test("phash band-bucket cap drops hot buckets whole; cold pairs survive") {
+    import spark.implicits._
+    // 40 identical hashes (every band bucket hot at cap 10) + two close
+    // cold pairs: the hot mass must vanish ENTIRELY (not shrink), the
+    // cold pairs survive untouched — the SimHash/MinHash drop-whole rule.
+    val hot = (0L until 40L).map(i => (i, 0x0F0F0F0F0F0F0F0FL))
+    val cold = Seq((100L, 0x123456789ABCDEF0L), (101L, 0x123456789ABCDEF1L),
+      (200L, -0x7654321087654322L), (201L, -0x7654321087654326L))
+    val hs = (hot ++ cold).toDF("media_id", "phash")
+    val uncapped = Multimodal.phashDupes(hs, maxDistance = 6)
+    val capped = Multimodal.phashDupes(hs, maxDistance = 6, maxBucketSize = 10)
+    assert(uncapped.filter(org.apache.spark.sql.functions.col("id1") < 40).count() > 0)
+    assert(capped.filter(org.apache.spark.sql.functions.col("id1") < 40).count() == 0,
+      "hot-bucket pairs must be dropped whole by the cap")
+    val coldPairs = capped.select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(coldPairs === Set((100L, 101L), (200L, 201L)))
+  }
+
+  test("phash pairs are partitioning-invariant at a 4800-raster dial") {
+    // The scale-decade sanity (round 13): the banded join's output is a
+    // pure function of the hash relation — shuffle-partition count must
+    // not move the pair count or an order-independent checksum, at a
+    // dial 100× the registered query's (dup ids offset by max(1000, n),
+    // so the planted trios stay disjoint from base ids).
+    import org.apache.spark.sql.functions._
+    def digest(): (Long, Long) = {
+      val hs = Multimodal.dHash(
+        Multimodal.syntheticImagesWithDups(spark, 4800),
+        Multimodal.ImageIoCodec)
+      val r = Multimodal.phashDupes(hs, maxDistance = 6)
+        .agg(count(lit(1)),
+          coalesce(bit_xor(xxhash64(col("id1"), col("id2"), col("dist"))),
+            lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val base = digest()
+    assert(base._1 > 0, "no pairs at the 4800 dial — vacuous")
+    val p = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      assert(digest() === base)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", p)
+  }
+
   test("phash clusters equal connected components over the operator's own pairs") {
     // The dedup_cluster contract on the image graph: every planted
     // trio (original, other-envelope copy, one-pixel nudge) must land
