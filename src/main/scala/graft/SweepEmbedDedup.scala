@@ -17,12 +17,15 @@ import org.apache.spark.storage.StorageLevel
   * ~470 s computation per (dir, threshold), reused across sweep runs)
   * — iterate on the grid, not the ground truth.
   *
-  * Usage: `sbt "runMain graft.SweepEmbedDedup [dir] [threshold]"`.
+  * Usage: `sbt "runMain graft.SweepEmbedDedup [dir] [threshold] [lsh]"`
+  * — the optional `lsh` third arg skips the canopy grid (measured in
+  * round 12) and runs only the LSH grid against the cached baseline.
   */
 object SweepEmbedDedup {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val threshold = args.drop(1).headOption.map(_.toDouble).getOrElse(0.45)
+    val lshOnly = args.contains("lsh")
     val spark = LocalSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val n = queries.ScaleOps.normalized(spark, dir)
       .select(col("vec_id"), col("e"))
@@ -44,7 +47,8 @@ object SweepEmbedDedup {
     // grid: cell size (nlist) is the recall lever at boundary-tight
     // thresholds (bigger cells ⇒ two 63°-apart vectors co-assign more
     // often); nassign is the cross-cell patch; cap prices hot cells
-    for (nlist <- Seq(nlistAuto, nlistAuto / 4, nlistAuto / 16).distinct;
+    for (nlist <- (if (lshOnly) Seq.empty[Int]
+                   else Seq(nlistAuto, nlistAuto / 4, nlistAuto / 16).distinct);
          nassign <- Seq(1, 2, 3, 4); cap <- Seq(1000, 100000)) {
       val t1 = System.nanoTime()
       val pairs = operators.EmbedDedup
@@ -63,8 +67,12 @@ object SweepEmbedDedup {
     }
     // LSH grid (round 13): the boundary-tight-regime path — collision
     // calibrated to the threshold's angle instead of cluster geometry.
-    // planes bound bucket sizes, tables/nprobe buy recall back.
-    for (planes <- Seq(6, 8, 10); tables <- Seq(8, 16); nprobe <- Seq(0, 2)) {
+    // planes bound bucket sizes (anchored at the autoPlanes dial and
+    // probed upward — candidate mass is n²·probes/2^planes), tables/
+    // nprobe buy recall back.
+    val pAuto = operators.EmbedDedup.autoPlanes(rows)
+    for (planes <- Seq(pAuto, pAuto + 2, pAuto + 4); tables <- Seq(8, 16);
+         nprobe <- Seq(0, 2)) {
       val t1 = System.nanoTime()
       val pairs = operators.EmbedDedup
         .lshPairs(n, threshold, tables = tables, planesPerTable = planes,

@@ -31,23 +31,33 @@ import org.apache.spark.sql.functions._
   * tight clusters dedup actually targets, and measured on the fixtures
   * in EmbedDedupSpec.
   *
-  * Two blocking schemes, two regimes (the round-12 SweepEmbedDedup
-  * finding): CELLS ([[cellPairs]]) block by cluster geometry — linear
-  * cost when nlist scales with n, recall ≈ 1 in the near-colinear
-  * (θ ≥ ~0.8) regime real semantic dups live in, but at boundary-tight
-  * thresholds (the fixtures' adversarial θ = 0.45, ~63° pairs) the
-  * recall/cost frontier crosses the exact baseline at ~55–60% recall.
-  * LSH ([[lshPairs]]) blocks by distance-calibrated collision — a
-  * hyperplane separates a θ-apart pair with probability θ/π
-  * independent of the data's cluster structure, so recall at a FIXED
-  * threshold is a designed quantity (1−(1−p^b)^L before probing, p =
-  * 1−acos(θ)/π), which canopies cannot promise. Its cost caveat is the
-  * mirror image: buckets per table are 2^b regardless of n, so b must
-  * grow ~log n to bound bucket sizes and tables/probes must grow to
-  * hold recall — sub-quadratic (n^(1+ln(1/p1)/ln(1/p2))), not linear.
-  * Dial guidance shipped with the operators: cells for the
-  * near-colinear screen regime (default), LSH where the threshold is
-  * boundary-tight AND full recall matters.
+  * Two blocking schemes, MEASURED head-to-head (SweepEmbedDedup,
+  * /tmp/scale10 = 20k isotropic vectors, θ = 0.45 boundary-tight,
+  * exact baseline 12.2 s / 16 678 pairs — PERF.md round-13):
+  *
+  *   - CELLS ([[cellPairs]]): canopy recall is a cluster-geometry
+  *     accident, but its recovery dial is CHEAP — (nlist/4, nassign=4)
+  *     reads 0.93 recall @ 26 s, (nlist, nassign=4) 0.63 @ 4.8 s.
+  *   - LSH ([[lshPairs]]): recall is DESIGNED (per-plane collision
+  *     p = 1−acos(θ)/π, table hit p^b, 1−(1−·)^L over L tables + the
+  *     probe boost — computable before running, which no canopy can
+  *     promise) — but each recall point costs MORE than the canopy's:
+  *     0.87 @ 50 s, 0.99 @ 339 s, the sub-exact-cost point 0.59 @ 6.8 s.
+  *
+  * The round-12 hypothesis that LSH's calibration would beat canopies
+  * at the boundary-tight threshold did NOT survive measurement: on
+  * isotropic data the candidate mass is set by the RANDOM-pair
+  * collision rate (n²·probes/2^b per table — θ-independent), so paying
+  * for recall through tables/probes is strictly more expensive than
+  * paying through nassign²·cellshare. Both frontiers cross the exact
+  * kernel's cost far below recall 1. Dial guidance, in order: (1) the
+  * exact prefix-pruned kernel IS the boundary-tight answer wherever it
+  * fits (its 1e6-vector guard); (2) the canopy screen (autoNlist,
+  * nassign 2–4) is the default blocking at any n — cheapest measured
+  * recall per second; (3) [[lshPairs]] when the recall floor must be
+  * PROVABLE a priori (calibration is its one measured advantage —
+  * unknown/adversarial cluster geometry can silently zero a canopy's
+  * recall, but cannot touch a hyperplane's collision probability).
   *
   * Skew: a hot cell of k vectors contributes k·(k−1)/2 pairs, so one
   * degenerate cell (duplicate-heavy corpora collapse into few cells)
@@ -180,45 +190,71 @@ object EmbedDedup {
     * 16 tables + probes ⇒ measured 0.97+ recall on the adversarial
     * uniform fixture — the regime canopy blocking tops out near 0.6).
     */
+  /** The [[autoNlist]] analogue for [[lshPairs]]: planes sized so a
+    * table's mean base bucket holds ~`targetBucket` rows
+    * (2^planes ≈ n/targetBucket, floor 6 = the fixture geometry).
+    * Bounding bucket sizes is what keeps the candidate mass
+    * n²·probes/2^planes from going quadratic — the cost of recall is
+    * then paid explicitly through `tables`/`nprobe`, never implicitly
+    * through unbounded buckets.
+    */
+  def autoPlanes(rows: Long, targetBucket: Int = 250): Int =
+    math.max(6, math.ceil(
+      math.log(math.max(1L, rows / targetBucket).toDouble) / math.log(2.0)).toInt)
+
   def lshPairs(vecs: DataFrame, threshold: Double, tables: Int = 16,
                planesPerTable: Int = 6, dim: Int = 64, seed: Long = 42L,
                nprobe: Int = 2, maxBucketSize: Int = 10000): DataFrame = {
     graft.functions.DotProduct.register(vecs.sparkSession)
-    // per-row norm folded ONCE before the ×tables explode (each row
-    // participates in ~tables×bucketsize candidates — the cellPairs
-    // precompute rule); sqrt of the same left-to-right fold keeps
+    // per-row norm folded ONCE (each row participates in many
+    // candidates); sqrt of the same left-to-right fold keeps
     // dot/(n1·n2) bit-identical to the fused CosineSimilarity
+    // NOT persisted here: the operator returns a lazy frame (no seam to
+    // release a cache), and the four consumers below re-derive only a
+    // scan + row-local fold — negligible next to the bucket join.
     val withNorm = vecs
       .select(col("vec_id"), col("e"),
         sqrt(aggregate(col("e"), lit(0.0d), (acc, x) => acc + x * x)).as("nrm"))
+    // SLIM bucket join (deliberate reversal of the cellPairs
+    // score-before-dedup rule): a candidate pair surfaces once per
+    // shared (table, probe) — up to tables×probes ≥ 64 times — and a
+    // row carrying two 512-byte embeddings through that join would put
+    // candidates×1KB on the wire. Instead only ids ride the bucket
+    // join, the pair list dedups at 16 bytes/row, and the embeddings
+    // are fetched ONCE per distinct pair by two vec_id-keyed joins
+    // before the exact verify.
+    val keyCols = Seq(col("vec_id"), col("table"), col("bucket"))
     val base = Ann.bucketKeys(withNorm, tables, planesPerTable, dim, seed)
-      .select(col("vec_id"), col("e"), col("nrm"), col("table"), col("bucket"))
+      .select(keyCols: _*)
       .withColumn("bsz", count(lit(1)).over(
         Window.partitionBy(col("table"), col("bucket"))))
       .filter(col("bsz") <= maxBucketSize)
-      .select(col("vec_id"), col("e"), col("nrm"), col("table"), col("bucket"))
+      .select(keyCols: _*)
     val probe = (
       if (nprobe > 0)
         Ann.probedBucketKeys(withNorm, tables, planesPerTable, dim, seed, nprobe)
       else Ann.bucketKeys(withNorm, tables, planesPerTable, dim, seed))
-      .select(col("vec_id").as("pid"), col("e").as("pe"),
-        col("nrm").as("pnrm"), col("table"), col("bucket"))
-    probe.join(base, Seq("table", "bucket"))
+      .select(col("vec_id").as("pid"), col("table"), col("bucket"))
+    val cand = probe.join(base, Seq("table", "bucket"))
       .filter(col("pid") =!= col("vec_id"))
-      // exact full-precision cosine on candidates, rounded like the
-      // all-pairs baseline so pair sets compare cell-for-cell; score
-      // BEFORE the dedup so only (v1, v2, c) ships through the
-      // exchange (the Ann.lshTopK / cellPairsAssigned rule)
-      .withColumn("c", round(
-        graft.functions.DotProduct(col("pe"), col("e"))
-          / (col("pnrm") * col("nrm")), 6))
-      .filter(col("c") >= threshold)
       // canonicalize (either direction may have surfaced the pair —
       // keeping only pid < vec_id would throw away the probes that
-      // fired in the other direction)
+      // fired in the other direction), then dedup on slim rows
       .select(least(col("pid"), col("vec_id")).as("v1"),
-        greatest(col("pid"), col("vec_id")).as("v2"), col("c"))
+        greatest(col("pid"), col("vec_id")).as("v2"))
       .dropDuplicates("v1", "v2")
+    // exact full-precision cosine on the distinct candidates, rounded
+    // like the all-pairs baseline so pair sets compare cell-for-cell
+    val a = withNorm.select(col("vec_id").as("v1"), col("e").as("e1"),
+      col("nrm").as("n1"))
+    val b = withNorm.select(col("vec_id").as("v2"), col("e").as("e2"),
+      col("nrm").as("n2"))
+    cand.join(a, "v1").join(b, "v2")
+      .withColumn("c", round(
+        graft.functions.DotProduct(col("e1"), col("e2"))
+          / (col("n1") * col("n2")), 6))
+      .filter(col("c") >= threshold)
+      .select(col("v1"), col("v2"), col("c"))
   }
 
   /** Number of cells the `maxCellSize` cap removes — observability for

@@ -140,7 +140,16 @@ object ScaleOps {
     // positives; recall floor measured in EmbedDedupSpec.
     "dedup_embed_lsh" -> { (s, dir) =>
       val n = normalized(s, dir).select(col("vec_id"), col("e"))
-      EmbedDedup.lshPairs(n, threshold = 0.45)
+      // planes scale with the corpus (the autoNlist rule — a fixed
+      // plane count goes quadratic exactly like a fixed nlist), at the
+      // MEASURED sub-exact-cost screen dial: targetBucket=16 keeps
+      // candidates ≈ n·tables·probes·16 (linear, ~1k/vector) — at the
+      // 20k sweep dial this is the planes=11 row (0.59 recall @ 0.56×
+      // exact cost). Recall at fixed (tables, nprobe) decays as planes
+      // grow (p^planes per table) — the designed trade, per the
+      // EmbedDedup dial guidance; raise tables/nprobe to buy it back.
+      EmbedDedup.lshPairs(n, threshold = 0.45,
+          planesPerTable = EmbedDedup.autoPlanes(n.count(), targetBucket = 16))
         .orderBy(col("v1"), col("v2"))
     },
 
