@@ -35,29 +35,33 @@ import org.apache.spark.sql.functions._
   * /tmp/scale10 = 20k isotropic vectors, θ = 0.45 boundary-tight,
   * exact baseline 12.2 s / 16 678 pairs — PERF.md round-13):
   *
-  *   - CELLS ([[cellPairs]]): canopy recall is a cluster-geometry
-  *     accident, but its recovery dial is CHEAP — (nlist/4, nassign=4)
-  *     reads 0.93 recall @ 26 s, (nlist, nassign=4) 0.63 @ 4.8 s.
+  *   - CELLS ([[cellPairs]]): recall is a cluster-geometry accident;
+  *     the recovery dial reads 0.93 recall @ 26 s (nlist/4, nassign=4),
+  *     full recall only at 142 s (nlist/16, nassign=3) — 12× exact.
   *   - LSH ([[lshPairs]]): recall is DESIGNED (per-plane collision
   *     p = 1−acos(θ)/π, table hit p^b, 1−(1−·)^L over L tables + the
   *     probe boost — computable before running, which no canopy can
-  *     promise) — but each recall point costs MORE than the canopy's:
-  *     0.87 @ 50 s, 0.99 @ 339 s, the sub-exact-cost point 0.59 @ 6.8 s.
+  *     promise) AND cheaper at every matched point: 0.99 @ 7.5 s
+  *     (autoPlanes, 16 tables, nprobe=2 — beats the EXACT kernel's
+  *     12.2 s), 0.90 @ 5.1 s, 0.59 @ 1.9 s.
   *
-  * The round-12 hypothesis that LSH's calibration would beat canopies
-  * at the boundary-tight threshold did NOT survive measurement: on
-  * isotropic data the candidate mass is set by the RANDOM-pair
-  * collision rate (n²·probes/2^b per table — θ-independent), so paying
-  * for recall through tables/probes is strictly more expensive than
-  * paying through nassign²·cellshare. Both frontiers cross the exact
-  * kernel's cost far below recall 1. Dial guidance, in order: (1) the
-  * exact prefix-pruned kernel IS the boundary-tight answer wherever it
-  * fits (its 1e6-vector guard); (2) the canopy screen (autoNlist,
-  * nassign 2–4) is the default blocking at any n — cheapest measured
-  * recall per second; (3) [[lshPairs]] when the recall floor must be
-  * PROVABLE a priori (calibration is its one measured advantage —
-  * unknown/adversarial cluster geometry can silently zero a canopy's
-  * recall, but cannot touch a hyperplane's collision probability).
+  * So in the boundary-tight regime LSH dominates the canopy AND the
+  * exact kernel at this dial — the r12 hypothesis, confirmed (after a
+  * round-13 detour: a "slim" id-first join variant measured 45× slower
+  * and inverted the conclusion until the join shape was fixed — see
+  * [[lshPairs]]). At the 200k dial the same autoPlanes/16/nprobe=2
+  * point reads 0.73 recall @ 97 s — vs the r12 canopy nlist=50 column's
+  * 0.76 @ 601 s (6× cheaper at matched recall) and the exact kernel's
+  * 319 s. The honest scale caveat stays: at fixed (tables, nprobe)
+  * recall decays as planes grow with n (0.99 at 20k → 0.73 at 200k —
+  * p^planes per table), so holding recall across decades costs growing
+  * tables — the designed, computable trade, vs the canopy's
+  * geometry-dependent one.
+  * Dial guidance: [[lshPairs]] (autoPlanes, 16×nprobe=2) is the
+  * boundary-tight default; [[cellPairs]] (autoNlist, nassign=2) stays
+  * the near-colinear (θ ≥ ~0.8) screen where co-assignment ≈ 1 makes
+  * cells cheaper; the exact kernel remains the ground-truth oracle
+  * below its 1e6 guard.
   *
   * Skew: a hot cell of k vectors contributes k·(k−1)/2 pairs, so one
   * degenerate cell (duplicate-heavy corpora collapse into few cells)
@@ -210,51 +214,49 @@ object EmbedDedup {
     // candidates); sqrt of the same left-to-right fold keeps
     // dot/(n1·n2) bit-identical to the fused CosineSimilarity
     // NOT persisted here: the operator returns a lazy frame (no seam to
-    // release a cache), and the four consumers below re-derive only a
-    // scan + row-local fold — negligible next to the bucket join.
+    // release a cache), and the consumers below re-derive only a scan +
+    // row-local fold — negligible next to the bucket join.
     val withNorm = vecs
       .select(col("vec_id"), col("e"),
         sqrt(aggregate(col("e"), lit(0.0d), (acc, x) => acc + x * x)).as("nrm"))
-    // SLIM bucket join (deliberate reversal of the cellPairs
-    // score-before-dedup rule): a candidate pair surfaces once per
-    // shared (table, probe) — up to tables×probes ≥ 64 times — and a
-    // row carrying two 512-byte embeddings through that join would put
-    // candidates×1KB on the wire. Instead only ids ride the bucket
-    // join, the pair list dedups at 16 bytes/row, and the embeddings
-    // are fetched ONCE per distinct pair by two vec_id-keyed joins
-    // before the exact verify.
-    val keyCols = Seq(col("vec_id"), col("table"), col("bucket"))
+    // Score INSIDE the bucket join (the cellPairsAssigned rule) — a
+    // round-13 lesson made this quantitative: a "slim" variant that
+    // deduped id-only pairs first and fetched embeddings after spilled
+    // 76 GB and died at the 200k dial, because the post-dedup fetch
+    // joins sort candidate-wide intermediates (candidates × 512 B).
+    // Here the wide rows pay shuffle only at the JOIN INPUTS (probe
+    // side n·tables·probes rows — the LSH index cost), the join OUTPUT
+    // pipelines through the cosine+threshold filter before any
+    // exchange, and the dedup moves only surviving (v1, v2, c) rows.
     val base = Ann.bucketKeys(withNorm, tables, planesPerTable, dim, seed)
-      .select(keyCols: _*)
+      .select(col("vec_id"), col("e"), col("nrm"), col("table"), col("bucket"))
       .withColumn("bsz", count(lit(1)).over(
         Window.partitionBy(col("table"), col("bucket"))))
       .filter(col("bsz") <= maxBucketSize)
-      .select(keyCols: _*)
+      .select(col("vec_id"), col("e"), col("nrm"), col("table"), col("bucket"))
     val probe = (
       if (nprobe > 0)
         Ann.probedBucketKeys(withNorm, tables, planesPerTable, dim, seed, nprobe)
       else Ann.bucketKeys(withNorm, tables, planesPerTable, dim, seed))
-      .select(col("vec_id").as("pid"), col("table"), col("bucket"))
-    val cand = probe.join(base, Seq("table", "bucket"))
+      .select(col("vec_id").as("pid"), col("e").as("pe"),
+        col("nrm").as("pnrm"), col("table"), col("bucket"))
+    probe.join(base, Seq("table", "bucket"))
       .filter(col("pid") =!= col("vec_id"))
+      // exact full-precision cosine on candidates, rounded like the
+      // all-pairs baseline so pair sets compare cell-for-cell; the dot
+      // is orientation-independent bit-for-bit (IEEE mul commutes,
+      // same ascending-index sum), so scoring before canonicalization
+      // is safe
+      .withColumn("c", round(
+        graft.functions.DotProduct(col("pe"), col("e"))
+          / (col("pnrm") * col("nrm")), 6))
+      .filter(col("c") >= threshold)
       // canonicalize (either direction may have surfaced the pair —
       // keeping only pid < vec_id would throw away the probes that
-      // fired in the other direction), then dedup on slim rows
+      // fired in the other direction), then dedup slim survivor rows
       .select(least(col("pid"), col("vec_id")).as("v1"),
-        greatest(col("pid"), col("vec_id")).as("v2"))
+        greatest(col("pid"), col("vec_id")).as("v2"), col("c"))
       .dropDuplicates("v1", "v2")
-    // exact full-precision cosine on the distinct candidates, rounded
-    // like the all-pairs baseline so pair sets compare cell-for-cell
-    val a = withNorm.select(col("vec_id").as("v1"), col("e").as("e1"),
-      col("nrm").as("n1"))
-    val b = withNorm.select(col("vec_id").as("v2"), col("e").as("e2"),
-      col("nrm").as("n2"))
-    cand.join(a, "v1").join(b, "v2")
-      .withColumn("c", round(
-        graft.functions.DotProduct(col("e1"), col("e2"))
-          / (col("n1") * col("n2")), 6))
-      .filter(col("c") >= threshold)
-      .select(col("v1"), col("v2"), col("c"))
   }
 
   /** Number of cells the `maxCellSize` cap removes — observability for

@@ -141,15 +141,15 @@ object ScaleOps {
     "dedup_embed_lsh" -> { (s, dir) =>
       val n = normalized(s, dir).select(col("vec_id"), col("e"))
       // planes scale with the corpus (the autoNlist rule — a fixed
-      // plane count goes quadratic exactly like a fixed nlist), at the
-      // MEASURED sub-exact-cost screen dial: targetBucket=16 keeps
-      // candidates ≈ n·tables·probes·16 (linear, ~1k/vector) — at the
-      // 20k sweep dial this is the planes=11 row (0.59 recall @ 0.56×
-      // exact cost). Recall at fixed (tables, nprobe) decays as planes
-      // grow (p^planes per table) — the designed trade, per the
-      // EmbedDedup dial guidance; raise tables/nprobe to buy it back.
+      // plane count goes quadratic exactly like a fixed nlist). The
+      // default autoPlanes dial is the MEASURED winner at 20k/θ=0.45:
+      // 0.99 recall @ 7.5 s vs the exact kernel's 12.2 s and the best
+      // canopy's 0.93 @ 26 s. Recall at fixed (tables, nprobe) decays
+      // as planes grow with n (p^planes per table) — the designed
+      // trade; raise tables/nprobe to buy it back (EmbedDedup
+      // scaladoc's dial table).
       EmbedDedup.lshPairs(n, threshold = 0.45,
-          planesPerTable = EmbedDedup.autoPlanes(n.count(), targetBucket = 16))
+          planesPerTable = EmbedDedup.autoPlanes(n.count()))
         .orderBy(col("v1"), col("v2"))
     },
 
