@@ -127,7 +127,12 @@ object ScaleOps {
       val n = normalized(s, dir).select(col("vec_id"), col("e"))
       // nlist scales with the corpus (fixed ~250-row mean cell) — the
       // linearity dial; the count is one cheap metadata-backed pass
+      // eager checkpoint BEFORE the oracle orderBy (the nearDupPairs
+      // rule): a global sort evaluates its input twice (RangePartitioner
+      // sketch + real pass), and the input here is the whole blocking
+      // pipeline — the checkpoint makes the second pass a cheap RDD scan
       EmbedDedup.cellPairs(n, threshold = 0.45, nlist = EmbedDedup.autoNlist(n.count()))
+        .localCheckpoint()
         .orderBy(col("v1"), col("v2"))
     },
 
@@ -148,8 +153,13 @@ object ScaleOps {
       // as planes grow with n (p^planes per table) — the designed
       // trade; raise tables/nprobe to buy it back (EmbedDedup
       // scaladoc's dial table).
+      // eager checkpoint before the oracle orderBy (the nearDupPairs
+      // rule — see dedup_embed_cells): without it the global sort runs
+      // the whole bucket join TWICE (measured: 168 s vs the sweep's
+      // 97 s for the same dial at the 100× capstone)
       EmbedDedup.lshPairs(n, threshold = 0.45,
           planesPerTable = EmbedDedup.autoPlanes(n.count()))
+        .localCheckpoint()
         .orderBy(col("v1"), col("v2"))
     },
 
