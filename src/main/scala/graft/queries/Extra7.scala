@@ -112,6 +112,102 @@ object Extra7 {
       .select(col("d1").as("src"), col("d2").as("dst"))
   }
 
+  /** Stages 4–7 of the production pipeline over the near-dup-surviving
+    * canon docs (doc_id, source, n_chars, ch, text): exact [P5,P95]
+    * percentile prune (histogram — no global sort) → trained-model
+    * keep-gate (stored quality_lr weights through the ONE
+    * [[graft.operators.QualityScorer]] definition; the doc payload
+    * rides the carry seam so the gate is row-local — zero shuffles, no
+    * doc_id join-back) → temperature-weighted greedy (source,
+    * md5-shard) budget fill → 16-shard export manifest. Shared verbatim
+    * by `pipeline_end2end_full` (exact shingle-join near-dup stage, the
+    * oracle contract) and `pipeline_end2end_scale` (MinHash-LSH
+    * candidates + exact verification) so the two registered forms can
+    * only ever differ in stage 3 — the swap the scale path exists for.
+    * Returns the eagerly-materialized manifest (internal caches are
+    * released before returning).
+    */
+  private[graft] def pipelineTail(keepNd: DataFrame): DataFrame = {
+    val s = keepNd.sparkSession
+    // stage 4: chars/token score + exact [P5, P95] band (corpus_prune's
+    // histogram — no global sort; text CARRIES THROUGH so the model
+    // gate below stays row-local)
+    val scored = keepNd
+      .select(col("doc_id"), col("source"), col("n_chars"), col("ch"),
+        col("text"), size(toks(col("text"))).as("ntok"))
+      .filter(col("ntok") > 0)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("ch"),
+        col("text"), col("ntok"),
+        round(col("n_chars").cast("double") / col("ntok"), 4).as("score"),
+        md5(col("doc_id").cast("string")).as("m"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("c"))
+    val total = hist.agg(sum(col("c")).as("n"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("score"))))
+      .crossJoin(broadcast(total))
+    val thr = cum.agg(
+      min(when(col("cum") >= ceil(lit(Extra5.PruneLoQ) * col("n")),
+        col("score"))).as("lo"),
+      min(when(col("cum") >= ceil(lit(Extra5.PruneHiQ) * col("n")),
+        col("score"))).as("hi"))
+    val kept1 = scored.crossJoin(broadcast(thr))
+      .filter(col("score") >= col("lo") && col("score") <= col("hi"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("ch"),
+        col("text"), col("ntok"), col("m"))
+    // stage 5: the trained-model keep-gate (quality_lr_score's stored
+    // LrW weights, ONE feature definition via QualityScorer) — the doc
+    // payload rides the carry seam, so the gate is map-only: score,
+    // filter keep, drop the model columns. No join-back.
+    val w = s.range(1).select(
+      lit(Extra6.LrW(0)).as("w0"), lit(Extra6.LrW(1)).as("w1"),
+      lit(Extra6.LrW(2)).as("w2"), lit(Extra6.LrW(3)).as("w3"))
+    val kept2 = graft.operators.QualityScorer
+      .score(kept1, w, carry = Seq("source", "n_chars", "ch", "ntok", "m"))
+      .filter(col("keep") === 1L)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("ch"),
+        col("ntok"), col("m"))
+    // stage 6: temperature-weighted greedy (source, md5-shard) budget
+    // fill over the model-approved survivors (sample_mix_plan's logic,
+    // same 1e-6 Z snap, same MixShards fill)
+    val per = kept2.groupBy(col("source"))
+      .agg(sum(col("ntok")).cast("long").as("n_tokens"))
+    val grand = per.agg(sum(col("n_tokens")).as("grand"))
+    val norm = per.crossJoin(broadcast(grand))
+      .agg(sum(pow(col("n_tokens") / col("grand").cast("double"),
+             Extra6.MixAlpha)).as("z"),
+           max(col("grand")).as("grand"))
+    val pT = round(
+      pow(col("n_tokens") / col("grand").cast("double"), Extra6.MixAlpha)
+        / col("z"), 6)
+    val targets = per.crossJoin(broadcast(norm))
+      .select(col("source"),
+        (pT * col("grand") * Extra6.MixBudgetFrac).as("target_tokens"))
+    val cumW = Window
+      .partitionBy(col("source"), substring(col("m"), 1, 1))
+      .orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sel = kept2
+      .withColumn("cum_before",
+        coalesce(sum(col("ntok")).over(cumW), lit(0L)))
+      .join(broadcast(targets), "source")
+      .filter(col("cum_before") < col("target_tokens") / Extra6.MixShards)
+    // stage 7: the 16-shard export manifest (export_shards' logic)
+    try sel
+      .select(substring(col("m"), 1, 1).as("shard"), col("ntok"),
+        col("n_chars"),
+        conv(substring(col("ch"), 1, 12), 16, 10).cast("long").as("hk"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).cast("long").as("total_tokens"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        min(col("hk")).as("min_key"), max(col("hk")).as("max_key"),
+        sum(col("hk")).cast("long").as("checksum"))
+      .orderBy(col("shard"))
+      .localCheckpoint()
+    finally { scored.unpersist(false); () }
+  }
+
   /** The dynamic-shard mixture plan over a prepared
     * (doc_id, source, ntok, m) relation — the seam Extra7Spec's
     * synthetic level-2/3 fixtures drive directly (the registered query
@@ -216,83 +312,47 @@ object Extra7 {
       val dropNd = labels.filter(col("v") =!= col("c"))
         .select(col("v").as("doc_id"))
       val keepNd = canon.join(dropNd, Seq("doc_id"), "left_anti")
-      // stage 4: chars/token score + exact [P5, P95] band (corpus_prune's
-      // histogram — no global sort; text CARRIES THROUGH so the model
-      // gate below stays row-local)
-      val scored = keepNd
-        .select(col("doc_id"), col("source"), col("n_chars"), col("ch"),
-          col("text"), size(toks(col("text"))).as("ntok"))
-        .filter(col("ntok") > 0)
-        .select(col("doc_id"), col("source"), col("n_chars"), col("ch"),
-          col("text"), col("ntok"),
-          round(col("n_chars").cast("double") / col("ntok"), 4).as("score"),
-          md5(col("doc_id").cast("string")).as("m"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("c"))
-      val total = hist.agg(sum(col("c")).as("n"))
-      val cum = hist
-        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("score"))))
-        .crossJoin(broadcast(total))
-      val thr = cum.agg(
-        min(when(col("cum") >= ceil(lit(Extra5.PruneLoQ) * col("n")),
-          col("score"))).as("lo"),
-        min(when(col("cum") >= ceil(lit(Extra5.PruneHiQ) * col("n")),
-          col("score"))).as("hi"))
-      val kept1 = scored.crossJoin(broadcast(thr))
-        .filter(col("score") >= col("lo") && col("score") <= col("hi"))
-        .select(col("doc_id"), col("source"), col("n_chars"), col("ch"),
-          col("text"), col("ntok"), col("m"))
-      // stage 5: the trained-model keep-gate (quality_lr_score's stored
-      // LrW weights, ONE feature definition via QualityScorer) — the doc
-      // payload rides the carry seam, so the gate is map-only: score,
-      // filter keep, drop the model columns. No join-back.
-      val w = s.range(1).select(
-        lit(Extra6.LrW(0)).as("w0"), lit(Extra6.LrW(1)).as("w1"),
-        lit(Extra6.LrW(2)).as("w2"), lit(Extra6.LrW(3)).as("w3"))
-      val kept2 = graft.operators.QualityScorer
-        .score(kept1, w, carry = Seq("source", "n_chars", "ch", "ntok", "m"))
-        .filter(col("keep") === 1L)
-        .select(col("doc_id"), col("source"), col("n_chars"), col("ch"),
-          col("ntok"), col("m"))
-      // stage 6: temperature-weighted greedy (source, md5-shard) budget
-      // fill over the model-approved survivors (sample_mix_plan's logic,
-      // same 1e-6 Z snap, same MixShards fill)
-      val per = kept2.groupBy(col("source"))
-        .agg(sum(col("ntok")).cast("long").as("n_tokens"))
-      val grand = per.agg(sum(col("n_tokens")).as("grand"))
-      val norm = per.crossJoin(broadcast(grand))
-        .agg(sum(pow(col("n_tokens") / col("grand").cast("double"),
-               Extra6.MixAlpha)).as("z"),
-             max(col("grand")).as("grand"))
-      val pT = round(
-        pow(col("n_tokens") / col("grand").cast("double"), Extra6.MixAlpha)
-          / col("z"), 6)
-      val targets = per.crossJoin(broadcast(norm))
-        .select(col("source"),
-          (pT * col("grand") * Extra6.MixBudgetFrac).as("target_tokens"))
-      val cumW = Window
-        .partitionBy(col("source"), substring(col("m"), 1, 1))
-        .orderBy(col("m"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val sel = kept2
-        .withColumn("cum_before",
-          coalesce(sum(col("ntok")).over(cumW), lit(0L)))
-        .join(broadcast(targets), "source")
-        .filter(col("cum_before") < col("target_tokens") / Extra6.MixShards)
-      // stage 7: the 16-shard export manifest (export_shards' logic)
-      try sel
-        .select(substring(col("m"), 1, 1).as("shard"), col("ntok"),
-          col("n_chars"),
-          conv(substring(col("ch"), 1, 12), 16, 10).cast("long").as("hk"))
-        .groupBy(col("shard"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("ntok")).cast("long").as("total_tokens"),
-          sum(col("n_chars")).cast("long").as("total_chars"),
-          min(col("hk")).as("min_key"), max(col("hk")).as("max_key"),
-          sum(col("hk")).cast("long").as("checksum"))
-        .orderBy(col("shard"))
-        .localCheckpoint()
-      finally { scored.unpersist(false); canon.unpersist(false); () }
+      // stages 4–7: the shared tail ([[pipelineTail]] — prune → model
+      // gate → mix → manifest)
+      try pipelineTail(keepNd)
+      finally { canon.unpersist(false); () }
+    },
+
+    // -- the production pipeline at 100 TB shape -----------------------------
+    // pipeline_end2end_full with ONE change: stage 3's exact shingle
+    // self-join (quadratic in the hottest shingle's doc list — the
+    // composed query's dominant cost at 100×, and the known
+    // scale-killer family at 100 TB) is replaced by MinHash-LSH
+    // candidate generation + exact Jaccard verification
+    // (MinHash.nearDuplicatesFromText: row-local 64-perm signatures, 16
+    // capped band buckets, map-side pair explode — bucketed, never
+    // all-pairs; candidates are verified against the exact shingle
+    // Jaccard, so precision is EXACT). Stages 1–2 and 4–7 are
+    // byte-identical ([[canonDocs]] + [[pipelineTail]]). At the
+    // registered threshold (jac ≥ 0.6, 64 hashes × 16 bands) LSH recall
+    // is 1 on the driver fixtures — Extra7Spec pins the drop sets equal
+    // — so the SAME oracle checks both forms; at unbounded scale the
+    // banding bound 1−(1−s⁴)¹⁶ prices the recall honestly (0.89 floor
+    // AT the threshold, →1 for the near-identical docs dedup targets).
+    "pipeline_end2end_scale" -> { (s, dir) =>
+      val canon = canonDocs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        // stage 3, scale form: hashed shingles (the ScaleOps rule:
+        // 64-bit keys, never strings, through the candidate machinery),
+        // LSH candidates, exact verification. nearDuplicatesFromText
+        // manages its own caches and returns an eagerly-materialized
+        // pair set.
+        val hashed = shinglesOf(canon)
+          .select(col("doc_id"), xxhash64(col("s")).as("s")).distinct()
+        val pairs = graft.operators.MinHash
+          .nearDuplicatesFromText(canon, hashed, threshold = 0.6)
+          .select(col("d1").as("src"), col("d2").as("dst"))
+        val labels = graft.operators.ConnectedComponents.components(pairs)
+        val dropNd = labels.filter(col("v") =!= col("c"))
+          .select(col("v").as("doc_id"))
+        val keepNd = canon.join(dropNd, Seq("doc_id"), "left_anti")
+        pipelineTail(keepNd)
+      } finally { canon.unpersist(false); () }
     }
   )
 
@@ -342,7 +402,17 @@ object Extra7 {
       FROM c GROUP BY source ORDER BY source
     """,
 
-    "pipeline_end2end_full" -> s"""
+    // ONE oracle text for BOTH registered pipeline forms: the scale
+    // form's stage-3 swap is behavior-preserving at the fixture dial
+    // (LSH recall 1 at jac ≥ 0.6 — Extra7Spec pins the drop sets
+    // equal), so the exact-CC RECURSIVE CTE checks both. A banding
+    // change that loses a fixture pair fails the driver hash, not just
+    // the unit spec.
+    "pipeline_end2end_scale" -> pipelineFullOracle,
+    "pipeline_end2end_full" -> pipelineFullOracle
+  )
+
+  private lazy val pipelineFullOracle: String = s"""
       WITH RECURSIVE canon AS (
         SELECT doc_id, source, n_chars, text, ch FROM (
           SELECT doc_id, source, n_chars, text, md5(text) AS ch,
@@ -453,5 +523,4 @@ object Extra7 {
               CAST('0x' || substr(ch, 1, 12) AS BIGINT) AS hk FROM sel)
       GROUP BY shard ORDER BY shard
     """
-  )
 }

@@ -57,6 +57,20 @@ class Extra7Spec extends AnyFunSuite {
     } finally { canon.unpersist(false); () }
   }
 
+  test("pipeline_end2end_scale manifest equals the exact form's on fixtures") {
+    // The round-14 registered swap: stage 3 exact shingle self-join →
+    // MinHash-LSH candidates + exact verification, stages 1-2/4-7
+    // shared verbatim (pipelineTail). On fixtures LSH recall is 1, so
+    // the two registered queries must produce the IDENTICAL 16-row
+    // manifest — every keep/drop decision in all seven stages pinned
+    // equal, not just the stage-3 pair set (the dropSet test above).
+    val full = SparkEntry.queries("pipeline_end2end_full")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val scale = SparkEntry.queries("pipeline_end2end_scale")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(full.nonEmpty && scale === full)
+  }
+
   test("sample_mix_dynamic reproduces the static 16-shard plan on fixtures") {
     // Fixture sources sit far below the level-2 threshold (16 ·
     // DynShardTokens tokens), so every source takes the ELSE branch —

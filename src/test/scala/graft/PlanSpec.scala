@@ -803,6 +803,63 @@ class PlanSpec extends AnyFunSuite {
     assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]), "cartesian appeared")
   }
 
+  test("pipeline_end2end_scale: no shingle self-join; stage-key exchanges only") {
+    // The scale form exists to REMOVE stage 3's exact shingle self-join
+    // (the composed query's quadratic family at 100 TB) in favor of
+    // MinHash-LSH candidates + exact verification, keeping every other
+    // stage byte-identical. The discriminator: the exact form's shingle
+    // self-join is an equi-join keyed on the shingle alone (a.s = b.s);
+    // the scale form's only s-keyed join is the (d2, s) intersection
+    // join — candidate-bounded, never corpus × corpus. So: NO join in
+    // this plan may key on a single shingle column. The full-pipeline
+    // invariants carry over: 3 window kinds, no scorer working column
+    // in any exchange, single-partition exchanges only above aggregates
+    // or limits, no cartesian, no sort-agg fallback.
+    val nodes = executedPlans("pipeline_end2end_scale").flatMap(p => flattenPlan(p._2))
+    def singleShingleKey(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+      keys.size == 1 && keys.head.toString.matches("s#\\d+L?(\\[.*\\])?")
+    nodes.foreach {
+      case j: SortMergeJoinExec =>
+        assert(!singleShingleKey(j.leftKeys) && !singleShingleKey(j.rightKeys),
+          s"the exact shingle self-join came back (sort-merge on s alone):\n$j")
+      case j: ShuffledHashJoinExec =>
+        assert(!singleShingleKey(j.leftKeys) && !singleShingleKey(j.rightKeys),
+          s"the exact shingle self-join came back (shuffled hash on s alone):\n$j")
+      case j: BroadcastHashJoinExec =>
+        assert(!singleShingleKey(j.leftKeys) && !singleShingleKey(j.rightKeys),
+          s"a join keyed on the shingle alone appeared:\n$j")
+      case _ => ()
+    }
+    val winKinds = nodes.collect { case w: WindowExec =>
+      (w.partitionSpec.map(_.toString.replaceAll("#\\d+", "")),
+        w.orderSpec.map(_.toString.replaceAll("#\\d+", "")))
+    }.toSet
+    assert(winKinds.size == 3,
+      s"expected 3 window kinds (dedup, histogram, fill), found:\n${winKinds.mkString("\n")}")
+    nodes.foreach {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
+        assert(hasAggBelow(e.child) || flattenPlan(e.child).exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.LocalLimitExec]),
+          s"a single-partition exchange sees un-aggregated corpus rows:\n$e")
+      case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[HashPartitioning] =>
+        val keys = e.outputPartitioning.asInstanceOf[HashPartitioning]
+          .expressions.map(_.toString)
+        assert(keys.forall(k => !k.contains("_qs_")),
+          s"the model keep-gate leaked a shuffle (scorer working column in keys):\n$e")
+        assert(keys.forall(k => k.contains("ch") || k.contains("score") ||
+          k.contains("source") || k.contains("shard") || k.contains("substring") ||
+          k.contains("md5") || k.contains("_w") || k.contains("doc_id") ||
+          k.contains("d1") || k.contains("d2") || k.contains("s#") ||
+          k.contains("v#") || k.contains("c#") || k.contains("src") ||
+          k.contains("dst") || k.contains("nc") ||
+          k.contains("band") || k.contains("key")),
+          s"a hash exchange keys outside the stage keys:\n$e")
+      case _ => ()
+    }
+    assert(!nodes.exists(_.isInstanceOf[SortAggregateExec]), "sort-agg fallback")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]), "cartesian appeared")
+  }
+
   test("quality_lr: each GD round is ONE aggregate over the cached features") {
     val plans = executedPlans("quality_lr")
     val rounds = plans.filter(_._1 == "head")
