@@ -227,11 +227,18 @@ object Bench {
     val regressions: Seq[(String, Double, Double)] =
       if (args.nonEmpty) Nil
       else prevDetail() match {
-        case Some((path, prevSf, prevQ)) if prevSf == sfDir =>
+        case Some((path, prevSf, prevBaselineSf, prevQ)) if prevSf == sfDir =>
           val r = results.flatMap { case (n, c) =>
-            // a baseline that ran at a bounded dial is not comparable to
-            // the archived full-lane time — skip, don't false-flag
-            if (dirFor(n) != sfDir) None
+            // a baseline whose lane differed from the engine lane in
+            // EITHER run is not comparable: this run's bounded dial
+            // (dirFor != sfDir) was the original guard; the archived
+            // run's bounded dial (prevBaselineSf != prevSf) is the
+            // ADVICE r13 gap — a capstone archive's bounded-dial
+            // baseline times must not be diffed against a later
+            // full-dial run at the "same" sf (false flags one way,
+            // masked regressions the other)
+            if (dirFor(n) != sfDir ||
+                (baseline(n) && prevBaselineSf != prevSf)) None
             else prevQ.get(n) match {
               case Some(p) if p > 0 && c >= 1.5 * p && c - p >= 0.5 => Some((n, p, c))
               case _ => None
@@ -242,7 +249,7 @@ object Bench {
           if (r.isEmpty) System.err.println(
             s"[bench] canary clean vs $path (>=1.5x and >=0.5s envelope)")
           r
-        case Some((path, prevSf, _)) =>
+        case Some((path, prevSf, _, _)) =>
           System.err.println(
             s"[bench] canary skipped: $path is lane $prevSf, this run is $sfDir")
           Nil
@@ -282,11 +289,13 @@ object Bench {
 
   /** Locate and minimally parse the previous-round full-surface detail:
     * SPARK_GRAFT_PREV_DETAIL if set, else the newest `BENCH_DETAIL_r*`
-    * in cwd. Returns (path, sf, per-query seconds). Hand-rolled parse —
-    * query names are `[a-z0-9_]+` and values plain decimals, and the
-    * build has no JSON dependency by design.
+    * in cwd. Returns (path, sf, baseline_sf, per-query seconds) —
+    * baseline_sf defaults to sf for pre-r13 archives that predate the
+    * bounded baseline lane. Hand-rolled parse — query names are
+    * `[a-z0-9_]+` and values plain decimals, and the build has no JSON
+    * dependency by design.
     */
-  private def prevDetail(): Option[(String, String, Map[String, Double])] = {
+  private def prevDetail(): Option[(String, String, String, Map[String, Double])] = {
     val explicit = sys.env.get("SPARK_GRAFT_PREV_DETAIL")
     val path = explicit.orElse {
       val d = new java.io.File(".").listFiles()
@@ -302,13 +311,16 @@ object Bench {
           val txt = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8)
           val sf = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+          val baseSf = """"baseline_sf"\s*:\s*"([^"]+)"""".r
+            .findFirstMatchIn(txt).map(_.group(1))
           val qBlock = """"queries"\s*:\s*\{([^}]*)\}""".r
             .findFirstMatchIn(txt).map(_.group(1))
           val pairs = qBlock.map { b =>
             """"([a-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(b)
               .map(m => m.group(1) -> m.group(2).toDouble).toMap
           }
-          for (s <- sf; q <- pairs if q.nonEmpty) yield (p, s, q)
+          for (s <- sf; q <- pairs if q.nonEmpty)
+            yield (p, s, baseSf.getOrElse(s), q)
         } catch { case _: Throwable => None }
       // A file that EXISTS but fails the minimal parse silently disables
       // the canary — indistinguishable from "no archive yet" unless said

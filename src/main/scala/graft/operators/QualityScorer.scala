@@ -44,6 +44,16 @@ object QualityScorer {
     * every serving site (pipeline_end2end_full's stage 5).
     */
   def features(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    // the _qs_ prefix protects the WORKING columns from carry
+    // collisions, but the OUTPUT-contract columns need the same guard:
+    // a carry named doc_id/x1..x3/y (or p/keep — score() builds on this
+    // frame) would silently produce duplicate column names and break
+    // any downstream by-name select (ADVICE r13). Fail loudly at
+    // construction instead.
+    val reserved = Seq("doc_id", "x1", "x2", "x3", "y", "p", "keep")
+    val clash = carry.intersect(reserved)
+    require(clash.isEmpty,
+      s"carry columns collide with the scorer output contract: ${clash.mkString(", ")}")
     val c = carry.map(col)
     // working columns are _qs_-prefixed so an arbitrary carry column
     // (e.g. the pipeline's own "ntok") can never collide with them;

@@ -119,6 +119,28 @@ class Extra7Spec extends AnyFunSuite {
     } finally { docTok.unpersist(false); () }
   }
 
+  test("QualityScorer rejects carry columns colliding with its output contract") {
+    // The _qs_ prefix guards the WORKING columns; the OUTPUT columns
+    // (doc_id, x1..x3, y, p, keep) need the same guard — a carry named
+    // one of them silently duplicates a column name and breaks any
+    // downstream by-name select. Misuse must fail at construction.
+    import spark.implicits._
+    val docs = Seq((1L, "hello world text here")).toDF("doc_id", "text")
+    val w = spark.range(1).select(
+      lit(0.0).as("w0"), lit(0.0).as("w1"), lit(0.0).as("w2"), lit(0.0).as("w3"))
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.QualityScorer.score(docs, w, carry = Seq("keep"))
+    }
+    assert(e.getMessage.contains("keep"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.QualityScorer.features(docs, carry = Seq("x1"))
+    }
+    assert(e2.getMessage.contains("x1"))
+    // legitimate carries still pass through untouched
+    val ok = graft.operators.QualityScorer.features(docs, carry = Seq("text"))
+    assert(ok.columns.count(_ == "text") == 1)
+  }
+
   test("pipeline_end2end_full output is partitioning-invariant") {
     // The manifest checksums are order-independent sums and the fill
     // decision a pure function of (m, snapped target) — so the 16-row
