@@ -86,6 +86,29 @@ object SweepEmbedDedup {
         f"pairs=$nPairs recall=${hit.toDouble / math.max(nBase, 1)}%.4f " +
         f"falsePos=${nPairs - hit} sec=$dt%.1f")
     }
+    // Recall-targeted dial row (round 14): the lshDial(rows, θ, 0.9)
+    // point — the dial a caller holding a 0.9 floor would actually run
+    // — with predicted-vs-measured reported, so the calibration gap is
+    // a number in PERF.md, not a claim.
+    {
+      val (planes, tables, nprobe) =
+        operators.EmbedDedup.lshDial(rows, threshold, 0.9)
+      val predicted =
+        operators.EmbedDedup.lshPredictedRecall(threshold, planes, tables)
+      val t1 = System.nanoTime()
+      val pairs = operators.EmbedDedup
+        .lshPairs(n, threshold, tables = tables, planesPerTable = planes,
+          nprobe = nprobe)
+        .select("v1", "v2").persist(StorageLevel.MEMORY_AND_DISK)
+      val nPairs = pairs.count()
+      val dt = (System.nanoTime() - t1) / 1e9
+      val hit = pairs.join(base, Seq("v1", "v2")).count()
+      pairs.unpersist(false)
+      println(f"[sweep-embed] lshDial(0.9) planes=$planes tables=$tables " +
+        f"nprobe=$nprobe predicted=$predicted%.4f pairs=$nPairs " +
+        f"recall=${hit.toDouble / math.max(nBase, 1)}%.4f " +
+        f"falsePos=${nPairs - hit} sec=$dt%.1f")
+    }
     base.unpersist(false)
     n.unpersist(false)
     spark.stop()

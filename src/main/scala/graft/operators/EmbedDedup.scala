@@ -57,8 +57,14 @@ import org.apache.spark.sql.functions._
   * p^planes per table), so holding recall across decades costs growing
   * tables — the designed, computable trade, vs the canopy's
   * geometry-dependent one.
-  * Dial guidance: [[lshPairs]] (autoPlanes, 16×nprobe=2) is the
-  * boundary-tight default; [[cellPairs]] (autoNlist, nassign=2) stays
+  * Dial guidance: to HOLD a recall floor, compute the dial —
+  * [[lshDial]](rows, θ, targetRecall) returns (planes, tables, nprobe)
+  * from the collision model with the measured probe calibration
+  * ([[ProbeKappa]]), conservative at both sweep anchors, and
+  * [[lshPredictedRecall]] prices any hand-picked point before running.
+  * The bare [[lshPairs]] default (autoPlanes, 16×nprobe=2) is the
+  * boundary-tight default AT the ~20k dial only — it decays across
+  * decades as planes grow. [[cellPairs]] (autoNlist, nassign=2) stays
   * the near-colinear (θ ≥ ~0.8) screen where co-assignment ≈ 1 makes
   * cells cheaper; the exact kernel remains the ground-truth oracle
   * below its 1e6 guard.
@@ -205,6 +211,74 @@ object EmbedDedup {
   def autoPlanes(rows: Long, targetBucket: Int = 250): Int =
     math.max(6, math.ceil(
       math.log(math.max(1L, rows / targetBucket).toDouble) / math.log(2.0)).toInt)
+
+  /** Per-plane collision probability for a pair AT cosine `theta` —
+    * the Goemans–Williamson identity the whole designed-recall story
+    * rests on: a random hyperplane separates two unit vectors with
+    * probability angle/π, so they land on the same side with
+    * p = 1 − acos(θ)/π (Charikar, STOC 2002).
+    */
+  def planeCollision(theta: Double): Double =
+    1.0 - math.acos(theta) / math.Pi
+
+  /** Measured calibration of the multi-probe boost (nprobe=2 + the
+    * Hamming-2 pair flip, probed BOTH directions — [[lshPairs]]'s
+    * probe shape): the probe list behaves like Hamming-≤1 coverage of
+    * the signature cube, discounted because margin-guided flips catch
+    * the differing bit only most of the time. Fit against the two
+    * SweepEmbedDedup anchors at θ=0.45 (PERF.md round-13): planes=7 /
+    * 16 tables → predicted 0.969 vs measured 0.99; planes=10 / 16
+    * tables → predicted 0.690 vs measured 0.73. κ=0.8 keeps the model
+    * CONSERVATIVE at both anchors, so a dial computed from it is a
+    * floor, not a hope.
+    */
+  val ProbeKappa: Double = 0.8
+
+  /** Predicted pair recall of [[lshPairs]] at (theta, planes, tables)
+    * with the default nprobe=2 probing: per-table hit ≈ p^b (base
+    * collision) + κ·b·p^(b−1)·(1−p) (probes recover single-bit
+    * misses), independent across the L seeded tables →
+    * 1 − (1−p_table)^L. Computable BEFORE running — the property the
+    * scaladoc sells; this function is that sentence as code.
+    */
+  def lshPredictedRecall(theta: Double, planes: Int, tables: Int): Double = {
+    val p = planeCollision(theta)
+    val pTable = math.pow(p, planes.toDouble) +
+      ProbeKappa * planes * math.pow(p, (planes - 1).toDouble) * (1.0 - p)
+    1.0 - math.pow(1.0 - pTable, tables.toDouble)
+  }
+
+  /** Recall-targeted dial (the r13 verdict ask): compute (planes,
+    * tables, nprobe) holding `targetRecall` at cosine `theta` for a
+    * corpus of `rows` vectors — so callers state the floor they need
+    * instead of watching the fixed-16-tables default decay across
+    * decades (0.99 at 20k → 0.73 at 200k: planes grow with n, p^b
+    * shrinks, and nobody paid the recall back). planes stays the
+    * bucket-size dial ([[autoPlanes]] — candidate mass must not go
+    * quadratic); TABLES are where recall is bought:
+    * L = ⌈log(1−R) / log(1−p_table)⌉. Each table costs one n-row
+    * hash pass + its share of the bucket join — cost is linear in L,
+    * priced explicitly. Fails loudly when the floor needs more than
+    * `maxTables` (raise targetBucket for fewer planes, or lower the
+    * floor) rather than silently under-delivering.
+    */
+  def lshDial(rows: Long, theta: Double, targetRecall: Double,
+              targetBucket: Int = 250, maxTables: Int = 64): (Int, Int, Int) = {
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0,1): $targetRecall")
+    require(theta > 0.0 && theta < 1.0, s"theta must be in (0,1): $theta")
+    val planes = autoPlanes(rows, targetBucket)
+    val p = planeCollision(theta)
+    val pTable = math.pow(p, planes.toDouble) +
+      ProbeKappa * planes * math.pow(p, (planes - 1).toDouble) * (1.0 - p)
+    val tables = math.max(1, math.ceil(
+      math.log1p(-targetRecall) / math.log1p(-pTable)).toInt)
+    require(tables <= maxTables,
+      f"recall $targetRecall%.2f at theta=$theta%.2f needs $tables tables " +
+        f"(> maxTables=$maxTables; per-table hit ${pTable}%.4f at $planes planes) " +
+        "— raise targetBucket (fewer planes per table) or lower the floor")
+    (planes, tables, 2)
+  }
 
   def lshPairs(vecs: DataFrame, threshold: Double, tables: Int = 16,
                planesPerTable: Int = 6, dim: Int = 64, seed: Long = 42L,

@@ -92,6 +92,52 @@ class EmbedDedupSpec extends AnyFunSuite {
         "path exists for")
   }
 
+  test("lshDial computes a dial that meets the requested recall floor") {
+    // The round-14 verdict ask: recall is a STATED floor, not a decayed
+    // default. The model (per-plane p = 1−acos(θ)/π, per-table
+    // p^b + κ·b·p^(b−1)(1−p) probe boost, 1−(1−·)^L over tables) is
+    // calibrated conservative at both sweep anchors, so the computed
+    // dial must deliver ≥ the floor on the adversarial fixture too.
+    val exact = exactPairs
+    assert(exact.nonEmpty, "fixture has no above-threshold pairs — vacuous test")
+    import org.apache.spark.sql.functions._
+    val ev = transform(col("embedding"),
+      (x: org.apache.spark.sql.Column) => x.cast("double"))
+    val n = graft.Tables(spark, sf, "embeddings").select(col("vec_id"), ev.as("e"))
+    val rows = n.count()
+    val (planes, tables, nprobe) = EmbedDedup.lshDial(rows, 0.45, 0.9)
+    val predicted = EmbedDedup.lshPredictedRecall(0.45, planes, tables)
+    assert(predicted >= 0.9,
+      f"dial (planes=$planes tables=$tables) predicts $predicted%.3f < floor")
+    val got = EmbedDedup.lshPairs(n, 0.45, tables = tables,
+      planesPerTable = planes, nprobe = nprobe)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((got -- exact).isEmpty, s"false positives: ${got -- exact}")
+    val recall = got.size.toDouble / exact.size
+    info(f"dial (planes=$planes, tables=$tables, nprobe=$nprobe): " +
+      f"predicted=$predicted%.3f measured=$recall%.3f")
+    assert(recall >= 0.9,
+      f"computed dial under-delivered: $recall%.3f < 0.9 floor")
+  }
+
+  test("lshDial model sanity: monotone in tables, anchored to the sweep fits") {
+    // The two SweepEmbedDedup anchors the κ calibration was fit
+    // against (PERF.md round-13, θ=0.45): the model must stay BELOW
+    // the measured recalls (conservative) and within 10 points of
+    // them (useful). Plus basic shape: more tables ⇒ more recall;
+    // more planes ⇒ less per-table recall; the dial errors when the
+    // floor is unreachable within maxTables.
+    val m20k = EmbedDedup.lshPredictedRecall(0.45, 7, 16)
+    val m200k = EmbedDedup.lshPredictedRecall(0.45, 10, 16)
+    assert(m20k <= 0.99 && m20k >= 0.89, f"20k anchor drifted: $m20k%.3f")
+    assert(m200k <= 0.73 && m200k >= 0.63, f"200k anchor drifted: $m200k%.3f")
+    assert(EmbedDedup.lshPredictedRecall(0.45, 10, 32) > m200k)
+    assert(EmbedDedup.lshPredictedRecall(0.45, 12, 16) < m200k)
+    intercept[IllegalArgumentException] {
+      EmbedDedup.lshDial(100000000L, 0.45, 0.999, maxTables = 8)
+    }
+  }
+
   test("LSH pair scores equal the all-pairs baseline's on the shared pairs") {
     // Interchangeability downstream needs equal COSINES, not just equal
     // pair ids: both paths round the same dot/(n1·n2) to 6 — a drift
