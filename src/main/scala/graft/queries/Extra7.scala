@@ -318,6 +318,51 @@ object Extra7 {
       finally { canon.unpersist(false); () }
     },
 
+    // -- per-node triangle counts --------------------------------------------
+    // The standard companion to PageRank/CC (both label-propagation
+    // shaped): local clustering structure via exhaustive triangle
+    // enumeration over the supplier co-order graph (edge = two
+    // suppliers shared an order). The ordered-edge form: undirected
+    // edges stored once as (a < b); a triangle {a<b<c} is found exactly
+    // once as e1(a,b) ⋈ e2(b,c) on the shared middle node ⋈ the closing
+    // edge e3(a,c) — two plain equi hash joins, DuckDB-oracle-checkable,
+    // no BNL anywhere. Scale shape: the wedge join's fan-out per node is
+    // its ordered out-degree; the id-ordered orientation is the oracle
+    // contract (deterministic cross-engine), and under adversarial
+    // degree skew the classic refinement — orient each edge toward the
+    // higher-(degree, id) endpoint, bounding out-degrees by O(√m)
+    // (Schank & Wagner 2005 "forward" algorithm) — changes only the
+    // edge relation, not the joins, and yields the SAME per-node counts
+    // (enumeration is exhaustive under any total orientation). Pair
+    // blowup per order is bounded by order size (≤ 7 lineitems in this
+    // schema; the same per-container bound the shingle bucket cap
+    // prices elsewhere).
+    "graph_triangles" -> { (s, dir) =>
+      val so = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      // edges feed three join sides → persist once, release after the
+      // eager checkpoint
+      val e = so.alias("x")
+        .join(so.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("a"), col("y.sk").as("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val tri = e.alias("e1")
+        .join(e.alias("e2"), col("e1.b") === col("e2.a"))
+        .join(e.alias("e3"),
+          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+        .select(col("e1.a").as("u"), col("e1.b").as("v"), col("e2.b").as("w"))
+      try tri
+        .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("node"))
+        .localCheckpoint()
+      finally { e.unpersist(false); () }
+    },
+
     // -- the production pipeline at 100 TB shape -----------------------------
     // pipeline_end2end_full with ONE change: stage 3's exact shingle
     // self-join (quadratic in the hottest shingle's doc list — the
@@ -400,6 +445,26 @@ object Extra7 {
              CAST(SUM(CASE WHEN cum_before < target_tokens / n_shards
                            THEN ntok ELSE 0 END) AS BIGINT) AS kept_tokens
       FROM c GROUP BY source ORDER BY source
+    """,
+
+    "graph_triangles" -> """
+      WITH so AS (
+        SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+      ), e AS (
+        SELECT DISTINCT x.sk AS a, y.sk AS b
+        FROM so x JOIN so y ON x.ok = y.ok AND x.sk < y.sk
+      ), tri AS (
+        SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        FROM e e1
+        JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+      ), nodes AS (
+        SELECT u AS node FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri
+      )
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM nodes GROUP BY node ORDER BY node
     """,
 
     // ONE oracle text for BOTH registered pipeline forms: the scale

@@ -860,6 +860,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]), "cartesian appeared")
   }
 
+  test("graph_triangles: equi hash joins only, map-side combine on the count") {
+    // Triangle enumeration must stay two plain equi joins over the
+    // ordered edge relation (+ the edge-build join on the order key) —
+    // a BroadcastNestedLoopJoin or cartesian here is the a<b<c
+    // inequality leaking out of the join condition into a filter over a
+    // cross product (the classic way this query goes quadratic-in-rows
+    // instead of output-bound). The per-node count must combine
+    // map-side: the exploded 3×triangles relation is the biggest
+    // intermediate, and only (node, partial count) rows may cross the
+    // wire.
+    val nodes = executedPlans("graph_triangles").flatMap(p => flattenPlan(p._2))
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "a nested-loop join appeared — the ordering predicate left the equi join")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]), "cartesian appeared")
+    assert(!nodes.exists(_.isInstanceOf[SortAggregateExec]), "sort-agg fallback")
+    val countExchanges = nodes.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[HashPartitioning] &&
+          e.outputPartitioning.asInstanceOf[HashPartitioning]
+            .expressions.exists(_.toString.contains("node")) => e
+    }
+    assert(countExchanges.nonEmpty, "no node-keyed count exchange captured — vacuous")
+    countExchanges.foreach { e =>
+      assert(flattenPlan(e.child).exists {
+        case a: BaseAggregateExec =>
+          a.aggregateExpressions.exists(_.mode.toString.contains("Partial"))
+        case _ => false
+      }, s"the triangle count shuffles raw exploded rows (no map-side combine):\n$e")
+    }
+  }
+
   test("quality_lr: each GD round is ONE aggregate over the cached features") {
     val plans = executedPlans("quality_lr")
     val rounds = plans.filter(_._1 == "head")
