@@ -185,7 +185,28 @@ object Bench {
     // absolute noise; agreeing queries don't pay a third run). The extra
     // pass runs minutes after the sweeps, so it is a third time window.
     val retried: Map[String, Seq[(Double, Boolean)]] =
-      if (timedRuns < 2) Map.empty
+      if (timedRuns < 2) {
+        // Heavy-tail min-of-2 for single-sweep lanes (round 14): the
+        // capstone runs SPARK_GRAFT_BENCH_RUNS=1 (a full 100× sweep is
+        // ~25 min), which made its most expensive rows hostage to
+        // one-shot iterative-job variance — r13's graph_pagerank read
+        // 175.8 s in the capstone vs 98.2 s on a quiet same-lane re-run
+        // of identical code (~80% noise in the headline's biggest row).
+        // Re-run the N most expensive ENGINE queries once (minutes
+        // after their first pass — a separate time window, the sweep
+        // discipline) and take the min; the cheap tail and the
+        // bounded-dial baselines don't pay a second pass.
+        val heavyN = sys.env.get("SPARK_GRAFT_BENCH_HEAVY_RERUNS")
+          .flatMap(_.trim.toIntOption).getOrElse(10)
+        val heavy = order.filter { case (n, _) =>
+          !SparkEntry.baselineQueries(n) && passes(n).exists(_._2)
+        }.sortBy { case (n, _) => -passes(n).filter(_._2).map(_._1).min }
+          .take(math.max(0, heavyN))
+        if (heavy.nonEmpty) System.err.println(
+          s"[bench] heavy-tail re-run (single-sweep lane) for ${heavy.size} " +
+            s"queries: ${heavy.map(_._1).mkString(", ")}")
+        heavy.map { case (n, fn) => n -> (passes(n) :+ timeOne(n, fn, false)) }.toMap
+      }
       else {
         val suspects = order.filter { case (n, _) =>
           val good = passes(n).filter(_._2).map(_._1)
