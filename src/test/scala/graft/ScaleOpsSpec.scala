@@ -555,6 +555,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(topk.count() > 0)
   }
 
+  test("image→ANN retrieval recalls planted near-dups at the 4800-raster dial") {
+    // The round-14 scale lane for the feature→ANN composition (the test
+    // above runs 30 rasters; SweepImageAnn measures decades to 48k+):
+    // real ImageIO rasters → content features → lshTopK with the
+    // production plane dial (autoPlanes). Planted ground truth: every
+    // 4th base image ships an exact-content re-encode (identical
+    // embedding — misses are pure ranking crowd-out) and a one-pixel
+    // nudge (near-identical — also pays feature drift). Measured
+    // 1.0/1.0 at this dial; the floors leave variance margin.
+    val (exactR, nudgeR, rows, nq) = SweepImageAnn.measure(spark, 4800)
+    info(f"rows=$rows queries=$nq exactRecall=$exactR%.3f nudgeRecall=$nudgeR%.3f")
+    assert(nq >= 2000, "planting produced too few dup queries — vacuous")
+    assert(exactR >= 0.95, f"exact-content retrieval recall $exactR%.3f < 0.95")
+    assert(nudgeR >= 0.9, f"nudged near-dup retrieval recall $nudgeR%.3f < 0.9")
+  }
+
   test("ImageIO codec decodes, resizes, and content-keys REAL PNG/BMP bytes") {
     val codec = Multimodal.ImageIoCodec
     val media = Multimodal.syntheticImages(spark, 10)
