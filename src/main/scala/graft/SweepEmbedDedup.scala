@@ -24,8 +24,12 @@ import org.apache.spark.storage.StorageLevel
 object SweepEmbedDedup {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val threshold = args.drop(1).headOption.map(_.toDouble).getOrElse(0.45)
-    val lshOnly = args.contains("lsh")
+    val threshold = args.drop(1).headOption
+      .filter(a => a != "lsh" && a != "dialonly").map(_.toDouble).getOrElse(0.45)
+    // `lsh` skips the canopy grid (measured r12); `dialonly` skips BOTH
+    // grids (measured r12/r13) and runs only the round-14 lshDial row
+    val dialOnly = args.contains("dialonly")
+    val lshOnly = args.contains("lsh") || dialOnly
     val spark = LocalSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val n = queries.ScaleOps.normalized(spark, dir)
       .select(col("vec_id"), col("e"))
@@ -71,7 +75,8 @@ object SweepEmbedDedup {
     // probed upward — candidate mass is n²·probes/2^planes), tables/
     // nprobe buy recall back.
     val pAuto = operators.EmbedDedup.autoPlanes(rows)
-    for (planes <- Seq(pAuto, pAuto + 2, pAuto + 4); tables <- Seq(8, 16);
+    for (planes <- (if (dialOnly) Seq.empty[Int] else Seq(pAuto, pAuto + 2, pAuto + 4));
+         tables <- Seq(8, 16);
          nprobe <- Seq(0, 2)) {
       val t1 = System.nanoTime()
       val pairs = operators.EmbedDedup
