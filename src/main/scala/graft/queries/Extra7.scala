@@ -321,8 +321,14 @@ object Extra7 {
     // -- per-node triangle counts --------------------------------------------
     // The standard companion to PageRank/CC (both label-propagation
     // shaped): local clustering structure via exhaustive triangle
-    // enumeration over the supplier co-order graph (edge = two
-    // suppliers shared an order). The ordered-edge form: undirected
+    // enumeration over the part co-purchase graph (edge = two parts
+    // appeared in the same order — the market-basket projection; at
+    // sf0.1 it is genuinely SPARSE: 1.2M edges over 20k nodes, 1.9M
+    // triangles. The supplier projection was rejected measured: the
+    // small supplier pool makes it near-COMPLETE — C(n,2) edges even
+    // at co-order weight ≥ 3 — so exhaustive enumeration there is
+    // output-bound by construction, ~n³/6 triangles measuring fixture
+    // density, not the operator). The ordered-edge form: undirected
     // edges stored once as (a < b); a triangle {a<b<c} is found exactly
     // once as e1(a,b) ⋈ e2(b,c) on the shared middle node ⋈ the closing
     // edge e3(a,c) — two plain equi hash joins, DuckDB-oracle-checkable,
@@ -339,7 +345,7 @@ object Extra7 {
     // prices elsewhere).
     "graph_triangles" -> { (s, dir) =>
       val so = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("sk"))
         .distinct()
       // edges feed three join sides → persist once, release after the
       // eager checkpoint
@@ -449,7 +455,7 @@ object Extra7 {
 
     "graph_triangles" -> """
       WITH so AS (
-        SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk FROM lineitem
       ), e AS (
         SELECT DISTINCT x.sk AS a, y.sk AS b
         FROM so x JOIN so y ON x.ok = y.ok AND x.sk < y.sk
