@@ -355,9 +355,18 @@ object Extra7 {
         .select(col("x.sk").as("a"), col("y.sk").as("b"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // SHUFFLE_HASH hints on the edge sides (round-14 capstone lesson):
+      // Spark's default sort-merge join SORTS the wedge relation — the
+      // plan's largest intermediate by an order of magnitude (Σ outdeg²
+      // ≈ 1.8 G rows at 100×, >75 GB of sort spill: the first capstone
+      // run died on disk). With a shuffled hash join the EDGE relation
+      // (the provably smaller side: |wedges| ≥ |edges|·avg-outdeg)
+      // builds per-partition hash maps and the wedge stream only pays
+      // its exchange — no sort, no sort-spill, disk bounded by the
+      // compressed shuffle write.
       val tri = e.alias("e1")
-        .join(e.alias("e2"), col("e1.b") === col("e2.a"))
-        .join(e.alias("e3"),
+        .join(e.alias("e2").hint("shuffle_hash"), col("e1.b") === col("e2.a"))
+        .join(e.alias("e3").hint("shuffle_hash"),
           col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
         .select(col("e1.a").as("u"), col("e1.b").as("v"), col("e2.b").as("w"))
       try tri

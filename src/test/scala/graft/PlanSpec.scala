@@ -875,6 +875,19 @@ class PlanSpec extends AnyFunSuite {
       "a nested-loop join appeared — the ordering predicate left the equi join")
     assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]), "cartesian appeared")
     assert(!nodes.exists(_.isInstanceOf[SortAggregateExec]), "sort-agg fallback")
+    // The round-14 capstone lesson, pinned: the wedge relation (Σ outdeg²
+    // rows — the plan's largest intermediate by an order of magnitude)
+    // must STREAM through shuffled-hash joins, never sort. A
+    // SortMergeJoin here is the >75 GB sort-spill that killed the first
+    // 100× run coming back; the final orderBy sorts only the aggregated
+    // node counts (assertOnlyBoundedRowsFunnel's rule).
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "a triangle join degenerated to sort-merge — the wedge stream must never sort")
+    nodes.collect { case s: org.apache.spark.sql.execution.SortExec => s }
+      .foreach { s =>
+        assert(flattenPlan(s.child).exists(_.isInstanceOf[BaseAggregateExec]),
+          s"a sort sees un-aggregated wedge/triangle rows:\n$s")
+      }
     val countExchanges = nodes.collect {
       case e: ShuffleExchangeExec
         if e.outputPartitioning.isInstanceOf[HashPartitioning] &&
