@@ -316,8 +316,9 @@ object Bench {
     * `[a-z0-9_]+` and values plain decimals, and the build has no JSON
     * dependency by design.
     */
-  private def prevDetail(): Option[(String, String, String, Map[String, Double])] = {
-    val explicit = sys.env.get("SPARK_GRAFT_PREV_DETAIL")
+  private[graft] def prevDetail(
+      explicit: Option[String] = sys.env.get("SPARK_GRAFT_PREV_DETAIL"))
+      : Option[(String, String, String, Map[String, Double])] = {
     val path = explicit.orElse {
       val d = new java.io.File(".").listFiles()
       Option(d).toSeq.flatten.map(_.getName)

@@ -72,6 +72,35 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(code == 1, s"new spill must gate (exit 1): $out")
   }
 
+  test("prevDetail parses baseline_sf and defaults it to sf for old archives") {
+    // The ADVICE-r13 canary guard reads the ARCHIVED run's baseline
+    // lane: a capstone archive (baseline_sf != sf) must be
+    // distinguishable from a uniform-lane archive, and pre-r13 files
+    // without the field must default to sf (uniform lane) rather than
+    // disable the canary.
+    def write(name: String, body: String): String = {
+      val f = java.io.File.createTempFile(name, ".json")
+      f.deleteOnExit()
+      java.nio.file.Files.writeString(f.toPath, body)
+      f.getAbsolutePath
+    }
+    val capstone = write("detail_capstone",
+      """{"metric":"detail","unit":"sec","sf":"/tmp/scale100",""" +
+        """"baseline_sf":"/tmp/scale10","queries":{"q_a":1.5,"join_theta":64.7}}""")
+    val Some((_, sf1, b1, q1)) = Bench.prevDetail(Some(capstone))
+    assert(sf1 == "/tmp/scale100" && b1 == "/tmp/scale10")
+    assert(q1 == Map("q_a" -> 1.5, "join_theta" -> 64.7))
+    val preR13 = write("detail_old",
+      """{"metric":"detail","unit":"sec","sf":"/root/testdata/sf0.1",""" +
+        """"queries":{"q_a":0.7}}""")
+    val Some((_, sf2, b2, _)) = Bench.prevDetail(Some(preR13))
+    assert(sf2 == "/root/testdata/sf0.1" && b2 == sf2,
+      "missing baseline_sf must default to sf (uniform lane), not disable the canary")
+    // unparseable file → None (the loud-warning path)
+    val bad = write("detail_bad", """{"metric":"detail","nope":true}""")
+    assert(Bench.prevDetail(Some(bad)).isEmpty)
+  }
+
   test("identical metrics and flat times exit 0") {
     val prev = detail(tmp("prev.json"), 2.0, 10L << 20, 0)
     val cur = detail(tmp("cur.json"), 2.1, 10L << 20, 0)
