@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exhaustive triangle enumeration over an oriented edge relation —
+  * the operator behind the `graph_triangles` query (see
+  * graft.queries.Extra7; reference /root/reference/task.ts has no
+  * analogue — this is engine graph-analytics surface).
+  *
+  * Contract: `edges` is one row per undirected edge, directed by ANY
+  * total order on nodes (a → b with a below b in the order, deduped).
+  * Each triangle {x, y, z} then appears exactly once as the 2-path
+  * a→b→c (a<b<c in the order) closed by the edge a→c, so the
+  * enumeration is two equi hash joins — wedge join on the shared
+  * middle, closing-edge join on the endpoints — and per-node counts
+  * are orientation-INDEPENDENT (the enumeration is exhaustive under
+  * any total order; TrianglesSpec pins id-order ≡ degree-order
+  * counts).
+  *
+  * Scale shape: the wedge relation (Σ outdeg² rows) is the plan's
+  * largest intermediate by an order of magnitude, so (1) it must
+  * STREAM through shuffled-hash joins, never sort — the SHUFFLE_HASH
+  * hints below; the default sort-merge plan sorted 1.8 G wedge rows at
+  * the 100× dial and died on >75 GB of sort spill (PERF.md round-14) —
+  * and (2) its SIZE is the orientation's lever: [[orientByDegree]]
+  * directs each edge toward the higher-(degree, id) endpoint, bounding
+  * out-degrees by O(√m) on skewed graphs (Schank & Wagner 2005, the
+  * "forward" algorithm), which minimizes Σ outdeg² exactly where
+  * id-order explodes it (a low-id hub owns ALL its star's wedges under
+  * id-order and NONE under degree-order). On near-uniform degree
+  * distributions the two orientations cost the same — the query keeps
+  * id-order as its deterministic oracle contract and the operator
+  * ships the skew escape hatch.
+  */
+object Triangles {
+  /** Triangle rows (u < v < w in the edge orientation's order), one per
+    * triangle. SHUFFLE_HASH on the edge sides: the edge relation is the
+    * provably smaller side (|wedges| ≥ |edges| · avg outdeg), and the
+    * wedge stream must never pay a sort.
+    */
+  def triangleRows(edges: DataFrame): DataFrame =
+    edges.alias("e1")
+      .join(edges.alias("e2").hint("shuffle_hash"),
+        col("e1.b") === col("e2.a"))
+      .join(edges.alias("e3").hint("shuffle_hash"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("u"), col("e1.b").as("v"), col("e2.b").as("w"))
+
+  /** Per-node triangle participation counts (node, n_triangles) —
+    * each triangle credits all three corners; nodes in no triangle
+    * don't appear. The 3× explode is map-side and the count combines
+    * before its exchange (gate-pinned in PlanSpec), so only (node,
+    * partial count) rows cross the wire.
+    */
+  def perNodeCounts(edges: DataFrame): DataFrame =
+    triangleRows(edges)
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+
+  /** Re-orient an id-ordered edge relation (a < b) by ascending
+    * (degree, id): each edge points at its higher-(degree, id)
+    * endpoint. A total order, so [[perNodeCounts]] over the result
+    * equals the id-ordered counts — but Σ outdeg² (the wedge mass) is
+    * bounded by O(m^1.5) instead of a hub's deg² (Schank & Wagner
+    * 2005). Two node-sized hash joins + a row-local swap; the edge set
+    * itself is unchanged.
+    */
+  def orientByDegree(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("a").as("n"))
+      .unionAll(edges.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    edges
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("oa"),
+        when(aFirst, col("b")).otherwise(col("a")).as("ob"))
+      .select(col("oa").as("a"), col("ob").as("b"))
+  }
+
+  /** Σ outdeg² — the wedge-join row count the orientation controls;
+    * observability for the skew trade (the [[MinHash.droppedBuckets]]
+    * analogue: measure the lever, don't guess).
+    */
+  def wedgeMass(edges: DataFrame): Long =
+    edges.groupBy(col("a")).agg(count(lit(1)).as("od"))
+      .agg(sum(col("od") * col("od"))).collect()(0).getLong(0)
+}

@@ -357,24 +357,13 @@ object Extra7 {
         .select(col("x.sk").as("a"), col("y.sk").as("b"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // SHUFFLE_HASH hints on the edge sides (round-14 capstone lesson):
-      // Spark's default sort-merge join SORTS the wedge relation — the
-      // plan's largest intermediate by an order of magnitude (Σ outdeg²
-      // ≈ 1.8 G rows at 100×, >75 GB of sort spill: the first capstone
-      // run died on disk). With a shuffled hash join the EDGE relation
-      // (the provably smaller side: |wedges| ≥ |edges|·avg-outdeg)
-      // builds per-partition hash maps and the wedge stream only pays
-      // its exchange — no sort, no sort-spill, disk bounded by the
-      // compressed shuffle write.
-      val tri = e.alias("e1")
-        .join(e.alias("e2").hint("shuffle_hash"), col("e1.b") === col("e2.a"))
-        .join(e.alias("e3").hint("shuffle_hash"),
-          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
-        .select(col("e1.a").as("u"), col("e1.b").as("v"), col("e2.b").as("w"))
-      try tri
-        .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
-        .groupBy(col("node"))
-        .agg(count(lit(1)).as("n_triangles"))
+      // the operator does the enumeration (SHUFFLE_HASH wedge
+      // streaming — the round-14 capstone lesson — and the map-side-
+      // combined count live there; [[graft.operators.Triangles]]);
+      // id-order stays the oracle contract, and the operator's
+      // orientByDegree is the skew escape hatch (count-equality
+      // spec-pinned)
+      try graft.operators.Triangles.perNodeCounts(e)
         .orderBy(col("node"))
         .localCheckpoint()
       finally { e.unpersist(false); () }
