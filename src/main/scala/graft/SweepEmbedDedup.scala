@@ -24,8 +24,11 @@ import org.apache.spark.storage.StorageLevel
 object SweepEmbedDedup {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val threshold = args.drop(1).headOption
-      .filter(a => a != "lsh" && a != "dialonly").map(_.toDouble).getOrElse(0.45)
+    // first NON-FLAG trailing arg, wherever it sits — `dir lsh 0.5` must
+    // run θ=0.5, not silently default (round-14 ADVICE: positional-only
+    // parse mislabeled sweep rows when a flag preceded the number)
+    val threshold = args.drop(1).filterNot(Set("lsh", "dialonly"))
+      .headOption.map(_.toDouble).getOrElse(0.45)
     // `lsh` skips the canopy grid (measured r12); `dialonly` skips BOTH
     // grids (measured r12/r13) and runs only the round-14 lshDial row
     val dialOnly = args.contains("dialonly")

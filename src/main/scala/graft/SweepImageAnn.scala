@@ -31,7 +31,7 @@ object SweepImageAnn {
     */
   def measure(spark: org.apache.spark.sql.SparkSession, n: Int, k: Int = 5)
       : (Double, Double, Long, Long) = {
-    val off = math.max(1000L, n.toLong)
+    val off = operators.Multimodal.dupOffset(n)
     val media = operators.Multimodal.syntheticImagesWithDups(spark, n)
     val feats = operators.Multimodal
       .extractFeatures(media, dim = 32, operators.Multimodal.ImageIoCodec)

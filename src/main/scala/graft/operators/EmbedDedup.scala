@@ -242,6 +242,11 @@ object EmbedDedup {
     * scaladoc sells; this function is that sentence as code.
     */
   def lshPredictedRecall(theta: Double, planes: Int, tables: Int): Double = {
+    // same guards as lshDial — this is a public pricing API, and theta
+    // outside (0,1) silently yields NaN from acos, not an error
+    require(theta > 0.0 && theta < 1.0, s"theta must be in (0,1): $theta")
+    require(planes >= 1, s"planes must be >= 1: $planes")
+    require(tables >= 1, s"tables must be >= 1: $tables")
     val p = planeCollision(theta)
     val pTable = math.pow(p, planes.toDouble) +
       ProbeKappa * planes * math.pow(p, (planes - 1).toDouble) * (1.0 - p)

@@ -472,9 +472,16 @@ object Multimodal {
     * +1000 of the 48-image fixture is preserved for every n ≤ 1000).
     * Deterministic.
     */
+  /** The planted-id offset [[syntheticImagesWithDups]] lays dups out
+    * with — exposed so measurement code (SweepImageAnn) derives ground
+    * truth from THIS function instead of duplicating the formula (a
+    * silent layout change would read ~0 recall, not fail).
+    */
+  def dupOffset(n: Int): Long = math.max(1000L, n.toLong)
+
   def syntheticImagesWithDups(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
-    val off = math.max(1000L, n.toLong)
+    val off = dupOffset(n)
     syntheticImages(spark, n).flatMap { r =>
       if (r.media_id % 4 != 0) Seq(r)
       else {

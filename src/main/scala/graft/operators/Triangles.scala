@@ -88,5 +88,7 @@ object Triangles {
     */
   def wedgeMass(edges: DataFrame): Long =
     edges.groupBy(col("a")).agg(count(lit(1)).as("od"))
-      .agg(sum(col("od") * col("od"))).collect()(0).getLong(0)
+      // sum over ZERO groups is null (empty edge relation) — 0 wedges
+      .agg(coalesce(sum(col("od") * col("od")), lit(0L)))
+      .collect()(0).getLong(0)
 }

@@ -38,7 +38,7 @@ class RegistrySpec extends AnyFunSuite {
     * the round-2/7 sibling convention); each key inherits the row's
     * oracle cell.
     */
-  private lazy val surveyRows: Map[String, Boolean] = {
+  private lazy val surveyRowSeq: Seq[(String, Boolean)] = {
     val row = """^\|\s*(`[a-z0-9_]+`(?:\s*/\s*`[a-z0-9_]+`)*)\s*\|(.*)\|\s*$""".r
     val key = """`([a-z0-9_]+)`""".r
     section23.linesIterator.flatMap {
@@ -47,7 +47,17 @@ class RegistrySpec extends AnyFunSuite {
         val oracleYes = cells.last.toLowerCase.startsWith("yes")
         key.findAllMatchIn(keys).map(_.group(1) -> oracleYes)
       case _ => Iterator.empty
-    }.toMap
+    }.toSeq
+  }
+
+  private lazy val surveyRows: Map[String, Boolean] = surveyRowSeq.toMap
+
+  test("no query key is declared twice in SURVEY §2.3") {
+    // .toMap keeps only the LAST occurrence — a duplicate row with a
+    // contradictory oracle cell would pass the gate silently otherwise
+    val dups = surveyRowSeq.groupBy(_._1).filter(_._2.size > 1)
+    assert(dups.isEmpty,
+      s"§2.3 declares these keys in more than one row: ${dups.keys.toSeq.sorted.mkString(", ")}")
   }
 
   test("every registered query has a SURVEY §2.3 row") {
