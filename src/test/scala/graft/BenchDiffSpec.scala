@@ -87,18 +87,49 @@ class BenchDiffSpec extends AnyFunSuite {
     val capstone = write("detail_capstone",
       """{"metric":"detail","unit":"sec","sf":"/tmp/scale100",""" +
         """"baseline_sf":"/tmp/scale10","queries":{"q_a":1.5,"join_theta":64.7}}""")
-    val Some((_, sf1, b1, q1)) = Bench.prevDetail(Some(capstone))
+    val Some((_, sf1, b1, lane1, q1)) = Bench.prevDetail(Some(capstone))
     assert(sf1 == "/tmp/scale100" && b1 == "/tmp/scale10")
     assert(q1 == Map("q_a" -> 1.5, "join_theta" -> 64.7))
+    assert(lane1.isEmpty, "pre-r15 archive has no lane — must parse as None")
     val preR13 = write("detail_old",
       """{"metric":"detail","unit":"sec","sf":"/root/testdata/sf0.1",""" +
         """"queries":{"q_a":0.7}}""")
-    val Some((_, sf2, b2, _)) = Bench.prevDetail(Some(preR13))
+    val Some((_, sf2, b2, _, _)) = Bench.prevDetail(Some(preR13))
     assert(sf2 == "/root/testdata/sf0.1" && b2 == sf2,
       "missing baseline_sf must default to sf (uniform lane), not disable the canary")
     // unparseable file → None (the loud-warning path)
     val bad = write("detail_bad", """{"metric":"detail","nope":true}""")
     assert(Bench.prevDetail(Some(bad)).isEmpty)
+  }
+
+  test("prevDetail parses the execution lane; laneComparable gates the diff") {
+    // Round-15 verdict #3: BENCH_r14's driver run (cpus=32) false-flagged
+    // 3 regressions against the builder's local[4] archive — the canary
+    // guarded the DATA lane (sf dirs) but not the EXECUTION lane. Inject
+    // an archive carrying the lane and assert both the parse and the
+    // decision each way.
+    def write(name: String, body: String): String = {
+      val f = java.io.File.createTempFile(name, ".json")
+      f.deleteOnExit()
+      java.nio.file.Files.writeString(f.toPath, body)
+      f.getAbsolutePath
+    }
+    val withLane = write("detail_lane",
+      """{"metric":"detail","unit":"sec","sf":"/root/testdata/sf0.1",""" +
+        """"baseline_sf":"/root/testdata/sf0.1",""" +
+        """"lane":{"cpus":"4","runs":2,"heavy_reruns":0},""" +
+        """"queries":{"q_a":0.7,"q_b":1.2}}""")
+    val Some((_, _, _, lane, q)) = Bench.prevDetail(Some(withLane))
+    assert(lane.contains(("4", 2, 0)), s"lane parse: $lane")
+    assert(q == Map("q_a" -> 0.7, "q_b" -> 1.2))
+    // same lane → comparable; any component differing → not
+    assert(Bench.laneComparable(lane, ("4", 2, 0)))
+    assert(!Bench.laneComparable(lane, ("32", 2, 0)),
+      "the r14 driver case: cpus 32 vs archived 4 must skip the diff")
+    assert(!Bench.laneComparable(lane, ("4", 1, 10)),
+      "a RUNS=1 capstone lane vs a min-of-2 archive must skip the diff")
+    // unknown lane (pre-r15 archive) stays comparable — old behavior
+    assert(Bench.laneComparable(None, ("4", 2, 0)))
   }
 
   test("identical metrics and flat times exit 0") {
