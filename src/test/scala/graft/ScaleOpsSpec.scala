@@ -555,6 +555,86 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(topk.count() > 0)
   }
 
+  test("lshTopKGrouped matches lshTopK row-for-row on a dup-heavy corpus") {
+    // Round-15 verdict #1 (the phash rule as an operator): collapsing
+    // the distance-0 mass into representatives must be a pure plan
+    // rewrite — identical vectors share every bucket in every table, so
+    // rep-level reachability, scores, and (c desc, vec_id asc) ranking
+    // reproduce the member-level output EXACTLY. Fixture: the real
+    // embeddings table tripled (two exact-dup copies at shifted ids) so
+    // groups have 3 members, plus a query whose id is in no group.
+    val e = transform(col("embedding"),
+      (x: org.apache.spark.sql.Column) => x.cast("double"))
+    val base = graft.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), e.as("e")).filter(col("vec_id") < 60)
+    val data = base
+      .unionAll(base.select((col("vec_id") + 10000L).as("vec_id"), col("e")))
+      .unionAll(base.select((col("vec_id") + 20000L).as("vec_id"), col("e")))
+    // queries: some group members (base + a dup copy) and one row whose
+    // vector exists in data but whose id does not (novel-query arm)
+    val queries = data.filter(col("vec_id") < 5 || (col("vec_id") >= 10000L
+        && col("vec_id") < 10005L))
+      .unionAll(base.filter(col("vec_id") === 7)
+        .select((col("vec_id") + 90000L).as("vec_id"), col("e")))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val plain = rows(Ann.lshTopK(queries, data, k = 5, tables = 4, nprobe = 2))
+    val grouped = rows(Ann.lshTopKGrouped(queries, data, k = 5, tables = 4,
+      nprobe = 2))
+    assert(grouped === plain)
+    // and the groups actually collapsed: every base vector appears in
+    // data 3 times, so exact-dup neighbours rank at c = 1.0 first
+    assert(plain.exists(_._4 === 1.0), "fixture has no distance-0 mass — vacuous")
+  }
+
+  test("lshTopKDial prices the serving path: guards, monotone tables, conservative model") {
+    import graft.operators.EmbedDedup
+    // guards (round-14 ADVICE class: pricing APIs must not NaN silently)
+    intercept[IllegalArgumentException](Ann.lshTopKPredictedRecall(1.5, 8, 4))
+    intercept[IllegalArgumentException](Ann.lshTopKPredictedRecall(0.9, 0, 4))
+    intercept[IllegalArgumentException](Ann.lshTopKDial(1000L, 0.9, 1.2))
+    // higher floor needs >= tables at the same theta; lower theta too
+    val (_, t90, _) = Ann.lshTopKDial(100000L, 0.98, 0.90, targetBucket = 32)
+    val (_, t99, _) = Ann.lshTopKDial(100000L, 0.98, 0.99, targetBucket = 32)
+    assert(t99 >= t90, s"tables must be monotone in the floor: $t90 -> $t99")
+    // the dial's own prediction must clear the floor it was asked for
+    val (p, t, _) = Ann.lshTopKDial(100000L, 0.98, 0.95, targetBucket = 32)
+    assert(Ann.lshTopKPredictedRecall(0.98, p, t) >= 0.95)
+    // one-sided probing prices BELOW the bidirectional pair-screen model
+    // at the same point (half the recovery channels)
+    assert(Ann.lshTopKPredictedRecall(0.9, 8, 4)
+      <= EmbedDedup.lshPredictedRecall(0.9, 8, 4))
+    // smaller targetBucket buys more planes (the crowded-space lever)
+    val (pCrowd, _, _) = Ann.lshTopKDial(100000L, 0.98, 0.95, targetBucket = 32)
+    val (pWide, _, _) = Ann.lshTopKDial(100000L, 0.98, 0.95, targetBucket = 250)
+    assert(pCrowd > pWide)
+  }
+
+  test("maxBucketSize drops hot buckets WHOLE from the serving index") {
+    // 50 identical vectors + 10 spread ones, one table: the identical
+    // mass lands in one bucket per table; cap 20 must remove all 50
+    // rows of that bucket and keep the sparse ones. (In production the
+    // collapse runs first so identical mass never trips the cap — this
+    // pins the cap semantics itself.)
+    import spark.implicits._
+    val hot = (0L until 50L).map(i => (i, Seq.fill(8)(1.0)))
+    val sparse = (100L until 110L).map { i =>
+      (i, Seq.tabulate(8)(j => if (j == (i % 8).toInt) 1.0 else -1.0)) }
+    val data = (hot ++ sparse).toDF("vec_id", "e")
+    val capped = Ann.dataIndex(data, tables = 2, planesPerTable = 4, dim = 8,
+      maxBucketSize = 20).keys
+    val kept = capped.select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!kept.exists(_ < 50L), "hot-bucket rows survived the cap")
+    assert((100L until 110L).forall(kept), "sparse rows must keep their keys")
+    // config mismatch between index and query side must fail loudly
+    val ix = Ann.dataIndex(data, tables = 2, planesPerTable = 4, dim = 8,
+      maxBucketSize = 20)
+    intercept[IllegalArgumentException] {
+      Ann.lshTopK(data.limit(1), data, k = 1, tables = 2, planesPerTable = 4,
+        dim = 8, index = Some(ix)) // maxBucketSize defaults to uncapped
+    }
+  }
+
   test("image→ANN retrieval recalls planted near-dups at the 4800-raster dial") {
     // The round-14 scale lane for the feature→ANN composition (the test
     // above runs 30 rasters; SweepImageAnn measures decades to 48k+):
@@ -569,6 +649,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(nq >= 2000, "planting produced too few dup queries — vacuous")
     assert(exactR >= 0.95, f"exact-content retrieval recall $exactR%.3f < 0.95")
     assert(nudgeR >= 0.9, f"nudged near-dup retrieval recall $nudgeR%.3f < 0.9")
+  }
+
+  test("dialed image→ANN (collapse + lshTopKDial + cap) holds the recall floor") {
+    // Round-15 verdict #1 close: the dialed serving path at the same
+    // 4800-raster dial the fixed-dial floor above pins. Measured decades
+    // (PERF.md round-15): 12k/48k/120k base rasters → 28.3/94.0/148.2 s
+    // (the fixed dial read 49.9/850.6/— — 9.0× at 48k) with nudge recall
+    // 0.9957/0.9963/0.9878, model conservative at every dial. Exact-dup
+    // recall is structural: the collapse serves distance-0 mass from the
+    // group hash-join at c=1.0, never from the candidate join.
+    val (exactR, nudgeR, rows, distinct, (planes, tables, _), predicted) =
+      SweepImageAnn.measureDialed(spark, 4800)
+    info(f"rows=$rows distinct=$distinct planes=$planes tables=$tables " +
+      f"predicted=$predicted%.3f exact=$exactR%.3f nudge=$nudgeR%.3f")
+    assert(distinct < rows, "no distance-0 mass collapsed — fixture drift")
+    assert(exactR >= 0.99, f"exact-dup recall $exactR%.3f — the collapse " +
+      "serves these structurally; anything below ~1.0 is a wiring bug")
+    assert(nudgeR >= 0.95, f"nudged near-dup recall $nudgeR%.3f < dialed floor")
+    assert(predicted >= 0.95, "dial under-delivered its own target")
   }
 
   test("ImageIO codec decodes, resizes, and content-keys REAL PNG/BMP bytes") {
