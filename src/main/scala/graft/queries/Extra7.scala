@@ -369,6 +369,36 @@ object Extra7 {
       finally { e.unpersist(false); () }
     },
 
+    // -- core number per node (iterative peel) -------------------------------
+    // The third graph discipline (round-15 verdict #4) next to
+    // label-propagation (CC/PageRank — per-round state CONSTANT) and
+    // enumeration (Triangles — one-shot joins): k-core is the PEEL
+    // family, per-round state SHRINKS. Same part co-purchase edge
+    // builder as graph_triangles; the operator runs the h-index fixed
+    // point (estimates start at degree and monotonically decrease to
+    // the core number — [[graft.operators.KCore]]), recomputing each
+    // round only the changed frontier's neighbourhood. Oracle: the SAME
+    // iteration as a bounded-round RECURSIVE CTE (the dedup_cluster
+    // precedent) — 40 rounds, verified converged-by-30 on the sf0.01
+    // fixture (DuckDB round-30 ≡ round-40 output), while the Spark side
+    // iterates to an EMPTY FRONTIER and fails loudly at its cap, so an
+    // under-iterated fixture can never silently hash-match.
+    "graph_kcore" -> { (s, dir) =>
+      val so = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("sk"))
+        .distinct()
+      val e = so.alias("x")
+        .join(so.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("a"), col("y.sk").as("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try graft.operators.KCore.coreNumbers(e)
+        .orderBy(col("node"))
+        .localCheckpoint()
+      finally { e.unpersist(false); () }
+    },
+
     // -- the production pipeline at 100 TB shape -----------------------------
     // pipeline_end2end_full with ONE change: stage 3's exact shingle
     // self-join (quadratic in the hottest shingle's doc list — the
@@ -471,6 +501,36 @@ object Extra7 {
       )
       SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
       FROM nodes GROUP BY node ORDER BY node
+    """,
+
+    // Bounded-round h-index iteration (40 rounds — the sf0.01 fixture
+    // converges by 30, verified both-rounds-equal in DuckDB; the Spark
+    // side iterates to convergence and FAILS rather than truncates, so
+    // the bound can only be too loose, never silently too tight).
+    "graph_kcore" -> """
+      WITH RECURSIVE so AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk FROM lineitem
+      ), e AS (
+        SELECT DISTINCT x.sk AS a, y.sk AS b
+        FROM so x JOIN so y ON x.ok = y.ok AND x.sk < y.sk
+      ), adj AS (
+        SELECT a AS v, b AS n FROM e UNION ALL SELECT b, a FROM e
+      ), deg AS (
+        SELECT v, COUNT(*) AS c FROM adj GROUP BY v
+      ), iter(round, v, c) AS (
+        SELECT 0, v, c FROM deg
+        UNION ALL
+        SELECT round + 1, v, c FROM (
+          SELECT t.round, t.v, MAX(LEAST(t.rnk, t.nc)) AS c
+          FROM (
+            SELECT i.round, adj.v, i.c AS nc,
+                   ROW_NUMBER() OVER (PARTITION BY adj.v ORDER BY i.c DESC) AS rnk
+            FROM adj JOIN iter i ON adj.n = i.v
+          ) t GROUP BY t.round, t.v
+        ) WHERE round < 40
+      )
+      SELECT v AS node, CAST(c AS BIGINT) AS core
+      FROM iter WHERE round = 40 ORDER BY node
     """,
 
     // ONE oracle text for BOTH registered pipeline forms: the scale

@@ -904,6 +904,54 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_kcore: node-keyed exchanges only; the h-index window feeds its max without re-shuffling") {
+    // The peel discipline's plan shape (round-15 verdict #4): every
+    // hash exchange in the iteration is keyed on a graph node column
+    // (v/n or the edge-builder's ok/sk) — an exchange on anything else
+    // means a round is shuffling non-state — and no BNL/cartesian (an
+    // inequality leaking out of the edge-build equi join). The h-index
+    // recompute's window (partitionBy v) and the max that follows
+    // (groupBy v) share a key, so the max must consume the window's
+    // partitioning directly: a ShuffleExchange BETWEEN them would
+    // double each round's traffic.
+    val nodes = executedPlans("graph_kcore").flatMap(p => flattenPlan(p._2))
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "a nested-loop join appeared in the kcore iteration")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]), "cartesian appeared")
+    val graphKeys = Seq("v#", "n#", "node#", "a#", "b#", "ok#", "sk#",
+      "l_orderkey#", "l_partkey#")
+    val hashed = nodes.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashed.nonEmpty, "no hash exchange captured — vacuous")
+    hashed.foreach { e =>
+      val exprs = e.outputPartitioning.asInstanceOf[HashPartitioning].expressions
+      assert(exprs.forall(x => graphKeys.exists(x.toString.contains)),
+        s"non-node-keyed exchange in the kcore iteration: $e")
+    }
+    // window → max with no exchange in between (same v key, reused).
+    // Traversal mirrors flattenPlan's AQE/reuse unwrapping but STOPS at
+    // shuffle boundaries — the property is "reachable without crossing
+    // an exchange".
+    def kids(q: SparkPlan): Seq[SparkPlan] = q match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec        => Seq(s.plan)
+      case o                        => o.children
+    }
+    def hasWindowNoShuffle(q: SparkPlan): Boolean = q match {
+      case _: WindowExec => true
+      case _: ShuffleExchangeExec => false
+      case _: ReusedExchangeExec => false
+      case other => kids(other).exists(hasWindowNoShuffle)
+    }
+    val aggsOverWindow = nodes.collect {
+      case a: BaseAggregateExec if kids(a).exists(hasWindowNoShuffle) => a
+    }
+    assert(aggsOverWindow.nonEmpty,
+      "the h-index max re-shuffles the window output — exchange not reused")
+  }
+
   test("quality_lr: each GD round is ONE aggregate over the cached features") {
     val plans = executedPlans("quality_lr")
     val rounds = plans.filter(_._1 == "head")
