@@ -99,6 +99,28 @@ class KCoreSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("coreEstimate (the bounded query form) refines monotonically onto coreNumbers") {
+    import spark.implicits._
+    // the K5+C4+path fixture converges well within 8 steps, so the
+    // registered 8-step contract equals the true cores here; and each
+    // added step can only LOWER an estimate (h-index monotonicity)
+    val k5 = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val c4 = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L))
+    val edges = (k5 ++ c4 ++ Seq((4L, 10L), (13L, 20L), (20L, 21L))).toDF("a", "b")
+    def est(steps: Int): Map[Long, Long] =
+      KCore.coreEstimate(edges, steps).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = KCore.coreNumbers(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e8 = est(queries.Extra7.KCoreSteps)
+    assert(e8 === exact, "8 steps must reach the fixed point on this fixture")
+    val e1 = est(1)
+    val e3 = est(3)
+    assert(e1.keySet === e3.keySet && e3.keySet === e8.keySet)
+    assert(e3.forall { case (v, c) => c <= e1(v) && c >= e8(v) },
+      "estimates must decrease monotonically in steps toward the core")
+  }
+
   test("the iteration cap fails loudly instead of truncating") {
     import spark.implicits._
     // a path needs ~length/2 rounds (the 1-core estimate walks inward

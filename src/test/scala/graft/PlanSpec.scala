@@ -918,7 +918,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
       "a nested-loop join appeared in the kcore iteration")
     assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]), "cartesian appeared")
-    val graphKeys = Seq("v#", "n#", "node#", "a#", "b#", "ok#", "sk#",
+    // state-keyed only: node columns (v/n, the builder's ok/sk) plus the
+    // (v, nc) pre-count key — nc is the estimate value, and that
+    // exchange exists precisely so the count can combine MAP-SIDE
+    // (asserted below) and ship distinct-value rows, not adjacency rows
+    val graphKeys = Seq("v#", "n#", "node#", "a#", "b#", "ok#", "sk#", "nc#",
       "l_orderkey#", "l_partkey#")
     val hashed = nodes.collect {
       case e: ShuffleExchangeExec
@@ -928,8 +932,19 @@ class PlanSpec extends AnyFunSuite {
     hashed.foreach { e =>
       val exprs = e.outputPartitioning.asInstanceOf[HashPartitioning].expressions
       assert(exprs.forall(x => graphKeys.exists(x.toString.contains)),
-        s"non-node-keyed exchange in the kcore iteration: $e")
+        s"non-state-keyed exchange in the kcore iteration: $e")
     }
+    // every (v, nc) exchange must sit above a PARTIAL count — the
+    // map-side combine is the point of pre-counting
+    hashed.filter(_.outputPartitioning.asInstanceOf[HashPartitioning]
+        .expressions.exists(_.toString.contains("nc#")))
+      .foreach { e =>
+        assert(flattenPlan(e.child).exists {
+          case a: BaseAggregateExec =>
+            a.aggregateExpressions.exists(_.mode.toString.contains("Partial"))
+          case _ => false
+        }, s"the (v, value) pre-count shuffles raw adjacency rows:\n$e")
+      }
     // window → max with no exchange in between (same v key, reused).
     // Traversal mirrors flattenPlan's AQE/reuse unwrapping but STOPS at
     // shuffle boundaries — the property is "reachable without crossing
