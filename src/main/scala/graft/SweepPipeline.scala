@@ -63,8 +63,10 @@ object SweepPipeline {
   }
 
   def main(args: Array[String]): Unit = {
+    // numeric args are (n, boiler) pairs; flags (`debug`) ride alongside
+    val nums = args.toSeq.filter(_.forall(_.isDigit)).map(_.toInt)
     val dials: Seq[(Int, Int)] =
-      if (args.nonEmpty) args.toSeq.map(_.toInt).grouped(2).map(p => (p(0), p(1))).toSeq
+      if (nums.nonEmpty) nums.grouped(2).map(p => (p(0), p(1))).toSeq
       else Seq((5000, 0), (5000, 16), (5000, 48), (10000, 16))
     val spark = LocalSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     for ((n, boiler) <- dials) {
@@ -86,6 +88,34 @@ object SweepPipeline {
         f"hottestShingleDocs=$hottest exactSec=$exactSec%.1f " +
         f"scaleSec=$scaleSec%.1f ratio=${exactSec / math.max(0.001, scaleSec)}%.2f " +
         f"drops=${exactDrop.size} dropSetsEqual=${exactDrop == scaleDrop}")
+      if (args.contains("debug") && exactDrop != scaleDrop) {
+        println(s"[sweep-pipeline]   exactOnly=${(exactDrop -- scaleDrop).toSeq.sorted.take(10)}")
+        println(s"[sweep-pipeline]   scaleOnly=${(scaleDrop -- exactDrop).toSeq.sorted.take(10)}")
+        def pairSet(df: DataFrame) = df.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val ep = pairSet(queries.Extra7.jaccardPairs(sh, 0.6))
+        val hashed = sh.select(col("doc_id"), xxhash64(col("s")).as("s")).distinct()
+        val sp = pairSet(operators.MinHash
+          .nearDuplicatesFromText(canon, hashed, threshold = 0.6)
+          .select(col("d1"), col("d2")))
+        println(s"[sweep-pipeline]   pairs exact=${ep.size} scale=${sp.size} " +
+          s"exactOnlyPairs=${(ep -- sp).take(5)} scaleOnlyPairs=${(sp -- ep).take(5)}")
+        for ((d1, d2) <- (ep -- sp).take(3)) {
+          def shingleSet(d: Long) = sh.filter(col("doc_id") === d)
+            .select(col("s")).collect().map(_.getString(0)).toSet
+          val (s1, s2) = (shingleSet(d1), shingleSet(d2))
+          val jac = (s1 & s2).size.toDouble / (s1 | s2).size
+          def sig(d: Long) = operators.MinHash
+            .signaturesLocal(canon.filter(col("doc_id") === d))
+            .collect()(0).getSeq[Long](1)
+          val (g1, g2) = (sig(d1), sig(d2))
+          val agree = g1.zip(g2).count(p => p._1 == p._2)
+          val bandHits = g1.grouped(4).toSeq.zip(g2.grouped(4).toSeq)
+            .count(p => p._1 == p._2)
+          println(f"[sweep-pipeline]   missed ($d1,$d2) jac=$jac%.3f " +
+            f"sigAgree=$agree/64 bandHits=$bandHits/16")
+        }
+      }
       sh.unpersist(false)
       canon.unpersist(false)
     }

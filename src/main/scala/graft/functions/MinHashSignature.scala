@@ -23,7 +23,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Input: a 64-bit hashed shingle (LongType), e.g. `xxhash64(shingle)`.
   * Output: array<long> of length `numHashes` — identical values to the
   * expression formulation (same 32-bit truncation, same `(a·h+b) mod p`
-  * with p = 2^61−1; verified by MinHashSpec).
+  * with the shared 31-bit Mersenne modulus; verified by MinHashSpec).
   */
 case class MinHashSignature(
     child: Expression,
@@ -33,7 +33,10 @@ case class MinHashSignature(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
 
-  private val Prime = (1L << 61) - 1
+  // ONE shared modulus with the operator/streaming paths — signatures
+  // must stay bit-identical across the three formulations (see
+  // MinHash.Prime for the round-15 wrap-starvation root cause)
+  private val Prime = graft.operators.MinHash.Prime
   private val Mask = 0xFFFFFFFFL
 
   // Same coefficient stream as graft.operators.MinHash.coeffs.

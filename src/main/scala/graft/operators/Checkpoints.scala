@@ -15,6 +15,27 @@ import org.apache.spark.sql.DataFrame
   * live DataFrame still references is an UNRECOVERABLE failure later.
   */
 object Checkpoints {
+  /** Eagerly materialize iterative/accumulated state AND reset its
+    * statistics. `localCheckpoint` truncates LINEAGE but snapshots the
+    * origin plan's size ESTIMATE into the new leaf — state that a later
+    * plan references more than once therefore SQUARES its estimate
+    * every generation, until the size-only stats visitor is multiplying
+    * million-digit BigIntegers and the DRIVER livelocks in Toom-Cook
+    * multiplication before any executor work (found in KCore round 15:
+    * sf0.1 hung at 100% of one core; small fixtures converge in few
+    * enough rounds to stay under the blowup — the worst kind of
+    * latent). Wrapping the checkpointed rows in a fresh DataFrame
+    * resets the estimate to the session default, making per-generation
+    * stats O(plan), not O(2^generation). Returns (wrapped, checkpoint)
+    * — the CHECKPOINT handle is what [[free]] must release when
+    * superseded (the wrapper's leaf is a derived RDD, not the cached
+    * blocks).
+    */
+  def snap(df: DataFrame): (DataFrame, DataFrame) = {
+    val chk = df.localCheckpoint()
+    (chk.sparkSession.createDataFrame(chk.rdd, chk.schema), chk)
+  }
+
   /** Free a superseded checkpoint's blocks. The contract is enforced
     * structurally, not by comment: the plan must be exactly ONE
     * `LogicalRDD` leaf under projections/filters (the shape

@@ -73,10 +73,8 @@ object KCore {
     * handle is what [[Checkpoints.free]] must release (the wrapper's
     * leaf is a derived RDD, not the cached blocks).
     */
-  private def snap(df: DataFrame): (DataFrame, DataFrame) = {
-    val chk = df.localCheckpoint()
-    (chk.sparkSession.createDataFrame(chk.rdd, chk.schema), chk)
-  }
+  private def snap(df: DataFrame): (DataFrame, DataFrame) =
+    Checkpoints.snap(df)
 
   /** One h-index step over a symmetrized adjacency: every estimate
     * becomes the h-index of its neighbours' estimates. References

@@ -27,7 +27,22 @@ object MinHash {
     * Shared with [[StreamingMinHash]] so stream and batch signatures are
     * bit-identical.
     */
-  private[operators] val Prime = (1L << 61) - 1
+  /** 2³¹−1 (Mersenne), NOT 2⁶¹−1 — a round-15 root-cause fix. With
+    * 32-bit shingle hashes and 31-bit coefficients, h·a + b < 4·(2⁶¹−1),
+    * so the old 61-bit modulus folded AT MOST THREE TIMES and the
+    * ordering of (h·a + b) mod P stayed essentially the ordering of h —
+    * the 64 "independent" permutations all picked (nearly) the same
+    * argmin shingle, a pair agreed on ~all bands or ~none, and the
+    * banding bound 1−(1−s^r)^b was VOID: an adversarial template corpus
+    * measured 11.6% of jac≈0.8 pairs missed in ALL 16 bands, with
+    * per-pair signature agreement as low as 9/64 where ≈51/64 is the
+    * estimator's mean (SweepPipeline debug lane, PERF.md round-15).
+    * Near-identical driver fixtures (jac→1) masked it — the min shingle
+    * is almost always shared at jac≈1. With a 31-bit modulus the product
+    * wraps ~2³² times, restoring per-permutation mixing (the standard
+    * 2-universal construction over a 32-bit hash universe).
+    */
+  private[graft] val Prime = 2147483647L
 
   /** Deterministic permutation coefficients from a fixed seed. */
   private[operators] def coeffs(numHashes: Int, seed: Long): Seq[(Long, Long)] = {

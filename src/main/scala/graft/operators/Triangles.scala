@@ -34,18 +34,46 @@ import org.apache.spark.sql.functions._
   * ships the skew escape hatch.
   */
 object Triangles {
+  /** Generalized enumeration over three edge relations sharing the
+    * oriented contract: triangles whose wedge edge (u,v) comes from
+    * `e1s`, closing wedge edge (v,w) from `e2s`, and closing edge
+    * (u,w) from `e3s`. [[triangleRows]] is the diagonal case; the
+    * streaming incremental form
+    * ([[graft.streaming.StreamOps.triangleCountSink]]) uses asymmetric
+    * slots to enumerate only the triangles a NEW edge batch closes.
+    */
+  def triangleRowsAcross(e1s: DataFrame, e2s: DataFrame,
+                         e3s: DataFrame): DataFrame =
+    e1s.alias("e1")
+      .join(e2s.alias("e2").hint("shuffle_hash"),
+        col("e1.b") === col("e2.a"))
+      .join(e3s.alias("e3").hint("shuffle_hash"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("u"), col("e1.b").as("v"), col("e2.b").as("w"))
+
   /** Triangle rows (u < v < w in the edge orientation's order), one per
     * triangle. SHUFFLE_HASH on the edge sides: the edge relation is the
     * provably smaller side (|wedges| ≥ |edges| · avg outdeg), and the
     * wedge stream must never pay a sort.
     */
   def triangleRows(edges: DataFrame): DataFrame =
-    edges.alias("e1")
-      .join(edges.alias("e2").hint("shuffle_hash"),
-        col("e1.b") === col("e2.a"))
-      .join(edges.alias("e3").hint("shuffle_hash"),
-        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
-      .select(col("e1.a").as("u"), col("e1.b").as("v"), col("e2.b").as("w"))
+    triangleRowsAcross(edges, edges, edges)
+
+  /** Triangles containing ≥ 1 edge of `fresh`, given `olds` DISJOINT
+    * from it (both oriented by the same total order) — the exact
+    * INCREMENTAL delta Δtri(olds ∪ fresh) − tri(olds), enumerated once
+    * each via three DISJOINT slot cases (first fresh slot is e1, e2, or
+    * e3; earlier slots old):
+    * fresh×all×all ∪ old×fresh×all ∪ old×old×fresh. Every case joins
+    * with the fresh batch as a side, so the per-batch cost is
+    * batch-proportional, never a full re-enumeration.
+    */
+  def newTriangleRows(olds: DataFrame, fresh: DataFrame): DataFrame = {
+    val all = olds.unionAll(fresh)
+    triangleRowsAcross(fresh, all, all)
+      .unionAll(triangleRowsAcross(olds, fresh, all))
+      .unionAll(triangleRowsAcross(olds, olds, fresh))
+  }
 
   /** Per-node triangle participation counts (node, n_triangles) —
     * each triangle credits all three corners; nodes in no triangle

@@ -626,6 +626,87 @@ object StreamOps {
     * the user appears in a batch. The state is two numbers per key —
     * bounded by key cardinality, not event volume.
     */
+  /** Exact incremental triangle maintenance over an edge stream —
+    * `graph_triangles`' streaming form (round-15 verdict #7: decided
+    * FOR implementation rather than an out-of-scope row, but NOT in
+    * the watermark model — deliberately).
+    *
+    * Why this is a foreachBatch ACCUMULATOR and not a watermarked
+    * stateful aggregation: an old edge never expires from
+    * triangle-closing relevance (the triangle closed today may lean on
+    * an edge from the first batch), so there is no event-time horizon
+    * after which state may be evicted — the state IS the graph, and
+    * any watermark would silently undercount. The literature's
+    * watermark-friendly alternatives (TRIÈST-style reservoir sampling)
+    * trade exactness for bounded state; this engine's batch operator
+    * is exact, so its streaming form stays exact and prices the
+    * O(edges) state honestly instead of hiding it behind a watermark.
+    *
+    * Incrementality: each micro-batch's NEW edges (canonicalized a<b,
+    * deduped within and across batches) enumerate only the triangles
+    * they close — [[graft.operators.Triangles.newTriangleRows]]'s
+    * three disjoint slot cases, every join carrying the batch as a
+    * side — so per-batch cost is batch-proportional, never a
+    * re-enumeration. Cumulative per-node counts merge by full outer
+    * coalesce; both accumulators live as stats-reset checkpoints
+    * ([[graft.operators.Checkpoints.snap]]) with superseded blocks
+    * freed per batch, so resident state is one generation of
+    * (edges + counts) and the accumulated plan never regrows lineage.
+    *
+    * `onBatch` receives the CUMULATIVE (node, n_triangles) frame after
+    * each batch — by construction equal to
+    * [[graft.operators.Triangles.perNodeCounts]] over every edge seen
+    * so far (StreamingSpec pins the equality).
+    */
+  def triangleCountSink(edges: DataFrame, checkpoint: String,
+                        onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Checkpoints, Triangles}
+    val spark = edges.sparkSession
+    // accumulated state: (wrapped frame, checkpoint handle) pairs
+    var acc: (DataFrame, DataFrame) = null     // oriented edge set
+    var counts: (DataFrame, DataFrame) = null  // cumulative per-node
+    edges.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // canonicalize to the id order (the batch may carry either
+        // orientation), drop self-loops and within-batch dupes, then
+        // cross-batch dupes — newTriangleRows requires disjointness
+        val canon = batch
+          .select(least(col("a"), col("b")).as("a"),
+            greatest(col("a"), col("b")).as("b"))
+          .filter(col("a") < col("b"))
+          .dropDuplicates("a", "b")
+        val fresh0 =
+          if (acc == null) canon
+          else canon.join(acc._1, Seq("a", "b"), "left_anti")
+        val (fresh, freshChk) = Checkpoints.snap(fresh0)
+        val delta = Triangles
+          .newTriangleRows(
+            if (acc == null) fresh.limit(0) else acc._1, fresh)
+          .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+          .groupBy(col("node")).agg(count(lit(1)).as("d"))
+        val merged =
+          if (counts == null)
+            delta.select(col("node"), col("d").as("n_triangles"))
+          else counts._1.join(delta, Seq("node"), "full_outer")
+            .select(col("node"),
+              (coalesce(col("n_triangles"), lit(0L))
+                + coalesce(col("d"), lit(0L))).as("n_triangles"))
+        val newCounts = Checkpoints.snap(merged)
+        val newAcc = Checkpoints.snap(
+          if (acc == null) fresh else acc._1.unionAll(fresh))
+        if (counts != null) Checkpoints.free(counts._2)
+        if (acc != null) Checkpoints.free(acc._2)
+        Checkpoints.free(freshChk)
+        counts = newCounts
+        acc = newAcc
+        onBatch(counts._1, batchId)
+      }
+      .start()
+  }
+
   def runningUserTotals(events: org.apache.spark.sql.Dataset[Event])
       : org.apache.spark.sql.Dataset[UserTotal] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

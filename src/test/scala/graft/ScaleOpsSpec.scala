@@ -555,6 +555,44 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(topk.count() > 0)
   }
 
+  test("minhash permutations actually mix: adversarial template corpus recall") {
+    // Round-15 root-cause regression pin. The old 61-bit modulus was
+    // WRAP-STARVED over 32-bit shingle hashes (h·a+b < 4P folds ≤ 3
+    // times), so all 64 "independent" permutations ranked shingles in
+    // nearly the same order — a pair agreed on ~all bands or ~none, and
+    // this corpus measured 11.6% of jac≈0.8 pairs missed in ALL 16
+    // bands (signature agreement as low as 9/64 where the estimator's
+    // mean is ≈51/64). Near-identical driver fixtures (jac→1) could not
+    // see it. This pins banding recall on the corpus that exposed it.
+    val canon = SweepPipeline.synthDocs(spark, 1000, boiler = 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.queries.Extra7.shinglesOf(canon)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(graft.queries.Extra7.jaccardPairs(sh, 0.6))
+    val hashed = sh.select(col("doc_id"), xxhash64(col("s")).as("s")).distinct()
+    val lsh = pairSet(graft.operators.MinHash
+      .nearDuplicatesFromText(canon, hashed, threshold = 0.6)
+      .select(col("d1"), col("d2")))
+    assert(exact.nonEmpty, "fixture produced no >=0.6 pairs — vacuous")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.99,
+      f"banding recall $recall%.4f on jac≈0.77–0.8 template pairs — " +
+        "(1-s^r)^b predicts ~0.999; the permutation family is not mixing")
+    // and per-pair signature agreement sits near the jac estimator mean
+    // (the broken family read 9–28 of 64 here)
+    val (d1, d2) = exact.head
+    def sig(d: Long) = graft.operators.MinHash
+      .signaturesLocal(canon.filter(col("doc_id") === d))
+      .collect()(0).getSeq[Long](1)
+    val agree = sig(d1).zip(sig(d2)).count(p => p._1 == p._2)
+    assert(agree >= 35 && agree <= 64,
+      s"signature agreement $agree/64 for a jac>=0.6 pair — estimator bias")
+    sh.unpersist(false)
+    canon.unpersist(false)
+  }
+
   test("lshTopKGrouped matches lshTopK row-for-row on a dup-heavy corpus") {
     // Round-15 verdict #1 (the phash rule as an operator): collapsing
     // the distance-0 mass into representatives must be a pure plan
