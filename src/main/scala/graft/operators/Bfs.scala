@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-source breadth-first hop distance over an undirected edge
+  * relation: the operator behind `graph_bfs` (graft.queries.Extra7;
+  * reference /root/reference/task.ts has no analogue — engine
+  * graph-analytics surface, the fourth graph discipline next to
+  * label-propagation CC/PageRank, enumeration Triangles, and the
+  * k-core peel: frontier EXPANSION, whose per-round state first grows
+  * hop by hop and then saturates at the reachable set).
+  *
+  * Algorithm: level-synchronous BFS with per-level node dedup. Level 0
+  * is the seed set; level h is every node reachable by a WALK of
+  * exactly h edges from some seed (walks may revisit — the per-level
+  * `distinct` caps each level at O(nodes), so the relation never holds
+  * path multiplicities, only level SETS). The hop distance is then
+  * `min(level)` per node over the union of levels — identical, level
+  * for level, to a bounded-depth recursive CTE with UNION-distinct
+  * semantics, which is exactly the oracle contract (the dedup_cluster
+  * / graph_kcore precedent: both engines run the same bounded
+  * iteration, so the hash can only match when every level matches).
+  *
+  * Why min-over-levels instead of discover-and-anti-join: the textbook
+  * frontier form subtracts the visited set each round, which makes
+  * round h's plan reference the accumulated state TWICE (anti-join +
+  * union) and doubles the lazy plan per round — the stats-squaring
+  * trap [[Checkpoints.snap]] exists for. The level-set form references
+  * each level exactly ONCE downstream, so `maxHops` rounds chain into
+  * one lazy linear-depth plan (a single scheduled job, no driver
+  * loop), at the price of re-expanding already-settled nodes — bounded
+  * by levels × edges, the right trade at a fixed small hop budget.
+  *
+  * Scale shape at 100 TB: each hop is one equi join frontier ⋈
+  * adjacency keyed on the node column — Spark broadcasts the
+  * node-sized frontier below the threshold so the (persisted) edge
+  * relation streams map-side (the KCore state-broadcast discipline);
+  * above it, a node-keyed shuffled hash join. The per-level `distinct`
+  * and the closing min-agg both combine map-side, so only (node) /
+  * (node, partial min) rows cross the wire, never the raw fan-out.
+  * No BNL, no cartesian, no sort before aggregation (gate-pinned in
+  * PlanSpec).
+  *
+  * Contract (shared with [[Triangles]]/[[KCore]]): `edges` is one row
+  * per undirected edge `(a, b)`, deduped; orientation is irrelevant
+  * (the adjacency is symmetrized). `seeds` is a one-column relation of
+  * node ids; seeds outside the edge relation still appear at distance
+  * 0 (they are valid sources with no neighbours). Nodes farther than
+  * `maxHops` from every seed emit no row.
+  */
+object Bfs {
+
+  /** Hop distance (0-based, ≤ maxHops) from the nearest seed, as
+    * `(node, dist)` with `dist` BIGINT for cross-engine hash safety.
+    */
+  def hopDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val spark = edges.sparkSession
+    // symmetrized adjacency: a projection-union over the (caller-
+    // persisted) edge relation — re-derived per hop rather than cached
+    // here, because each derivation is two map-only scans of cached
+    // blocks and an operator-owned persist would pin edge-sized memory
+    // the caller can't release.
+    val adj = edges.select(col("a").as("v"), col("b").as("n"))
+      .union(edges.select(col("b").as("v"), col("a").as("n")))
+    val seed = seeds.toDF("v").distinct()
+    val levels = Iterator.iterate(seed)(frontier =>
+      frontier.join(adj, "v").select(col("n").as("v")).distinct()
+    ).take(maxHops + 1).zipWithIndex.map { case (lvl, h) =>
+      lvl.select(col("v"), lit(h.toLong).as("d"))
+    }.reduce(_.union(_))
+    levels.groupBy(col("v").as("node"))
+      .agg(min(col("d")).as("dist"))
+      .select(col("node"), col("dist"))
+  }
+}

@@ -524,4 +524,103 @@ object Ivf {
       .filter(col("rn") <= k)
       .select(col("qid"), col("rn"), col("vec_id"), col("c"))
   }
+
+  /** [[nprobeDial]]'s calibration result: the chosen probe depth, the
+    * measured sample recall at it, the full recall@probe-rank curve
+    * (`curve(p-1)` = recall at probe depth p), and the pair count the
+    * curve was estimated from.
+    */
+  case class NprobeDial(nprobe: Int, recallAtNprobe: Double,
+                        curve: Seq[Double], samplePairs: Long)
+
+  /** Recall-targeted nprobe dial — the [[Ann.lshTopKDial]] of the IVF
+    * serving path, closing the last hand-dialed ANN constant. Unlike
+    * the hyperplane family there is NO useful closed-form recall model
+    * for IVF: hyperplane collision probability is pure geometry
+    * (1 − θ_angle/π, data-independent), but IVF recall at
+    * (nlist, nprobe) is set by where Lloyd's cell boundaries fell
+    * relative to the data's neighbourhood structure — a DATASET
+    * property (the same (nlist=8, nprobe=2) dial reads ~1.0 on
+    * well-separated clusters and far less when true neighbourhoods
+    * straddle boundaries). So this dial is EMPIRICAL, the standard IVF
+    * practice: calibrate the recall@probe-rank curve on a bounded
+    * deterministic query sample against the exact top-k, then choose
+    * min{p : recall(p) ≥ targetRecall} (p = nlist always qualifies —
+    * probing every cell IS the exact scan).
+    *
+    * One pass prices every candidate depth simultaneously:
+    *
+    *   recall(p) = fraction of (sample query, true top-k neighbour)
+    *               pairs whose neighbour's assigned cell sits within
+    *               the query's p nearest cells,
+    *
+    * computed as the cumulative histogram of each true pair's PROBE
+    * RANK (the position of the neighbour's cell in the query's full
+    * cell ordering) — one exact-scoring join + one rank join, never
+    * one topK run per candidate nprobe.
+    *
+    * Scale shape: the only full-corpus costs are the one-pass
+    * brute-force scoring of `sampleQueries` BROADCAST queries (the
+    * sim_topk shape — sample × n rows through the codegen'd cosine,
+    * bounded by the sample knob) and the index assign it shares with
+    * serving (pass `index` to reuse a trained one). The curve
+    * aggregate ships one (probe-rank, count) row per distinct rank;
+    * the driver holds one nlist-length histogram. Honesty: an
+    * empirical curve is UNBIASED, not conservative — a caller wanting
+    * a one-sided floor adds margin (the spec validates held-out
+    * queries at the chosen dial; the LSH dials get their one-sidedness
+    * from a model fit conservative against sweep anchors instead).
+    */
+  def nprobeDial(data: DataFrame, k: Int, targetRecall: Double,
+                 nlist: Int = 8, sampleQueries: Int = 64, iters: Int = 2,
+                 index: Option[(DataFrame, DataFrame)] = None): NprobeDial = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0,1]: $targetRecall")
+    require(k >= 1, s"k must be >= 1: $k")
+    require(sampleQueries >= 1, s"sampleQueries must be >= 1: $sampleQueries")
+    val (cents, indexed) = index.getOrElse {
+      val c = centroids(data, nlist, iters)
+      (c, assign(data, c))
+    }
+    val (ids, vecs) = collectCents(cents)
+    val cells = ids.length
+    // deterministic unbiased calibration sample: hash-ordered head (the
+    // centroid-init discipline; vec_id tiebreak for total order)
+    val sample = data
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    // exact top-k ground truth: same rounding + tie-break as [[topK]],
+    // so "true neighbour" means what serving means by it
+    val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("vec_id").asc)
+    val truth = broadcast(sample).crossJoin(data)
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("c", round(cosine(col("qe"), col("e")), 5))
+      .select(col("qid"), col("vec_id"), col("c"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"))
+    // each query's FULL cell ordering → (qid, probe rank, cell)
+    val nc = nearestCellsFn(sample, ids, vecs, nprobe = cells)
+    val ranked = sample
+      .select(col("qid"), posexplode(nc(col("qe"))))
+      .toDF("qid", "pr", "cell")
+    // probe rank of every true pair, via the neighbour's assigned cell
+    val hist = truth
+      .join(indexed.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .join(ranked, Seq("qid", "cell"))
+      .groupBy(col("pr")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = hist.values.sum
+    require(total > 0,
+      "calibration produced no (query, neighbour) pairs — empty data or k too small")
+    val curve = (1 to cells)
+      .scanLeft(0L)((acc, p) => acc + hist.getOrElse(p - 1, 0L))
+      .drop(1).map(_.toDouble / total)
+    val chosen = curve.indexWhere(_ >= targetRecall) match {
+      case -1 => cells // float-edge guard: p = cells is the exact scan
+      case i  => i + 1
+    }
+    NprobeDial(chosen, curve(chosen - 1), curve, total)
+  }
 }

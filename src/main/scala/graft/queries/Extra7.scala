@@ -57,6 +57,14 @@ object Extra7 {
     */
   val KCoreSteps = 5
 
+  /** graph_bfs's hop budget. Three levels saturate most of the
+    * co-purchase graph's reachable set (average degree ~120 — one hop
+    * covers half the nodes, the measured KCore finding), so the bounded
+    * contract exercises the full grow-then-saturate frontier shape
+    * while staying a fixed, cross-engine-checkable iteration.
+    */
+  val BfsHops = 3
+
   private def toks(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     filter(split(c, " "), (t: org.apache.spark.sql.Column) => t =!= "")
 
@@ -428,6 +436,41 @@ object Extra7 {
       finally { e.unpersist(false); () }
     },
 
+    // -- multi-source hop distance (frontier expansion) -----------------------
+    // The fourth graph discipline next to label-propagation
+    // (CC/PageRank), enumeration (Triangles) and the k-core peel:
+    // BFS, whose per-round state GROWS hop by hop then saturates (the
+    // inverse of the peel's shrink). Sources = the p_size = 50 parts
+    // (a deterministic data-derived seed set, ~2% of the catalogue);
+    // distance = shortest hop count to any seed through the part
+    // co-purchase graph, bounded at [[BfsHops]] levels — the
+    // graph_pagerank / graph_kcore contract shape: a FIXED iteration,
+    // one lazy chained plan, mirrored step-for-step by a bounded
+    // recursive CTE with UNION-distinct semantics (the level-set form;
+    // see [[graft.operators.Bfs]] for why min-over-levels beats the
+    // textbook visited-set anti-join in a lazily chained plan).
+    "graph_bfs" -> { (s, dir) =>
+      val so = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("sk"))
+        .distinct()
+      // the edge build feeds one symmetrize-union per hop → persist
+      // once (the graph_triangles discipline), release after the eager
+      // checkpoint
+      val e = so.alias("x")
+        .join(so.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("a"), col("y.sk").as("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val seeds = Tables(s, dir, "part")
+        .filter(col("p_size") === 50)
+        .select(col("p_partkey").as("v"))
+      try graft.operators.Bfs.hopDistances(e, seeds, maxHops = BfsHops)
+        .orderBy(col("node"))
+        .localCheckpoint()
+      finally { e.unpersist(false); () }
+    },
+
     // -- the production pipeline at 100 TB shape -----------------------------
     // pipeline_end2end_full with ONE change: stage 3's exact shingle
     // self-join (quadratic in the hottest shingle's doc list — the
@@ -559,6 +602,31 @@ object Extra7 {
       )
       SELECT v AS node, CAST(c AS BIGINT) AS core
       FROM iter WHERE round = $KCoreSteps ORDER BY node
+    """,
+
+    // The SAME bounded level expansion as the Spark side: the
+    // recursive UNION's distinct-per-(v, d) accumulation is exactly
+    // the operator's per-level node dedup (level h = nodes reachable
+    // by a walk of exactly h edges), and min(d) per node is the
+    // closing aggregate on both engines — the hash can only match
+    // when every level matches.
+    "graph_bfs" -> s"""
+      WITH RECURSIVE so AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk FROM lineitem
+      ), e AS (
+        SELECT DISTINCT x.sk AS a, y.sk AS b
+        FROM so x JOIN so y ON x.ok = y.ok AND x.sk < y.sk
+      ), adj AS (
+        SELECT a AS v, b AS n FROM e UNION ALL SELECT b, a FROM e
+      ), walk(v, d) AS (
+        SELECT p_partkey, 0 FROM part WHERE p_size = 50
+        UNION
+        SELECT adj.n, walk.d + 1
+        FROM walk JOIN adj ON adj.v = walk.v
+        WHERE walk.d < $BfsHops
+      )
+      SELECT v AS node, CAST(MIN(d) AS BIGINT) AS dist
+      FROM walk GROUP BY v ORDER BY node
     """,
 
     // ONE oracle text for BOTH registered pipeline forms: the scale

@@ -967,6 +967,65 @@ class PlanSpec extends AnyFunSuite {
       "the h-index max re-shuffles the window output — exchange not reused")
   }
 
+  test("graph_bfs: node-keyed exchanges only; the min-distance agg combines map-side") {
+    // The frontier-expansion discipline's plan shape: every hop is an
+    // equi join frontier ⋈ adjacency on the node column (a BNL or
+    // cartesian is the join key leaking into a filter), every hash
+    // exchange in the expansion is keyed on a graph node column, and
+    // the closing min(dist) must combine map-side — the union of level
+    // sets is the plan's widest relation, and only (node, partial min)
+    // rows may cross the final wire. A sort may only see aggregated
+    // rows (the orderBy on the bounded result).
+    val nodes = executedPlans("graph_bfs").flatMap(p => flattenPlan(p._2))
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "a nested-loop join appeared in the BFS expansion")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]), "cartesian appeared")
+    assert(!nodes.exists(_.isInstanceOf[SortAggregateExec]), "sort-agg fallback")
+    nodes.collect { case s: org.apache.spark.sql.execution.SortExec => s }
+      .foreach { s =>
+        assert(flattenPlan(s.child).exists(_.isInstanceOf[BaseAggregateExec]),
+          s"a sort sees un-aggregated level rows:\n$s")
+      }
+    val graphKeys = Seq("v#", "n#", "node#", "a#", "b#", "ok#", "sk#",
+      "l_orderkey#", "l_partkey#", "p_partkey#")
+    val hashed = nodes.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashed.nonEmpty, "no hash exchange captured — vacuous")
+    hashed.foreach { e =>
+      val exprs = e.outputPartitioning.asInstanceOf[HashPartitioning].expressions
+      assert(exprs.forall(x => graphKeys.exists(x.toString.contains)),
+        s"non-node-keyed exchange in the BFS expansion: $e")
+    }
+    // the min-distance agg must combine BEFORE any wire: a PARTIAL min
+    // exists (map-side), and — the stronger measured property — no
+    // shuffle sits between it and the final min at all, because every
+    // union branch is already node-partitioned by its level-distinct
+    // exchange and Spark 4 propagates the shared partitioning through
+    // the union (the plan's closing agg rides the level exchanges; the
+    // only exchange above the partial min is the orderBy's range
+    // partition).
+    val partialMins = nodes.collect {
+      case a: BaseAggregateExec
+        if a.aggregateExpressions.exists(ae =>
+          ae.mode.toString.contains("Partial") &&
+            ae.aggregateFunction.toString.toLowerCase.startsWith("min")) => a
+    }
+    assert(partialMins.nonEmpty,
+      "no partial min aggregate — the distance agg shuffles raw level rows")
+    val hashAboveMin = hashed.filter(e => flattenPlan(e.child).exists {
+      case a: BaseAggregateExec =>
+        a.aggregateExpressions.exists(ae =>
+          ae.mode.toString.contains("Partial") &&
+            ae.aggregateFunction.toString.toLowerCase.startsWith("min"))
+      case _ => false
+    })
+    assert(hashAboveMin.isEmpty,
+      "a hash exchange re-shuffles the combined (node, min) rows — the " +
+        "closing agg stopped reusing the level-distinct partitioning")
+  }
+
   test("quality_lr: each GD round is ONE aggregate over the cached features") {
     val plans = executedPlans("quality_lr")
     val rounds = plans.filter(_._1 == "head")
