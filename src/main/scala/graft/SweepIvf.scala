@@ -63,6 +63,71 @@ object SweepIvf {
       .select(col("vec_id"), e.as("e")).cache()
     val n = data.count()
 
+    // Dial mode (`runMain graft.SweepIvf <sfDir> dial [target] [nlist]`):
+    // validates Ivf.nprobeDial end-to-end at a real dial — calibrate on
+    // the hash-ordered sample, then measure recall@5 of the CHOSEN
+    // nprobe on an independent full query set against brute force, plus
+    // the cost flank (candidates/query and wall time at nprobe-1 /
+    // chosen / nlist) so the PERF row shows what the floor bought and
+    // what the next probe would cost.
+    if (args.drop(1).headOption.contains("dial")) {
+      import operators.Ivf
+      val target = args.drop(2).headOption.map(_.toDouble).getOrElse(0.95)
+      val nlist = args.drop(3).headOption.map(_.toInt).getOrElse(32)
+      val k = 5
+      def timed[T](body: => T): (T, Double) = {
+        val t0 = System.nanoTime()
+        val r = body
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val (index, tTrain) = timed {
+        val c = Ivf.centroids(data, nlist, iters = 4)
+        val a = Ivf.assign(data, c).cache()
+        a.count()
+        (c, a)
+      }
+      val (d, tDial) = timed {
+        Ivf.nprobeDial(data, k, target, nlist, sampleQueries = 128,
+          index = Some(index))
+      }
+      println(f"[dial] n=$n nlist=$nlist target=$target: chose nprobe=${d.nprobe} " +
+        f"(sample recall ${d.recallAtNprobe}%.4f over ${d.samplePairs} pairs); " +
+        f"train ${tTrain}%.1f s, calibration ${tDial}%.1f s")
+      println("[dial] curve head: " +
+        d.curve.take(math.min(8, d.curve.size)).map(r => f"$r%.4f").mkString(" "))
+      // independent validation queries: NOT the calibration sample (the
+      // dial takes the hash-order head; take plain low ids instead —
+      // overlap possible but not selected-for)
+      val queries = data.filter(col("vec_id") < 50)
+      val wb = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("vec_id").asc)
+      val brute = queries.select(col("vec_id").as("qid"), col("e").as("qe"))
+        .crossJoin(data)
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("c", round(graft.functions.CosineSimilarity(col("qe"), col("e")), 5))
+        .withColumn("rn", row_number().over(wb))
+        .filter(col("rn") <= k)
+        .select(col("qid"), col("vec_id"))
+      val bruteSet = brute.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println("| nprobe | recall@5 | mean candidates/query | topk sec |")
+      println("|---|---|---|---|")
+      val flank = Seq(math.max(1, d.nprobe - 1), d.nprobe,
+        math.min(nlist, d.nprobe + 1), nlist).distinct.sorted
+      for (np <- flank) {
+        val (got, tq) = timed {
+          Ivf.topK(queries, data, k, nlist, np, index = Some(index))
+            .select("qid", "vec_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        }
+        val recall = (bruteSet & got).size.toDouble / bruteSet.size
+        val cand = Ivf.probeStats(queries, data, nlist, np, index = Some(index))
+          .agg(avg(col("n_candidates"))).collect().head.getDouble(0)
+        val mark = if (np == d.nprobe) " <- dialed" else ""
+        println(f"| $np | $recall%.4f | ${cand}%.0f | ${tq}%.1f |$mark")
+      }
+      spark.stop()
+      return
+    }
+
     // Big-nlist mode (`runMain graft.SweepIvf <sfDir> <nlist>`): times a
     // corpus-scale centroid dial end-to-end — sampled coarse-descent
     // training + full-corpus overlapping assignment — through BOTH

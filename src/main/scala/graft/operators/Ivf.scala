@@ -584,10 +584,18 @@ object Ivf {
     }
     val (ids, vecs) = collectCents(cents)
     val cells = ids.length
-    // deterministic unbiased calibration sample: hash-ordered head (the
-    // centroid-init discipline; vec_id tiebreak for total order)
+    // Deterministic calibration sample: hash-ordered head, but under a
+    // SALTED hash — [[init]] seeds the centroids from the head of the
+    // UNSALTED xxhash64(vec_id) order, so an unsalted sample of size ≥
+    // nlist is exactly the initial-centroid set: vectors that SIT at
+    // cell centers, whose top-k trivially share their cell. Measured
+    // on the 200k scale fixture at nlist=128 before the salt: the
+    // unsalted sample read recall@1 = 0.99 while independent queries
+    // read 0.104 — the calibration sample must be independent of the
+    // index's own training sample, or the curve describes the seeds,
+    // not the corpus.
     val sample = data
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .orderBy(xxhash64(col("vec_id"), lit("nprobe-dial")), col("vec_id"))
       .limit(sampleQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
     // exact top-k ground truth: same rounding + tie-break as [[topK]],
