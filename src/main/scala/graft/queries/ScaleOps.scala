@@ -310,6 +310,37 @@ object ScaleOps {
         .orderBy(col("media_id"))
     },
 
+    // Per-frame analysis over the sampled-frame relation (round 15):
+    // the explode-shaped multimodal lane SURFACED per frame instead of
+    // count-folded (multimodal_meta keeps only n_frames): one media row
+    // in → duration-many frame rows out through sampleFrames, then a
+    // per-media window computes the consecutive-frame cosine — the
+    // scene-change signal, the shape a video pipeline runs at 100 TB.
+    // Scale shape: the explode is bounded by the maxFrames cap (never
+    // unbounded fan-out), the window partitions by media_id so ranking
+    // shuffles only (media, frame) rows, and the feature stays an
+    // 8-float array through the lag. Deterministic (the stub codec's
+    // frame features are seeded by (media_id, frame_idx)); rows-only —
+    // the codec seam isn't portable SQL.
+    "multimodal_frames" -> { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.CosineSimilarity.register(s)
+      val frames = Multimodal.sampleFrames(Multimodal.synthetic(s, 64)).toDF()
+      val fd = transform(col("feature"), (x: Column) => x.cast("double"))
+      val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+      frames
+        .withColumn("f", fd)
+        .withColumn("feat_norm", round(sqrt(aggregate(col("f"), lit(0.0),
+          (a: Column, x: Column) => a + x * x)), 5))
+        .withColumn("prev", lag(col("f"), 1).over(w))
+        .withColumn("delta_cos",
+          when(col("prev").isNotNull,
+            round(graft.functions.CosineSimilarity(col("f"), col("prev")), 5)))
+        .select(col("media_id"), col("frame_idx"), col("feat_norm"),
+          col("delta_cos"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+
     // The same metadata pipeline over REAL image bytes (r6): tiny
     // executor-generated PNG/BMP rasters decoded by the ImageIO codec —
     // the stub seam and the real-decoder seam run the identical
