@@ -74,4 +74,51 @@ object Bfs {
       .agg(min(col("d")).as("dist"))
       .select(col("node"), col("dist"))
   }
+
+  /** Bounded Bellman-Ford: cheapest WEIGHTED path cost (≤ `rounds`
+    * relaxation rounds) from the nearest seed, as `(node, dist)` —
+    * [[hopDistances]]' weighted sibling (hop metric → cost metric; a
+    * cheap 2-hop route must beat an expensive direct edge, which no
+    * per-level node dedup can express, so the state carries the
+    * running minimum instead of level membership).
+    *
+    * The relaxation d_h(v) = min(d_{h-1}(v), min over edges
+    * (d_{h-1}(u) + w)) references the previous state TWICE — the
+    * keep-term and the relax-term — which would double the lazy plan
+    * per round (the stats-squaring trap). Adding a WEIGHT-0 SELF-LOOP
+    * per node folds the keep-term into the relax-term: over the
+    * augmented adjacency, one join + one min-agg per round references
+    * the state exactly ONCE, so `rounds` rounds chain into a single
+    * depth-linear lazy plan (the graph_kcore h(x)-references-x-once
+    * discipline). Self-loops cover graph nodes AND seeds, so a seed
+    * outside the edge relation keeps its distance-0 row through every
+    * round.
+    *
+    * Scale shape: per round one equi join state ⋈ adjacency on the
+    * source node (state is node-sized — broadcast below the threshold,
+    * node-keyed shuffled hash above) + one node-keyed min that
+    * combines map-side; only (node, partial min) rows cross the wire.
+    * Weights must be non-negative integers (exact min arithmetic —
+    * float path sums drift cross-engine on ties).
+    *
+    * Contract: `edges` is one row per undirected edge `(a, b, w)`,
+    * deduped, `w` ≥ 0 integral; `seeds` one column of node ids at
+    * distance 0. Nodes the budget never reaches emit no row.
+    */
+  def weightedDistances(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val seed = seeds.toDF("v").distinct()
+    val sym = edges.select(col("a").as("v"), col("b").as("n"), col("w"))
+      .union(edges.select(col("b").as("v"), col("a").as("n"), col("w")))
+    val nodes = sym.select(col("v")).union(seed).distinct()
+    val adj = sym.union(
+      nodes.select(col("v"), col("v").as("n"), lit(0L).as("w")))
+    var state = seed.select(col("v"), lit(0L).as("d"))
+    for (_ <- 1 to rounds) {
+      state = state.join(adj, "v")
+        .select(col("n").as("v"), (col("d") + col("w")).as("d"))
+        .groupBy(col("v")).agg(min(col("d")).as("d"))
+    }
+    state.select(col("v").as("node"), col("d").as("dist"))
+  }
 }

@@ -65,6 +65,14 @@ object Extra7 {
     */
   val BfsHops = 3
 
+  /** graph_sssp's relaxation-round budget. One more than [[BfsHops]]:
+    * the weighted metric needs the extra round to let a cheap long
+    * route overtake an expensive short one (the distinction the query
+    * exists to exercise); still a fixed, cross-engine-checkable
+    * iteration.
+    */
+  val SsspRounds = 4
+
   private def toks(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     filter(split(c, " "), (t: org.apache.spark.sql.Column) => t =!= "")
 
@@ -471,6 +479,39 @@ object Extra7 {
       finally { e.unpersist(false); () }
     },
 
+    // -- weighted shortest path (bounded Bellman-Ford) ------------------------
+    // graph_bfs's weighted sibling: cheapest path COST, not hop count —
+    // edge weight = co-purchase affinity inverted (w = 8 − min(co, 7)
+    // where co = number of orders the two parts share: frequently
+    // co-bought parts are "close"), so a cheap two-hop route through a
+    // popular pairing must beat an expensive direct edge, the
+    // distinction no per-level node dedup can express. Bounded at
+    // [[SsspRounds]] relaxation rounds, each ONE join + ONE min-agg
+    // over a self-loop-augmented adjacency so the lazy chain stays
+    // depth-linear ([[graft.operators.Bfs.weightedDistances]]).
+    // Integer weights throughout: exact min arithmetic, no
+    // cross-engine float drift on path-cost ties.
+    "graph_sssp" -> { (s, dir) =>
+      val so = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("sk"))
+        .distinct()
+      val e = so.alias("x")
+        .join(so.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+        .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
+        .agg(count(lit(1)).as("co"))
+        .select(col("a"), col("b"),
+          (lit(8L) - least(col("co"), lit(7L))).as("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val seeds = Tables(s, dir, "part")
+        .filter(col("p_size") === 50)
+        .select(col("p_partkey").as("v"))
+      try graft.operators.Bfs.weightedDistances(e, seeds, rounds = SsspRounds)
+        .orderBy(col("node"))
+        .localCheckpoint()
+      finally { e.unpersist(false); () }
+    },
+
     // -- the production pipeline at 100 TB shape -----------------------------
     // pipeline_end2end_full with ONE change: stage 3's exact shingle
     // self-join (quadratic in the hottest shingle's doc list — the
@@ -627,6 +668,42 @@ object Extra7 {
       )
       SELECT v AS node, CAST(MIN(d) AS BIGINT) AS dist
       FROM walk GROUP BY v ORDER BY node
+    """,
+
+    // The SAME bounded Bellman-Ford as the Spark side (the graph_kcore
+    // oracle shape: an identical fixed relaxation count unrolled in a
+    // recursive CTE — the hash can only match round-for-round). The
+    // weight-0 self-loops fold the keep-term into the relax-term on
+    // both engines, so each recursive step is one join + one grouped
+    // MIN, exactly the operator's plan.
+    "graph_sssp" -> s"""
+      WITH RECURSIVE so AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk FROM lineitem
+      ), e AS (
+        SELECT x.sk AS a, y.sk AS b, 8 - LEAST(count(*), 7) AS w
+        FROM so x JOIN so y ON x.ok = y.ok AND x.sk < y.sk
+        GROUP BY x.sk, y.sk
+      ), sym AS (
+        SELECT a AS v, b AS n, w FROM e UNION ALL SELECT b, a, w FROM e
+      ), nodes AS (
+        SELECT DISTINCT v FROM sym
+        UNION SELECT p_partkey FROM part WHERE p_size = 50
+      ), adj AS (
+        SELECT v, n, w FROM sym
+        UNION ALL SELECT v, v, 0 FROM nodes
+      ), iter(round, v, d) AS (
+        SELECT 0, p_partkey, CAST(0 AS BIGINT) FROM part WHERE p_size = 50
+        UNION ALL
+        SELECT round + 1, v, d FROM (
+          SELECT t.round, t.v, MIN(t.d) AS d
+          FROM (
+            SELECT i.round, a.n AS v, i.d + a.w AS d
+            FROM iter i JOIN adj a ON a.v = i.v
+          ) t GROUP BY t.round, t.v
+        ) WHERE round < $SsspRounds
+      )
+      SELECT v AS node, CAST(d AS BIGINT) AS dist
+      FROM iter WHERE round = $SsspRounds ORDER BY node
     """,
 
     // ONE oracle text for BOTH registered pipeline forms: the scale

@@ -103,6 +103,109 @@ class BfsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- weightedDistances (bounded Bellman-Ford) ----------------------------
+
+  private def wdf(edges: Seq[(Long, Long, Long)]) = {
+    import spark.implicits._
+    edges.toDF("a", "b", "w")
+  }
+
+  private def runW(edges: Seq[(Long, Long, Long)], seeds: Seq[Long],
+                   rounds: Int): Map[Long, Long] =
+    Bfs.weightedDistances(wdf(edges), seedDf(seeds), rounds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Reference: textbook Bellman-Ford truncated at `rounds` relaxations. */
+  private def referenceW(edges: Seq[(Long, Long, Long)], seeds: Seq[Long],
+                         rounds: Int): Map[Long, Long] = {
+    val adj = mutable.Map.empty[Long, mutable.ArrayBuffer[(Long, Long)]]
+    edges.foreach { case (a, b, w) =>
+      adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += ((b, w))
+      adj.getOrElseUpdate(b, mutable.ArrayBuffer.empty) += ((a, w))
+    }
+    var dist: Map[Long, Long] = seeds.distinct.map(_ -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val next = mutable.Map.empty[Long, Long]
+      dist.foreach { case (v, d) =>
+        def relax(n: Long, nd: Long): Unit =
+          if (!next.contains(n) || next(n) > nd) next(n) = nd
+        relax(v, d) // the keep-term (the operator's weight-0 self-loop)
+        adj.getOrElse(v, mutable.ArrayBuffer.empty)
+          .foreach { case (n, w) => relax(n, d + w) }
+      }
+      dist = next.toMap
+    }
+    dist
+  }
+
+  test("a cheap long route overtakes an expensive direct edge — the weighted/hop distinction") {
+    // 1-3 direct costs 10; 1-2-3 costs 1+1=2. One round must report 10
+    // (the relax hasn't reached through 2); two rounds must report 2.
+    val g = Seq((1L, 3L, 10L), (1L, 2L, 1L), (2L, 3L, 1L))
+    assert(runW(g, Seq(1L), rounds = 1) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 10L))
+    assert(runW(g, Seq(1L), rounds = 2) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("weighted multi-source takes the cheapest seed; zero-weight edges are legal") {
+    val g = Seq((0L, 1L, 3L), (1L, 2L, 0L), (2L, 3L, 3L))
+    val got = runW(g, Seq(0L, 3L), rounds = 3)
+    assert(got === Map(0L -> 0L, 3L -> 0L, 1L -> 3L, 2L -> 3L))
+  }
+
+  test("weighted: a seed outside the edge relation keeps distance 0 through every round") {
+    val got = runW(Seq((1L, 2L, 5L)), Seq(1L, 99L), rounds = 3)
+    assert(got === Map(99L -> 0L, 1L -> 0L, 2L -> 5L))
+  }
+
+  test("weighted seeded random graph agrees with the sequential Bellman-Ford") {
+    val rnd = new scala.util.Random(15082026L)
+    val n = 200
+    val edges = Seq.fill(600)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+      .map { case (a, b) => (a, b, (rnd.nextInt(7) + 1).toLong) }
+    val seeds = Seq.fill(4)(rnd.nextInt(n).toLong).distinct
+    for (rounds <- Seq(1, 2, 4)) {
+      val got = runW(edges, seeds, rounds)
+      val want = referenceW(edges, seeds, rounds)
+      assert(got === want, s"mismatch at rounds=$rounds")
+    }
+  }
+
+  test("weighted real sf0.001 graph with the registered weight rule agrees with the reference") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, s"$dir missing")
+    val so = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("sk"))
+      .distinct()
+    val e = so.alias("x")
+      .join(so.alias("y"),
+        col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+      .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
+      .agg(count(lit(1)).as("co"))
+      .select(col("a"), col("b"), (lit(8L) - least(col("co"), lit(7L))).as("w"))
+    val seeds = spark.read.parquet(s"$dir/part.parquet")
+      .filter(col("p_size") === 50)
+      .select(col("p_partkey").as("v"))
+    val edgeTriples = e.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val seedIds = seeds.collect().map(_.getLong(0)).toSeq
+    val got = Bfs.weightedDistances(e, seeds, rounds = queries.Extra7.SsspRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = referenceW(edgeTriples, seedIds, queries.Extra7.SsspRounds)
+    assert(got === want)
+    // the weighted metric must genuinely differ from the hop metric on
+    // this fixture (else the query is BFS in disguise)
+    val hops = Bfs.hopDistances(
+        e.select(col("a"), col("b")), seeds, maxHops = queries.Extra7.SsspRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.exists { case (v, d) => hops.get(v).exists(h => d != h) },
+      "weighted distances identical to hop distances — weight rule degenerate")
+  }
+
   test("real sf0.001 co-purchase graph with the registered seed rule agrees with the reference") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(dir).isDirectory, s"$dir missing")

@@ -1026,6 +1026,48 @@ class PlanSpec extends AnyFunSuite {
         "closing agg stopped reusing the level-distinct partitioning")
   }
 
+  test("graph_sssp: node-keyed exchanges only; every relaxation min combines map-side") {
+    // The bounded Bellman-Ford plan shape: each round is ONE equi join
+    // state ⋈ self-loop-augmented adjacency (a BNL/cartesian is the
+    // relaxation leaking out of the join) + ONE node-keyed min whose
+    // partial runs below its exchange — the relax fan-out (state ×
+    // degree rows) is each round's widest relation and only (node,
+    // partial min) may cross the wire. Sorts only over aggregated rows.
+    val nodes = executedPlans("graph_sssp").flatMap(p => flattenPlan(p._2))
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "a nested-loop join appeared in the relaxation")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]), "cartesian appeared")
+    assert(!nodes.exists(_.isInstanceOf[SortAggregateExec]), "sort-agg fallback")
+    nodes.collect { case s: org.apache.spark.sql.execution.SortExec => s }
+      .foreach { s =>
+        assert(flattenPlan(s.child).exists(_.isInstanceOf[BaseAggregateExec]),
+          s"a sort sees un-aggregated relax rows:\n$s")
+      }
+    val graphKeys = Seq("v#", "n#", "node#", "a#", "b#", "ok#", "sk#",
+      "l_orderkey#", "l_partkey#", "p_partkey#")
+    val hashed = nodes.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashed.nonEmpty, "no hash exchange captured — vacuous")
+    hashed.foreach { e =>
+      val exprs = e.outputPartitioning.asInstanceOf[HashPartitioning].expressions
+      assert(exprs.forall(x => graphKeys.exists(x.toString.contains)),
+        s"non-node-keyed exchange in the relaxation: $e")
+    }
+    // every min that reaches a wire must have combined first: each
+    // node-keyed exchange above min rows sits on a PARTIAL min
+    val partialMins = nodes.collect {
+      case a: BaseAggregateExec
+        if a.aggregateExpressions.exists(ae =>
+          ae.mode.toString.contains("Partial") &&
+            ae.aggregateFunction.toString.toLowerCase.startsWith("min")) => a
+    }
+    assert(partialMins.size >= graft.queries.Extra7.SsspRounds,
+      s"expected a map-side partial min per relaxation round, " +
+        s"saw ${partialMins.size}")
+  }
+
   test("quality_lr: each GD round is ONE aggregate over the cached features") {
     val plans = executedPlans("quality_lr")
     val rounds = plans.filter(_._1 == "head")
