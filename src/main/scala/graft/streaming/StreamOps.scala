@@ -707,6 +707,130 @@ object StreamOps {
       .start()
   }
 
+  /** Exact incremental shortest-path maintenance over a weighted edge
+    * stream — the traversal family's streaming form (`graph_bfs` /
+    * `graph_sssp`), and the natural contrast to [[triangleCountSink]]:
+    * where triangle state has NO expiry structure to exploit (any old
+    * edge can close today's triangle), shortest-path state is MONOTONE
+    * under the append model — an arriving edge (or an improved weight
+    * for a seen pair) can only DECREASE distances — so each batch
+    * needs to re-relax only the region its delta actually improves,
+    * not the graph.
+    *
+    * Per batch: canonicalize (a<b, non-negative integral weights, min
+    * per pair), keep the DELTA (pairs that are new or strictly
+    * cheaper than the accumulated adjacency), min-merge the adjacency
+    * accumulator, then relax to quiescence from a frontier seeded at
+    * the delta's endpoints that already carry a distance — the first
+    * improvement provably happens across a delta edge from a
+    * finite-distance endpoint, and every later one at a node a prior
+    * step improved, so the loop touches only the affected region.
+    * Distances are integers and strictly decrease, so the loop
+    * terminates; each step is one frontier ⋈ adjacency equi join + one
+    * node-keyed min + one full-outer min-merge, with per-step state
+    * stats-reset-checkpointed and superseded blocks freed (the
+    * KCore/PageRank discipline — the merge reads the state twice, so
+    * lazy chaining across steps is unavailable).
+    *
+    * NOT watermarked, deliberately (the [[triangleCountSink]]
+    * argument): an edge never expires from shortest-path relevance,
+    * so the state is the accumulated adjacency + one distance row per
+    * reached node, priced honestly.
+    *
+    * `onBatch` receives the CUMULATIVE converged (node, dist) frame —
+    * by construction equal to running the batch relaxation to
+    * convergence over every edge seen so far (StreamingSpec pins the
+    * equality against [[graft.operators.Bfs.weightedDistances]] at a
+    * convergence-sized round budget, with reversed, overlapping, and
+    * weight-improving batches).
+    */
+  def shortestPathSink(edges: DataFrame, seeds: DataFrame, checkpoint: String,
+                       onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Checkpoints
+    var adj: (DataFrame, DataFrame) = null  // canonical (a, b, w), min weight
+    var dist: (DataFrame, DataFrame) = null // converged (v, d); seeds at 0
+    val seed = seeds.toDF("v").distinct()
+      .select(col("v"), lit(0L).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val canon = batch
+          .select(least(col("a"), col("b")).as("a"),
+            greatest(col("a"), col("b")).as("b"),
+            col("w").cast("long").as("w"))
+          .filter(col("a") < col("b") && col("w") >= 0)
+          .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+        // delta: new pairs, or strictly cheaper re-arrivals
+        val delta0 =
+          if (adj == null) canon
+          else canon
+            .join(adj._1.withColumnRenamed("w", "pw"), Seq("a", "b"), "left")
+            .filter(col("pw").isNull || col("w") < col("pw"))
+            .select(col("a"), col("b"), col("w"))
+        val (delta, deltaChk) = Checkpoints.snap(delta0)
+        val newAdj = Checkpoints.snap(
+          if (adj == null) delta
+          else adj._1.withColumnRenamed("w", "pw")
+            .join(delta.withColumnRenamed("w", "nw"), Seq("a", "b"), "full_outer")
+            .select(col("a"), col("b"),
+              least(coalesce(col("pw"), col("nw")),
+                coalesce(col("nw"), col("pw"))).as("w")))
+        val sym = newAdj._1.select(col("a").as("v"), col("b").as("n"), col("w"))
+          .union(newAdj._1.select(col("b").as("v"), col("a").as("n"), col("w")))
+        var cur: (DataFrame, DataFrame) =
+          if (dist == null) Checkpoints.snap(seed) else dist
+        // frontier: on the first batch every seed must propagate; after
+        // that, only finite-distance endpoints of the delta can start
+        // an improvement wave
+        val deltaEnds = delta.select(col("a").as("v"))
+          .union(delta.select(col("b").as("v"))).distinct()
+        var frontier: (DataFrame, DataFrame) = Checkpoints.snap(
+          if (dist == null) cur._1 else cur._1.join(deltaEnds, Seq("v")))
+        var steps = 0
+        var live = frontier._1.limit(1).count() > 0
+        while (live) {
+          steps += 1
+          // distances strictly decrease on non-negative integers, so
+          // quiescence is guaranteed; a runaway here is a bug, not a
+          // slow graph — fail loudly instead of spinning
+          require(steps <= 100000, s"relaxation did not quiesce in $steps steps")
+          val props = frontier._1.join(sym, Seq("v"))
+            .select(col("n").as("v"), (col("d") + col("w")).as("cand"))
+            .groupBy(col("v")).agg(min(col("cand")).as("cand"))
+          val improved0 = props
+            .join(cur._1, Seq("v"), "left")
+            .filter(col("d").isNull || col("cand") < col("d"))
+            .select(col("v"), col("cand").as("d"))
+          val newFrontier = Checkpoints.snap(improved0)
+          live = newFrontier._1.limit(1).count() > 0
+          if (live) {
+            val merged = Checkpoints.snap(
+              cur._1.withColumnRenamed("d", "pd")
+                .join(newFrontier._1.withColumnRenamed("d", "nd"),
+                  Seq("v"), "full_outer")
+                .select(col("v"),
+                  least(coalesce(col("pd"), col("nd")),
+                    coalesce(col("nd"), col("pd"))).as("d")))
+            if (cur ne dist) Checkpoints.free(cur._2)
+            cur = merged
+          }
+          Checkpoints.free(frontier._2)
+          frontier = newFrontier
+        }
+        Checkpoints.free(frontier._2)
+        Checkpoints.free(deltaChk)
+        if (adj != null) Checkpoints.free(adj._2)
+        adj = newAdj
+        if ((dist != null) && (cur ne dist)) Checkpoints.free(dist._2)
+        dist = cur
+        onBatch(dist._1, batchId)
+      }
+      .start()
+  }
+
   def runningUserTotals(events: org.apache.spark.sql.Dataset[Event])
       : org.apache.spark.sql.Dataset[UserTotal] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
