@@ -99,15 +99,13 @@ object SweepIvf {
       // dial takes the hash-order head; take plain low ids instead —
       // overlap possible but not selected-for)
       val queries = data.filter(col("vec_id") < 50)
-      val wb = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("vec_id").asc)
-      val brute = queries.select(col("vec_id").as("qid"), col("e").as("qe"))
-        .crossJoin(data)
-        .filter(col("vec_id") =!= col("qid"))
-        .withColumn("c", round(graft.functions.CosineSimilarity(col("qe"), col("e")), 5))
-        .withColumn("rn", row_number().over(wb))
-        .filter(col("rn") <= k)
+      val bruteSet = operators.Ann.bruteTopK(queries, data, k)
         .select(col("qid"), col("vec_id"))
-      val bruteSet = brute.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      require(bruteSet.nonEmpty,
+        "validation query set empty (no vec_id < 50 in this corpus) — " +
+          "the recall table would read NaN; point the dial at a corpus " +
+          "with low-id vectors or adjust the query filter")
       println("| nprobe | recall@5 | mean candidates/query | topk sec |")
       println("|---|---|---|---|")
       val flank = Seq(math.max(1, d.nprobe - 1), d.nprobe,

@@ -598,15 +598,13 @@ object Ivf {
       .orderBy(xxhash64(col("vec_id"), lit("nprobe-dial")), col("vec_id"))
       .limit(sampleQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
-    // exact top-k ground truth: same rounding + tie-break as [[topK]],
-    // so "true neighbour" means what serving means by it
-    val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("vec_id").asc)
-    val truth = broadcast(sample).crossJoin(data)
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("c", round(cosine(col("qe"), col("e")), 5))
-      .select(col("qid"), col("vec_id"), col("c"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    // exact top-k ground truth: [[Ann.bruteTopK]] — the ONE brute-force
+    // contract (same CosineSimilarity kernel, round-5, tie-break and
+    // self-exclusion as [[topK]]), so "true neighbour" means what
+    // serving means by it and a future tie-break change can't skew
+    // calibration against serving
+    val truth = Ann.bruteTopK(
+        sample.select(col("qid").as("vec_id"), col("qe").as("e")), data, k)
       .select(col("qid"), col("vec_id"))
     // each query's FULL cell ordering → (qid, probe rank, cell)
     val nc = nearestCellsFn(sample, ids, vecs, nprobe = cells)

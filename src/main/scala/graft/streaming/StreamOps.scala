@@ -753,15 +753,27 @@ object StreamOps {
     val seed = seeds.toDF("v").distinct()
       .select(col("v"), lit(0L).as("d"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edges.writeStream
+    val builder = edges.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // contract enforcement BEFORE the long cast: a fractional
+        // weight would silently truncate (0.9 → 0: the sink would
+        // converge distances the batch operator disagrees with) and a
+        // small negative (-0.5 → 0) would slip past a post-cast
+        // non-negativity guard — both are producer bugs and must fail
+        // loudly, not round
+        val bad = batch.filter(col("w") < 0 ||
+            col("w").cast("double") =!= col("w").cast("long").cast("double"))
+          .limit(1).count()
+        require(bad == 0L,
+          s"batch $batchId carries negative or non-integral weights — " +
+            "shortestPathSink requires non-negative integral w")
         val canon = batch
           .select(least(col("a"), col("b")).as("a"),
             greatest(col("a"), col("b")).as("b"),
             col("w").cast("long").as("w"))
-          .filter(col("a") < col("b") && col("w") >= 0)
+          .filter(col("a") < col("b"))
           .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
         // delta: new pairs, or strictly cheaper re-arrivals
         val delta0 =
@@ -771,13 +783,20 @@ object StreamOps {
             .filter(col("pw").isNull || col("w") < col("pw"))
             .select(col("a"), col("b"), col("w"))
         val (delta, deltaChk) = Checkpoints.snap(delta0)
-        val newAdj = Checkpoints.snap(
-          if (adj == null) delta
-          else adj._1.withColumnRenamed("w", "pw")
-            .join(delta.withColumnRenamed("w", "nw"), Seq("a", "b"), "full_outer")
-            .select(col("a"), col("b"),
-              least(coalesce(col("pw"), col("nw")),
-                coalesce(col("nw"), col("pw"))).as("w")))
+        // empty-delta early-out: a quiet trigger must not rewrite the
+        // O(|E|) accumulated adjacency for zero information — keep the
+        // existing generation (the frontier below is empty for the same
+        // reason, so the whole batch is O(batch) work)
+        val deltaEmpty = delta.limit(1).count() == 0
+        val newAdj =
+          if (deltaEmpty && adj != null) adj
+          else Checkpoints.snap(
+            if (adj == null) delta
+            else adj._1.withColumnRenamed("w", "pw")
+              .join(delta.withColumnRenamed("w", "nw"), Seq("a", "b"), "full_outer")
+              .select(col("a"), col("b"),
+                least(coalesce(col("pw"), col("nw")),
+                  coalesce(col("nw"), col("pw"))).as("w")))
         val sym = newAdj._1.select(col("a").as("v"), col("b").as("n"), col("w"))
           .union(newAdj._1.select(col("b").as("v"), col("a").as("n"), col("w")))
         var cur: (DataFrame, DataFrame) =
@@ -822,13 +841,40 @@ object StreamOps {
         }
         Checkpoints.free(frontier._2)
         Checkpoints.free(deltaChk)
-        if (adj != null) Checkpoints.free(adj._2)
+        if (adj != null && (newAdj ne adj)) Checkpoints.free(adj._2)
         adj = newAdj
         if ((dist != null) && (cur ne dist)) Checkpoints.free(dist._2)
         dist = cur
         onBatch(dist._1, batchId)
       }
-      .start()
+    // the accumulated adjacency/distance blocks and the cached seed
+    // frame must die with the query, not the session (the annTopKSink
+    // lifecycle discipline): unpersist eagerly if start() itself throws
+    // (bad checkpoint path, duplicate name — the listener below never
+    // registers on that path), and free the final generations when the
+    // query terminates (listener removes itself — one registration per
+    // sink, no accumulation)
+    val q =
+      try builder.start()
+      catch { case e: Throwable =>
+        seed.unpersist(false)
+        throw e
+      }
+    val spark = edges.sparkSession
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          if (e.id == q.id) {
+            seed.unpersist(false)
+            if (adj != null) Checkpoints.free(adj._2)
+            if (dist != null) Checkpoints.free(dist._2)
+            spark.streams.removeListener(this)
+          }
+      })
+    q
   }
 
   def runningUserTotals(events: org.apache.spark.sql.Dataset[Event])
