@@ -73,6 +73,13 @@ object Extra7 {
     */
   val SsspRounds = 4
 
+  /** graph_labelprop's vote-round budget — [[BfsHops]]' value for the
+    * same reason (three rounds label essentially the whole reachable
+    * set on this degree-~120 graph while leaving a visible multi-round
+    * diffusion gradient for the oracle to check).
+    */
+  val LpRounds = 3
+
   private def toks(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     filter(split(c, " "), (t: org.apache.spark.sql.Column) => t =!= "")
 
@@ -479,6 +486,34 @@ object Extra7 {
       finally { e.unpersist(false); () }
     },
 
+    // -- semi-supervised label propagation (categorical diffusion) -----------
+    // The sixth graph discipline: per-round state is a LABEL column
+    // and the update is a deterministic mode vote (weight DESC, label
+    // ASC), not an arithmetic fold. Seeds = the p_size=50 parts (the
+    // graph_bfs/graph_sssp source set) labeled by brand; the clamp is
+    // folded into the vote via a ClampWeight self-loop so each round
+    // is one join + one map-side-combined weight sum + one window rank
+    // and the oracle's recursive CTE references the iteration exactly
+    // once ([[graft.operators.LabelProp]]).
+    "graph_labelprop" -> { (s, dir) =>
+      val so = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("sk"))
+        .distinct()
+      val e = so.alias("x")
+        .join(so.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("a"), col("y.sk").as("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val seeds = Tables(s, dir, "part")
+        .filter(col("p_size") === 50)
+        .select(col("p_partkey").as("v"), col("p_brand").as("label"))
+      try graft.operators.LabelProp.propagate(e, seeds, rounds = LpRounds)
+        .orderBy(col("node"))
+        .localCheckpoint()
+      finally { e.unpersist(false); () }
+    },
+
     // -- weighted shortest path (bounded Bellman-Ford) ------------------------
     // graph_bfs's weighted sibling: cheapest path COST, not hop count —
     // edge weight = co-purchase affinity inverted (w = 8 − min(co, 7)
@@ -704,6 +739,43 @@ object Extra7 {
       )
       SELECT v AS node, CAST(d AS BIGINT) AS dist
       FROM iter WHERE round = $SsspRounds ORDER BY node
+    """,
+
+    // The SAME clamped mode-vote rounds as the Spark side: the
+    // ClampWeight self-loop folds the seed clamp into the vote, so the
+    // recursive term references the iteration exactly ONCE (recursive
+    // CTEs forbid a second reference — the clamp-as-join form is
+    // inexpressible here, which is WHY the operator uses this form);
+    // ties break (weight DESC, label ASC) on both engines.
+    "graph_labelprop" -> s"""
+      WITH RECURSIVE so AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk FROM lineitem
+      ), e AS (
+        SELECT DISTINCT x.sk AS a, y.sk AS b
+        FROM so x JOIN so y ON x.ok = y.ok AND x.sk < y.sk
+      ), seed AS (
+        SELECT p_partkey AS v, MIN(p_brand) AS label
+        FROM part WHERE p_size = 50 GROUP BY p_partkey
+      ), adj AS (
+        SELECT a AS v, b AS n, CAST(1 AS BIGINT) AS wt FROM e
+        UNION ALL SELECT b, a, 1 FROM e
+        UNION ALL SELECT v, v, ${graft.operators.LabelProp.ClampWeight} FROM seed
+      ), iter(round, v, label) AS (
+        SELECT 0, v, label FROM seed
+        UNION ALL
+        SELECT round + 1, v, label FROM (
+          SELECT t.round, t.v, t.label,
+                 ROW_NUMBER() OVER (PARTITION BY t.round, t.v
+                                    ORDER BY t.wt DESC, t.label ASC) AS rn
+          FROM (
+            SELECT i.round, a.n AS v, i.label, SUM(a.wt) AS wt
+            FROM iter i JOIN adj a ON a.v = i.v
+            GROUP BY i.round, a.n, i.label
+          ) t
+        ) WHERE rn = 1 AND round < $LpRounds
+      )
+      SELECT v AS node, label
+      FROM iter WHERE round = $LpRounds ORDER BY node
     """,
 
     // ONE oracle text for BOTH registered pipeline forms: the scale

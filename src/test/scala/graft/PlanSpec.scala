@@ -1068,6 +1068,40 @@ class PlanSpec extends AnyFunSuite {
         s"saw ${partialMins.size}")
   }
 
+  test("graph_labelprop: vote-keyed exchanges only; every round's weight sum combines map-side") {
+    // The categorical-diffusion plan shape: each round is one equi
+    // join (state ⋈ self-loop-augmented adjacency), one (node, label)
+    // weight sum that must combine BELOW its exchange (the vote
+    // fan-out — state × degree rows — is the round's widest relation;
+    // only (node, label, partial weight) may cross the wire), and one
+    // window rank sharing the node key. No BNL/cartesian; exchanges
+    // keyed on graph-node/vote columns only.
+    val nodes = executedPlans("graph_labelprop").flatMap(p => flattenPlan(p._2))
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "a nested-loop join appeared in the vote")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]), "cartesian appeared")
+    val voteKeys = Seq("v#", "n#", "node#", "a#", "b#", "ok#", "sk#",
+      "l_orderkey#", "l_partkey#", "p_partkey#", "label#", "p_brand#")
+    val hashed = nodes.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashed.nonEmpty, "no hash exchange captured — vacuous")
+    hashed.foreach { e =>
+      val exprs = e.outputPartitioning.asInstanceOf[HashPartitioning].expressions
+      assert(exprs.forall(x => voteKeys.exists(x.toString.contains)),
+        s"non-vote-keyed exchange in the diffusion: $e")
+    }
+    val partialSums = nodes.collect {
+      case a: BaseAggregateExec
+        if a.aggregateExpressions.exists(ae =>
+          ae.mode.toString.contains("Partial") &&
+            ae.aggregateFunction.toString.toLowerCase.startsWith("sum")) => a
+    }
+    assert(partialSums.size >= graft.queries.Extra7.LpRounds,
+      s"expected a map-side partial weight sum per vote round, saw ${partialSums.size}")
+  }
+
   test("quality_lr: each GD round is ONE aggregate over the cached features") {
     val plans = executedPlans("quality_lr")
     val rounds = plans.filter(_._1 == "head")
