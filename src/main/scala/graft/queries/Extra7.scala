@@ -83,6 +83,54 @@ object Extra7 {
   private def toks(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     filter(split(c, " "), (t: org.apache.spark.sql.Column) => t =!= "")
 
+  /** The part co-purchase edge relation (a < b, deduped), PERSISTED —
+    * the shared input of the whole graph family (triangles / kcore /
+    * bfs / labelprop; graph_sssp takes [[coPurchaseWeighted]]). The
+    * caller owns the unpersist: each registered query is standalone by
+    * contract so the build runs per query, while a user composing
+    * several analyses builds one of these and hands it to each
+    * operator. Extracted after the fifth inline copy — five
+    * hand-copied builds is five places for the graph definition to
+    * drift apart silently.
+    */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val so = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("sk"))
+      .distinct()
+    so.alias("x")
+      .join(so.alias("y"),
+        col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+      .select(col("x.sk").as("a"), col("y.sk").as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** [[coPurchaseEdges]] carrying the graph_sssp affinity weight
+    * w = 8 − min(shared orders, 7) — integer, so path sums stay exact
+    * cross-engine. PERSISTED; caller unpersists.
+    */
+  private def coPurchaseWeighted(s: SparkSession, dir: String): DataFrame = {
+    val so = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("sk"))
+      .distinct()
+    so.alias("x")
+      .join(so.alias("y"),
+        col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+      .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
+      .agg(count(lit(1)).as("co"))
+      .select(col("a"), col("b"),
+        (lit(8L) - least(col("co"), lit(7L))).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** The graph family's shared seed rule: the p_size = 50 parts (a
+    * deterministic data-derived source set, ~2% of the catalogue).
+    */
+  private def seedParts(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "part")
+      .filter(col("p_size") === 50)
+      .select(col("p_partkey").as("v"))
+
   /** Dynamic-shard dial: target token mass per fill shard. A source's
     * md5-prefix length grows with its token mass — plen 1 (16 shards)
     * below 16·this, plen 2 (256) below 256·this, plen 3 (4096) above —
@@ -380,17 +428,9 @@ object Extra7 {
     // schema; the same per-container bound the shingle bucket cap
     // prices elsewhere).
     "graph_triangles" -> { (s, dir) =>
-      val so = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("sk"))
-        .distinct()
-      // edges feed three join sides → persist once, release after the
-      // eager checkpoint
-      val e = so.alias("x")
-        .join(so.alias("y"),
-          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
-        .select(col("x.sk").as("a"), col("y.sk").as("b"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // edges feed three join sides → persist once ([[coPurchaseEdges]]),
+      // release after the eager checkpoint
+      val e = coPurchaseEdges(s, dir)
       // the operator does the enumeration (SHUFFLE_HASH wedge
       // streaming — the round-14 capstone lesson — and the map-side-
       // combined count live there; [[graft.operators.Triangles]]).
@@ -433,18 +473,10 @@ object Extra7 {
     // precedent) — both sides run the identical refinement count, so
     // the hash can only match when every step matches.
     "graph_kcore" -> { (s, dir) =>
-      val so = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("sk"))
-        .distinct()
       // the adjacency feeds the degree seed + every refinement step →
-      // persist the edge build once (the graph_triangles discipline),
-      // release after the eager checkpoint
-      val e = so.alias("x")
-        .join(so.alias("y"),
-          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
-        .select(col("x.sk").as("a"), col("y.sk").as("b"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // persist once ([[coPurchaseEdges]]), release after the eager
+      // checkpoint
+      val e = coPurchaseEdges(s, dir)
       try graft.operators.KCore.coreEstimate(e, steps = KCoreSteps)
         .orderBy(col("node"))
         .localCheckpoint()
@@ -465,22 +497,10 @@ object Extra7 {
     // see [[graft.operators.Bfs]] for why min-over-levels beats the
     // textbook visited-set anti-join in a lazily chained plan).
     "graph_bfs" -> { (s, dir) =>
-      val so = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("sk"))
-        .distinct()
       // the edge build feeds one symmetrize-union per hop → persist
-      // once (the graph_triangles discipline), release after the eager
-      // checkpoint
-      val e = so.alias("x")
-        .join(so.alias("y"),
-          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
-        .select(col("x.sk").as("a"), col("y.sk").as("b"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val seeds = Tables(s, dir, "part")
-        .filter(col("p_size") === 50)
-        .select(col("p_partkey").as("v"))
-      try graft.operators.Bfs.hopDistances(e, seeds, maxHops = BfsHops)
+      // once ([[coPurchaseEdges]]), release after the eager checkpoint
+      val e = coPurchaseEdges(s, dir)
+      try graft.operators.Bfs.hopDistances(e, seedParts(s, dir), maxHops = BfsHops)
         .orderBy(col("node"))
         .localCheckpoint()
       finally { e.unpersist(false); () }
@@ -496,15 +516,7 @@ object Extra7 {
     // and the oracle's recursive CTE references the iteration exactly
     // once ([[graft.operators.LabelProp]]).
     "graph_labelprop" -> { (s, dir) =>
-      val so = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("sk"))
-        .distinct()
-      val e = so.alias("x")
-        .join(so.alias("y"),
-          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
-        .select(col("x.sk").as("a"), col("y.sk").as("b"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val e = coPurchaseEdges(s, dir)
       val seeds = Tables(s, dir, "part")
         .filter(col("p_size") === 50)
         .select(col("p_partkey").as("v"), col("p_brand").as("label"))
@@ -527,21 +539,8 @@ object Extra7 {
     // Integer weights throughout: exact min arithmetic, no
     // cross-engine float drift on path-cost ties.
     "graph_sssp" -> { (s, dir) =>
-      val so = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("sk"))
-        .distinct()
-      val e = so.alias("x")
-        .join(so.alias("y"),
-          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
-        .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
-        .agg(count(lit(1)).as("co"))
-        .select(col("a"), col("b"),
-          (lit(8L) - least(col("co"), lit(7L))).as("w"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val seeds = Tables(s, dir, "part")
-        .filter(col("p_size") === 50)
-        .select(col("p_partkey").as("v"))
-      try graft.operators.Bfs.weightedDistances(e, seeds, rounds = SsspRounds)
+      val e = coPurchaseWeighted(s, dir)
+      try graft.operators.Bfs.weightedDistances(e, seedParts(s, dir), rounds = SsspRounds)
         .orderBy(col("node"))
         .localCheckpoint()
       finally { e.unpersist(false); () }
