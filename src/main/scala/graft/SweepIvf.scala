@@ -58,6 +58,44 @@ object SweepIvf {
       return
     }
 
+    // Clustered-synthetic dial mode (`runMain graft.SweepIvf dialsynth
+    // [target] [nlist] [n]`): the flip side of the scale-fixture dial
+    // rows — the permuted-replica embeddings are near-uniform (the
+    // ANN-adversarial case, where the dial honestly reports IVF cannot
+    // prune); this lane builds a corpus that CAN be pruned (64 fixed
+    // cluster directions + seeded per-id noise, fully deterministic)
+    // and shows the same dial picking a small nprobe with a large
+    // candidate/cost win while holding the floor.
+    if (args.headOption.contains("dialsynth")) {
+      val target = args.drop(1).headOption.map(_.toDouble).getOrElse(0.95)
+      val nlist = args.drop(2).headOption.map(_.toInt).getOrElse(64)
+      val nSynth = args.drop(3).headOption.map(_.toInt).getOrElse(200000)
+      val dim = 32
+      val nClusters = 64
+      val centers = (0 until nClusters).map { c =>
+        val r = new scala.util.Random(9000L + c)
+        val a = Array.fill(dim)(r.nextGaussian())
+        val norm = math.sqrt(a.map(x => x * x).sum)
+        a.map(_ / norm)
+      }
+      import spark.implicits._
+      val bcCenters = spark.sparkContext.broadcast(centers)
+      val synth = spark.range(0, nSynth.toLong)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .map { id =>
+          val r = new scala.util.Random(id)
+          val base = bcCenters.value((id % nClusters).toInt)
+          val noisy = base.map(_ + r.nextGaussian() * 0.25)
+          val norm = math.sqrt(noisy.map(x => x * x).sum)
+          (id, noisy.map(_ / norm).toSeq)
+        }.toDF("vec_id", "e")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      synth.count()
+      dialLane(spark, synth, target, nlist)
+      spark.stop()
+      return
+    }
+
     val e = transform(col("embedding"), (x: Column) => x.cast("double"))
     val data = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), e.as("e")).cache()
@@ -71,57 +109,9 @@ object SweepIvf {
     // chosen / nlist) so the PERF row shows what the floor bought and
     // what the next probe would cost.
     if (args.drop(1).headOption.contains("dial")) {
-      import operators.Ivf
       val target = args.drop(2).headOption.map(_.toDouble).getOrElse(0.95)
       val nlist = args.drop(3).headOption.map(_.toInt).getOrElse(32)
-      val k = 5
-      def timed[T](body: => T): (T, Double) = {
-        val t0 = System.nanoTime()
-        val r = body
-        (r, (System.nanoTime() - t0) / 1e9)
-      }
-      val (index, tTrain) = timed {
-        val c = Ivf.centroids(data, nlist, iters = 4)
-        val a = Ivf.assign(data, c).cache()
-        a.count()
-        (c, a)
-      }
-      val (d, tDial) = timed {
-        Ivf.nprobeDial(data, k, target, nlist, sampleQueries = 128,
-          index = Some(index))
-      }
-      println(f"[dial] n=$n nlist=$nlist target=$target: chose nprobe=${d.nprobe} " +
-        f"(sample recall ${d.recallAtNprobe}%.4f over ${d.samplePairs} pairs); " +
-        f"train ${tTrain}%.1f s, calibration ${tDial}%.1f s")
-      println("[dial] curve head: " +
-        d.curve.take(math.min(8, d.curve.size)).map(r => f"$r%.4f").mkString(" "))
-      // independent validation queries: NOT the calibration sample (the
-      // dial takes the hash-order head; take plain low ids instead —
-      // overlap possible but not selected-for)
-      val queries = data.filter(col("vec_id") < 50)
-      val bruteSet = operators.Ann.bruteTopK(queries, data, k)
-        .select(col("qid"), col("vec_id"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      require(bruteSet.nonEmpty,
-        "validation query set empty (no vec_id < 50 in this corpus) — " +
-          "the recall table would read NaN; point the dial at a corpus " +
-          "with low-id vectors or adjust the query filter")
-      println("| nprobe | recall@5 | mean candidates/query | topk sec |")
-      println("|---|---|---|---|")
-      val flank = Seq(math.max(1, d.nprobe - 1), d.nprobe,
-        math.min(nlist, d.nprobe + 1), nlist).distinct.sorted
-      for (np <- flank) {
-        val (got, tq) = timed {
-          Ivf.topK(queries, data, k, nlist, np, index = Some(index))
-            .select("qid", "vec_id").collect()
-            .map(r => (r.getLong(0), r.getLong(1))).toSet
-        }
-        val recall = (bruteSet & got).size.toDouble / bruteSet.size
-        val cand = Ivf.probeStats(queries, data, nlist, np, index = Some(index))
-          .agg(avg(col("n_candidates"))).collect().head.getDouble(0)
-        val mark = if (np == d.nprobe) " <- dialed" else ""
-        println(f"| $np | $recall%.4f | ${cand}%.0f | ${tq}%.1f |$mark")
-      }
+      dialLane(spark, data, target, nlist)
       spark.stop()
       return
     }
@@ -249,5 +239,65 @@ object SweepIvf {
       println(f"| $m | $ksub | $bytes | $recall%.3f |")
     }
     spark.stop()
+  }
+
+  /** The dial validation lane shared by the fixture-corpus `dial` mode
+    * and the clustered `dialsynth` mode: train one index, run
+    * Ivf.nprobeDial, then measure recall@5 of the chosen nprobe on an
+    * independent query set against Ann.bruteTopK, with the cost flank
+    * (candidates/query, wall time) at nprobe-1 / chosen / +1 / nlist.
+    */
+  private def dialLane(spark: org.apache.spark.sql.SparkSession,
+                       data: DataFrame, target: Double, nlist: Int): Unit = {
+    import operators.Ivf
+    val n = data.count()
+    val k = 5
+    def timed[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (index, tTrain) = timed {
+      val c = Ivf.centroids(data, nlist, iters = 4)
+      val a = Ivf.assign(data, c).cache()
+      a.count()
+      (c, a)
+    }
+    val (d, tDial) = timed {
+      Ivf.nprobeDial(data, k, target, nlist, sampleQueries = 128,
+        index = Some(index))
+    }
+    println(f"[dial] n=$n nlist=$nlist target=$target: chose nprobe=${d.nprobe} " +
+      f"(sample recall ${d.recallAtNprobe}%.4f over ${d.samplePairs} pairs); " +
+      f"train ${tTrain}%.1f s, calibration ${tDial}%.1f s")
+    println("[dial] curve head: " +
+      d.curve.take(math.min(8, d.curve.size)).map(r => f"$r%.4f").mkString(" "))
+    // independent validation queries: NOT the calibration sample (the
+    // dial samples the salted hash-order head; take plain low ids
+    // instead — overlap possible but not selected-for)
+    val queries = data.filter(col("vec_id") < 50)
+    val bruteSet = operators.Ann.bruteTopK(queries, data, k)
+      .select(col("qid"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    require(bruteSet.nonEmpty,
+      "validation query set empty (no vec_id < 50 in this corpus) — " +
+        "the recall table would read NaN; point the dial at a corpus " +
+        "with low-id vectors or adjust the query filter")
+    println("| nprobe | recall@5 | mean candidates/query | topk sec |")
+    println("|---|---|---|---|")
+    val flank = Seq(math.max(1, d.nprobe - 1), d.nprobe,
+      math.min(nlist, d.nprobe + 1), nlist).distinct.sorted
+    for (np <- flank) {
+      val (got, tq) = timed {
+        Ivf.topK(queries, data, k, nlist, np, index = Some(index))
+          .select("qid", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      val recall = (bruteSet & got).size.toDouble / bruteSet.size
+      val cand = Ivf.probeStats(queries, data, nlist, np, index = Some(index))
+        .agg(avg(col("n_candidates"))).collect().head.getDouble(0)
+      val mark = if (np == d.nprobe) " <- dialed" else ""
+      println(f"| $np | $recall%.4f | ${cand}%.0f | ${tq}%.1f |$mark")
+    }
   }
 }
