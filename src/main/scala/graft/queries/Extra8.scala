@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.Tables
+
+/** Round-15 continuation operators. The reference
+  * (/root/reference/task.ts) has no analogue; this is engine surface
+  * for the brief's "operations a large-scale training-data pipeline
+  * would need" — the exact edit-distance join the near-dup family was
+  * missing a non-probabilistic scale path for, and the
+  * importance-resampling document scorer every targeted-data-selection
+  * pipeline runs.
+  */
+object Extra8 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** text_editdist_blocked's threshold: pairs at levenshtein ≤ 8 over
+    * the 120-char prefixes — the same prefix contract as the
+    * declared-baseline `text_editdist`, wide enough to catch the
+    * fixture's one variable-length near pair (dist 4, lens 63/59) next
+    * to the identical-prefix template mass (dist 0).
+    */
+  val EditDistK = 8
+
+  /** text_dsir's hashed feature space: 16³ buckets from the first 3 hex
+    * chars of each bigram's md5 (md5 strings are the repo's one
+    * cross-engine hash — the text_fingerprint rule). The published
+    * method uses 10⁴; a power-of-16 prefix keeps the bucketing a pure
+    * string operation on both engines.
+    */
+  val DsirBuckets = 4096
+
+  val queries: Map[String, Q] = Map(
+    // -- exact edit-distance similarity join (segment blocking) ----------
+    // The near-dup family's missing EXACT scale path: `text_editdist`
+    // (the declared baseline) confines levenshtein to MinHash candidate
+    // pairs and inherits LSH's probabilistic recall; this form finds
+    // every pair at levenshtein ≤ k via PassJoin segment blocking
+    // (pigeonhole over k+1 segments — recall exactly 1, verification
+    // only on blocked candidates; [[graft.operators.EditDistJoin]]).
+    // Oracle = the quadratic all-pairs levenshtein, so the hash can
+    // only match when the blocking lost NOTHING. Scale shape: two
+    // map-side expansions meeting in one equi hash join — linear where
+    // the oracle form is quadratic.
+    "text_editdist_blocked" -> { (s, dir) =>
+      val p = Tables(s, dir, "documents")
+        .select(col("doc_id").as("id"), substring(col("text"), 1, 120).as("t"))
+      graft.operators.EditDistJoin.pairs(p, k = EditDistK)
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    // -- hashed n-gram importance weights (DSIR) -------------------------
+    // Data Selection via Importance Resampling (Xie et al. 2023) in
+    // relational form: featurize every doc into hashed-bigram bucket
+    // counts, estimate the target (here: the `lang = 'en'` sub-corpus —
+    // "select data resembling the target domain") and raw bucket
+    // distributions with Laplace smoothing, and score each doc with the
+    // log importance weight Σ_b cnt_doc(b)·(ln p_tgt(b) − ln p_raw(b)).
+    // Scale shape (the 100 TB lens): the gram relation aggregates to a
+    // ≤ 4096-row bucket table (broadcast — never a collect), the
+    // per-doc score is one partial-combined (doc, bucket) aggregate +
+    // one broadcast join + one doc-keyed aggregate; nothing is
+    // quadratic and nothing sorts. Tokenization is the filtered-split
+    // convention (text_repetition); docs with < 2 tokens score 0 via
+    // the left-join null extension.
+    "text_dsir" -> { (s, dir) =>
+      val toksCol = filter(split(lower(col("text")), " "),
+        (x: Column) => x =!= "")
+      val grams = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), toksCol.as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+            concat_ws(" ", element_at(col("t"), i),
+              element_at(col("t"), i + 1)))).as("g"))
+        .select(col("doc_id"), col("lang"),
+          substring(md5(col("g")), 1, 3).as("b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // one pass computes BOTH distributions (the raw count and the
+      // target-conditional count share the bucket exchange)
+      val buckets = grams.groupBy(col("b")).agg(
+        count(lit(1)).as("raw_cnt"),
+        count(when(col("lang") === "en", 1)).as("tgt_cnt"))
+      val totals = buckets.agg(sum(col("raw_cnt")).as("raw_total"),
+        sum(col("tgt_cnt")).as("tgt_total"))
+      val b = DsirBuckets.toDouble
+      val lr = buckets.crossJoin(broadcast(totals))
+        .select(col("b"),
+          (log((col("tgt_cnt") + 1) / (col("tgt_total") + b)) -
+            log((col("raw_cnt") + 1) / (col("raw_total") + b))).as("lr"))
+      val perDoc = grams.groupBy(col("doc_id"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .join(broadcast(lr), "b")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_bigrams"),
+          round(sum(col("cnt") * col("lr")), 6).as("dsir_logw"))
+      try Tables(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("dsir_logw"), lit(0.0)).as("dsir_logw"),
+          (coalesce(col("dsir_logw"), lit(0.0)) > 0).as("selected"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      finally { grams.unpersist(false); () }
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_editdist_blocked" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, substr(text, 1, 120) AS t,
+         |         length(substr(text, 1, 120)) AS len
+         |  FROM documents)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |CAST(a.len AS INT) AS len1, CAST(b.len AS INT) AS len2,
+         |levenshtein(a.t, b.t) AS dist
+         |FROM p a JOIN p b ON a.doc_id < b.doc_id
+         |WHERE abs(a.len - b.len) <= $EditDistK
+         |  AND levenshtein(a.t, b.t) <= $EditDistK
+         |ORDER BY d1, d2""".stripMargin,
+
+    "text_dsir" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang,
+         |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+         |  FROM documents),
+         |idx AS (
+         |  SELECT doc_id, lang, t, unnest(generate_series(1, len(t) - 1)) AS i
+         |  FROM toks WHERE len(t) >= 2),
+         |grams AS (
+         |  SELECT doc_id, lang,
+         |         substring(md5(t[i] || ' ' || t[i+1]), 1, 3) AS b
+         |  FROM idx),
+         |buckets AS (
+         |  SELECT b, COUNT(*) AS raw_cnt,
+         |         COUNT(CASE WHEN lang = 'en' THEN 1 END) AS tgt_cnt
+         |  FROM grams GROUP BY b),
+         |totals AS (
+         |  SELECT CAST(SUM(raw_cnt) AS BIGINT) AS raw_total,
+         |         CAST(SUM(tgt_cnt) AS BIGINT) AS tgt_total
+         |  FROM buckets),
+         |lr AS (
+         |  SELECT b,
+         |         ln((tgt_cnt + 1) / (tgt_total + $DsirBuckets.0)) -
+         |         ln((raw_cnt + 1) / (raw_total + $DsirBuckets.0)) AS lr
+         |  FROM buckets, totals),
+         |per_doc AS (
+         |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+         |         ROUND(SUM(cnt * lr), 6) AS dsir_logw
+         |  FROM (SELECT doc_id, b, COUNT(*) AS cnt FROM grams GROUP BY 1, 2) db
+         |  JOIN lr USING (b)
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, d.lang,
+         |CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |COALESCE(dsir_logw, 0.0) AS dsir_logw,
+         |COALESCE(dsir_logw, 0.0) > 0 AS selected
+         |FROM documents d LEFT JOIN per_doc USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+  )
+}
