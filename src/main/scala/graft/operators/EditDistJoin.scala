@@ -17,28 +17,37 @@ import org.apache.spark.sql.functions._
   * contiguous segments. Any t with ed(s,t) ≤ k aligns to s by ≤ k
   * edit operations, each of which touches at most one segment, so at
   * least one segment of s survives UNEDITED as a contiguous substring
-  * of t; and because the net insert/delete balance before that segment
-  * is bounded by the total edits, its start position in t differs from
-  * its start in s by at most k. Candidates are therefore: (segment of
-  * an indexed string) equi-matched against (substrings of a probed
-  * string at the ±k position window), then VERIFIED with the true
-  * levenshtein — verification only ever sees blocked candidates.
+  * of t; and the surviving segment's position shift δ plus the
+  * remaining length change |Δ − δ| are produced by DISJOINT edit sets,
+  * so |δ| + |Δ − δ| ≤ k — the TIGHT ~k+1-wide probe window (the naive
+  * ±k window is 2k+1). Candidates are then verified with the
+  * THRESHOLD levenshtein (banded O(k·n) DP, -1 past k) — verification
+  * only ever sees blocked candidates.
   *
   * Scale shape (the 100 TB lens): both sides are map-side expansions —
-  * k+1 segment rows per indexed string, O(k²·(2k+1)) windowed probe
-  * substrings per probed string (a per-row CONSTANT; ~2.6 k rows at
-  * k = 8) — meeting in ONE equi hash join on (source length, slot,
-  * segment bytes), then a distinct on the candidate pair ids and a
-  * row-local verify. No sort, no cartesian, no driver collect; the
-  * plan is gated (PlanSpec). Skew: a boilerplate segment shared by a
-  * hot template family concentrates its (len, slot, seg) key exactly
-  * like the substring-dedup gram buckets — those keys are real
-  * candidate mass (every doc in the family IS a near-match of the
-  * others), so unlike the screening operators there is no correct
-  * whole-bucket drop; a 100 TB run faced with a pathological family
-  * should exact-dedup identical prefixes first (the phash rule:
-  * duplicate mass belongs in a hash-groupBy, not a candidate join),
-  * which [[graft.queries.LlmOps]]'s dedup_exact stage provides.
+  * k+1 segment rows per indexed string, O(k²) windowed probe
+  * substrings per probed string per plausible source length — meeting
+  * in ONE equi hash join on (source length, slot, segment bytes)
+  * pinned SHUFFLE_HASH (the exploded probe relation's size is
+  * invisible to the planner — Generate breaks stats — and a mis-chosen
+  * broadcast of the large side builds the whole expansion as one
+  * driver-resident hashed relation; measured 54.9 → 18.0 s at sf0.1),
+  * then a distinct on the candidate pair ids and a row-local verify.
+  * Probe generation is three chained CODEGEN stages (length fan-out
+  * join → slot explode → position explode), not one nested
+  * higher-order lambda — the interpreted triple-transform first cut
+  * re-evaluated the segment geometry per position element and
+  * dominated the runtime (18.0 → 5.2 s at sf0.1). No sort, no
+  * cartesian in the hot path, no driver collect; the plan is gated
+  * (PlanSpec). Skew: a boilerplate segment shared by a hot template
+  * family concentrates its (len, slot, seg) key exactly like the
+  * substring-dedup gram buckets — those keys are real candidate mass
+  * (every doc in the family IS a near-match of the others), so unlike
+  * the screening operators there is no correct whole-bucket drop; a
+  * 100 TB run faced with a pathological family should exact-dedup
+  * identical prefixes first (the phash rule: duplicate mass belongs in
+  * a hash-groupBy, not a candidate join), which
+  * [[graft.queries.LlmOps]]'s dedup_exact stage provides.
   *
   * Short strings (len ≤ k) get the pigeonhole from the OTHER side or
   * no pigeonhole at all, and are handled exactly rather than excluded:
@@ -51,24 +60,14 @@ import org.apache.spark.sql.functions._
   * covers the longer source).
   */
 object EditDistJoin {
-  /** All unordered pairs of `docs` rows with levenshtein(t) ≤ k.
-    *
-    * @param docs (id: integral, t: string) — one row per string; ids
-    *             unique (pairs are reported as d1 < d2 by id).
-    * @return (d1, d2, len1, len2, dist) ordered nowhere — callers sort.
+  /** Index side: the k+1 even segments per string. Segment i of an
+    * L-char string spans 1-based positions
+    * [floor(iL/(k+1))+1, floor((i+1)L/(k+1))] — the deterministic even
+    * partition the probe generator mirrors. Requires len > k (every
+    * segment non-empty).
     */
-  def pairs(docs: DataFrame, k: Int): DataFrame = {
-    require(k >= 1, s"edit-distance threshold must be >= 1, got $k")
-    val base = docs.select(col("id"), col("t"), length(col("t")).as("len"))
-    val longs = base.filter(col("len") > k)
-    val shorts = base.filter(col("len") <= k)
-
-    // -- index side: k+1 even segments per long string -------------------
-    // segment i of an L-char string spans 1-based positions
-    // [floor(iL/(k+1))+1, floor((i+1)L/(k+1))] — the deterministic even
-    // partition both the probe generator and the oracle-side reasoning
-    // share. L > k guarantees every segment is non-empty.
-    val segs = longs.select(
+  private def segRelation(longs: DataFrame, k: Int): DataFrame =
+    longs.select(
       col("id").as("sid"), col("len").as("srclen"),
       explode(transform(sequence(lit(0), lit(k)), i => {
         val st = (floor(i * col("len") / (k + 1)) + 1).cast("int")
@@ -79,30 +78,16 @@ object EditDistJoin {
       .select(col("sid"), col("srclen"), col("sg.slot").as("slot"),
         col("sg.seg").as("seg"))
 
-    // -- probe side: windowed substrings per string ----------------------
-    // For every plausible source length ℓ ∈ [len−k, len+k] (ed ≥ length
-    // difference) and every slot i, the substrings of THIS string with
-    // segment i's length at start positions within ±k of segment i's
-    // home position. Triple array comprehension, flattened then
-    // exploded — entirely map-side.
-    // Probe generation is three chained CODEGEN stages, not one nested
-    // higher-order lambda (the first cut's interpreted triple-transform
-    // dominated the sf0.1 bench): (1) fan out each string to the source
-    // lengths that actually EXIST in the corpus (broadcast of the
-    // distinct-length relation — bounded by the length domain, which an
-    // edit-distance contract caps by construction; only real lengths
-    // generate probes, where a blind [len−k, len+k] loop pays for
-    // lengths nobody has), (2) explode the k+1 slots and compute each
-    // slot's segment geometry ONCE as plain projections, (3) explode
-    // the position window and cut the substring. The position window is
-    // the TIGHT one: a preserved segment's shift δ and the total length
-    // difference Δ = |t| − ℓ satisfy |δ| + |Δ − δ| ≤ k (edits before
-    // the segment account for the net shift, edits after it for the
-    // remaining length change, and the two edit sets are disjoint), so
-    // δ ∈ [−⌈(k−Δ)/2⌉, ⌊(k+Δ)/2⌋] — ~k+1 positions per slot instead of
-    // the naive ±k's 2k+1.
+  /** Probe side: for every source length that EXISTS in the indexed
+    * relation (broadcast of the distinct-length relation — bounded by
+    * the length domain, which an edit-distance contract caps by
+    * construction) within ±k of this string's length, every slot's
+    * windowed substrings. Three chained codegen stages; see the object
+    * scaladoc for why this beats a nested higher-order lambda.
+    */
+  private def probeRelation(base: DataFrame, lens: DataFrame,
+                            k: Int): DataFrame = {
     val kp1 = k + 1
-    val lens = longs.select(col("len").as("srclen")).distinct()
     val slotted = base.join(broadcast(lens),
         abs(col("len") - col("srclen")) <= k)
       .select(col("id").as("tid"), col("len").as("plen"), col("t"),
@@ -119,23 +104,37 @@ object EditDistJoin {
         col("st") + floor((lit(k) + col("delta")) / 2.0).cast("int"),
         col("plen") - col("slen") + 1))
       .filter(col("slen") >= 1 && col("hi") >= col("lo"))
-    val probes = slotted
+    slotted
       .select(col("tid"), col("plen"), col("srclen"), col("slot"),
         col("t"), col("slen"),
         explode(sequence(col("lo"), col("hi"))).as("p"))
       .select(col("tid"), col("plen"), col("srclen"), col("slot"),
         col("t").substr(col("p"), col("slen")).as("sub"))
+  }
 
-    // -- block: one equi hash join on (source length, slot, bytes) -------
+  private def prepared(docs: DataFrame): DataFrame =
+    docs.select(col("id"), col("t"), length(col("t")).as("len"))
+
+  /** All unordered pairs of `docs` rows with levenshtein(t) ≤ k.
+    *
+    * @param docs (id: integral, t: string) — one row per string; ids
+    *             unique (pairs are reported as d1 < d2 by id).
+    * @return (d1, d2, len1, len2, dist) ordered nowhere — callers sort.
+    */
+  def pairs(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"edit-distance threshold must be >= 1, got $k")
+    val base = prepared(docs)
+    val longs = base.filter(col("len") > k)
+    val shorts = base.filter(col("len") <= k)
+
+    val segs = segRelation(longs, k)
+    val probes = probeRelation(base,
+      longs.select(col("len").as("srclen")).distinct(), k)
+
     // Long probes only need the sid < tid direction (for a long-long
     // pair the pigeonhole holds from BOTH sides, so the lower-id-indexes
     // orientation finds it exactly once per matching key); short probes
     // keep both (only the long side can index).
-    // SHUFFLE_HASH: the exploded probe relation's size is invisible to
-    // the planner (Generate breaks stats), and a mis-chosen broadcast of
-    // the LARGE side builds a driver-resident hashed relation of the
-    // whole probe expansion (measured: the sf0.1 bench spent its time
-    // exactly there). The segment side is the provably smaller build.
     val cand = segs.hint("shuffle_hash").join(probes,
         segs("srclen") === probes("srclen") && segs("slot") === probes("slot") &&
           segs("seg") === probes("sub") &&
@@ -146,11 +145,6 @@ object EditDistJoin {
       .distinct()
 
     // -- verify: row-local banded levenshtein on candidates --------------
-    // The 3-arg threshold form runs the O(k·n) banded DP and returns -1
-    // past the threshold — at k = 8 over 120-char prefixes that is ~7×
-    // cheaper than the full O(n·m) matrix, and the verify stage is where
-    // a low-entropy corpus (colliding segments → candidate mass) spends
-    // its time (measured: 54.9 → 9.6 s at sf0.1).
     val t1 = base.select(col("id").as("d1"), col("t").as("t1"),
       col("len").as("len1"))
     val t2 = base.select(col("id").as("d2"), col("t").as("t2"),
@@ -174,14 +168,74 @@ object EditDistJoin {
       .select(col("d1"), col("d2"), col("len1"), col("len2"), col("dist"))
   }
 
+  /** The R-S (cross-relation) form: all (left row, right row) pairs at
+    * levenshtein ≤ k — the fuzzy-join a pipeline runs to match scraped
+    * titles/URLs against a canonical list. Only the LEFT side indexes
+    * (its long strings' segments probe into right strings), which the
+    * pigeonhole covers for every pair whose left string is longer than
+    * k; left-short pairs are length-windowed against the right side
+    * directly (|right| ≤ 2k there — the bounded short stratum).
+    *
+    * @return (d1 = left id, d2 = right id, len1, len2, dist).
+    */
+  def pairsAcross(left: DataFrame, right: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"edit-distance threshold must be >= 1, got $k")
+    val lbase = prepared(left)
+    val rbase = prepared(right)
+    val llongs = lbase.filter(col("len") > k)
+    val lshorts = lbase.filter(col("len") <= k)
+
+    val segs = segRelation(llongs, k)
+    val probes = probeRelation(rbase,
+      llongs.select(col("len").as("srclen")).distinct(), k)
+    val cand = segs.hint("shuffle_hash").join(probes,
+        segs("srclen") === probes("srclen") && segs("slot") === probes("slot") &&
+          segs("seg") === probes("sub"))
+      .select(col("sid").as("d1"), col("tid").as("d2"))
+      .distinct()
+
+    val t1 = lbase.select(col("id").as("d1"), col("t").as("t1"),
+      col("len").as("len1"))
+    val t2 = rbase.select(col("id").as("d2"), col("t").as("t2"),
+      col("len").as("len2"))
+    val verified = cand.join(t1, "d1").join(t2, "d2")
+      .withColumn("dist", levenshtein(col("t1"), col("t2"), k))
+      .filter(col("dist") >= 0)
+
+    // left-short × right (|Δlen| ≤ k ⇒ right ≤ 2k): direct verify
+    val shortPairs = lshorts.alias("sa")
+      .join(rbase.alias("sb"), abs(col("sa.len") - col("sb.len")) <= k)
+      .select(col("sa.id").as("d1"), col("sb.id").as("d2"),
+        col("sa.t").as("t1"), col("sb.t").as("t2"),
+        col("sa.len").as("len1"), col("sb.len").as("len2"))
+      .withColumn("dist", levenshtein(col("t1"), col("t2"), k))
+      .filter(col("dist") >= 0)
+
+    verified.unionByName(shortPairs)
+      .select(col("d1"), col("d2"), col("len1"), col("len2"), col("dist"))
+  }
+
   /** The quadratic reference form (all pairs, length-windowed, then
     * levenshtein) — the oracle shape, kept for specs to diff against.
     */
   def bruteForcePairs(docs: DataFrame, k: Int): DataFrame = {
-    val base = docs.select(col("id"), col("t"), length(col("t")).as("len"))
+    val base = prepared(docs)
     base.alias("a")
       .join(base.alias("b"), col("a.id") < col("b.id") &&
         abs(col("a.len") - col("b.len")) <= k)
+      .select(col("a.id").as("d1"), col("b.id").as("d2"),
+        col("a.len").as("len1"), col("b.len").as("len2"),
+        levenshtein(col("a.t"), col("b.t")).as("dist"))
+      .filter(col("dist") <= k)
+  }
+
+  /** Cross-relation brute force (spec reference for [[pairsAcross]]). */
+  def bruteForceAcross(left: DataFrame, right: DataFrame,
+                       k: Int): DataFrame = {
+    val lbase = prepared(left)
+    val rbase = prepared(right)
+    lbase.alias("a")
+      .join(rbase.alias("b"), abs(col("a.len") - col("b.len")) <= k)
       .select(col("a.id").as("d1"), col("b.id").as("d2"),
         col("a.len").as("len1"), col("b.len").as("len2"),
         levenshtein(col("a.t"), col("b.t")).as("dist"))

@@ -52,6 +52,52 @@ object Extra8 {
         .orderBy(col("d1"), col("d2"))
     },
 
+    // -- repetition-aware token budget allocation ------------------------
+    // The planning step a data-constrained run does BEFORE sampling
+    // (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    // Models": repeated data holds value for ~4 epochs): given a token
+    // budget B = 3× the corpus (so repetition is forced), per-source
+    // mixture weights (the sample_mixture rule, 1 + src# mod 4) and a
+    // 5-epoch repetition cap, allocate B across sources by weight,
+    // clip at each source's cap, then redistribute the leftover over
+    // the uncapped sources in one fixed second round. EVERY
+    // intermediate is exact integer arithmetic (integer division for
+    // shares — floors agree cross-engine), so the only float in the
+    // output is the display-ratio epochs column. Scale shape: one
+    // token-count pass over the corpus, then ~|sources|-row planning —
+    // the compute is the scan, the value is the contract.
+    "sample_epoch_plan" -> { (s, dir) =>
+      val perSrc = Tables(s, dir, "documents")
+        .select(col("source"),
+          size(filter(split(lower(col("text")), " "),
+            (t: Column) => t =!= "")).cast("long").as("ntok"))
+        .groupBy(col("source"))
+        .agg(sum(col("ntok")).as("tokens"), count(lit(1)).as("n_docs"))
+        .withColumn("w", (lit(1) + coalesce(
+          expr("try_cast(regexp_extract(source, '[0-9]+', 0) as int)"),
+          lit(0)) % 4).cast("long"))
+      val tot = perSrc.agg(sum(col("tokens")).as("tt"), sum(col("w")).as("ws"))
+      val r1 = perSrc.crossJoin(broadcast(tot))
+        .withColumn("budget", lit(3L) * col("tt"))
+        .withColumn("cap_tokens", lit(5L) * col("tokens"))
+        .withColumn("a1", expr("(budget * w) div ws"))
+        .withColumn("c1", least(col("a1"), col("cap_tokens")))
+      val lstats = r1.agg(
+        (max(col("budget")) - sum(col("c1"))).as("leftover"),
+        sum(when(col("c1") < col("cap_tokens"), col("w"))).as("uw"))
+      r1.crossJoin(broadcast(lstats))
+        .withColumn("a2",
+          when(col("c1") < col("cap_tokens") && col("uw") > 0,
+            col("c1") + expr("(leftover * w) div uw"))
+            .otherwise(col("c1")))
+        .withColumn("alloc", least(col("a2"), col("cap_tokens")))
+        .select(col("source"), col("w"), col("n_docs"), col("tokens"),
+          col("alloc"),
+          round(col("alloc").cast("double") / col("tokens"), 6).as("epochs"),
+          (col("alloc") === col("cap_tokens")).as("capped"))
+        .orderBy(col("source"))
+    },
+
     // -- hashed n-gram importance weights (DSIR) -------------------------
     // Data Selection via Importance Resampling (Xie et al. 2023) in
     // relational form: featurize every doc into hashed-bigram bucket
@@ -122,6 +168,40 @@ object Extra8 {
          |WHERE abs(a.len - b.len) <= $EditDistK
          |  AND levenshtein(a.t, b.t) <= $EditDistK
          |ORDER BY d1, d2""".stripMargin,
+
+    "sample_epoch_plan" ->
+      """WITH per_src AS (
+        |  SELECT source,
+        |         CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+        |                                  x -> x <> ''))) AS BIGINT) AS tokens,
+        |         COUNT(*) AS n_docs
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, tokens, n_docs,
+        |         CAST(1 + COALESCE(TRY_CAST(regexp_extract(source, '[0-9]+', 0) AS INT), 0) % 4
+        |              AS BIGINT) AS w
+        |  FROM per_src),
+        |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tt,
+        |               CAST(SUM(w) AS BIGINT) AS ws FROM w),
+        |r1 AS (
+        |  SELECT source, tokens, n_docs, w,
+        |         3 * tt AS budget, 5 * tokens AS cap_tokens,
+        |         LEAST((3 * tt * w) // ws, 5 * tokens) AS c1
+        |  FROM w, tot),
+        |l AS (
+        |  SELECT CAST(MAX(budget) - SUM(c1) AS BIGINT) AS leftover,
+        |         CAST(SUM(CASE WHEN c1 < cap_tokens THEN w END) AS BIGINT) AS uw
+        |  FROM r1),
+        |fin AS (
+        |  SELECT source, w, n_docs, tokens, cap_tokens,
+        |         LEAST(CASE WHEN c1 < cap_tokens AND uw > 0
+        |                    THEN c1 + (leftover * w) // uw ELSE c1 END,
+        |               cap_tokens) AS alloc
+        |  FROM r1, l)
+        |SELECT source, w, n_docs, tokens, alloc,
+        |ROUND(CAST(alloc AS DOUBLE) / tokens, 6) AS epochs,
+        |alloc = cap_tokens AS capped
+        |FROM fin ORDER BY source""".stripMargin,
 
     "text_dsir" ->
       s"""WITH toks AS (

@@ -89,6 +89,30 @@ class EditDistJoinSpec extends AnyFunSuite {
       s"missing=${brute -- blocked} extra=${blocked -- brute}")
   }
 
+  test("cross-relation pairsAcross equals brute force on disjoint splits (k=6)") {
+    import spark.implicits._
+    // the fixture's docs split odd/even: every near pair straddling the
+    // split must be found by the one-sided (left-indexes-only) scheme,
+    // including left-short rows that bypass the segment index entirely
+    val d = docsPrefix(80)
+    val short = Seq((90001L, "abc"), (90002L, "abcde")).toDF("id", "t")
+    val left = d.filter(col("id") % 2 === 0).unionByName(short)
+    val right = d.filter(col("id") % 2 === 1)
+      .unionByName(Seq((90003L, "abcd")).toDF("id", "t"))
+    def asSetAcross(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.select(col("d1").cast("long"), col("d2").cast("long"),
+          col("dist").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val blocked = asSetAcross(graft.operators.EditDistJoin.pairsAcross(left, right, 6))
+    val brute = asSetAcross(graft.operators.EditDistJoin.bruteForceAcross(left, right, 6))
+    assert(brute.nonEmpty, "split produced no cross pairs — vacuous")
+    assert(blocked === brute,
+      s"missing=${brute -- blocked} extra=${blocked -- brute}")
+    // the planted left-short (90001 "abc") × right-short (90003 "abcd")
+    // pair rides the direct stratum
+    assert(blocked.exists(p => p._1 == 90001L && p._2 == 90003L))
+  }
+
   test("short×short and short×long strata are exact (strings at and below k)") {
     import spark.implicits._
     // lengths 2..14 around k=6: shorts pair wholesale, long×short rides
