@@ -168,43 +168,54 @@ object EditDistJoin {
       .select(col("d1"), col("d2"), col("len1"), col("len2"), col("dist"))
   }
 
-  /** The R-S (cross-relation) form: all (left row, right row) pairs at
-    * levenshtein ≤ k — the fuzzy-join a pipeline runs to match scraped
-    * titles/URLs against a canonical list. Only the LEFT side indexes
-    * (its long strings' segments probe into right strings), which the
-    * pigeonhole covers for every pair whose left string is longer than
-    * k; left-short pairs are length-windowed against the right side
-    * directly (|right| ≤ 2k there — the bounded short stratum).
-    *
-    * @return (d1 = left id, d2 = right id, len1, len2, dist).
+  /** The reusable index half: (sid, srclen, slot, seg) segment rows for
+    * every `docs` string longer than k — what [[pairsAgainstIndex]]
+    * joins probes against, and what an INCREMENTAL consumer (the
+    * streaming dedup sink) accumulates batch over batch instead of
+    * rebuilding: the index is append-only under document arrivals.
     */
-  def pairsAcross(left: DataFrame, right: DataFrame, k: Int): DataFrame = {
+  def segmentIndex(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"edit-distance threshold must be >= 1, got $k")
-    val lbase = prepared(left)
-    val rbase = prepared(right)
-    val llongs = lbase.filter(col("len") > k)
-    val lshorts = lbase.filter(col("len") <= k)
+    segRelation(prepared(docs).filter(col("len") > k), k)
+  }
 
-    val segs = segRelation(llongs, k)
-    val probes = probeRelation(rbase,
-      llongs.select(col("len").as("srclen")).distinct(), k)
-    val cand = segs.hint("shuffle_hash").join(probes,
-        segs("srclen") === probes("srclen") && segs("slot") === probes("slot") &&
-          segs("seg") === probes("sub"))
+  /** All (index doc, probe doc) pairs at levenshtein ≤ k, given the
+    * index side PRE-SEGMENTED by [[segmentIndex]] (possibly accumulated
+    * incrementally). `indexDocs` must be exactly the documents the
+    * index was built from — it serves the verify join, the probe
+    * length fan-out, and the ≤ k-char short stratum (short index
+    * strings have no segments and are length-windowed against the
+    * probe side directly).
+    *
+    * @return (d1 = index id, d2 = probe id, len1, len2, dist).
+    */
+  def pairsAgainstIndex(index: DataFrame, indexDocs: DataFrame,
+                        probeDocs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"edit-distance threshold must be >= 1, got $k")
+    val ibase = prepared(indexDocs)
+    val pbase = prepared(probeDocs)
+
+    val probes = probeRelation(pbase,
+      ibase.filter(col("len") > k)
+        .select(col("len").as("srclen")).distinct(), k)
+    val cand = index.hint("shuffle_hash").join(probes,
+        index("srclen") === probes("srclen") &&
+          index("slot") === probes("slot") &&
+          index("seg") === probes("sub"))
       .select(col("sid").as("d1"), col("tid").as("d2"))
       .distinct()
 
-    val t1 = lbase.select(col("id").as("d1"), col("t").as("t1"),
+    val t1 = ibase.select(col("id").as("d1"), col("t").as("t1"),
       col("len").as("len1"))
-    val t2 = rbase.select(col("id").as("d2"), col("t").as("t2"),
+    val t2 = pbase.select(col("id").as("d2"), col("t").as("t2"),
       col("len").as("len2"))
     val verified = cand.join(t1, "d1").join(t2, "d2")
       .withColumn("dist", levenshtein(col("t1"), col("t2"), k))
       .filter(col("dist") >= 0)
 
-    // left-short × right (|Δlen| ≤ k ⇒ right ≤ 2k): direct verify
-    val shortPairs = lshorts.alias("sa")
-      .join(rbase.alias("sb"), abs(col("sa.len") - col("sb.len")) <= k)
+    // index-short × probe (|Δlen| ≤ k ⇒ probe ≤ 2k): direct verify
+    val shortPairs = ibase.filter(col("len") <= k).alias("sa")
+      .join(pbase.alias("sb"), abs(col("sa.len") - col("sb.len")) <= k)
       .select(col("sa.id").as("d1"), col("sb.id").as("d2"),
         col("sa.t").as("t1"), col("sb.t").as("t2"),
         col("sa.len").as("len1"), col("sb.len").as("len2"))
@@ -215,11 +226,27 @@ object EditDistJoin {
       .select(col("d1"), col("d2"), col("len1"), col("len2"), col("dist"))
   }
 
+  /** The R-S (cross-relation) form: all (left row, right row) pairs at
+    * levenshtein ≤ k — the fuzzy-join a pipeline runs to match scraped
+    * titles/URLs against a canonical list. Only the LEFT side indexes
+    * (its long strings' segments probe into right strings), which the
+    * pigeonhole covers for every pair whose left string is longer than
+    * k; left-short pairs are length-windowed against the right side
+    * directly (|right| ≤ 2k there — the bounded short stratum).
+    *
+    * @return (d1 = left id, d2 = right id, len1, len2, dist).
+    */
+  def pairsAcross(left: DataFrame, right: DataFrame, k: Int): DataFrame =
+    pairsAgainstIndex(segmentIndex(left, k), left, right, k)
+
   /** The quadratic reference form (all pairs, length-windowed, then
     * levenshtein) — the oracle shape, kept for specs to diff against.
     */
   def bruteForcePairs(docs: DataFrame, k: Int): DataFrame = {
-    val base = prepared(docs)
+    // repartition the STREAM side: the nested-loop join's parallelism is
+    // its stream partition count, and a single-file parquet scan would
+    // run the whole quadratic single-threaded
+    val base = prepared(docs).repartition(32)
     base.alias("a")
       .join(base.alias("b"), col("a.id") < col("b.id") &&
         abs(col("a.len") - col("b.len")) <= k)
@@ -232,7 +259,7 @@ object EditDistJoin {
   /** Cross-relation brute force (spec reference for [[pairsAcross]]). */
   def bruteForceAcross(left: DataFrame, right: DataFrame,
                        k: Int): DataFrame = {
-    val lbase = prepared(left)
+    val lbase = prepared(left).repartition(32)
     val rbase = prepared(right)
     lbase.alias("a")
       .join(rbase.alias("b"), abs(col("a.len") - col("b.len")) <= k)

@@ -52,6 +52,25 @@ object Extra8 {
         .orderBy(col("d1"), col("d2"))
     },
 
+    // -- cross-relation fuzzy match (R-S PassJoin) -----------------------
+    // The decontamination-shaped use of the exact join: match one
+    // corpus split (here sources src0-src4 — "the new crawl") against
+    // the other (the canonical set) at levenshtein ≤ 8, one-sided
+    // index ([[graft.operators.EditDistJoin.pairsAcross]]): only the
+    // left side's segments index; the right side probes. Same oracle
+    // discipline as text_editdist_blocked — the quadratic cross
+    // product is the truth the blocking must reproduce exactly.
+    "text_editdist_cross" -> { (s, dir) =>
+      val p = Tables(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("source"),
+          substring(col("text"), 1, 120).as("t"))
+      val isLeft = col("source").isin("src0", "src1", "src2", "src3", "src4")
+      graft.operators.EditDistJoin.pairsAcross(
+          p.filter(isLeft).drop("source"),
+          p.filter(!isLeft).drop("source"), k = EditDistK)
+        .orderBy(col("d1"), col("d2"))
+    },
+
     // -- repetition-aware token budget allocation ------------------------
     // The planning step a data-constrained run does BEFORE sampling
     // (Muennighoff et al. 2023, "Scaling Data-Constrained Language
@@ -165,6 +184,21 @@ object Extra8 {
          |CAST(a.len AS INT) AS len1, CAST(b.len AS INT) AS len2,
          |levenshtein(a.t, b.t) AS dist
          |FROM p a JOIN p b ON a.doc_id < b.doc_id
+         |WHERE abs(a.len - b.len) <= $EditDistK
+         |  AND levenshtein(a.t, b.t) <= $EditDistK
+         |ORDER BY d1, d2""".stripMargin,
+
+    "text_editdist_cross" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, source, substr(text, 1, 120) AS t,
+         |         length(substr(text, 1, 120)) AS len
+         |  FROM documents)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |CAST(a.len AS INT) AS len1, CAST(b.len AS INT) AS len2,
+         |levenshtein(a.t, b.t) AS dist
+         |FROM p a JOIN p b
+         |  ON a.source IN ('src0','src1','src2','src3','src4')
+         | AND b.source NOT IN ('src0','src1','src2','src3','src4')
          |WHERE abs(a.len - b.len) <= $EditDistK
          |  AND levenshtein(a.t, b.t) <= $EditDistK
          |ORDER BY d1, d2""".stripMargin,

@@ -877,6 +877,82 @@ object StreamOps {
     q
   }
 
+  /** Exact incremental edit-distance dedup over a document stream —
+    * the PassJoin join's streaming form, and the near-dup family's
+    * online contract: as documents arrive, every pair (seen doc, new
+    * doc) and (new doc, new doc) at levenshtein ≤ k is reported, with
+    * per-batch cost proportional to the BATCH, never the corpus. The
+    * exploitable structure (the [[triangleCountSink]] /
+    * [[shortestPathSink]] design question — what does each arrival
+    * actually touch?) is that the segment index is APPEND-ONLY under
+    * document arrivals: [[graft.operators.EditDistJoin.segmentIndex]]
+    * rows for old docs never change, so the accumulated index is the
+    * state and each batch (1) probes its OWN windowed substrings
+    * against that index (old×new pairs — the pigeonhole holds from the
+    * indexed side), (2) runs the batch-local self-join (new×new), and
+    * (3) appends its segments. Like triangleCountSink this is
+    * deliberately NOT watermarked: an old document never expires from
+    * near-dup relevance, and a watermark would silently miss
+    * duplicates of early docs.
+    *
+    * `docs` streams (id, t) with unique ids (re-deliveries of a seen
+    * id are dropped); `onBatch` receives the CUMULATIVE canonical
+    * (d1 < d2, len1, len2, dist) pair frame after each batch —
+    * row-identical to the batch operator
+    * [[graft.operators.EditDistJoin.pairs]] over all documents seen so
+    * far (spec-pinned, overlapping and reordered batches included).
+    */
+  def editDistDedupSink(docs: DataFrame, k: Int, checkpoint: String,
+                        onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Checkpoints, EditDistJoin}
+    var accDocs: (DataFrame, DataFrame) = null  // (id, t) seen so far
+    var accSegs: (DataFrame, DataFrame) = null  // their segment index
+    var accPairs: (DataFrame, DataFrame) = null // cumulative result
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val canon = batch.select(col("id"), col("t")).dropDuplicates("id")
+        val fresh0 =
+          if (accDocs == null) canon
+          else canon.join(accDocs._1.select(col("id")), Seq("id"), "left_anti")
+        val (fresh, freshChk) = Checkpoints.snap(fresh0)
+        // old×new (index side = accumulated segments) + new×new
+        val within = EditDistJoin.pairs(fresh, k)
+        val delta =
+          if (accDocs == null) within
+          else within.unionByName(
+            EditDistJoin.pairsAgainstIndex(accSegs._1, accDocs._1, fresh, k)
+              // canonicalize to d1 < d2 by id — the index side may hold
+              // the numerically larger id; lens travel with their ids
+              .select(
+                least(col("d1"), col("d2")).as("d1"),
+                greatest(col("d1"), col("d2")).as("d2"),
+                when(col("d1") < col("d2"), col("len1"))
+                  .otherwise(col("len2")).as("len1"),
+                when(col("d1") < col("d2"), col("len2"))
+                  .otherwise(col("len1")).as("len2"),
+                col("dist")))
+        val newPairs = Checkpoints.snap(
+          if (accPairs == null) delta else accPairs._1.unionByName(delta))
+        val newDocs = Checkpoints.snap(
+          if (accDocs == null) fresh else accDocs._1.unionAll(fresh))
+        val newSegs = Checkpoints.snap(
+          if (accSegs == null) EditDistJoin.segmentIndex(fresh, k)
+          else accSegs._1.unionAll(EditDistJoin.segmentIndex(fresh, k)))
+        if (accPairs != null) Checkpoints.free(accPairs._2)
+        if (accDocs != null) Checkpoints.free(accDocs._2)
+        if (accSegs != null) Checkpoints.free(accSegs._2)
+        Checkpoints.free(freshChk)
+        accPairs = newPairs
+        accDocs = newDocs
+        accSegs = newSegs
+        onBatch(accPairs._1, batchId)
+      }
+      .start()
+  }
+
   def runningUserTotals(events: org.apache.spark.sql.Dataset[Event])
       : org.apache.spark.sql.Dataset[UserTotal] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

@@ -1124,4 +1124,38 @@ class PlanSpec extends AnyFunSuite {
       assert(!nodes.exists(_.isInstanceOf[SortAggregateExec]), s"round $i: sort-agg fallback")
     }
   }
+
+  test("text_editdist_blocked: shuffled-hash candidate join, banded verify, BNL only on bounded strata") {
+    // The PassJoin plan contract: (1) the candidate join streams through
+    // SHUFFLE_HASH — the exploded probe relation's size is invisible to
+    // the planner (Generate breaks stats) and an auto-chosen broadcast of
+    // it rebuilds the whole expansion as one driver-resident hashed
+    // relation (the measured 54.9 s sf0.1 pathology); (2) nothing
+    // sort-merges — neither candidate nor verify joins may sort their
+    // inputs (only the final orderBy and the pre-distinct agg may sort
+    // AGGREGATED pair rows); (3) nested-loop joins appear ONLY where a
+    // side is bounded by construction: the distinct-length fan-out
+    // (≤ length-domain rows) and the ≤ k-char short stratum; (4) the
+    // verify runs the BANDED threshold levenshtein, not the full matrix.
+    val nodes = executedPlans("text_editdist_blocked").flatMap(p => flattenPlan(p._2))
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]), "cartesian appeared")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "a join degenerated to sort-merge — the probe expansion must never sort")
+    assert(nodes.exists(_.isInstanceOf[ShuffledHashJoinExec]),
+      "the candidate join lost its SHUFFLE_HASH pin")
+    val bnls = nodes.collect { case b: BroadcastNestedLoopJoinExec => b }
+    bnls.foreach { b =>
+      val sub = flattenPlan(b).map(_.toString).mkString("\n")
+      assert(sub.contains("length(substring(text") && sub.contains("<= 8)") ||
+          sub.contains("srclen"),
+        s"a nested-loop join outside the bounded strata:\n$b")
+    }
+    // banded verify: the threshold argument must be present on the
+    // candidate-verify path (the short stratum's full-matrix form is
+    // fine — its strings are ≤ k chars by construction)
+    val planText = nodes.map(_.toString).mkString("\n")
+    assert(planText.contains("levenshtein"), "verify stage missing entirely")
+    assert(planText.contains("Some(8)"),
+      "the candidate verify lost its banded threshold (full-matrix levenshtein)")
+  }
 }

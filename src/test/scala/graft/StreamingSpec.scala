@@ -133,6 +133,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming edit-distance dedup equals the batch join cumulatively") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the registered text_editdist_blocked inputs at sf0.001 (120-char
+    // prefixes) plus planted short strings (the no-segment stratum must
+    // survive accumulation), streamed in three batches — batch 2
+    // re-delivers 10 docs of batch 1 (seen ids must drop, not duplicate
+    // pairs)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("id"), substring(col("text"), 1, 120).as("t"))
+      .as[(Long, String)].collect().toSeq ++
+      Seq((90001L, "abc"), (90002L, "abcd"), (90003L, "zzzzzz"))
+    val n = docs.length
+    val batches = Seq(
+      docs.take(n / 3),
+      docs.slice(n / 3 - 10, 2 * n / 3), // re-delivers 10 seen ids
+      docs.drop(2 * n / 3))
+    val input = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Set[(Long, Long, Int)])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ed-ckpt").toString
+    val q = StreamOps.editDistDedupSink(
+      input.toDF().toDF("id", "t"), k = 8, checkpoint = ckpt,
+      onBatch = (pairs, id) => seen.synchronized {
+        seen += id -> pairs.select(col("d1"), col("d2"), col("dist"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      })
+    withQuery(q) {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val got = seen.synchronized(seen.toList).sortBy(_._1)
+      assert(got.map(_._1) == List(0L, 1L, 2L))
+      val prefixes = batches.inits.toSeq.reverse.drop(1)
+        .map(_.flatten.distinctBy(_._1))
+      for (((_, streamed), prefix) <- got.zip(prefixes)) {
+        val expected = graft.operators.EditDistJoin
+          .pairs(prefix.toDF("id", "t"), 8)
+          .select(col("d1"), col("d2"), col("dist"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        assert(streamed === expected)
+      }
+      assert(got.last._2.nonEmpty, "no duplicate pairs surfaced — vacuous fixture")
+      // the planted shorts pair (both ≤ k chars) must be present
+      assert(got.last._2.exists(p => p._1 == 90001L && p._2 == 90002L))
+    }
+  }
+
   test("streaming shortest-path maintenance equals the converged batch distances") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
