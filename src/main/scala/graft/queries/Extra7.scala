@@ -93,7 +93,7 @@ object Extra7 {
     * hand-copied builds is five places for the graph definition to
     * drift apart silently.
     */
-  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val so = Tables(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("sk"))
       .distinct()

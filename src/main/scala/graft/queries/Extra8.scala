@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -50,6 +51,73 @@ object Extra8 {
         .select(col("doc_id").as("id"), substring(col("text"), 1, 120).as("t"))
       graft.operators.EditDistJoin.pairs(p, k = EditDistK)
         .orderBy(col("d1"), col("d2"))
+    },
+
+    // -- edit-distance duplicate clusters --------------------------------
+    // The step AFTER exact pair finding, completing the dedup-family
+    // symmetry (neardup/minhash/embed all have a `_cluster` form):
+    // blocked pairs → connected components → cluster id = min doc_id
+    // with the canonical-doc flag — the dedup_cluster contract over the
+    // PassJoin edge set, against the same RECURSIVE-CTE closure oracle
+    // (the quadratic pair CTE feeds the reach closure, so the hash pins
+    // both the blocking's exactness AND the clustering).
+    "dedup_editdist_cluster" -> { (s, dir) =>
+      val p = Tables(s, dir, "documents")
+        .select(col("doc_id").as("id"), substring(col("text"), 1, 120).as("t"))
+      val edges = graft.operators.EditDistJoin.pairs(p, EditDistK)
+        .select(col("d1").as("src"), col("d2").as("dst"))
+      graft.operators.ConnectedComponents.clusterLabels(
+          graft.operators.ConnectedComponents.components(edges))
+        .orderBy(col("doc_id"))
+    },
+
+    // -- seed-restricted link prediction (common-neighbor Jaccard) -------
+    // The serving shape of graph link prediction ("related products for
+    // THESE items"): for each seed part (the graph family's shared
+    // p_size=50 source set), rank NEW links — 2-hop candidates that are
+    // not already neighbors — by neighborhood Jaccard
+    // |N(a)∩N(b)| / |N(a)∪N(b)|, top 5 per seed. Seed-restriction is
+    // the scale story: the wedge fan-out is seeds × deg², never the
+    // whole graph's Σ deg² (the full-graph form is graph_triangles'
+    // cost class); ranking uses the ROUNDED score + candidate id so
+    // rank assignment is engine-independent (the sim_topk rule).
+    "graph_linkpred" -> { (s, dir) =>
+      val e = Extra7.coPurchaseEdges(s, dir)
+      // adj feeds four consumers (seed neighbors, wedge fan, two degree
+      // joins) → persist; the eager localCheckpoint at the end lets the
+      // finally release both
+      val adj = e.select(col("a").as("v"), col("b").as("n"))
+        .unionAll(e.select(col("b").as("v"), col("a").as("n")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("d"))
+        val seeds = Tables(s, dir, "part")
+          .filter(col("p_size") === 50)
+          .select(col("p_partkey").as("seed"))
+        val sn = seeds.join(adj, col("seed") === col("v"))
+          .select(col("seed"), col("n"))
+        val wedge = sn.join(adj.select(col("v").as("n"), col("n").as("cand")),
+            Seq("n"))
+          .filter(col("cand") =!= col("seed"))
+          .groupBy(col("seed"), col("cand"))
+          .agg(count(lit(1)).as("common"))
+          // NEW links only: drop candidates already adjacent to the seed
+          .join(sn.select(col("seed"), col("n").as("cand")),
+            Seq("seed", "cand"), "left_anti")
+        val scored = wedge
+          .join(deg.select(col("v").as("seed"), col("d").as("ds")), "seed")
+          .join(deg.select(col("v").as("cand"), col("d").as("dc")), "cand")
+          .select(col("seed"), col("cand"), col("common"),
+            round(col("common").cast("double") /
+              (col("ds") + col("dc") - col("common")), 6).as("jac"))
+        val w = Window.partitionBy(col("seed"))
+          .orderBy(col("jac").desc, col("cand").asc)
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("seed"), col("rn"), col("cand"), col("common"), col("jac"))
+          .orderBy(col("seed"), col("rn"))
+          .localCheckpoint()
+      } finally { adj.unpersist(false); e.unpersist(false); () }
     },
 
     // -- cross-relation fuzzy match (R-S PassJoin) -----------------------
@@ -175,6 +243,54 @@ object Extra8 {
   )
 
   val oracle: Map[String, String] = Map(
+    "dedup_editdist_cluster" ->
+      s"""WITH RECURSIVE p AS (
+         |  SELECT doc_id, substr(text, 1, 120) AS t,
+         |         length(substr(text, 1, 120)) AS len
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT a.doc_id d1, b.doc_id d2
+         |  FROM p a JOIN p b ON a.doc_id < b.doc_id
+         |  WHERE abs(a.len - b.len) <= $EditDistK
+         |    AND levenshtein(a.t, b.t) <= $EditDistK),
+         |edges AS (SELECT d1 v1, d2 v2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+         |verts AS (SELECT DISTINCT v1 AS v FROM edges),
+         |reach(v, r) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT e.v1, reach.r FROM edges e JOIN reach ON e.v2 = reach.v)
+         |SELECT v AS doc_id, MIN(r) AS cluster_id, (v = MIN(r)) AS is_canonical
+         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+
+    "graph_linkpred" ->
+      """WITH so AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.sk AS a, y.sk AS b
+        |  FROM so x JOIN so y ON x.ok = y.ok AND x.sk < y.sk),
+        |adj AS (SELECT a AS v, b AS n FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT v, COUNT(*) AS d FROM adj GROUP BY v),
+        |seeds AS (SELECT p_partkey AS seed FROM part WHERE p_size = 50),
+        |sn AS (SELECT seed, n FROM seeds JOIN adj ON seed = v),
+        |wedge AS (
+        |  SELECT s.seed, a.n AS cand, COUNT(*) AS common
+        |  FROM sn s JOIN adj a ON s.n = a.v AND a.n <> s.seed
+        |  GROUP BY 1, 2),
+        |fresh AS (
+        |  SELECT w.* FROM wedge w
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM sn WHERE sn.seed = w.seed AND sn.n = w.cand)),
+        |scored AS (
+        |  SELECT f.seed, f.cand, f.common,
+        |         ROUND(CAST(f.common AS DOUBLE) / (ds.d + dc.d - f.common), 6) AS jac
+        |  FROM fresh f JOIN deg ds ON f.seed = ds.v JOIN deg dc ON f.cand = dc.v)
+        |SELECT seed, rn, cand, common, jac FROM (
+        |  SELECT seed, cand, common, jac,
+        |         ROW_NUMBER() OVER (PARTITION BY seed
+        |           ORDER BY jac DESC, cand ASC) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5 ORDER BY seed, rn""".stripMargin,
+
     "text_editdist_blocked" ->
       s"""WITH p AS (
          |  SELECT doc_id, substr(text, 1, 120) AS t,

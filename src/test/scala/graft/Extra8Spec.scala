@@ -48,6 +48,30 @@ class Extra8Spec extends AnyFunSuite {
     assert(joined.count() === 0)
   }
 
+  test("graph_linkpred: candidates are 2-hop NON-neighbors, ranks contiguous, scores in (0,1]") {
+    val lp = SparkEntry.queries("graph_linkpred")(spark, sf).cache()
+    assert(lp.count() > 0, "no predictions — vacuous")
+    // rebuild the adjacency independently; no prediction may be an
+    // existing edge (the whole point of link PREDICTION)
+    val so = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("sk")).distinct()
+    val e = so.alias("x")
+      .join(so.alias("y"),
+        col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+      .select(col("x.sk").as("a"), col("y.sk").as("b")).distinct()
+    val adj = e.select(col("a").as("seed"), col("b").as("cand"))
+      .unionByName(e.select(col("b").as("seed"), col("a").as("cand")))
+    assert(lp.join(adj, Seq("seed", "cand"), "left_semi").count() === 0,
+      "a predicted link already exists in the graph")
+    // scores are valid Jaccards and ranks descend with them
+    assert(lp.filter(col("jac") <= 0 || col("jac") > 1).count() === 0)
+    val badRank = lp.withColumn("prev",
+        lag(col("jac"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("seed")).orderBy(col("rn"))))
+      .filter(col("prev").isNotNull && col("prev") < col("jac"))
+    assert(badRank.count() === 0, "rank order violates score order")
+  }
+
   test("weights are finite and the selected flag matches the score sign") {
     val bad = dsir.filter(isnan(col("dsir_logw")) ||
       col("dsir_logw").isNull ||
