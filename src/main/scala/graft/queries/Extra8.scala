@@ -185,6 +185,41 @@ object Extra8 {
         .orderBy(col("source"))
     },
 
+    // -- CDC history → type-2 dimension build ----------------------------
+    // The warehouse onboarding step merge_upsert doesn't cover: collapse
+    // a change stream into a VERSIONED dimension (SCD type 2) — one row
+    // per (entity, state run) with version number, [valid_from,
+    // valid_to) range, and the is_current flag. Run boundaries are
+    // change points under the total order (ts, event_id) — the tie
+    // break makes version assignment engine-independent; valid_to =
+    // the next version's valid_from (half-open ranges compose into a
+    // gapless history — the property an as-of join against the
+    // dimension depends on). Scale shape: two window passes over the
+    // entity partition and nothing else — the same entity-keyed
+    // exchange serves the change detection, the version cumsum, and
+    // the range close.
+    "merge_scd2" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val runs = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .withColumn("chg",
+          when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("version", sum(col("chg"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      runs.filter(col("chg") === 1)
+        .withColumn("valid_to", lead(col("ts"), 1).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").asc, col("event_id").asc)))
+        .select(col("user_id"), col("version"),
+          col("event_type").as("state"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy(col("user_id"), col("version"))
+    },
+
     // -- hashed n-gram importance weights (DSIR) -------------------------
     // Data Selection via Importance Resampling (Xie et al. 2023) in
     // relational form: featurize every doc into hashed-bigram bucket
@@ -318,6 +353,32 @@ object Extra8 {
          |WHERE abs(a.len - b.len) <= $EditDistK
          |  AND levenshtein(a.t, b.t) <= $EditDistK
          |ORDER BY d1, d2""".stripMargin,
+
+    "merge_scd2" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN LAG(event_type) OVER w IS NULL
+        |                OR LAG(event_type) OVER w <> event_type
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |ver AS (
+        |  SELECT user_id, ts, event_id, event_type, chg,
+        |         CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS version
+        |  FROM runs)
+        |SELECT user_id, version, event_type AS state,
+        |       ts AS valid_from,
+        |       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         AS valid_to,
+        |       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         IS NULL AS is_current
+        |FROM ver WHERE chg = 1
+        |ORDER BY user_id, version""".stripMargin,
 
     "sample_epoch_plan" ->
       """WITH per_src AS (

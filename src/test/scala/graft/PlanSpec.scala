@@ -1125,6 +1125,34 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_linkpred: equi joins only; the wedge count combines map-side under the (seed,cand) exchange") {
+    // Seed-restriction is the query's scale claim: the wedge fan-out is
+    // seeds × deg², and every join is an equi join (a BNL/cartesian here
+    // means the seed or degree lookup leaked out of its key) — the
+    // exploded wedge relation is the largest intermediate and only
+    // (seed, cand, partial count) rows may cross the wire.
+    val nodes = executedPlans("graph_linkpred").flatMap(p => flattenPlan(p._2))
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]), "BNL appeared")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]), "cartesian appeared")
+    val wedgeExchanges = nodes.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[HashPartitioning] &&
+          e.outputPartitioning.asInstanceOf[HashPartitioning]
+            .expressions.exists(_.toString.contains("cand")) => e
+    }
+    assert(wedgeExchanges.nonEmpty, "no (seed,cand) exchange captured — vacuous")
+    // the COUNT's exchange must sit above a partial agg (the anti-join's
+    // input exchange legitimately carries raw (seed, cand) rows — it is
+    // a join input, not an aggregation)
+    assert(wedgeExchanges.exists { e =>
+      flattenPlan(e.child).exists {
+        case a: BaseAggregateExec =>
+          a.aggregateExpressions.exists(_.mode.toString.contains("Partial"))
+        case _ => false
+      }
+    }, "no (seed,cand) exchange combines map-side — the wedge count shuffles raw rows")
+  }
+
   test("text_editdist_blocked: shuffled-hash candidate join, banded verify, BNL only on bounded strata") {
     // The PassJoin plan contract: (1) the candidate join streams through
     // SHUFFLE_HASH — the exploded probe relation's size is invisible to
