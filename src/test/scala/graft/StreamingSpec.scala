@@ -143,13 +143,15 @@ class StreamingSpec extends AnyFunSuite {
     // pairs)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id").as("id"), substring(col("text"), 1, 120).as("t"))
-      .as[(Long, String)].collect().toSeq ++
-      Seq((90001L, "abc"), (90002L, "abcd"), (90003L, "zzzzzz"))
+      .as[(Long, String)].collect().toSeq
     val n = docs.length
+    // the planted shorts STRADDLE batches: 90001 arrives in batch 1 and
+    // its partners in batch 3, so the accumulated short stratum (which
+    // has no segment-index rows) must survive across batches to pair them
     val batches = Seq(
-      docs.take(n / 3),
+      docs.take(n / 3) :+ (90001L, "abc"),
       docs.slice(n / 3 - 10, 2 * n / 3), // re-delivers 10 seen ids
-      docs.drop(2 * n / 3))
+      docs.drop(2 * n / 3) ++ Seq((90002L, "abcd"), (90003L, "zzzzzz")))
     val input = MemoryStream[(Long, String)]
     val seen = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Set[(Long, Long, Int)])]
