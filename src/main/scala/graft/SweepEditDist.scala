@@ -17,6 +17,10 @@ object SweepEditDist {
     require(args.nonEmpty, "usage: SweepEditDist <sfDir> [blocked|both] [reps]")
     val dir = args(0)
     val mode = if (args.length > 1) args(1) else "blocked"
+    // a typo'd mode must fail loudly, not silently run blocked-only and
+    // mislabel the sweep row (the round-14 SweepEmbedDedup advice class)
+    require(Set("blocked", "both").contains(mode),
+      s"mode must be blocked|both, got '$mode'")
     val reps = if (args.length > 2) args(2).toInt else 2
     val spark = LocalSession.create("32")
 
