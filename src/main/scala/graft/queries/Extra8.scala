@@ -10,10 +10,19 @@ import graft.Tables
 /** Round-15 continuation operators. The reference
   * (/root/reference/task.ts) has no analogue; this is engine surface
   * for the brief's "operations a large-scale training-data pipeline
-  * would need" — the exact edit-distance join the near-dup family was
-  * missing a non-probabilistic scale path for, and the
-  * importance-resampling document scorer every targeted-data-selection
-  * pipeline runs.
+  * would need":
+  *
+  *   - the exact edit-distance family the near-dup surface was missing
+  *     a non-probabilistic scale path for (`text_editdist_blocked`
+  *     self-join, `text_editdist_cross` R-S match,
+  *     `dedup_editdist_cluster` canonical clusters — all PassJoin
+  *     blocking, [[graft.operators.EditDistJoin]]);
+  *   - the importance-resampling document scorer every
+  *     targeted-data-selection pipeline runs (`text_dsir`);
+  *   - the repetition-aware token-budget planner a data-constrained
+  *     run does before sampling (`sample_epoch_plan`);
+  *   - the per-seed link-prediction serving shape (`graph_linkpred`);
+  *   - the CDC-history → type-2 dimension build (`merge_scd2`).
   */
 object Extra8 {
   type Q = (SparkSession, String) => DataFrame
