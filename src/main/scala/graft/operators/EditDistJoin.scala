@@ -52,12 +52,14 @@ import org.apache.spark.sql.functions._
   * Short strings (len ≤ k) get the pigeonhole from the OTHER side or
   * no pigeonhole at all, and are handled exactly rather than excluded:
   * a pair with both sides ≤ k always satisfies ed ≤ max(len) ≤ k, so
-  * the short×short stratum is emitted wholesale (quadratic in the
-  * stratum — degenerate ≤ 8-char strings are a vanishing mass in any
-  * real corpus, and the emit is still length-windowed); a long×short
-  * pair is caught by the long side's segments probed in the short
-  * string (the probe generator's source-length window [len−k, len+k]
-  * covers the longer source).
+  * the short×short stratum is emitted wholesale — grouped by the
+  * string first, so the non-equi compare is quadratic only in
+  * DISTINCT ≤ k-char strings, never in their multiplicity (crawl data
+  * is dense in empty/near-empty docs; ADVICE r15), with duplicate
+  * mass fanning out row-locally after the one verify per distinct
+  * pair. A long×short pair is caught by the long side's segments
+  * probed in the short string (the probe generator's source-length
+  * window [len−k, len+k] covers the longer source).
   */
 object EditDistJoin {
   /** Index side: the k+1 even segments per string. Segment i of an
@@ -155,17 +157,46 @@ object EditDistJoin {
 
     // -- short×short stratum: every length-windowed pair qualifies -------
     // ed(s,t) ≤ max(|s|,|t|) ≤ k unconditionally, so no pigeonhole is
-    // needed — emit with the true distance attached.
-    val shortPairs = shorts.alias("sa")
-      .join(shorts.alias("sb"), col("sa.id") < col("sb.id") &&
-        abs(col("sa.len") - col("sb.len")) <= k)
-      .select(col("sa.id").as("d1"), col("sb.id").as("d2"),
-        col("sa.t").as("t1"), col("sb.t").as("t2"),
-        col("sa.len").as("len1"), col("sb.len").as("len2"))
-      .withColumn("dist", levenshtein(col("t1"), col("t2")))
+    // needed — emit with the true distance attached. Identical strings
+    // are GROUPED first (ADVICE r15): crawl corpora are dense in
+    // degenerate shorts (empty/near-empty docs), and a row-level
+    // non-equi join is quadratic in their MULTIPLICITY; after the
+    // hash-groupBy the join compares only DISTINCT short strings
+    // (bounded by the ≤ k-char string domain), one levenshtein per
+    // distinct pair, and duplicate mass fans out row-locally. The
+    // OUTPUT is |pairs|-sized either way — that part is irreducible —
+    // and a pathological duplicate family surfaces as one oversized
+    // group row, where upstream exact dedup (the dedup_exact rule) is
+    // the documented mitigation.
+    val sg = shorts.groupBy(col("t"), col("len"))
+      .agg(collect_list(col("id")).as("ids"))
+    // within-group: identical strings ⇒ dist 0; all unordered id pairs
+    val within = sg
+      .select(col("len"), col("ids"), explode(col("ids")).as("x"))
+      .select(col("len"), col("x"), explode(col("ids")).as("y"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("d1"), col("y").as("d2"),
+        col("len").as("len1"), col("len").as("len2"),
+        lit(0).as("dist"))
+    // cross-group: one verify per distinct string pair, fan-out after
+    val cross = sg.alias("ga")
+      .join(sg.alias("gb"), col("ga.t") < col("gb.t") &&
+        abs(col("ga.len") - col("gb.len")) <= k)
+      .select(col("ga.len").as("la"), col("gb.len").as("lb"),
+        levenshtein(col("ga.t"), col("gb.t")).as("dist"),
+        col("ga.ids").as("idsa"), col("gb.ids").as("idsb"))
+      .select(col("la"), col("lb"), col("dist"), col("idsb"),
+        explode(col("idsa")).as("x"))
+      .select(col("la"), col("lb"), col("dist"), col("x"),
+        explode(col("idsb")).as("y"))
+      .select(least(col("x"), col("y")).as("d1"),
+        greatest(col("x"), col("y")).as("d2"),
+        when(col("x") < col("y"), col("la")).otherwise(col("lb")).as("len1"),
+        when(col("x") < col("y"), col("lb")).otherwise(col("la")).as("len2"),
+        col("dist"))
 
-    verified.unionByName(shortPairs)
-      .select(col("d1"), col("d2"), col("len1"), col("len2"), col("dist"))
+    verified.select(col("d1"), col("d2"), col("len1"), col("len2"), col("dist"))
+      .unionByName(within).unionByName(cross)
   }
 
   /** The reusable index half: (sid, srclen, slot, seg) segment rows for
@@ -185,7 +216,11 @@ object EditDistJoin {
     * index was built from — it serves the verify join, the probe
     * length fan-out, and the ≤ k-char short stratum (short index
     * strings have no segments and are length-windowed against the
-    * probe side directly).
+    * probe side directly). Ids are one namespace across both sides (the
+    * `pairs` contract: unique per DOCUMENT), so a document present on
+    * both sides is the SAME document and its dist-0 self pair is
+    * filtered — overlapping doc sets are safe, not just the disjoint
+    * splits the current callers pass.
     *
     * @return (d1 = index id, d2 = probe id, len1, len2, dist).
     */
@@ -201,7 +236,9 @@ object EditDistJoin {
     val cand = index.hint("shuffle_hash").join(probes,
         index("srclen") === probes("srclen") &&
           index("slot") === probes("slot") &&
-          index("seg") === probes("sub"))
+          index("seg") === probes("sub") &&
+          // self-pair guard: shared id = same document (one namespace)
+          col("sid") =!= probes("tid"))
       .select(col("sid").as("d1"), col("tid").as("d2"))
       .distinct()
 
@@ -213,9 +250,13 @@ object EditDistJoin {
       .withColumn("dist", levenshtein(col("t1"), col("t2"), k))
       .filter(col("dist") >= 0)
 
-    // index-short × probe (|Δlen| ≤ k ⇒ probe ≤ 2k): direct verify
+    // index-short × probe (|Δlen| ≤ k ⇒ probe ≤ 2k): direct verify.
+    // Quadratic only in the index's OWN short stratum × the probe's
+    // ≤ 2k-length window (one relation's degenerate mass, not both);
+    // the self-pair guard mirrors the candidate join's.
     val shortPairs = ibase.filter(col("len") <= k).alias("sa")
-      .join(pbase.alias("sb"), abs(col("sa.len") - col("sb.len")) <= k)
+      .join(pbase.alias("sb"), abs(col("sa.len") - col("sb.len")) <= k &&
+        col("sa.id") =!= col("sb.id"))
       .select(col("sa.id").as("d1"), col("sb.id").as("d2"),
         col("sa.t").as("t1"), col("sb.t").as("t2"),
         col("sa.len").as("len1"), col("sb.len").as("len2"))

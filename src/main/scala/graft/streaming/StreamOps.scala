@@ -656,7 +656,12 @@ object StreamOps {
     * `onBatch` receives the CUMULATIVE (node, n_triangles) frame after
     * each batch — by construction equal to
     * [[graft.operators.Triangles.perNodeCounts]] over every edge seen
-    * so far (StreamingSpec pins the equality).
+    * so far (StreamingSpec pins the equality). SINGLE-RUN contract:
+    * the accumulators live in driver-local frames outside the
+    * streaming checkpoint, so a restart from `checkpoint` does not
+    * replay committed batches and the cumulative equality holds only
+    * within one query run (see [[editDistDedupSink]] for the full
+    * caveat).
     */
   def triangleCountSink(edges: DataFrame, checkpoint: String,
                         onBatch: (DataFrame, Long) => Unit)
@@ -742,7 +747,11 @@ object StreamOps {
     * convergence over every edge seen so far (StreamingSpec pins the
     * equality against [[graft.operators.Bfs.weightedDistances]] at a
     * convergence-sized round budget, with reversed, overlapping, and
-    * weight-improving batches).
+    * weight-improving batches). SINGLE-RUN contract: the accumulators
+    * live in driver-local frames outside the streaming checkpoint, so
+    * a restart from `checkpoint` does not replay committed batches and
+    * the cumulative equality holds only within one query run (see
+    * [[editDistDedupSink]] for the full caveat).
     */
   def shortestPathSink(edges: DataFrame, seeds: DataFrame, checkpoint: String,
                        onBatch: (DataFrame, Long) => Unit)
@@ -881,7 +890,12 @@ object StreamOps {
     * the PassJoin join's streaming form, and the near-dup family's
     * online contract: as documents arrive, every pair (seen doc, new
     * doc) and (new doc, new doc) at levenshtein ≤ k is reported, with
-    * per-batch cost proportional to the BATCH, never the corpus. The
+    * per-batch JOIN/PROBE cost proportional to the BATCH, never the
+    * corpus (the state REWRITE is not: each batch re-materializes the
+    * accumulated docs/segments/pairs through [[Checkpoints.snap]], an
+    * O(corpus-seen) localCheckpoint write per batch — the price of the
+    * stats-reset discipline; an incremental append-only state store
+    * would shed it at the cost of a durable sink dependency). The
     * exploitable structure (the [[triangleCountSink]] /
     * [[shortestPathSink]] design question — what does each arrival
     * actually touch?) is that the segment index is APPEND-ONLY under
@@ -894,6 +908,15 @@ object StreamOps {
     * deliberately NOT watermarked: an old document never expires from
     * near-dup relevance, and a watermark would silently miss
     * duplicates of early docs.
+    *
+    * SINGLE-RUN contract (shared with [[triangleCountSink]] and
+    * [[shortestPathSink]]): the cumulative state lives in driver-local
+    * frames OUTSIDE the streaming checkpoint. `checkpointLocation`
+    * makes re-DELIVERIES within one run idempotent, but a RESTART from
+    * the checkpoint does not replay committed batches, so the
+    * accumulator restarts empty and the cumulative-equality contract
+    * holds only within a single query run — a restartable deployment
+    * must rebuild the state from a durable pair/segment sink on open.
     *
     * `docs` streams (id, t) with unique ids (re-deliveries of a seen
     * id are dropped); `onBatch` receives the CUMULATIVE canonical

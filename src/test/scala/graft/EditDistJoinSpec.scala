@@ -128,4 +128,48 @@ class EditDistJoinSpec extends AnyFunSuite {
     // unconditional-emit path
     assert(blocked.exists(p => p._1 == 1L && p._2 == 7L))
   }
+
+  test("duplicate-heavy short stratum: grouped pairing equals brute force") {
+    import spark.implicits._
+    // ADVICE r15: crawl corpora are dense in degenerate shorts. 30
+    // copies of "" and "ab", 10 of "abc", plus distinct shorts and a
+    // long row — the grouped path must emit every within-group (dist 0)
+    // and cross-group pair exactly once, with lens following their ids.
+    val d = (
+      (0 until 30).map(i => (100L + i, "")) ++
+      (0 until 30).map(i => (200L + i, "ab")) ++
+      (0 until 10).map(i => (300L + i, "abc")) ++
+      Seq((400L, "xyzzzz"), (401L, "q"), (500L, "abcdefghijklmnop"))
+    ).toDF("id", "t")
+    val blocked = EditDistJoin.pairs(d, 6)
+    val brute = EditDistJoin.bruteForcePairs(d, 6)
+    assert(asSet(blocked) === asSet(brute))
+    // lens must travel with their ids across the least/greatest swap
+    val full = blocked.select(col("d1"), col("d2"), col("len1"), col("len2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val fullBrute = brute.select(col("d1"), col("d2"), col("len1"), col("len2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(full === fullBrute)
+    // within-group mass: 30 copies of "" alone are C(30,2) = 435 pairs
+    assert(asSet(blocked).count(p => p._3 == 0) >= 435)
+  }
+
+  test("pairsAgainstIndex with OVERLAPPING doc sets emits no self pairs") {
+    import spark.implicits._
+    // ADVICE r15 latent bug: a doc on both sides used to emit (d, d, 0).
+    // Overlap long docs (the segment-join path) AND a short doc (the
+    // direct-verify stratum); both guards must hold.
+    val docs = Seq(
+      (1L, "abcdefghijklmnop"), (2L, "abcdefghijklmnoX"),
+      (3L, "abc"), (4L, "abd")).toDF("id", "t")
+    val got = EditDistJoin.pairsAgainstIndex(
+      EditDistJoin.segmentIndex(docs, 6), docs, docs, 6)
+      .select(col("d1").cast("long"), col("d2").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.forall(p => p._1 != p._2), s"self pairs leaked: ${got.toSeq}")
+    // the real cross pairs still appear (both orientations — the
+    // one-sided index reports (index id, probe id))
+    assert(got.contains((1L, 2L)) && got.contains((2L, 1L)))
+    assert(got.contains((3L, 4L)) && got.contains((4L, 3L)))
+  }
 }
