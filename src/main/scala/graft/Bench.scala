@@ -237,6 +237,15 @@ object Bench {
         suspects.map { case (n, fn) => n -> (passes(n) :+ timeOne(n, fn, false)) }.toMap
       }
     val allPasses = passes ++ retried
+    // Per-pass times to stderr (round-16): the min hides WHICH pass won
+    // — a steady-state `_idx` query whose passes read 11.3/11.5 when its
+    // isolated steady state is 4.3 is a co-residency finding (cache
+    // eviction between sweeps), invisible in the min-only record.
+    order.foreach { case (n, _) =>
+      val ps = allPasses(n).map { case (t, ok) =>
+        f"$t%.2f${if (ok) "" else "!"}" }.mkString("/")
+      System.err.println(s"[bench] passes $n: $ps")
+    }
     // A failed pass must NOT win the min: an error that aborts in 0.3 s
     // would otherwise read as a fake speedup. If EVERY pass failed, the
     // query lands in the JSON's `failed` list (not just on stderr) and

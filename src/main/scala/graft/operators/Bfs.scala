@@ -54,16 +54,25 @@ object Bfs {
   /** Hop distance (0-based, ≤ maxHops) from the nearest seed, as
     * `(node, dist)` with `dist` BIGINT for cross-engine hash safety.
     */
-  def hopDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
-    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    val spark = edges.sparkSession
+  def hopDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame =
     // symmetrized adjacency: a projection-union over the (caller-
     // persisted) edge relation — re-derived per hop rather than cached
     // here, because each derivation is two map-only scans of cached
     // blocks and an operator-owned persist would pin edge-sized memory
-    // the caller can't release.
-    val adj = edges.select(col("a").as("v"), col("b").as("n"))
-      .union(edges.select(col("b").as("v"), col("a").as("n")))
+    // the caller can't release. ([[hopDistancesOnAdj]] is the cached-
+    // adjacency serving form.)
+    hopDistancesOnAdj(
+      edges.select(col("a").as("v"), col("b").as("n"))
+        .union(edges.select(col("b").as("v"), col("a").as("n"))),
+      seeds, maxHops)
+
+  /** [[hopDistances]] over a PRE-SYMMETRIZED (v, n) adjacency — the
+    * [[Graphs.GraphIndex]] serving form (one persisted adjacency feeds
+    * every hop instead of a per-call symmetrize-union).
+    */
+  def hopDistancesOnAdj(adj: DataFrame, seeds: DataFrame,
+                        maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val seed = seeds.toDF("v").distinct()
     val levels = Iterator.iterate(seed)(frontier =>
       frontier.join(adj, "v").select(col("n").as("v")).distinct()
@@ -105,11 +114,21 @@ object Bfs {
     * deduped, `w` ≥ 0 integral; `seeds` one column of node ids at
     * distance 0. Nodes the budget never reaches emit no row.
     */
-  def weightedDistances(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+  def weightedDistances(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame =
+    weightedDistancesOnSym(
+      edges.select(col("a").as("v"), col("b").as("n"), col("w"))
+        .union(edges.select(col("b").as("v"), col("a").as("n"), col("w"))),
+      seeds, rounds)
+
+  /** [[weightedDistances]] over a PRE-SYMMETRIZED (v, n, w) adjacency
+    * WITHOUT self-loops — the [[Graphs.WeightedIndex]] serving form.
+    * The weight-0 keep-term self-loops are added here (they depend on
+    * the caller's seed set, so they cannot live in the cached frame).
+    */
+  def weightedDistancesOnSym(sym: DataFrame, seeds: DataFrame,
+                             rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val seed = seeds.toDF("v").distinct()
-    val sym = edges.select(col("a").as("v"), col("b").as("n"), col("w"))
-      .union(edges.select(col("b").as("v"), col("a").as("n"), col("w")))
     val nodes = sym.select(col("v")).union(seed).distinct()
     val adj = sym.union(
       nodes.select(col("v"), col("v").as("n"), lit(0L).as("w")))

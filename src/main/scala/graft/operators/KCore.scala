@@ -118,11 +118,26 @@ object KCore {
     * the joins shuffle node-keyed.
     */
   def coreEstimate(edges: DataFrame, steps: Int = 8,
-                   broadcastState: Boolean = true): DataFrame = {
+                   broadcastState: Boolean = true): DataFrame =
+    coreEstimateOnAdj(
+      edges.select(col("a").as("v"), col("b").as("n"))
+        .unionAll(edges.select(col("b").as("v"), col("a").as("n"))),
+      steps, broadcastState)
+
+  /** [[coreEstimate]] over a PRE-SYMMETRIZED (v, n) adjacency — the
+    * [[Graphs.GraphIndex]] serving form: a cached adjacency skips the
+    * symmetrize-union per call and, with the cached degree table
+    * available, the caller may pass it as `deg0` to skip the seed
+    * aggregation too (it must be exactly this adjacency's degree
+    * table, (v, d)).
+    */
+  def coreEstimateOnAdj(adj: DataFrame, steps: Int = 8,
+                        broadcastState: Boolean = true,
+                        deg0: Option[DataFrame] = None): DataFrame = {
     require(steps >= 1, s"steps must be >= 1: $steps")
-    val adj = edges.select(col("a").as("v"), col("b").as("n"))
-      .unionAll(edges.select(col("b").as("v"), col("a").as("n")))
-    val deg = adj.groupBy(col("v")).agg(count(lit(1)).cast("int").as("c"))
+    val deg = deg0
+      .map(_.select(col("v"), col("d").cast("int").as("c")))
+      .getOrElse(adj.groupBy(col("v")).agg(count(lit(1)).cast("int").as("c")))
     val fin = (1 to steps).foldLeft(deg)((x, _) => hStep(adj, x, broadcastState))
     fin.select(col("v").as("node"), col("c").cast("long").as("core"))
   }

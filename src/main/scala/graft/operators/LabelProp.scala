@@ -59,13 +59,23 @@ object LabelProp {
   /** Labels after `rounds` clamped mode-vote rounds, as
     * `(node, label)`.
     */
-  def propagate(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+  def propagate(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame =
+    propagateOnAdj(
+      edges.select(col("a").as("v"), col("b").as("n"))
+        .union(edges.select(col("b").as("v"), col("a").as("n"))),
+      seeds, rounds)
+
+  /** [[propagate]] over a PRE-SYMMETRIZED (v, n) adjacency — the
+    * [[Graphs.GraphIndex]] serving form. The unit edge weights and the
+    * seed clamp self-loops are added here (the clamp depends on the
+    * caller's seed set, so it cannot live in the cached frame).
+    */
+  def propagateOnAdj(symAdj: DataFrame, seeds: DataFrame,
+                     rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val seed = seeds.toDF("v", "label")
       .groupBy(col("v")).agg(min(col("label")).as("label"))
-    val adj = edges
-      .select(col("a").as("v"), col("b").as("n"), lit(1L).as("wt"))
-      .union(edges.select(col("b").as("v"), col("a").as("n"), lit(1L).as("wt")))
+    val adj = symAdj.select(col("v"), col("n"), lit(1L).as("wt"))
       .union(seed.select(col("v"), col("v").as("n"), lit(ClampWeight).as("wt")))
     val w = Window.partitionBy(col("v"))
       .orderBy(col("wt").desc, col("label").asc)

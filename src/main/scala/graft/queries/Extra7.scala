@@ -93,7 +93,14 @@ object Extra7 {
     * hand-copied builds is five places for the graph definition to
     * drift apart silently.
     */
-  private[queries] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    coPurchaseEdgesPlan(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** The LAZY (unpersisted) edge plan — what [[coPurchaseEdges]]
+    * persists per query and [[graft.operators.Graphs.index]]
+    * materializes ONCE per session for the `graph_*_idx` serving rows.
+    */
+  private[queries] def coPurchaseEdgesPlan(s: SparkSession, dir: String): DataFrame = {
     val so = Tables(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("sk"))
       .distinct()
@@ -102,14 +109,17 @@ object Extra7 {
         col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
       .select(col("x.sk").as("a"), col("y.sk").as("b"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   /** [[coPurchaseEdges]] carrying the graph_sssp affinity weight
     * w = 8 − min(shared orders, 7) — integer, so path sums stay exact
     * cross-engine. PERSISTED; caller unpersists.
     */
-  private def coPurchaseWeighted(s: SparkSession, dir: String): DataFrame = {
+  private def coPurchaseWeighted(s: SparkSession, dir: String): DataFrame =
+    coPurchaseWeightedPlan(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** The lazy weighted-edge plan ([[coPurchaseEdgesPlan]]'s sibling). */
+  private[queries] def coPurchaseWeightedPlan(s: SparkSession, dir: String): DataFrame = {
     val so = Tables(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("sk"))
       .distinct()
@@ -120,13 +130,12 @@ object Extra7 {
       .agg(count(lit(1)).as("co"))
       .select(col("a"), col("b"),
         (lit(8L) - least(col("co"), lit(7L))).as("w"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   /** The graph family's shared seed rule: the p_size = 50 parts (a
     * deterministic data-derived source set, ~2% of the catalogue).
     */
-  private def seedParts(s: SparkSession, dir: String): DataFrame =
+  private[queries] def seedParts(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "part")
       .filter(col("p_size") === 50)
       .select(col("p_partkey").as("v"))

@@ -43,6 +43,38 @@ object Extra8 {
     */
   val DsirBuckets = 4096
 
+  /** graph_linkpred's ranking body over a caller-supplied symmetrized
+    * adjacency (v, n), its degree table (v, d), and a (seed) relation —
+    * shared by the build-included query above and the `graph_linkpred_idx`
+    * steady-state form (graft.queries.Extra9), which serves both frames
+    * from [[graft.operators.Graphs]]. Returns (seed, rn, cand, common,
+    * jac), unordered — callers sort.
+    */
+  private[queries] def linkpredTopK(adj: DataFrame, deg: DataFrame,
+                                    seeds: DataFrame): DataFrame = {
+    val sn = seeds.join(adj, col("seed") === col("v"))
+      .select(col("seed"), col("n"))
+    val wedge = sn.join(adj.select(col("v").as("n"), col("n").as("cand")),
+        Seq("n"))
+      .filter(col("cand") =!= col("seed"))
+      .groupBy(col("seed"), col("cand"))
+      .agg(count(lit(1)).as("common"))
+      // NEW links only: drop candidates already adjacent to the seed
+      .join(sn.select(col("seed"), col("n").as("cand")),
+        Seq("seed", "cand"), "left_anti")
+    val scored = wedge
+      .join(deg.select(col("v").as("seed"), col("d").as("ds")), "seed")
+      .join(deg.select(col("v").as("cand"), col("d").as("dc")), "cand")
+      .select(col("seed"), col("cand"), col("common"),
+        round(col("common").cast("double") /
+          (col("ds") + col("dc") - col("common")), 6).as("jac"))
+    val w = Window.partitionBy(col("seed"))
+      .orderBy(col("jac").desc, col("cand").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("seed"), col("rn"), col("cand"), col("common"), col("jac"))
+  }
+
   val queries: Map[String, Q] = Map(
     // -- exact edit-distance similarity join (segment blocking) ----------
     // The near-dup family's missing EXACT scale path: `text_editdist`
@@ -103,27 +135,7 @@ object Extra8 {
         val seeds = Tables(s, dir, "part")
           .filter(col("p_size") === 50)
           .select(col("p_partkey").as("seed"))
-        val sn = seeds.join(adj, col("seed") === col("v"))
-          .select(col("seed"), col("n"))
-        val wedge = sn.join(adj.select(col("v").as("n"), col("n").as("cand")),
-            Seq("n"))
-          .filter(col("cand") =!= col("seed"))
-          .groupBy(col("seed"), col("cand"))
-          .agg(count(lit(1)).as("common"))
-          // NEW links only: drop candidates already adjacent to the seed
-          .join(sn.select(col("seed"), col("n").as("cand")),
-            Seq("seed", "cand"), "left_anti")
-        val scored = wedge
-          .join(deg.select(col("v").as("seed"), col("d").as("ds")), "seed")
-          .join(deg.select(col("v").as("cand"), col("d").as("dc")), "cand")
-          .select(col("seed"), col("cand"), col("common"),
-            round(col("common").cast("double") /
-              (col("ds") + col("dc") - col("common")), 6).as("jac"))
-        val w = Window.partitionBy(col("seed"))
-          .orderBy(col("jac").desc, col("cand").asc)
-        scored.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 5)
-          .select(col("seed"), col("rn"), col("cand"), col("common"), col("jac"))
+        linkpredTopK(adj, deg, seeds)
           .orderBy(col("seed"), col("rn"))
           .localCheckpoint()
       } finally { adj.unpersist(false); e.unpersist(false); () }

@@ -1186,4 +1186,38 @@ class PlanSpec extends AnyFunSuite {
     assert(planText.contains("Some(8)"),
       "the candidate verify lost its banded threshold (full-matrix levenshtein)")
   }
+
+  test("graph_*_idx steady state: the graph comes from the cache, no lineitem rescan") {
+    // The Graphs seam's plan-level claim: a WARM `_idx` call must read
+    // the graph from InMemoryTableScan leaves, and the edge build's
+    // lineitem parquet scan must not appear OUTSIDE a cached subtree
+    // (inside InMemoryRelation it is provenance, not work — flattenPlan
+    // descends into cached plans by design, so this gate uses a
+    // cache-boundary-stopping walk).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def flattenToCache(n: SparkPlan): Seq[SparkPlan] = {
+      val kids: Seq[SparkPlan] = n match {
+        case _: InMemoryTableScanExec => Nil // stop at the cache boundary
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec        => Seq(s.plan)
+        case r: ReusedExchangeExec    => Seq(r.child)
+        case o                        => o.children
+      }
+      n +: kids.flatMap(flattenToCache)
+    }
+    graft.operators.Graphs.clear(spark)
+    try {
+      // first call builds (its plan legitimately scans lineitem)
+      SparkEntry.queries("graph_linkpred_idx")(spark, sf).collect()
+      // second call is the steady-state shape under gate
+      val nodes = executedPlans("graph_linkpred_idx")
+        .flatMap(p => flattenToCache(p._2))
+      assert(nodes.exists(_.isInstanceOf[InMemoryTableScanExec]),
+        "no cached scan in the steady-state plan — the index seam is dead")
+      val rescans = nodes.collect { case f: FileSourceScanExec => f }
+        .filter(_.toString.contains("lineitem"))
+      assert(rescans.isEmpty,
+        s"steady-state plan rescans lineitem:\n${rescans.mkString("\n")}")
+    } finally graft.operators.Graphs.clear(spark)
+  }
 }
