@@ -24,6 +24,20 @@ import graft.operators.{Bfs, Graphs, KCore, LabelProp, Triangles}
 object Extra9 {
   type Q = (SparkSession, String) => DataFrame
 
+  /** graph_ppr's restart probability — the conventional 0.15 (the
+    * graph_pagerank damping's complement, written as the restart mass
+    * so the diffusion form reads off the paper).
+    */
+  val PprAlpha = 0.15
+
+  /** graph_ppr's fixed round count (the PrIters discipline: a bounded,
+    * deterministic, cross-engine-checkable iteration; 4 rounds leave a
+    * visible diffusion gradient — 1–2 hops dominate, 3–4 differentiate
+    * wedge-rich regions — while each round stays one join + one fan +
+    * one combined sum).
+    */
+  val PprIters = 4
+
   /** The graph family's shared cache tag: one co-purchase graph frame
     * per data directory (the SimIndexes `#raw`/`#unit` rule — the tag
     * names the FRAME, and every `_idx` row below uses this same edge
@@ -33,6 +47,50 @@ object Extra9 {
 
   private def graph(s: SparkSession, dir: String): Graphs.GraphIndex =
     Graphs.index(Extra7.coPurchaseEdgesPlan(s, dir), tag(dir), s)
+
+  /** Personalized PageRank from the graph family's shared seed set —
+    * the DIFFUSION serving shape completing graph_linkpred's structural
+    * one (round-15 verdict #4): random-walk-with-restart mass from the
+    * p_size=50 parts over the co-purchase graph. r₀ = 1/|S| on each
+    * seed; each round r_k(v) = Σ over contributions
+    * [(1−α)·r_{k−1}(u)/deg(u) for u→v] ∪ [α/|S| for v ∈ S] — the
+    * restart term rides the SAME per-round aggregate as the walk mass
+    * (a union row source, not a second state reference), so each round
+    * is one node-sized contribution join + one edge fan + one map-side-
+    * combined sum, the state is referenced exactly once (the kcore
+    * h(x)-once discipline), and [[PprIters]] rounds chain into one lazy
+    * depth-linear plan. Per-round round(·,10) is the graph_pagerank
+    * float-determinism rule. Sparse representation: a node no walk has
+    * reached holds no row (mass 0), exactly as the oracle's unrolled
+    * GROUP BY produces. A seed OUTSIDE the edge relation keeps its
+    * restart mass but fans nothing out (no degree row) — defined,
+    * deterministic, mirrored in SQL. Output: top 50 by (ppr DESC, node)
+    * — the serving shape ("expand from THESE items"), totally ordered.
+    */
+  private def pprTopK(adj: DataFrame, deg: DataFrame,
+                      seeds: DataFrame): DataFrame = {
+    val nSeeds = seeds.count() // the ONLY driver-side value (pagerank rule)
+    val restart = seeds.select(col("seed").as("node"),
+      lit(PprAlpha / nSeeds).as("c"))
+    var ranks = seeds.select(col("seed").as("node"),
+      round(lit(1.0 / nSeeds), 10).as("pr"))
+    for (_ <- 1 to PprIters) {
+      // contribution weight per SOURCE first (node-sized join), then one
+      // edge join fans it out — never pr/deg per edge twice (the
+      // graph_pagerank shape)
+      val w = ranks.join(deg, ranks("node") === deg("v"))
+        .select(col("node"), (lit(1.0 - PprAlpha) * col("pr") / col("d")).as("w"))
+      val fan = adj.join(w, adj("v") === w("node"))
+        .select(adj("n").as("node"), col("w").as("c"))
+      ranks = fan.unionAll(restart)
+        .groupBy(col("node"))
+        .agg(round(sum(col("c")), 10).as("ppr"))
+        .select(col("node"), col("ppr").as("pr"))
+    }
+    ranks.select(col("node"), col("pr").as("ppr"))
+      .orderBy(col("ppr").desc, col("node"))
+      .limit(50)
+  }
 
   val queries: Map[String, Q] = Map(
     // -- steady-state graph serving (prebuilt edges/adjacency/degrees) ----
@@ -90,6 +148,36 @@ object Extra9 {
         .select(col("p_partkey").as("seed"))
       Extra8.linkpredTopK(g.adj, g.deg, seeds)
         .orderBy(col("seed"), col("rn"))
+    },
+
+    // -- personalized PageRank (random walk with restart) -----------------
+    // The eighth graph discipline and graph_linkpred's serving twin:
+    // linkpred ranks STRUCTURAL candidates (shared-neighbour Jaccard,
+    // 2-hop horizon); PPR ranks by DIFFUSION mass (multi-hop, damped),
+    // the other standard "expand from these items" primitive. Fixed
+    // [[PprIters]] rounds (the pagerank/kcore contract), restart mass
+    // folded into each round's aggregate as a union row source so the
+    // state is referenced once and the oracle's unrolled CTE mirrors it
+    // term for term. See [[pprTopK]].
+    "graph_ppr" -> { (s, dir) =>
+      val e = Extra7.coPurchaseEdges(s, dir)
+      // adjacency feeds one fan join per round + the degree seed →
+      // persist; eager localCheckpoint lets the finally release both
+      val adj = e.select(col("a").as("v"), col("b").as("n"))
+        .unionAll(e.select(col("b").as("v"), col("a").as("n")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("d"))
+        pprTopK(adj, deg, Extra7.seedParts(s, dir).select(col("v").as("seed")))
+          .localCheckpoint()
+      } finally { adj.unpersist(false); e.unpersist(false); () }
+    },
+
+    // the steady-state sibling: same rounds, same dials, same oracle —
+    // adjacency + degrees from the session cache
+    "graph_ppr_idx" -> { (s, dir) =>
+      val g = graph(s, dir)
+      pprTopK(g.adj, g.deg, Extra7.seedParts(s, dir).select(col("v").as("seed")))
     }
   )
 
@@ -99,7 +187,45 @@ object Extra9 {
     * they share the siblings' SQL verbatim and the driver's hash check
     * pins the cache seam at full strength.
     */
+  /** One unrolled PPR round (the graph_pagerank prIterSql discipline:
+    * both engines run the IDENTICAL bounded iteration, so the driver
+    * hash can only match when every round matches). The restart term is
+    * a union branch of the same aggregate — the exact shape the Spark
+    * rounds use.
+    */
+  private def pprIterSql(k: Int): String = s"""
+      r$k AS (
+        SELECT node, round(SUM(c), 10) AS pr FROM (
+          SELECT a.n AS node,
+                 CAST(${1.0 - PprAlpha} AS DOUBLE) * r.pr / d.d AS c
+          FROM r${k - 1} r JOIN adj a ON r.node = a.v JOIN deg d ON r.node = d.v
+          UNION ALL
+          SELECT seed AS node,
+                 CAST($PprAlpha AS DOUBLE) / (SELECT n FROM ns) AS c
+          FROM seeds
+        ) GROUP BY node
+      )"""
+
+  private val pprSql: String = s"""
+      WITH so AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk FROM lineitem),
+      e AS (
+        SELECT DISTINCT x.sk AS a, y.sk AS b
+        FROM so x JOIN so y ON x.ok = y.ok AND x.sk < y.sk),
+      adj AS (SELECT a AS v, b AS n FROM e UNION ALL SELECT b, a FROM e),
+      deg AS (SELECT v, COUNT(*) AS d FROM adj GROUP BY v),
+      seeds AS (SELECT p_partkey AS seed FROM part WHERE p_size = 50),
+      ns AS (SELECT COUNT(*) AS n FROM seeds),
+      r0 AS (
+        SELECT seed AS node, round(1.0 / (SELECT n FROM ns), 10) AS pr
+        FROM seeds),
+      ${(1 to PprIters).map(pprIterSql).mkString(",")}
+      SELECT node, pr AS ppr FROM r$PprIters
+      ORDER BY ppr DESC, node LIMIT 50"""
+
   val oracle: Map[String, String] = Map(
+    "graph_ppr" -> pprSql,
+    "graph_ppr_idx" -> pprSql,
     "graph_triangles_idx" -> Extra7.oracle("graph_triangles"),
     "graph_kcore_idx" -> Extra7.oracle("graph_kcore"),
     "graph_bfs_idx" -> Extra7.oracle("graph_bfs"),

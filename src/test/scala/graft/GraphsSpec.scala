@@ -31,7 +31,8 @@ class GraphsSpec extends AnyFunSuite {
       "graph_bfs" -> "graph_bfs_idx",
       "graph_sssp" -> "graph_sssp_idx",
       "graph_labelprop" -> "graph_labelprop_idx",
-      "graph_linkpred" -> "graph_linkpred_idx")
+      "graph_linkpred" -> "graph_linkpred_idx",
+      "graph_ppr" -> "graph_ppr_idx")
     for ((build, steady) <- siblings) {
       val expected = rows(build)
       val before = Graphs.builds

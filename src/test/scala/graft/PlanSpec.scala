@@ -1187,6 +1187,33 @@ class PlanSpec extends AnyFunSuite {
       "the candidate verify lost its banded threshold (full-matrix levenshtein)")
   }
 
+  test("graph_ppr: node-keyed exchanges only; every round's mass sum combines map-side") {
+    // The PPR round contract (the graph_pagerank gate shape): each
+    // round's groupBy(node) must map-side combine BEFORE its exchange —
+    // the fan join's output is edge-sized, only (node, partial sum)
+    // rows may cross the wire — and the node-sized contribution side
+    // must broadcast, never sort-merge the adjacency.
+    val nodes = executedPlans("graph_ppr").flatMap(p => flattenPlan(p._2))
+    val roundExchanges = nodes.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[HashPartitioning] &&
+          e.outputPartitioning.asInstanceOf[HashPartitioning]
+            .expressions.exists(_.toString.contains("node")) &&
+          e.shuffleOrigin.toString == "ENSURE_REQUIREMENTS" => e
+    }
+    assert(roundExchanges.nonEmpty, "no round exchanges captured — vacuous")
+    roundExchanges.foreach { e =>
+      assert(flattenPlan(e.child).exists {
+        case a: BaseAggregateExec =>
+          a.aggregateExpressions.exists(_.mode.toString.contains("Partial"))
+        case _ => false
+      }, s"a PPR round's exchange carries un-combined fan rows:\n$e")
+    }
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "a PPR join degenerated to sort-merge — node-sized sides must broadcast")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]), "cartesian appeared")
+  }
+
   test("graph_*_idx steady state: the graph comes from the cache, no lineitem rescan") {
     // The Graphs seam's plan-level claim: a WARM `_idx` call must read
     // the graph from InMemoryTableScan leaves, and the edge build's
