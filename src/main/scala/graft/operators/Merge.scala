@@ -82,4 +82,64 @@ object Merge {
       .filter(col("_rn") === 1 && !col("_del"))
       .select(dataCols.map(col): _*)
   }
+
+  /** Type-2 dimension build from a change stream — the `merge_scd2`
+    * operator body (extracted round 16 so the late-data correction and
+    * the streaming sink run the SAME versioning code): collapse
+    * `events` (user_id, ts, event_id, event_type) into one row per
+    * (entity, state run) with a version number, a half-open
+    * [valid_from, valid_to) range, and the is_current flag. Run
+    * boundaries are change points under the TOTAL order (ts, event_id)
+    * — the tie break makes version assignment engine-independent;
+    * valid_to = the next version's valid_from, so ranges compose into a
+    * gapless history (the property an as-of join against the dimension
+    * depends on). Scale shape: two window passes over the entity
+    * partition and nothing else — the same entity-keyed exchange serves
+    * change detection, the version cumsum, and the range close.
+    */
+  def scd2Dim(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val runs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    runs.filter(col("chg") === 1)
+      .withColumn("valid_to", lead(col("ts"), 1).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)))
+      .select(col("user_id"), col("version"),
+        col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  /** Late-data SCD2 correction: given the dimension built from the
+    * events seen so far and a LATE batch (out-of-order arrivals — a
+    * late event may land MID-history and split an existing validity
+    * range, renumbering every later version of that entity), produce
+    * the corrected dimension. Only entities the late batch touches are
+    * re-versioned — their FULL history (`allEvents` semi-joined on the
+    * affected set) re-runs [[scd2Dim]]'s windows — while every other
+    * entity's rows pass through untouched (entity-keyed anti-join).
+    * Equals `scd2Dim(allEvents)` by construction (per-entity
+    * independence); the oracle pins exactly that.
+    *
+    * @param dim       the current dimension (scd2Dim output shape)
+    * @param allEvents EVERY event — prior AND late — for at least the
+    *                  affected entities (extra entities are ignored by
+    *                  the semi-join)
+    * @param late      the late event batch (user_id, ts, event_id,
+    *                  event_type)
+    */
+  def scd2ApplyLate(dim: DataFrame, allEvents: DataFrame,
+                    late: DataFrame): DataFrame = {
+    val affected = late.select(col("user_id")).distinct()
+    val rebuilt = scd2Dim(allEvents.join(affected, Seq("user_id"), "left_semi"))
+    dim.join(affected, Seq("user_id"), "left_anti").unionByName(rebuilt)
+  }
 }

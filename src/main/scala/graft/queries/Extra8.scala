@@ -220,24 +220,10 @@ object Extra8 {
     // exchange serves the change detection, the version cumsum, and
     // the range close.
     "merge_scd2" -> { (s, dir) =>
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("event_id").asc)
-      val runs = Tables(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-        .withColumn("prev", lag(col("event_type"), 1).over(w))
-        .withColumn("chg",
-          when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
-            .otherwise(0L))
-        .withColumn("version", sum(col("chg"))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      runs.filter(col("chg") === 1)
-        .withColumn("valid_to", lead(col("ts"), 1).over(
-          Window.partitionBy(col("user_id"))
-            .orderBy(col("ts").asc, col("event_id").asc)))
-        .select(col("user_id"), col("version"),
-          col("event_type").as("state"),
-          col("ts").as("valid_from"), col("valid_to"),
-          col("valid_to").isNull.as("is_current"))
+      // the build body is graft.operators.Merge.scd2Dim (extracted round
+      // 16 — the late-data correction and the streaming sink must run
+      // the same versioning code)
+      graft.operators.Merge.scd2Dim(Tables(s, dir, "events"))
         .orderBy(col("user_id"), col("version"))
     },
 

@@ -178,6 +178,30 @@ object Extra9 {
     "graph_ppr_idx" -> { (s, dir) =>
       val g = graph(s, dir)
       pprTopK(g.adj, g.deg, Extra7.seedParts(s, dir).select(col("v").as("seed")))
+    },
+
+    // -- SCD2 late-data correction (round-15 verdict #7) -------------------
+    // merge_scd2 assumes the change stream is COMPLETE; real CDC isn't —
+    // a late event lands MID-history, splits an existing validity range,
+    // and renumbers every later version of its entity. This query runs
+    // the out-of-order re-versioning path: events are deterministically
+    // split into the on-time stream (which builds the prior dimension)
+    // and a late batch (event_id ≡ 7 mod 10, ~10% of events —
+    // arbitrary-but-fixed, so the incremental path faces real mid-range
+    // splits on the fixture), then `Merge.scd2ApplyLate` corrects ONLY
+    // the affected entities (full-history re-window, entity-keyed
+    // semi-join) while untouched entities pass through an anti-join.
+    // Oracle = the full rebuild over the UNION (merge_scd2's SQL
+    // verbatim): the incremental correction must be indistinguishable
+    // from recomputing everything — the only honest contract for a
+    // correction path.
+    "merge_scd2_late" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val isLate = pmod(col("event_id"), lit(10)) === 7
+      val dim = graft.operators.Merge.scd2Dim(ev.filter(!isLate))
+      graft.operators.Merge.scd2ApplyLate(dim, ev, ev.filter(isLate))
+        .orderBy(col("user_id"), col("version"))
     }
   )
 
@@ -226,6 +250,9 @@ object Extra9 {
   val oracle: Map[String, String] = Map(
     "graph_ppr" -> pprSql,
     "graph_ppr_idx" -> pprSql,
+    // the incremental correction must equal the full rebuild — the
+    // oracle IS merge_scd2's SQL over the union (all events)
+    "merge_scd2_late" -> Extra8.oracle("merge_scd2"),
     "graph_triangles_idx" -> Extra7.oracle("graph_triangles"),
     "graph_kcore_idx" -> Extra7.oracle("graph_kcore"),
     "graph_bfs_idx" -> Extra7.oracle("graph_bfs"),

@@ -976,6 +976,67 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming SCD2 maintenance with LATE-DATA correction — the
+    * `merge_scd2_late` query's streaming twin: as CDC events arrive
+    * (including OUT-OF-ORDER ones — a late event lands mid-history,
+    * splits an existing validity range, and renumbers every later
+    * version of its entity), the sink maintains a type-2 dimension
+    * snapshot that always equals [[graft.operators.Merge.scd2Dim]] over
+    * every event seen so far (MergeSpec pins the equality, late
+    * arrivals included).
+    *
+    * Per batch: re-delivered event_ids drop (anti-join — ids are
+    * unique per the events contract), the batch's entities become the
+    * AFFECTED set, and [[graft.operators.Merge.scd2ApplyLate]] rebuilds
+    * exactly those entities' histories from the accumulated event state
+    * while every other entity's dimension rows pass through an
+    * entity-keyed anti-join — per-batch REBUILD cost is bounded by the
+    * affected entities' history mass, not the corpus. The accumulated
+    * events and the snapshot are stats-reset checkpoints
+    * ([[graft.operators.Checkpoints.snap]]) with superseded generations
+    * freed per batch; the state REWRITE is O(seen) per batch (the
+    * [[editDistDedupSink]] pricing note). NOT watermarked, deliberately:
+    * arbitrarily late events must still split ranges — a watermark
+    * would silently freeze old history. SINGLE-RUN contract
+    * ([[editDistDedupSink]]): driver-local state, not replayed on
+    * restart from `checkpoint`.
+    *
+    * `onBatch` receives the CUMULATIVE corrected dimension after each
+    * batch.
+    */
+  def scd2Sink(events: DataFrame, checkpoint: String,
+               onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Checkpoints, Merge}
+    var accEv: (DataFrame, DataFrame) = null // every event seen so far
+    var dim: (DataFrame, DataFrame) = null   // current SCD2 snapshot
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val canon = batch
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .dropDuplicates("event_id")
+        val fresh0 =
+          if (accEv == null) canon
+          else canon.join(accEv._1.select(col("event_id")),
+            Seq("event_id"), "left_anti")
+        val (fresh, freshChk) = Checkpoints.snap(fresh0)
+        val newEv = Checkpoints.snap(
+          if (accEv == null) fresh else accEv._1.unionByName(fresh))
+        val newDim = Checkpoints.snap(
+          if (dim == null) Merge.scd2Dim(newEv._1)
+          else Merge.scd2ApplyLate(dim._1, newEv._1, fresh))
+        if (accEv != null) Checkpoints.free(accEv._2)
+        if (dim != null) Checkpoints.free(dim._2)
+        Checkpoints.free(freshChk)
+        accEv = newEv
+        dim = newDim
+        onBatch(dim._1, batchId)
+      }
+      .start()
+  }
+
   def runningUserTotals(events: org.apache.spark.sql.Dataset[Event])
       : org.apache.spark.sql.Dataset[UserTotal] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

@@ -187,6 +187,56 @@ class MergeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("scd2Sink: a late event splits a mid-history range and the snapshot converges to the batch rebuild") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:00:$s%02d")
+    // user 1: A(t1) A(t2) B(t3) C(t5) on time; the LATE e4 = A at t4
+    // lands BETWEEN B(t3) and C(t5) — it must split the B run's
+    // [t3, t5) range and renumber version 3
+    val b1 = Seq((1L, t(1), 1L, "A"), (1L, t(2), 2L, "A"),
+      (1L, t(3), 3L, "B"), (1L, t(5), 5L, "C"),
+      (2L, t(1), 6L, "X"), (2L, t(2), 7L, "Y")) // user 2: untouched later
+    val b2 = Seq((1L, t(4), 4L, "A")) // the late arrival
+    val b3 = Seq((1L, t(4), 4L, "A"), // re-delivery: must drop
+      (3L, t(9), 9L, "Z"))            // new entity
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scd2").toString
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val seen = scala.collection.mutable.Map[Long, Seq[(Long, Long, String, java.sql.Timestamp, Option[java.sql.Timestamp], Boolean)]]()
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("user_id", "version").collect().map(r => (
+        r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3),
+        Option(r.getTimestamp(4)), r.getBoolean(5))).toSeq
+    val q = graft.streaming.StreamOps.scd2Sink(
+      input.toDF().toDF("user_id", "ts", "event_id", "event_type"), ckpt,
+      onBatch = (dim, id) => seen.synchronized { seen += id -> rowsOf(dim) })
+    try {
+      val batches = Seq(b1, b2, b3)
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val got = seen.synchronized(seen.toList).sortBy(_._1)
+      assert(got.map(_._1) == List(0L, 1L, 2L))
+      // every snapshot equals the batch rebuild over events seen so far
+      val prefixes = batches.inits.toSeq.reverse.drop(1)
+        .map(_.flatten.distinctBy(_._3))
+      for (((_, streamed), prefix) <- got.zip(prefixes)) {
+        val expected = rowsOf(Merge.scd2Dim(
+          prefix.toDF("user_id", "ts", "event_id", "event_type")))
+        assert(streamed === expected)
+      }
+      // the split, explicitly: user 1 goes 3 versions -> 4, and the late
+      // A occupies [t4, t5) between the truncated B run and C
+      val u1Before = got(0)._2.filter(_._1 == 1L)
+      val u1After = got(1)._2.filter(_._1 == 1L)
+      assert(u1Before.map(x => (x._2, x._3)) === Seq((1L, "A"), (2L, "B"), (3L, "C")))
+      assert(u1After.map(x => (x._2, x._3)) ===
+        Seq((1L, "A"), (2L, "B"), (3L, "A"), (4L, "C")))
+      assert(u1After(1)._5 === Some(t(4)), "B's range was not truncated at the late ts")
+      assert(u1After(2)._4 === t(4) && u1After(2)._5 === Some(t(5)))
+      // user 2's rows passed through the anti-join unchanged
+      assert(got(1)._2.filter(_._1 == 2L) === got(0)._2.filter(_._1 == 2L))
+    } finally q.stop()
+  }
+
   test("profile (approx mode) audits every column in one scan, exact null counts") {
     val df = Seq(
       (1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("a"))
