@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -23,6 +23,14 @@ import graft.operators.{Bfs, Graphs, KCore, LabelProp, Triangles}
   */
 object Extra9 {
   type Q = (SparkSession, String) => DataFrame
+
+  /** text_bpe_train's merge budget: 8 rounds exercise the full greedy
+    * machinery (single-char pairs, then merged-symbol pairs from round
+    * 2 on) while the unrolled oracle stays ~60 CTEs. A real tokenizer
+    * run sets this to 30k–100k; the round count scales the driver loop
+    * linearly and nothing else.
+    */
+  val BpeMerges = 8
 
   /** graph_ppr's restart probability — the conventional 0.15 (the
     * graph_pagerank damping's complement, written as the restart mass
@@ -202,6 +210,26 @@ object Extra9 {
       val dim = graft.operators.Merge.scd2Dim(ev.filter(!isLate))
       graft.operators.Merge.scd2ApplyLate(dim, ev, ev.filter(isLate))
         .orderBy(col("user_id"), col("version"))
+    },
+
+    // -- BPE tokenizer-merge training --------------------------------------
+    // The engine could COUNT BPE-ish units (text_tokens) but not LEARN
+    // merges — the one standard tokenizer-training stage the LLM
+    // pipeline surface was missing (round-15 verdict #2). Corpus →
+    // distinct-word frequency table (the corpus-sized pass; everything
+    // after is vocab-sized) → [[BpeMerges]] greedy rounds with the
+    // deterministic (count DESC, pair ASC) tie-break; output = the
+    // learned merge table, the artifact a tokenizer ships. Oracle = the
+    // SAME rounds unrolled as plain CTE stages, so the driver hash pins
+    // every round's pair counts, tie-break, and greedy overlap
+    // resolution ([[graft.operators.BpeTrain]]).
+    "text_bpe_train" -> { (s, dir) =>
+      val words = Tables(s, dir, "documents")
+        .select(explode(filter(split(lower(col("text")), " "),
+          (t: Column) => t =!= "")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      graft.operators.BpeTrain.trainMerges(words, BpeMerges)
+        .orderBy(col("step"))
     }
   )
 
@@ -247,7 +275,68 @@ object Extra9 {
       SELECT node, pr AS ppr FROM r$PprIters
       ORDER BY ppr DESC, node LIMIT 50"""
 
+  /** One unrolled BPE round: the best pair of stage k−1 (count DESC,
+    * pair ASC — the deterministic tie-break) and stage k's state after
+    * the greedy left-to-right application (gaps-and-islands: rp is the
+    * live sequence index, match islands are consecutive-rp runs, even
+    * offsets apply, each applied position consumes its successor) —
+    * term for term the shape [[graft.operators.BpeTrain.trainMerges]]
+    * runs, so the hash can only match when every round matches.
+    */
+  private def bpeIterSql(k: Int): String = s"""
+      best_$k AS MATERIALIZED (
+        SELECT l, r, CAST(SUM(c) AS BIGINT) AS freq
+        FROM (SELECT t AS l, lead(t) OVER (PARTITION BY w ORDER BY p) AS r, c
+              FROM s${k - 1})
+        WHERE r IS NOT NULL
+        GROUP BY l, r
+        ORDER BY freq DESC, l, r LIMIT 1),
+      m_$k AS (
+        SELECT w, c, p, t,
+               coalesce(t = (SELECT l FROM best_$k)
+                 AND lead(t) OVER (PARTITION BY w ORDER BY p)
+                     = (SELECT r FROM best_$k), false) AS m,
+               row_number() OVER (PARTITION BY w ORDER BY p) AS rp
+        FROM s${k - 1}),
+      i_$k AS (
+        SELECT w, c, p, t, m, rp,
+               CASE WHEN m THEN
+                 rp - row_number() OVER (PARTITION BY w, m ORDER BY p)
+               END AS isl
+        FROM m_$k),
+      a_$k AS (
+        SELECT w, c, p, t, m, rp, isl,
+               coalesce(m AND (rp - min(rp) OVER (PARTITION BY w, isl)) % 2 = 0,
+                        false) AS ap
+        FROM i_$k),
+      s$k AS MATERIALIZED (
+        SELECT w, c, p,
+               CASE WHEN ap THEN t || (SELECT r FROM best_$k) ELSE t END AS t
+        FROM (SELECT *, coalesce(lag(ap) OVER (PARTITION BY w ORDER BY p),
+                                 false) AS consumed
+              FROM a_$k)
+        WHERE NOT consumed)"""
+
+  private val bpeSql: String = s"""
+      WITH words AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+          SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> '')) AS w
+          FROM documents)
+        GROUP BY w),
+      s0 AS MATERIALIZED (
+        SELECT w, c, i AS p, substr(w, i, 1) AS t
+        FROM (SELECT w, c, unnest(generate_series(1, len(w))) AS i
+              FROM words)),
+      ${(1 to BpeMerges).map(bpeIterSql).mkString(",")}
+      SELECT CAST(step AS INT) AS step, l, r, l || r AS merged, freq
+      FROM (${(1 to BpeMerges).map(k =>
+        s"SELECT $k AS step, l, r, freq FROM best_$k")
+        .mkString("\n        UNION ALL ")})
+      ORDER BY step"""
+
   val oracle: Map[String, String] = Map(
+    "text_bpe_train" -> bpeSql,
     "graph_ppr" -> pprSql,
     "graph_ppr_idx" -> pprSql,
     // the incremental correction must equal the full rebuild — the

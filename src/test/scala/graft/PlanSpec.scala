@@ -1214,6 +1214,46 @@ class PlanSpec extends AnyFunSuite {
     assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]), "cartesian appeared")
   }
 
+  test("text_bpe_train: pair counts combine map-side; exchanges are word- or pair-keyed only") {
+    // The BPE round contract: per round the only corpus-, i.e. vocab-,
+    // sized exchanges are the word-keyed window chain (all windows share
+    // PARTITION BY w ORDER BY p — one exchange + one sort serves the
+    // lead/row_number/island/lag stack) and the (l, r) pair-count
+    // aggregate, which must combine map-side so the wire carries
+    // (pair, partial sum) rows, never the state relation. No BNL, no
+    // cartesian; the 1-row best collect is the bounded driver value.
+    val nodes = executedPlans("text_bpe_train").flatMap(p => flattenPlan(p._2))
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]), "BNL appeared")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]), "cartesian appeared")
+    val hashEx = nodes.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashEx.nonEmpty, "no hash exchanges captured — vacuous")
+    // the pair key resolves pre-alias: (t, r) or (l, r) depending on
+    // which side of the groupBy projection the partial agg lands
+    def isPairKey(keys: String) =
+      (keys.contains("t#") || keys.contains("l#")) && keys.contains("r#")
+    hashEx.foreach { e =>
+      val keys = e.outputPartitioning.asInstanceOf[HashPartitioning]
+        .expressions.map(_.toString).mkString(",")
+      assert(keys.contains("w#") || isPairKey(keys),
+        s"an exchange keyed off-contract ($keys):\n$e")
+    }
+    val pairExchanges = hashEx.filter { e =>
+      isPairKey(e.outputPartitioning.asInstanceOf[HashPartitioning]
+        .expressions.map(_.toString).mkString(","))
+    }
+    assert(pairExchanges.nonEmpty, "no pair-count exchange captured — vacuous")
+    pairExchanges.foreach { e =>
+      assert(flattenPlan(e.child).exists {
+        case a: BaseAggregateExec =>
+          a.aggregateExpressions.exists(_.mode.toString.contains("Partial"))
+        case _ => false
+      }, s"a pair-count exchange carries un-combined state rows:\n$e")
+    }
+  }
+
   test("graph_*_idx steady state: the graph comes from the cache, no lineitem rescan") {
     // The Graphs seam's plan-level claim: a WARM `_idx` call must read
     // the graph from InMemoryTableScan leaves, and the edge build's
