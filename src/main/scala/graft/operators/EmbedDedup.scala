@@ -338,6 +338,52 @@ object EmbedDedup {
       .dropDuplicates("v1", "v2")
   }
 
+  /** The R-S (cross-relation) form of [[lshPairs]] — the blocking
+    * behind `text_decontaminate_embed` (round-15 verdict #3: the
+    * semantic-decontamination shape modern pipelines run NEXT TO the
+    * shingle-exact `text_decontaminate`): all (left row, right row)
+    * pairs at cosine ≥ threshold, where `left` is the SMALL side (an
+    * eval/benchmark embedding set) and `right` the corpus. One-sided
+    * index, one-sided probing (the [[EditDistJoin.pairsAcross]] /
+    * `Ann.lshTopKDial` κ₁ precedent): the left side's bucket keys
+    * BROADCAST — eval sets are small by nature, so at 100 TB the
+    * corpus streams past them with no shuffle of corpus rows at all
+    * (the text_decontaminate scale rule, carried to the embedding
+    * form) — and only the corpus side multi-probes (Hamming-≤2 flips
+    * buy the recall the unprobed broadcast side cannot). Candidates
+    * verify with the exact full-precision cosine — zero false
+    * positives; recall is the banding bound, measured against the
+    * all-pairs cross form in EmbedDedupSpec.
+    *
+    * @return (corpus_id, eval_id, c) — one row per surviving pair.
+    */
+  def lshPairsAcross(left: DataFrame, right: DataFrame, threshold: Double,
+                     tables: Int = 16, planesPerTable: Int = 6, dim: Int = 64,
+                     seed: Long = 42L, nprobe: Int = 2): DataFrame = {
+    graft.functions.DotProduct.register(left.sparkSession)
+    def withNorm(df: DataFrame) = df
+      .select(col("vec_id"), col("e"),
+        sqrt(aggregate(col("e"), lit(0.0d), (acc, x) => acc + x * x)).as("nrm"))
+    val idx = broadcast(
+      Ann.bucketKeys(withNorm(left), tables, planesPerTable, dim, seed)
+        .select(col("vec_id").as("eval_id"), col("e").as("le"),
+          col("nrm").as("lnrm"), col("table"), col("bucket")))
+    val probe = (
+      if (nprobe > 0)
+        Ann.probedBucketKeys(withNorm(right), tables, planesPerTable, dim,
+          seed, nprobe)
+      else Ann.bucketKeys(withNorm(right), tables, planesPerTable, dim, seed))
+      .select(col("vec_id").as("corpus_id"), col("e"), col("nrm"),
+        col("table"), col("bucket"))
+    probe.join(idx, Seq("table", "bucket"))
+      .withColumn("c", round(
+        graft.functions.DotProduct(col("le"), col("e"))
+          / (col("lnrm") * col("nrm")), 6))
+      .filter(col("c") >= threshold)
+      .select(col("corpus_id"), col("eval_id"), col("c"))
+      .dropDuplicates("corpus_id", "eval_id")
+  }
+
   /** Number of cells the `maxCellSize` cap removes — observability for
     * the recall/cost trade (the [[MinHash.droppedBuckets]] analogue).
     */

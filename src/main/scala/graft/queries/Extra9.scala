@@ -230,6 +230,38 @@ object Extra9 {
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
       graft.operators.BpeTrain.trainMerges(words, BpeMerges)
         .orderBy(col("step"))
+    },
+
+    // -- semantic (embedding) decontamination -------------------------------
+    // text_decontaminate's R-S embedding form (round-15 verdict #3) —
+    // the pair modern pipelines run together: the shingle form catches
+    // verbatim leakage, this form catches PARAPHRASED/near-duplicate
+    // leakage a token-level overlap misses. Benchmark stand-in =
+    // vec_id < 50 (the text_decontaminate doc_id < 10 rule); blocking =
+    // one-sided LSH with the eval index BROADCAST and only the corpus
+    // multi-probing ([[graft.operators.EmbedDedup.lshPairsAcross]]) —
+    // at 100 TB the corpus streams past the tiny eval index with no
+    // corpus shuffle, exactly like the shingle form. Exact-cosine
+    // verification ⇒ zero false positives; recall floor measured vs the
+    // all-pairs cross form in EmbedDedupSpec (LSH recall is
+    // probabilistic, so this row is rows-only — the dedup_embed_lsh
+    // precedent).
+    "text_decontaminate_embed" -> { (s, dir) =>
+      val emb = ScaleOps.normalized(s, dir).select(col("vec_id"), col("e"))
+      val eval = emb.filter(col("vec_id") < 50)
+      val corpus = emb.filter(col("vec_id") >= 50)
+      val hits = graft.operators.EmbedDedup
+        .lshPairsAcross(eval, corpus, threshold = 0.45,
+          planesPerTable = graft.operators.EmbedDedup.autoPlanes(corpus.count()))
+        .groupBy(col("corpus_id"))
+        .agg(count(lit(1)).as("n_matches"), max(col("c")).as("max_c"))
+      corpus.select(col("vec_id"))
+        .join(hits, col("vec_id") === col("corpus_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          coalesce(col("max_c"), lit(0.0)).as("max_c"),
+          col("n_matches").isNotNull.as("flagged"))
+        .orderBy(col("vec_id"))
     }
   )
 
