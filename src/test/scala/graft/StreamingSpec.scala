@@ -259,6 +259,55 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("triestTriangleSink: exact when m >= edges; split-invariant and within ε when sampling") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // seeded dense graph: G(60, 0.5) — enough triangle mass for the
+    // sub-sample estimate to concentrate, and the deterministic hash
+    // priorities make the measured estimate a FIXED number (no flake)
+    val rnd = new scala.util.Random(11)
+    val allEdges = (for {
+      a <- 0 until 60; b <- (a + 1) until 60 if rnd.nextBoolean()
+    } yield (a.toLong, b.toLong)).toSeq
+    val truth = graft.operators.Triangles
+      .triangleRows(allEdges.toDF("a", "b")).count()
+    assert(truth > 1000, s"fixture too sparse ($truth triangles) — vacuous")
+
+    def run(m: Int, batches: Seq[Seq[(Long, Long)]]): Seq[(Long, Long, Long, Double)] = {
+      val input = MemoryStream[(Long, Long)]
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-triest").toString
+      val q = streaming.StreamOps.triestTriangleSink(
+        input.toDF().toDF("a", "b"), m, ckpt,
+        onBatch = (id, t, s, est) => seen.synchronized { seen += ((id, t, s, est)); () })
+      withQuery(q) {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      }
+      seen.synchronized(seen.toList).sortBy(_._1)
+    }
+
+    val splitA = allEdges.grouped(math.max(1, allEdges.size / 3)).toSeq
+    // a different batching of the same edge set, with reversed
+    // orientation on some rows (canonicalization)
+    val splitB = allEdges.reverse.map { case (a, b) => (b, a) }
+      .grouped(math.max(1, allEdges.size / 5)).toSeq
+
+    // exact regime: the reservoir holds every edge — estimate == truth
+    val exact = run(allEdges.size + 10, splitA)
+    assert(exact.last._2 == allEdges.size)
+    assert(exact.last._4 === truth.toDouble,
+      s"m >= t must be exact: ${exact.last._4} vs $truth")
+
+    // sampling regime: declared ε = 30% at m = 400 of ${allEdges.size}
+    val estA = run(400, splitA)
+    val estB = run(400, splitB)
+    assert(estA.last._4 === estB.last._4,
+      "bottom-m priority sampling must be invariant under re-batching")
+    val err = math.abs(estA.last._4 - truth) / truth
+    info(f"TRIÈST estimate ${estA.last._4}%.0f vs truth $truth (err ${err * 100}%.1f%%, m=400/${allEdges.size} edges)")
+    assert(err <= 0.3, f"estimate off by ${err * 100}%.1f%% > the declared 30%% at m=400")
+  }
+
   test("annTopKSink unpersists the index when start() itself fails") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
