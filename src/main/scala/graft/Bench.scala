@@ -273,9 +273,10 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Built-in canary: diff against the archived previous-round detail.
     val curLane = (laneCpus, timedRuns, laneHeavy)
+    val prevParsed = prevDetail()
     val regressions: Seq[(String, Double, Double)] =
       if (args.nonEmpty) Nil
-      else prevDetail() match {
+      else prevParsed match {
         case Some((path, _, _, prevLane, _)) if !laneComparable(prevLane, curLane) =>
           System.err.println(
             s"[bench] canary skipped: $path ran lane (cpus,runs,heavy)=" +
@@ -314,12 +315,48 @@ object Bench {
       }
     val regJson = regressions.map { case (n, p, c) =>
       s"""["$n",${fmt(p)},${fmt(c)}]""" }.mkString("[", ",", "]")
+    // Cumulative drift canary (round-16, verdict #6): sub-envelope drift
+    // COMPOUNDS invisibly round over round — r15's join_bucketed went
+    // 0.69 → 0.94 s (1.36×) under the per-round ≥1.5× envelope; three
+    // such rounds are a silent 2.5×. Diff this run against the OLDEST
+    // same-lane archive too, at a ≥2× AND ≥0.5 s envelope, naming the
+    // window. Skipped (loudly) when the oldest comparable archive IS the
+    // newest one already diffed — a one-archive window adds nothing.
+    val (cumulative, cumulativeWindow):
+        (Seq[(String, Double, Double)], Option[String]) =
+      if (args.nonEmpty) (Nil, None)
+      else oldestComparable(sfDir, curLane, archivePaths()) match {
+        case Some((path, oldQ)) if !prevParsed.map(_._1).contains(path) =>
+          val r = cumulativeRegressions(results.toMap, oldQ,
+            n => dirFor(n) != sfDir)
+          r.foreach { case (n, p, c) => System.err.println(
+            f"[bench] CUMULATIVE REGRESSION $n: $p%.2f s ($path) -> " +
+              f"$c%.2f s (x${c / p}%.2f) — sub-envelope drift compounded") }
+          if (r.isEmpty) System.err.println(
+            s"[bench] cumulative canary clean vs $path " +
+              "(window oldest..now, >=2x and >=0.5s envelope)")
+          (r, Some(path))
+        case Some((path, _)) =>
+          System.err.println(
+            s"[bench] cumulative canary skipped: oldest comparable archive " +
+              s"$path is the newest one already diffed (degenerate window)")
+          (Nil, None)
+        case None =>
+          System.err.println(
+            "[bench] cumulative canary skipped: no older same-lane archive")
+          (Nil, None)
+      }
+    val cumJson = cumulative.map { case (n, p, c) =>
+      s"""["$n",${fmt(p)},${fmt(c)}]""" }.mkString("[", ",", "]")
+    val cumWindowJson = cumulativeWindow
+      .map(p => s""""$p"""").getOrElse("null")
     val head =
       s""""unit":"sec","sf":"$sfDir","baseline_sf":"$baselineDir",""" +
         s""""lane":{"cpus":"$laneCpus","runs":$timedRuns,"heavy_reruns":$laneHeavy},""" +
         s""""failed":$failedJson,"baseline":$baselineJson,""" +
         s""""engine_sec":${fmt(engineSec)},"baseline_sec":${fmt(baselineSec)},""" +
-        s""""regressions":$regJson"""
+        s""""regressions":$regJson,"regressions_cumulative":$cumJson,""" +
+        s""""cumulative_window":$cumWindowJson"""
     // stdout detail stays times-only (the driver tails stdout); the FILE
     // adds per-query executor metrics, and only a FULL-surface run may
     // write it.
@@ -362,18 +399,52 @@ object Bench {
     * `[a-z0-9_]+` and values plain decimals, and the build has no JSON
     * dependency by design.
     */
+  /** Every archived round detail in `dir`, oldest round first (numeric
+    * round sort — lexicographic would rank r9 above r10).
+    */
+  private[graft] def archivePaths(dir: String = "."): Seq[String] =
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten.map(_.getName)
+      .filter(n => n.startsWith("BENCH_DETAIL_r") && n.endsWith(".json"))
+      .sortBy(n => """\d+""".r.findFirstIn(n).map(_.toInt).getOrElse(0))
+      .map(n => new java.io.File(dir, n).getPath)
+
+  /** The OLDEST archive comparable to this run — same sf, uniform
+    * baseline lane (a capstone archive's bounded-dial baselines aren't
+    * window-comparable), execution lane matching — for the cumulative
+    * drift canary's window. Returns (path, per-query seconds).
+    */
+  private[graft] def oldestComparable(sfDir: String, cur: (String, Int, Int),
+                                      paths: Seq[String])
+      : Option[(String, Map[String, Double])] =
+    paths.iterator.flatMap(p => prevDetail(Some(p))).collectFirst {
+      case (path, sf, baseSf, lane, q)
+        if sf == sfDir && baseSf == sf && laneComparable(lane, cur) =>
+        (path, q)
+    }
+
+  /** The cumulative envelope: ≥2× AND ≥0.5 s vs the window's oldest
+    * archive — twice the per-round envelope, because this window exists
+    * to catch drift each per-round diff individually waves through.
+    * `exclude` drops queries whose current dial differs from the run's
+    * sf (the bounded-baseline rule).
+    */
+  private[graft] def cumulativeRegressions(cur: Map[String, Double],
+                                           oldQ: Map[String, Double],
+                                           exclude: String => Boolean)
+      : Seq[(String, Double, Double)] =
+    cur.toSeq.sortBy(_._1).flatMap { case (n, c) =>
+      if (exclude(n)) None
+      else oldQ.get(n) match {
+        case Some(p) if p > 0 && c >= 2.0 * p && c - p >= 0.5 => Some((n, p, c))
+        case _ => None
+      }
+    }
+
   private[graft] def prevDetail(
       explicit: Option[String] = sys.env.get("SPARK_GRAFT_PREV_DETAIL"))
       : Option[(String, String, String, Option[(String, Int, Int)],
                 Map[String, Double])] = {
-    val path = explicit.orElse {
-      val d = new java.io.File(".").listFiles()
-      Option(d).toSeq.flatten.map(_.getName)
-        .filter(n => n.startsWith("BENCH_DETAIL_r") && n.endsWith(".json"))
-        // numeric round sort — lexicographic would rank r9 above r10
-        .sortBy(n => """\d+""".r.findFirstIn(n).map(_.toInt).getOrElse(0))
-        .lastOption
-    }
+    val path = explicit.orElse(archivePaths().lastOption)
     path.flatMap { p =>
       val parsed =
         try {

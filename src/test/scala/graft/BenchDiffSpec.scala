@@ -132,6 +132,65 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(Bench.laneComparable(None, ("4", 2, 0)))
   }
 
+  test("cumulative canary: oldest comparable archive wins the window; 2x envelope fires") {
+    // Round-16 verdict #6: sub-envelope drift compounds invisibly —
+    // r15's join_bucketed went 0.69 -> 0.94 (1.36x, waved through by the
+    // per-round 1.5x envelope); three such rounds are a silent 2.5x.
+    // Inject a three-archive ledger and assert (a) the window anchors at
+    // the OLDEST comparable archive, skipping a lane-mismatched older
+    // one, and (b) the >=2x AND >=0.5s cumulative envelope fires exactly
+    // where per-round diffs stayed clean.
+    val dir = java.nio.file.Files.createTempDirectory("cumdiff")
+    def write(name: String, sf: String, lane: String, qx: Double): Unit = {
+      java.nio.file.Files.writeString(dir.resolve(name),
+        s"""{"metric":"detail","unit":"sec","sf":"$sf",""" +
+          s""""baseline_sf":"$sf",$lane""" +
+          s""""queries":{"q_drift":$qx,"q_ok":1.0}}""")
+      ()
+    }
+    val lane4 = """"lane":{"cpus":"4","runs":2,"heavy_reruns":0},"""
+    val lane32 = """"lane":{"cpus":"32","runs":1,"heavy_reruns":10},"""
+    write("BENCH_DETAIL_r12.json", "/root/testdata/sf0.1", lane32, 0.50) // lane mismatch — must skip
+    write("BENCH_DETAIL_r13.json", "/root/testdata/sf0.1", lane4, 0.69)  // the window anchor
+    write("BENCH_DETAIL_r14.json", "/root/testdata/sf0.1", lane4, 0.94)  // newest (per-round diff's target)
+    val paths = Bench.archivePaths(dir.toString)
+    assert(paths.map(p => new java.io.File(p).getName) ==
+      Seq("BENCH_DETAIL_r12.json", "BENCH_DETAIL_r13.json", "BENCH_DETAIL_r14.json"))
+    val Some((anchor, oldQ)) =
+      Bench.oldestComparable("/root/testdata/sf0.1", ("4", 2, 0), paths)
+    assert(anchor.endsWith("BENCH_DETAIL_r13.json"),
+      s"window must anchor at the oldest COMPARABLE archive, got $anchor")
+    assert(oldQ("q_drift") == 0.69)
+    // current run: q_drift 1.42 — 1.51x vs r14 (per-round would just
+    // barely flag at 1.5x... use 1.40: 1.49x vs r14, per-round CLEAN) but
+    // 2.03x and +0.71s vs the r13 anchor — the cumulative canary's case
+    val cur = Map("q_drift" -> 1.40, "q_ok" -> 1.05)
+    val perRound = cur.toSeq.flatMap { case (n, c) =>
+      // the per-round envelope, as main computes it vs r14
+      Map("q_drift" -> 0.94, "q_ok" -> 1.0).get(n) match {
+        case Some(p) if c >= 1.5 * p && c - p >= 0.5 => Some(n)
+        case _ => None
+      }
+    }
+    assert(perRound.isEmpty, "fixture broke: per-round diff must stay clean")
+    val cum = Bench.cumulativeRegressions(cur, oldQ, _ => false)
+    assert(cum == Seq(("q_drift", 0.69, 1.40)),
+      s"cumulative envelope must fire on the compounded drift: $cum")
+    // sub-envelope cumulative growth must NOT fire (1.9x)
+    assert(Bench.cumulativeRegressions(Map("q_drift" -> 1.31), oldQ, _ => false).isEmpty)
+    // excluded queries (bounded-dial baselines) never flag
+    assert(Bench.cumulativeRegressions(cur, oldQ, _ == "q_drift").isEmpty)
+    // a capstone archive (baseline_sf != sf) is not window-comparable
+    java.nio.file.Files.writeString(dir.resolve("BENCH_DETAIL_r11.json"),
+      """{"metric":"detail","unit":"sec","sf":"/root/testdata/sf0.1",""" +
+        """"baseline_sf":"/tmp/scale10",""" + lane4 +
+        """"queries":{"q_drift":0.10}}""")
+    val Some((anchor2, _)) = Bench.oldestComparable(
+      "/root/testdata/sf0.1", ("4", 2, 0), Bench.archivePaths(dir.toString))
+    assert(anchor2.endsWith("BENCH_DETAIL_r13.json"),
+      "a bounded-baseline capstone archive must not anchor the window")
+  }
+
   test("identical metrics and flat times exit 0") {
     val prev = detail(tmp("prev.json"), 2.0, 10L << 20, 0)
     val cur = detail(tmp("cur.json"), 2.1, 10L << 20, 0)
