@@ -177,13 +177,26 @@ object Bench {
       if (captureMetrics) { listener.quiesce(); listener.sink = null }
       (dt, ok)
     }
+    // Shuffle-file release between passes (round-16): shuffle files are
+    // freed by the ContextCleaner only when the owning RDDs are GC'd —
+    // a JVM with 48 GiB of headroom may not GC for many minutes, so a
+    // query whose plan shuffles ~130 GB (the scale100 triangle wedge
+    // exchange) accumulates one full generation PER PASS and the third
+    // pass fills the 252 GB disk ("No space left on device", observed).
+    // One explicit GC between sweeps / before a retry pass releases the
+    // finished generation; it runs OUTSIDE any timed window.
+    def releaseShuffles(): Unit = { System.gc(); Thread.sleep(200) }
     val passes: Map[String, Seq[(Double, Boolean)]] =
       if (sameWindow)
         order.map { case (n, fn) =>
-          n -> (1 to timedRuns).map(i => timeOne(n, fn, i == 1)) }.toMap
+          n -> (1 to timedRuns).map { i =>
+            if (i > 1) releaseShuffles()
+            timeOne(n, fn, i == 1) } }.toMap
       else {
-        val sweeps = (1 to timedRuns).map(i =>
-          order.map { case (n, fn) => timeOne(n, fn, i == 1) })
+        val sweeps = (1 to timedRuns).map { i =>
+          if (i > 1) releaseShuffles()
+          order.map { case (n, fn) => timeOne(n, fn, i == 1) }
+        }
         order.map(_._1).zipWithIndex
           .map { case (n, i) => n -> sweeps.map(_(i)) }.toMap
       }
@@ -223,7 +236,9 @@ object Bench {
         if (rerun.nonEmpty) System.err.println(
           s"[bench] heavy-tail re-run (single-sweep lane) for ${rerun.size} " +
             s"queries (${base2.size} baselines): ${rerun.map(_._1).mkString(", ")}")
-        rerun.map { case (n, fn) => n -> (passes(n) :+ timeOne(n, fn, false)) }.toMap
+        rerun.map { case (n, fn) =>
+          releaseShuffles()
+          n -> (passes(n) :+ timeOne(n, fn, false)) }.toMap
       }
       else {
         val suspects = order.filter { case (n, _) =>
@@ -234,7 +249,9 @@ object Bench {
         if (suspects.nonEmpty) System.err.println(
           s"[bench] contention retry for ${suspects.size} queries: " +
             suspects.map(_._1).mkString(", "))
-        suspects.map { case (n, fn) => n -> (passes(n) :+ timeOne(n, fn, false)) }.toMap
+        suspects.map { case (n, fn) =>
+          releaseShuffles()
+          n -> (passes(n) :+ timeOne(n, fn, false)) }.toMap
       }
     val allPasses = passes ++ retried
     // Per-pass times to stderr (round-16): the min hides WHICH pass won

@@ -79,32 +79,61 @@ object BpeTrain {
       val (l, r, f) = (best(0).getString(0), best(0).getString(1),
         best(0).getLong(2))
       learned += ((step, l, r, l + r, f))
-      // greedy left-to-right application via gaps-and-islands: rp is the
-      // LIVE sequence index (positions gap as rows are consumed), match
-      // islands are runs of consecutive rp, and even offsets apply
-      val applied = st._1
-        .withColumn("m", coalesce(
-          col("t") === lit(l) && lead(col("t"), 1).over(wOrder) === lit(r),
-          lit(false)))
-        .withColumn("rp", row_number().over(wOrder))
-        .withColumn("mrn", row_number().over(
-          Window.partitionBy(col("w"), col("m")).orderBy(col("p"))))
-        .withColumn("isl", when(col("m"), col("rp") - col("mrn")))
-        .withColumn("ap", col("m") &&
-          (col("rp") - min(col("rp")).over(
-            Window.partitionBy(col("w"), col("isl")))) % 2 === 0)
-        .withColumn("consumed",
-          coalesce(lag(col("ap"), 1).over(wOrder), lit(false)))
-      val next = applied.filter(!col("consumed"))
-        .select(col("w"), col("c"), col("p"),
-          when(col("ap"), concat(col("t"), lit(r))).otherwise(col("t")).as("t"))
-      val nextSnap = Checkpoints.snap(next)
+      val nextSnap = Checkpoints.snap(applyMerge(st._1, l, r))
       Checkpoints.free(st._2)
       st = nextSnap
     }
     Checkpoints.free(st._2)
     import spark.implicits._
     learned.toSeq.toDF("step", "l", "r", "merged", "freq")
+  }
+
+  /** One greedy merge application over a (w, p, t, …) symbol state —
+    * the gaps-and-islands pass shared by training and ENCODING: rp is
+    * the LIVE sequence index (positions gap as rows are consumed),
+    * match islands are runs of consecutive rp, even offsets apply, and
+    * each applied position consumes its successor. Extra columns (the
+    * trainer's count) pass through untouched. Purely lazy — the encoder
+    * chains k applications into ONE plan, while the trainer must
+    * snapshot per round (its next best depends on this round's result).
+    */
+  private def applyMerge(state: DataFrame, l: String, r: String): DataFrame = {
+    val wOrder = Window.partitionBy(col("w")).orderBy(col("p"))
+    val others = state.columns.filterNot(Set("w", "p", "t")).toSeq
+    state
+      .withColumn("m", coalesce(
+        col("t") === lit(l) && lead(col("t"), 1).over(wOrder) === lit(r),
+        lit(false)))
+      .withColumn("rp", row_number().over(wOrder))
+      .withColumn("mrn", row_number().over(
+        Window.partitionBy(col("w"), col("m")).orderBy(col("p"))))
+      .withColumn("isl", when(col("m"), col("rp") - col("mrn")))
+      .withColumn("ap", col("m") &&
+        (col("rp") - min(col("rp")).over(
+          Window.partitionBy(col("w"), col("isl")))) % 2 === 0)
+      .withColumn("consumed",
+        coalesce(lag(col("ap"), 1).over(wOrder), lit(false)))
+      .filter(!col("consumed"))
+      .select((Seq(col("w"), col("p"),
+        when(col("ap"), concat(col("t"), lit(r))).otherwise(col("t")).as("t")) ++
+        others.map(col)): _*)
+  }
+
+  /** ENCODE with a learned merge table: apply `merges` (ordered (l, r)
+    * pairs, driver-side — a merge table is tokenizer metadata, k rows)
+    * to every distinct word and return (w, n_bpe) token counts. The
+    * per-word application is the trainer's [[applyMerge]] chained
+    * LAZILY k times — encoding has no per-round data dependence, so
+    * unlike training it is ONE plan with no driver actions, and the
+    * whole encode is vocab-sized (the corpus pays only the word-count
+    * pass and the final join back).
+    */
+  def encodeWords(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val seed = words
+      .select(col("w"), explode(sequence(lit(1), length(col("w")))).as("p"))
+      .select(col("w"), col("p"), col("w").substr(col("p"), lit(1)).as("t"))
+    merges.foldLeft(seed) { case (st, (l, r)) => applyMerge(st, l, r) }
+      .groupBy(col("w")).agg(count(lit(1)).as("n_bpe"))
   }
 
   /** Sequential reference implementation (spec oracle only — driver
@@ -138,4 +167,25 @@ object BpeTrain {
       (step, l, r, l + r, f)
     }
   }
+
+  /** Sequential reference ENCODER (spec oracle only): the textbook
+    * left-to-right merge scan applied per word, returning final token
+    * counts — what [[encodeWords]] must reproduce relationally.
+    */
+  private[graft] def referenceEncode(words: Seq[String],
+                                     merges: Seq[(String, String)]): Map[String, Int] =
+    words.map { w =>
+      var toks: Vector[String] = w.map(_.toString).toVector
+      merges.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        toks = out.toVector
+      }
+      w -> toks.length
+    }.toMap
 }

@@ -232,6 +232,41 @@ object Extra9 {
         .orderBy(col("step"))
     },
 
+    // -- BPE corpus encoding (train + apply) -------------------------------
+    // The stage AFTER training: tokenize the corpus with the learned
+    // merges — per-doc BPE token counts, the number a token-budget
+    // planner (sample_epoch_plan) actually wants. Standalone contract:
+    // the query re-trains its 8 merges, then ENCODES — and encoding is
+    // the trainer's applyMerge chained LAZILY 8 times over the
+    // vocab-sized distinct-word state (no per-round data dependence ⇒
+    // one plan, no driver actions — the designed contrast to training's
+    // snapshot-per-round shape). The corpus pays one word-explode pass
+    // and one broadcast-ish join back; everything between is
+    // vocab-sized ([[graft.operators.BpeTrain.encodeWords]]).
+    "text_bpe_encode" -> { (s, dir) =>
+      val docw = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(filter(split(lower(col("text")), " "),
+          (t: Column) => t =!= "")).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val words = docw.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val merges = graft.operators.BpeTrain.trainMerges(words, BpeMerges)
+          .orderBy(col("step"))
+          .collect().map(row => (row.getString(1), row.getString(2))).toSeq
+        val wt = graft.operators.BpeTrain.encodeWords(words.select(col("w")), merges)
+        val perDoc = docw.join(wt, "w")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"), sum(col("n_bpe")).as("n_tokens_bpe"))
+        Tables(s, dir, "documents").select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_words"), lit(0L)).as("n_words"),
+            coalesce(col("n_tokens_bpe"), lit(0L)).as("n_tokens_bpe"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+      } finally { docw.unpersist(false); () }
+    },
+
     // -- semantic (embedding) decontamination -------------------------------
     // text_decontaminate's R-S embedding form (round-15 verdict #3) —
     // the pair modern pipelines run together: the shingle form catches
@@ -349,26 +384,50 @@ object Extra9 {
               FROM a_$k)
         WHERE NOT consumed)"""
 
-  private val bpeSql: String = s"""
-      WITH words AS (
-        SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
-          SELECT unnest(list_filter(string_split(lower(text), ' '),
-                                    x -> x <> '')) AS w
-          FROM documents)
-        GROUP BY w),
+  /** The shared training-stage prefix: doc words, the distinct-word
+    * frequency table, the character seed, and all [[BpeMerges]] unrolled
+    * rounds — [[bpeSql]] reads the per-round bests off it and
+    * [[bpeEncodeSql]] reads the FINAL state (both engines re-derive the
+    * merges inside the query: the standalone contract).
+    */
+  private val bpeStagesSql: String = s"""
+      WITH docw AS MATERIALIZED (
+        SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                          x -> x <> '')) AS w
+        FROM documents),
+      words AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM docw GROUP BY w),
       s0 AS MATERIALIZED (
         SELECT w, c, i AS p, substr(w, i, 1) AS t
         FROM (SELECT w, c, unnest(generate_series(1, len(w))) AS i
               FROM words)),
-      ${(1 to BpeMerges).map(bpeIterSql).mkString(",")}
+      ${(1 to BpeMerges).map(bpeIterSql).mkString(",")}"""
+
+  private val bpeSql: String = s"""
+      $bpeStagesSql
       SELECT CAST(step AS INT) AS step, l, r, l || r AS merged, freq
       FROM (${(1 to BpeMerges).map(k =>
         s"SELECT $k AS step, l, r, freq FROM best_$k")
         .mkString("\n        UNION ALL ")})
       ORDER BY step"""
 
+  private val bpeEncodeSql: String = s"""
+      $bpeStagesSql,
+      wt AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n_bpe
+        FROM s$BpeMerges GROUP BY w)
+      SELECT d.doc_id,
+             CAST(COALESCE(x.n_words, 0) AS BIGINT) AS n_words,
+             CAST(COALESCE(x.n_tokens_bpe, 0) AS BIGINT) AS n_tokens_bpe
+      FROM documents d LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS n_words, SUM(n_bpe) AS n_tokens_bpe
+        FROM docw JOIN wt USING (w) GROUP BY doc_id) x
+      USING (doc_id)
+      ORDER BY d.doc_id"""
+
   val oracle: Map[String, String] = Map(
     "text_bpe_train" -> bpeSql,
+    "text_bpe_encode" -> bpeEncodeSql,
     "graph_ppr" -> pprSql,
     "graph_ppr_idx" -> pprSql,
     // the incremental correction must equal the full rebuild — the

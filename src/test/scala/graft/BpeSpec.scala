@@ -79,6 +79,23 @@ class BpeSpec extends AnyFunSuite {
     assert(got === ref)
   }
 
+  test("encodeWords equals the sequential reference encoder on the fixture vocabulary") {
+    val words = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(explode(filter(split(lower(col("text")), " "),
+        (t: org.apache.spark.sql.Column) => t =!= "")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val merges = BpeTrain.trainMerges(words, 6)
+      .orderBy("step")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = BpeTrain.encodeWords(words.select(col("w")), merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    val ref = BpeTrain.referenceEncode(got.keySet.toSeq, merges)
+    assert(got === ref)
+    // the merges actually compressed something — not a vacuous identity
+    assert(got.exists { case (w, n) => n < w.length },
+      "no word compressed below its character count — vacuous merges")
+  }
+
   test("an exhausted corpus fails loudly instead of under-delivering merges") {
     // single-char words have no adjacent pairs at all
     val e = intercept[IllegalArgumentException] {
