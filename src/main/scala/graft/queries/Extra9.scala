@@ -212,6 +212,37 @@ object Extra9 {
         .orderBy(col("user_id"), col("version"))
     },
 
+    // -- point-in-time lookup against the SCD2 dimension -------------------
+    // The reason a type-2 dimension EXISTS: "what state was this entity
+    // in at time T?" — the gapless half-open ranges merge_scd2 builds
+    // are exactly what makes this lookup exact and unique. Probes = a
+    // deterministic 20% event sample shifted +10 s (mid-range points,
+    // so the lookup exercises interior ranges, not just run starts);
+    // each probe finds THE version whose [valid_from, valid_to) covers
+    // it. Scale shape: an entity-keyed equi join with the range
+    // predicate as residual — per-entity version counts are bounded, so
+    // the fan-out is versions-per-user, never a cross product (no
+    // binning needed; contrast join_range's bin machinery, which exists
+    // for UNKEYED ranges).
+    "merge_scd2_asof" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val dim = graft.operators.Merge.scd2Dim(ev)
+        .select(col("user_id").as("du"), col("version"), col("state"),
+          col("valid_from"), col("valid_to"))
+      val probes = ev.filter(pmod(col("event_id"), lit(5)) === 0)
+        .select(col("user_id"), col("event_id"),
+          (col("ts") + expr("INTERVAL 10 SECONDS")).as("pts"))
+      probes.join(dim,
+          col("user_id") === col("du") &&
+            col("valid_from") <= col("pts") &&
+            (col("valid_to").isNull || col("pts") < col("valid_to")),
+          "left")
+        .select(col("user_id"), col("event_id"), col("pts"),
+          col("version"), col("state"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
     // -- BPE tokenizer-merge training --------------------------------------
     // The engine could COUNT BPE-ish units (text_tokens) but not LEARN
     // merges — the one standard tokenizer-training stage the LLM
@@ -433,6 +464,38 @@ object Extra9 {
     // the incremental correction must equal the full rebuild — the
     // oracle IS merge_scd2's SQL over the union (all events)
     "merge_scd2_late" -> Extra8.oracle("merge_scd2"),
+
+    "merge_scd2_asof" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN LAG(event_type) OVER w IS NULL
+        |                OR LAG(event_type) OVER w <> event_type
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |ver AS (
+        |  SELECT user_id, ts, event_id, event_type, chg,
+        |         CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS version
+        |  FROM runs),
+        |dim AS (
+        |  SELECT user_id AS du, version, event_type AS state,
+        |         ts AS valid_from,
+        |         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS valid_to
+        |  FROM ver WHERE chg = 1),
+        |probes AS (
+        |  SELECT user_id, event_id, ts + INTERVAL 10 SECOND AS pts
+        |  FROM ev WHERE event_id % 5 = 0)
+        |SELECT p.user_id, p.event_id, p.pts, d.version, d.state
+        |FROM probes p LEFT JOIN dim d ON p.user_id = d.du
+        |  AND d.valid_from <= p.pts
+        |  AND (d.valid_to IS NULL OR p.pts < d.valid_to)
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
     "graph_triangles_idx" -> Extra7.oracle("graph_triangles"),
     "graph_kcore_idx" -> Extra7.oracle("graph_kcore"),
     "graph_bfs_idx" -> Extra7.oracle("graph_bfs"),
