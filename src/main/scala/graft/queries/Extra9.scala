@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -210,6 +211,85 @@ object Extra9 {
       val dim = graft.operators.Merge.scd2Dim(ev.filter(!isLate))
       graft.operators.Merge.scd2ApplyLate(dim, ev, ev.filter(isLate))
         .orderBy(col("user_id"), col("version"))
+    },
+
+    // -- hybrid retrieval: BM25 ⊕ dense cosine via reciprocal-rank fusion --
+    // The serving composition every retrieval stack runs (Cormack,
+    // Clarke & Büttcher 2009: RRF dominates either list alone): for
+    // each query doc (the sim_topk qid < 10 rule; its OWN tokens are
+    // the lexical query, its OWN embedding the dense query — the
+    // doc-as-query shape of dedup-adjacent retrieval), fuse the
+    // lexical top-20 (Okapi BM25, text_bm25's constants and rounding)
+    // with the dense top-20 (rounded cosine, sim_topk's convention) by
+    // rrf = Σ 1/(60 + rank), missing-from-a-list contributing 0. Fusion
+    // is arithmetic over INTEGER ranks — exactly oracle-checkable where
+    // score-level fusion would compound float drift. Scale shape: the
+    // query side is tiny and broadcasts everywhere; the corpus pays one
+    // token pass (postings pruned to the query-term union BEFORE the tf
+    // aggregate) and one brute cosine pass (the bounded-slice baseline —
+    // sim_ann is the unbounded dense path); both lists cap at 20 under
+    // WindowGroupLimit, and the fuse join moves ≤ 40 rows per query.
+    "search_hybrid_rrf" -> { (s, dir) =>
+      graft.functions.CosineSimilarity.register(s)
+      val toksCol = filter(split(lower(col("text")), " "),
+        (t: Column) => t =!= "")
+      val tok = Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), toksCol.as("t"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val dl = tok.filter(size(col("t")) > 0)
+          .select(col("doc_id"), size(col("t")).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n"),
+          avg(col("dl").cast("double")).as("avgdl"))
+        val qterms = tok.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("qid"), explode(col("t")).as("term"))
+          .distinct()
+        val tf = tok.select(col("doc_id"), explode(col("t")).as("term"))
+          .join(broadcast(qterms.select(col("term")).distinct()), "term")
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+        val contrib = idf * col("tf") * Extra5.BmK1p1 /
+          (col("tf") + lit(Extra5.BmK1) *
+            (lit(Extra5.BmOneMinusB) + lit(Extra5.BmB) * col("dl") / col("avgdl")))
+        val lex = tf.join(broadcast(qterms), Seq("term"))
+          .filter(col("doc_id") =!= col("qid"))
+          .join(broadcast(dfr), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .groupBy(col("qid"), col("doc_id"))
+          .agg(round(sum(contrib), 4).as("bm25"))
+        val wl = Window.partitionBy(col("qid"))
+          .orderBy(col("bm25").desc, col("doc_id").asc)
+        val lexTop = lex.withColumn("lrank", row_number().over(wl))
+          .filter(col("lrank") <= 20)
+          .select(col("qid"), col("doc_id"), col("lrank"))
+        val n = ScaleOps.normalized(s, dir).select(col("vec_id"), col("e"))
+        val q = broadcast(n.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("e").as("qe")))
+        val wd = Window.partitionBy(col("qid"))
+          .orderBy(col("c").desc, col("vec_id").asc)
+        val denseTop = q.join(n, col("vec_id") =!= col("qid"))
+          .withColumn("c",
+            round(graft.functions.CosineSimilarity(col("qe"), col("e")), 5))
+          .withColumn("drank", row_number().over(wd))
+          .filter(col("drank") <= 20)
+          .select(col("qid"), col("vec_id").as("doc_id"), col("drank"))
+        val fused = lexTop.join(denseTop, Seq("qid", "doc_id"), "full_outer")
+          .select(col("qid"), col("doc_id"), col("lrank"), col("drank"),
+            round(
+              coalesce(lit(1.0) / (lit(60) + col("lrank")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60) + col("drank")), lit(0.0)),
+              6).as("rrf"))
+        val wf = Window.partitionBy(col("qid"))
+          .orderBy(col("rrf").desc, col("doc_id").asc)
+        fused.withColumn("rn", row_number().over(wf))
+          .filter(col("rn") <= 10)
+          .select(col("qid"), col("rn"), col("doc_id"), col("rrf"),
+            col("lrank"), col("drank"))
+          .orderBy(col("qid"), col("rn"))
+          .localCheckpoint()
+      } finally { tok.unpersist(false); () }
     },
 
     // -- point-in-time lookup against the SCD2 dimension -------------------
@@ -459,6 +539,67 @@ object Extra9 {
   val oracle: Map[String, String] = Map(
     "text_bpe_train" -> bpeSql,
     "text_bpe_encode" -> bpeEncodeSql,
+
+    "search_hybrid_rrf" -> s"""
+      WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS t
+        FROM documents WHERE text IS NOT NULL),
+      dl AS (SELECT doc_id, len(t) AS dl FROM tok WHERE len(t) > 0),
+      stats AS (SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+      qterms AS (
+        SELECT DISTINCT doc_id AS qid, UNNEST(t) AS term
+        FROM tok WHERE doc_id < 10),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM (
+          SELECT doc_id, UNNEST(t) AS term FROM tok)
+        WHERE term IN (SELECT DISTINCT term FROM qterms)
+        GROUP BY doc_id, term),
+      dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      lex AS (
+        SELECT qid, tf.doc_id,
+               round(sum( ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                          * tf * ${Extra5.BmK1p1}
+                          / (tf + ${Extra5.BmK1} * (${Extra5.BmOneMinusB}
+                             + ${Extra5.BmB} * dl / avgdl)) ), 4) AS bm25
+        FROM tf JOIN qterms USING (term) JOIN dfr USING (term)
+             JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+        WHERE tf.doc_id <> qid
+        GROUP BY qid, tf.doc_id),
+      lex_top AS (
+        SELECT qid, doc_id, lrank FROM (
+          SELECT qid, doc_id, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS lrank
+          FROM lex) WHERE lrank <= 20),
+      nv AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) e,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS norm
+        FROM embeddings),
+      qv AS (SELECT vec_id AS qid, e AS qe, norm AS qn FROM nv WHERE vec_id < 10),
+      cosd AS (
+        SELECT qid, vec_id,
+               ROUND(list_inner_product(qe, e) / (qn * norm), 5) AS c
+        FROM qv JOIN nv ON vec_id <> qid),
+      dense_top AS (
+        SELECT qid, vec_id AS doc_id, drank FROM (
+          SELECT qid, vec_id, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY c DESC, vec_id) AS drank
+          FROM cosd) WHERE drank <= 20),
+      fused AS (
+        SELECT COALESCE(l.qid, d.qid) AS qid,
+               COALESCE(l.doc_id, d.doc_id) AS doc_id,
+               l.lrank, d.drank,
+               ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.lrank), 0)
+                   + COALESCE(CAST(1.0 AS DOUBLE) / (60 + d.drank), 0), 6) AS rrf
+        FROM lex_top l FULL OUTER JOIN dense_top d
+          ON l.qid = d.qid AND l.doc_id = d.doc_id)
+      SELECT qid, rn, doc_id, rrf, lrank, drank FROM (
+        SELECT qid, doc_id, rrf, lrank, drank,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY rrf DESC, doc_id) AS rn
+        FROM fused)
+      WHERE rn <= 10 ORDER BY qid, rn""",
     "graph_ppr" -> pprSql,
     "graph_ppr_idx" -> pprSql,
     // the incremental correction must equal the full rebuild — the
