@@ -343,7 +343,13 @@ object Bench {
         (Seq[(String, Double, Double)], Option[String]) =
       if (args.nonEmpty) (Nil, None)
       else oldestComparable(sfDir, curLane, archivePaths()) match {
-        case Some((path, oldQ)) if !prevParsed.map(_._1).contains(path) =>
+        // degenerate-window check compares CANONICAL paths (ADVICE r16):
+        // prevDetail()'s path may come from SPARK_GRAFT_PREV_DETAIL or
+        // differ only in formatting ('./x.json' vs 'x.json'), and a raw
+        // string compare would double-report the same archive as both
+        // windows
+        case Some((path, oldQ))
+            if !prevParsed.map(t => canonPath(t._1)).contains(canonPath(path)) =>
           val r = cumulativeRegressions(results.toMap, oldQ,
             n => dirFor(n) != sfDir)
           r.foreach { case (n, p, c) => System.err.println(
@@ -419,6 +425,14 @@ object Bench {
   /** Every archived round detail in `dir`, oldest round first (numeric
     * round sort — lexicographic would rank r9 above r10).
     */
+  /** Canonicalized path for identity compares (the degenerate-window
+    * guard): './x.json', 'x.json', and an env-supplied absolute path to
+    * the same file must all compare equal.
+    */
+  private[graft] def canonPath(p: String): String =
+    try new java.io.File(p).getCanonicalPath
+    catch { case _: Throwable => p }
+
   private[graft] def archivePaths(dir: String = "."): Seq[String] =
     Option(new java.io.File(dir).listFiles()).toSeq.flatten.map(_.getName)
       .filter(n => n.startsWith("BENCH_DETAIL_r") && n.endsWith(".json"))

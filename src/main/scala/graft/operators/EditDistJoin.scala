@@ -157,38 +157,36 @@ object EditDistJoin {
 
     // -- short×short stratum: every length-windowed pair qualifies -------
     // ed(s,t) ≤ max(|s|,|t|) ≤ k unconditionally, so no pigeonhole is
-    // needed — emit with the true distance attached. Identical strings
-    // are GROUPED first (ADVICE r15): crawl corpora are dense in
-    // degenerate shorts (empty/near-empty docs), and a row-level
-    // non-equi join is quadratic in their MULTIPLICITY; after the
-    // hash-groupBy the join compares only DISTINCT short strings
-    // (bounded by the ≤ k-char string domain), one levenshtein per
-    // distinct pair, and duplicate mass fans out row-locally. The
-    // OUTPUT is |pairs|-sized either way — that part is irreducible —
-    // and a pathological duplicate family surfaces as one oversized
-    // group row, where upstream exact dedup (the dedup_exact rule) is
-    // the documented mitigation.
-    val sg = shorts.groupBy(col("t"), col("len"))
-      .agg(collect_list(col("id")).as("ids"))
+    // needed — emit with the true distance attached. The non-equi
+    // compare runs once per DISTINCT short string pair (bounded by the
+    // ≤ k-char string domain; ADVICE r15 — crawl corpora are dense in
+    // degenerate shorts, and a row-level compare is quadratic in their
+    // MULTIPLICITY), and duplicate mass fans back out through t-keyed
+    // equi joins against the (t, id) relation rather than a
+    // collect_list array (ADVICE r16: a million-duplicate family as one
+    // array row is a single-row executor OOM; as equi-join fan-out the
+    // same mass is output rows streaming through an exchange, and the
+    // OUTPUT is |pairs|-sized either way — that part is irreducible).
+    val sd = shorts.select(col("t"), col("len")).distinct()
     // within-group: identical strings ⇒ dist 0; all unordered id pairs
-    val within = sg
-      .select(col("len"), col("ids"), explode(col("ids")).as("x"))
-      .select(col("len"), col("x"), explode(col("ids")).as("y"))
-      .filter(col("x") < col("y"))
-      .select(col("x").as("d1"), col("y").as("d2"),
-        col("len").as("len1"), col("len").as("len2"),
+    // via a t-keyed self equi join (row-streamed, never array-built).
+    val within = shorts
+      .select(col("t"), col("id").as("d1"), col("len").as("len1"))
+      .join(shorts.select(col("t"), col("id").as("d2"),
+        col("len").as("len2")), "t")
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("len1"), col("len2"),
         lit(0).as("dist"))
-    // cross-group: one verify per distinct string pair, fan-out after
-    val cross = sg.alias("ga")
-      .join(sg.alias("gb"), col("ga.t") < col("gb.t") &&
+    // cross-group: one verify per distinct string pair, then two
+    // id-keyed fan-out joins against the short (t, id) relation.
+    val cross = sd.alias("ga")
+      .join(sd.alias("gb"), col("ga.t") < col("gb.t") &&
         abs(col("ga.len") - col("gb.len")) <= k)
-      .select(col("ga.len").as("la"), col("gb.len").as("lb"),
-        levenshtein(col("ga.t"), col("gb.t")).as("dist"),
-        col("ga.ids").as("idsa"), col("gb.ids").as("idsb"))
-      .select(col("la"), col("lb"), col("dist"), col("idsb"),
-        explode(col("idsa")).as("x"))
-      .select(col("la"), col("lb"), col("dist"), col("x"),
-        explode(col("idsb")).as("y"))
+      .select(col("ga.t").as("ta"), col("gb.t").as("tb"),
+        col("ga.len").as("la"), col("gb.len").as("lb"),
+        levenshtein(col("ga.t"), col("gb.t")).as("dist"))
+      .join(shorts.select(col("t").as("ta"), col("id").as("x")), "ta")
+      .join(shorts.select(col("t").as("tb"), col("id").as("y")), "tb")
       .select(least(col("x"), col("y")).as("d1"),
         greatest(col("x"), col("y")).as("d2"),
         when(col("x") < col("y"), col("la")).otherwise(col("lb")).as("len1"),

@@ -126,8 +126,16 @@ object Graphs {
 
   /** Drop and unpersist every graph this session built (test hygiene —
     * the bench and Verify let session teardown reclaim instead).
+    *
+    * Holds the same coarse lock as [[memo]], so a clear can't interleave
+    * with a concurrent first build's map update. The lock does NOT make
+    * it safe to clear while another thread is still CONSUMING a served
+    * frame (unpersist yanks cached blocks out from under a running job,
+    * forcing recompute of an input the caller assumed materialized) —
+    * callers must quiesce queries on `s` before clearing, the same
+    * single-writer contract the specs follow.
     */
-  def clear(s: SparkSession): Unit =
+  def clear(s: SparkSession): Unit = cache.synchronized {
     cache.keys.filter(_._1 eq s).foreach { k =>
       cache.remove(k).foreach {
         case GraphIndex(e, adj, deg, o) =>
@@ -137,4 +145,5 @@ object Graphs {
         case _ => ()
       }
     }
+  }
 }

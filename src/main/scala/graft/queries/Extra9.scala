@@ -79,6 +79,10 @@ object Extra9 {
   private def pprTopK(adj: DataFrame, deg: DataFrame,
                       seeds: DataFrame): DataFrame = {
     val nSeeds = seeds.count() // the ONLY driver-side value (pagerank rule)
+    // fail loudly, not Infinity/NaN restart mass (ADVICE r16): an empty
+    // seed set means the fixture/dir no longer yields the seed relation
+    require(nSeeds > 0,
+      s"pprTopK: empty seed set — restart mass 1/|S| is undefined")
     val restart = seeds.select(col("seed").as("node"),
       lit(PprAlpha / nSeeds).as("c"))
     var ranks = seeds.select(col("seed").as("node"),

@@ -764,9 +764,15 @@ object StreamOps {
           .dropDuplicates("a", "b")
           .withColumn("pri", xxhash64(col("a"), col("b")))
         t += canon.count()
+        // partial guard for the once-per-edge contract (ADVICE r16): a
+        // cross-batch re-delivered edge carries the SAME deterministic
+        // priority, and two identical rows would both survive the limit
+        // — double-counting its triangles in the sample. Dedup the
+        // merged frame so a violation at worst skews t (the scale
+        // factor) but never corrupts the reservoir's triangle count.
         val merged =
           if (reservoir == null) canon
-          else reservoir._1.unionByName(canon)
+          else reservoir._1.unionByName(canon).dropDuplicates("a", "b")
         val next = Checkpoints.snap(
           merged.orderBy(col("pri"), col("a"), col("b")).limit(m))
         if (reservoir != null) Checkpoints.free(reservoir._2)
