@@ -25,7 +25,7 @@ object SparkEntry {
       ScaleOps.queries ++ EventTime.queries ++ Udx.queries ++
       Extra.queries ++ Extra2.queries ++ Extra3.queries ++ Extra4.queries ++
       Extra5.queries ++ Extra6.queries ++ Extra7.queries ++ Extra8.queries ++
-      Extra9.queries ++
+      Extra9.queries ++ Extra10.queries ++
       Tpch.queries ++
       Tpch2.queries ++
       Embeddings.queries ++ Pipeline.queries ++ Analytics.queries ++ Map(
@@ -75,7 +75,7 @@ object SparkEntry {
       ScaleOps.oracle ++
       EventTime.oracle ++ Udx.oracle ++ Extra.oracle ++ Extra2.oracle ++
       Extra3.oracle ++ Extra4.oracle ++ Extra5.oracle ++ Extra6.oracle ++
-      Extra7.oracle ++ Extra8.oracle ++ Extra9.oracle ++
+      Extra7.oracle ++ Extra8.oracle ++ Extra9.oracle ++ Extra10.oracle ++
       Tpch.oracle ++ Tpch2.oracle ++
       Embeddings.oracle ++
       Pipeline.oracle ++ Analytics.oracle

@@ -124,6 +124,68 @@ object Graphs {
       WeightedIndex(e, sym)
     }
 
+  /** Persist every graph this session built as a parquet artifact under
+    * `base` ([[Artifacts]] layout; round-16 verdict #1 — the durable
+    * half of this cache). Returns the number of entries written. The
+    * manifest records the FULL cache key, so [[loadAll]] can only ever
+    * install an artifact under the key it was built as — a different
+    * edge definition (different tag) is a cache miss, never a silently
+    * wrong graph.
+    */
+  def saveAll(s: SparkSession, base: String): Int = {
+    val entries = cache.synchronized(cache.toSeq.filter(_._1._1 eq s))
+    entries.count { case ((_, key), v) =>
+      val d = s"$base/${Artifacts.slug(key)}"
+      v match {
+        case GraphIndex(e, adj, deg, o) =>
+          Artifacts.write(s, d, key, "graph", "",
+            Seq("edges" -> e, "adj" -> adj, "deg" -> deg, "oriented" -> o))
+          true
+        case WeightedIndex(e, sym) =>
+          Artifacts.write(s, d, key, "wgraph", "",
+            Seq("edges" -> e, "sym" -> sym))
+          true
+        case _ => false
+      }
+    }
+  }
+
+  /** Install every committed graph artifact under `base` into session
+    * `s`'s cache WITHOUT counting builds — the cold-start path: a fresh
+    * driver (or a fresh session) calls this once and every
+    * `graph_*_idx` query serves from the loaded frames, paying a
+    * parquet scan + persist instead of the lineitem-self-join rebuild.
+    * Entries the session already holds are left untouched (no re-read).
+    * Returns the number of graph entries installed or already present.
+    */
+  def loadAll(s: SparkSession, base: String): Int =
+    Artifacts.entries(s, base).count { case (d, key, kind, _) =>
+      kind match {
+        case "graph" =>
+          installLoaded(s, key)(GraphIndex(
+            materialized(Artifacts.frame(s, d, "edges")),
+            materialized(Artifacts.frame(s, d, "adj")),
+            materialized(Artifacts.frame(s, d, "deg")),
+            materialized(Artifacts.frame(s, d, "oriented"))))
+          true
+        case "wgraph" =>
+          installLoaded(s, key)(WeightedIndex(
+            materialized(Artifacts.frame(s, d, "edges")),
+            materialized(Artifacts.frame(s, d, "sym"))))
+          true
+        case _ => false
+      }
+    }
+
+  /** [[memo]] minus the build counter: loads must leave `builds` flat —
+    * that flatness is exactly what the cold-session spec pins.
+    */
+  private def installLoaded[T <: AnyRef](s: SparkSession, key: String)(mk: => T): T =
+    cache.synchronized {
+      cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
+      cache.getOrElseUpdate((s, key), mk).asInstanceOf[T]
+    }
+
   /** Drop and unpersist every graph this session built (test hygiene —
     * the bench and Verify let session teardown reclaim instead).
     *

@@ -100,7 +100,7 @@ object Extra7 {
     * persists per query and [[graft.operators.Graphs.index]]
     * materializes ONCE per session for the `graph_*_idx` serving rows.
     */
-  private[queries] def coPurchaseEdgesPlan(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def coPurchaseEdgesPlan(s: SparkSession, dir: String): DataFrame = {
     val so = Tables(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("sk"))
       .distinct()
@@ -119,7 +119,7 @@ object Extra7 {
     coPurchaseWeightedPlan(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
 
   /** The lazy weighted-edge plan ([[coPurchaseEdgesPlan]]'s sibling). */
-  private[queries] def coPurchaseWeightedPlan(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def coPurchaseWeightedPlan(s: SparkSession, dir: String): DataFrame = {
     val so = Tables(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("sk"))
       .distinct()
@@ -135,7 +135,7 @@ object Extra7 {
   /** The graph family's shared seed rule: the p_size = 50 parts (a
     * deterministic data-derived source set, ~2% of the catalogue).
     */
-  private[queries] def seedParts(s: SparkSession, dir: String): DataFrame =
+  private[graft] def seedParts(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "part")
       .filter(col("p_size") === 50)
       .select(col("p_partkey").as("v"))

@@ -52,7 +52,7 @@ object Extra9 {
     * names the FRAME, and every `_idx` row below uses this same edge
     * definition, so they legitimately share one entry).
     */
-  private def tag(dir: String) = s"copurchase|$dir"
+  private[graft] def tag(dir: String) = s"copurchase|$dir"
 
   private def graph(s: SparkSession, dir: String): Graphs.GraphIndex =
     Graphs.index(Extra7.coPurchaseEdgesPlan(s, dir), tag(dir), s)
