@@ -741,22 +741,43 @@ object StreamOps {
     * cross-batch dedup would need the O(edges) seen-set this sink
     * exists to avoid (use [[triangleCountSink]] when re-delivery is
     * possible; a Bloom front is the probabilistic middle ground).
-    * SINGLE-RUN restart contract ([[editDistDedupSink]]).
+    *
+    * Restart contract: WITHOUT `stateDir`, single-run
+    * ([[editDistDedupSink]]). WITH `stateDir` (round-16 verdict #2),
+    * restart-CORRECT — and this sink is the NATURAL durable candidate:
+    * the bottom-m priority sample is mergeable by design, so the whole
+    * state is the ≤ m-row reservoir plus one scalar, O(m) committed to
+    * [[StreamState]] per batch (contrast scd2Sink's O(seen) state
+    * rewrite, priced in its scaladoc). An interrupted run's estimates
+    * converge byte-equal to the uninterrupted one (StreamRestartSpec).
     *
     * `onBatch` receives (batchId, edges seen, reservoir triangle count,
     * estimate).
     */
   def triestTriangleSink(edges: DataFrame, m: Int, checkpoint: String,
-                         onBatch: (Long, Long, Long, Double) => Unit)
+                         onBatch: (Long, Long, Long, Double) => Unit,
+                         stateDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Checkpoints, Triangles}
     require(m >= 3, s"reservoir must hold >= 3 edges, got $m")
     var reservoir: (DataFrame, DataFrame) = null // ≤ m canonical edges
     var t = 0L                                   // distinct edges seen
+    var restored = false
     edges.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!restored) {
+          restored = true
+          stateDir.foreach { sd =>
+            val sess = batch.sparkSession
+            StreamState.latest(sess, sd, batchId).foreach { v =>
+              reservoir = Checkpoints.snap(
+                StreamState.frame(sess, sd, v, "reservoir"))
+              t = StreamState.meta(sess, sd, v)("t")
+            }
+          }
+        }
         val canon = batch.select(
             least(col("a"), col("b")).as("a"),
             greatest(col("a"), col("b")).as("b"))
@@ -782,6 +803,13 @@ object StreamOps {
         val scale = math.max(1.0,
           (t.toDouble * (t - 1) * (t - 2)) /
             (m.toDouble * (m - 1) * (m - 2)))
+        // durable commit before the user sees the batch (the scd2Sink
+        // crash-window analysis; the strictly-below restore rule makes
+        // a re-delivered crash batch recompute idempotently)
+        stateDir.foreach { sd =>
+          StreamState.write(batch.sparkSession, sd, batchId,
+            Seq("reservoir" -> reservoir._1), Seq("t" -> t))
+        }
         onBatch(batchId, t, sampleTri, sampleTri * scale)
       }
       .start()
@@ -1072,23 +1100,47 @@ object StreamOps {
     * freed per batch; the state REWRITE is O(seen) per batch (the
     * [[editDistDedupSink]] pricing note). NOT watermarked, deliberately:
     * arbitrarily late events must still split ranges — a watermark
-    * would silently freeze old history. SINGLE-RUN contract
-    * ([[editDistDedupSink]]): driver-local state, not replayed on
-    * restart from `checkpoint`.
+    * would silently freeze old history.
+    *
+    * Restart contract: WITHOUT `stateDir`, single-run
+    * ([[editDistDedupSink]] — driver-local state, not replayed on
+    * restart from `checkpoint`). WITH `stateDir` (round-16 verdict #2),
+    * restart-CORRECT: the accumulated events and the snapshot commit to
+    * [[StreamState]] after every batch (the snapshot effectively IS the
+    * state — O(seen) rewrite per batch, the same pricing as the
+    * in-memory accumulator), and the first batch after a restart
+    * restores the newest committed version below its batchId, so an
+    * interrupted run converges byte-equal to the uninterrupted one
+    * (StreamRestartSpec) and a re-delivered crash batch recomputes
+    * idempotently.
     *
     * `onBatch` receives the CUMULATIVE corrected dimension after each
     * batch.
     */
   def scd2Sink(events: DataFrame, checkpoint: String,
-               onBatch: (DataFrame, Long) => Unit)
+               onBatch: (DataFrame, Long) => Unit,
+               stateDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Checkpoints, Merge}
     var accEv: (DataFrame, DataFrame) = null // every event seen so far
     var dim: (DataFrame, DataFrame) = null   // current SCD2 snapshot
+    var restored = false
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!restored) {
+          restored = true
+          stateDir.foreach { sd =>
+            val sess = batch.sparkSession
+            StreamState.latest(sess, sd, batchId).foreach { v =>
+              accEv = graft.operators.Checkpoints.snap(
+                StreamState.frame(sess, sd, v, "events"))
+              dim = graft.operators.Checkpoints.snap(
+                StreamState.frame(sess, sd, v, "dim"))
+            }
+          }
+        }
         val canon = batch
           .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
           .dropDuplicates("event_id")
@@ -1107,6 +1159,16 @@ object StreamOps {
         Checkpoints.free(freshChk)
         accEv = newEv
         dim = newDim
+        // durable commit BEFORE the user sees the batch. Crash windows:
+        // before this line ⇒ batch re-delivered, restore picks the
+        // newest version BELOW batchId (the previous one), recompute;
+        // after this line but before the streaming commit ⇒ batch
+        // re-delivered, restore still skips v(batchId) (strictly-below
+        // rule) and the overwrite makes the rewrite idempotent.
+        stateDir.foreach { sd =>
+          StreamState.write(batch.sparkSession, sd, batchId,
+            Seq("events" -> accEv._1, "dim" -> dim._1))
+        }
         onBatch(dim._1, batchId)
       }
       .start()

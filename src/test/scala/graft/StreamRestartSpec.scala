@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Restart-correct streaming state (round-16 verdict #2): with a
+  * `stateDir`, the scd2 and TRIÈST accumulator sinks must survive a
+  * FULL teardown — stop the query AND abandon the session — and, after
+  * restarting against the same checkpoint + state dir, converge
+  * byte-equal to the uninterrupted run. The source is a parquet FILE
+  * stream (replayable from the checkpoint, unlike MemoryStream — the
+  * restart is real: batch ids continue, only new files are delivered),
+  * and the restarted query runs in a `newSession()` so no driver-local
+  * state can leak across the restart: the StreamState artifact is the
+  * only carrier.
+  */
+class StreamRestartSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  test("scd2Sink with stateDir: teardown after batch 2, restart, batch 3 equals the uninterrupted rebuild") {
+    import spark.implicits._
+    def t(s: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:00:$s%02d")
+    val b1 = Seq((1L, t(1), 1L, "A"), (1L, t(3), 3L, "B"),
+      (2L, t(1), 6L, "X"), (2L, t(2), 7L, "Y"))
+    val b2 = Seq((1L, t(5), 5L, "C"))      // extends user 1
+    val b3 = Seq((1L, t(4), 4L, "A"),      // LATE: splits B's range
+      (3L, t(9), 9L, "Z"))                 // new entity after restart
+    val in = tmp("scd2r-in"); val ckpt = tmp("scd2r-ckpt")
+    val state = tmp("scd2r-state")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_id", LongType), StructField("event_type", StringType)))
+    val cols = Seq("user_id", "ts", "event_id", "event_type")
+    def addFile(n: Int, rows: Seq[(Long, java.sql.Timestamp, Long, String)]): Unit =
+      rows.toDF(cols: _*).coalesce(1).write.parquet(s"$in/f$n")
+
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("user_id", "version").collect().map(r => (
+        r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3),
+        Option(r.getTimestamp(4)), r.getBoolean(5))).toSeq
+
+    // ---- run 1 (session A): batches 1 and 2, then FULL teardown --------
+    val sA = spark.newSession()
+    val seenA = scala.collection.mutable.Map[Long, Seq[Any]]()
+    addFile(1, b1)
+    val qA = graft.streaming.StreamOps.scd2Sink(
+      sA.readStream.schema(schema).parquet(s"$in/f*"), ckpt,
+      onBatch = (dim, id) => seenA.synchronized { seenA += id -> rowsOf(dim) },
+      stateDir = Some(state))
+    try {
+      qA.processAllAvailable()
+      addFile(2, b2)
+      qA.processAllAvailable()
+      assert(seenA.keySet === Set(0L, 1L))
+    } finally qA.stop()
+
+    // ---- run 2 (session B): same checkpoint + state, batch 3 -----------
+    val sB = spark.newSession()
+    var finalDim: Seq[Any] = Nil
+    var batchesB = List.empty[Long]
+    addFile(3, b3)
+    val qB = graft.streaming.StreamOps.scd2Sink(
+      sB.readStream.schema(schema).parquet(s"$in/f*"), ckpt,
+      onBatch = (dim, id) => { batchesB ::= id; finalDim = rowsOf(dim) },
+      stateDir = Some(state))
+    try qB.processAllAvailable() finally qB.stop()
+    // the checkpoint resumed: ONLY the new file arrived, as batch 2
+    assert(batchesB === List(2L), s"expected only batch 2, got $batchesB")
+    // byte-equal to the uninterrupted rebuild over all events
+    val expected = rowsOf(graft.operators.Merge.scd2Dim(
+      (b1 ++ b2 ++ b3).toDF(cols: _*)))
+    assert(finalDim === expected,
+      "restarted snapshot diverged from the uninterrupted rebuild")
+    // the late event DID split mid-history across the restart boundary
+    assert(expected.collect { case x: (Long, Long, String, _, _, _) @unchecked
+      if x._1 == 1L => x._3 } === Seq("A", "B", "A", "C"))
+  }
+
+  test("triestTriangleSink with stateDir: teardown after batch 2, restart, estimates equal the uninterrupted run") {
+    import spark.implicits._
+    // K6 on nodes 1..6 delivered once each across three batches: 15
+    // edges, 20 true triangles; m large enough to hold everything so
+    // the estimate is EXACT and any state loss is immediately visible
+    val all = for {
+      a <- 1L to 6L; b <- (a + 1) to 6L
+    } yield (a, b)
+    val (b1, rest) = all.splitAt(5)
+    val (b2, b3) = rest.splitAt(5)
+    val in = tmp("triest-in"); val ckpt = tmp("triest-ckpt")
+    val state = tmp("triest-state")
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType)))
+    def addFile(n: Int, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("a", "b").coalesce(1).write.parquet(s"$in/f$n")
+
+    // ---- interrupted run ------------------------------------------------
+    val sA = spark.newSession()
+    val got = scala.collection.mutable.Map[Long, (Long, Long, Double)]()
+    addFile(1, b1)
+    val qA = graft.streaming.StreamOps.triestTriangleSink(
+      sA.readStream.schema(schema).parquet(s"$in/f*"), m = 40, ckpt,
+      onBatch = (id, t, tri, est) =>
+        got.synchronized { got += id -> ((t, tri, est)) },
+      stateDir = Some(state))
+    try {
+      qA.processAllAvailable()
+      addFile(2, b2)
+      qA.processAllAvailable()
+    } finally qA.stop()
+
+    val sB = spark.newSession()
+    addFile(3, b3)
+    val qB = graft.streaming.StreamOps.triestTriangleSink(
+      sB.readStream.schema(schema).parquet(s"$in/f*"), m = 40, ckpt,
+      onBatch = (id, t, tri, est) =>
+        got.synchronized { got += id -> ((t, tri, est)) },
+      stateDir = Some(state))
+    try qB.processAllAvailable() finally qB.stop()
+
+    // t accumulated ACROSS the restart; m ≥ t ⇒ exact count of K6
+    assert(got(2L) === ((15L, 20L, 20.0)),
+      s"restart lost reservoir/t state: ${got.toMap}")
+
+    // ---- uninterrupted reference (same batches, one run) ---------------
+    val in2 = tmp("triest-in2"); val ckpt2 = tmp("triest-ckpt2")
+    val sC = spark.newSession()
+    val got2 = scala.collection.mutable.Map[Long, (Long, Long, Double)]()
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      b.toDF("a", "b").coalesce(1).write.parquet(s"$in2/f${i + 1}") }
+    val qC = graft.streaming.StreamOps.triestTriangleSink(
+      sC.readStream.schema(schema).parquet(s"$in2/f*"), m = 40, ckpt2,
+      onBatch = (id, t, tri, est) =>
+        got2.synchronized { got2 += id -> ((t, tri, est)) })
+    try qC.processAllAvailable() finally qC.stop()
+    // the uninterrupted run may batch the 3 pre-existing files its own
+    // way; compare the FINAL cumulative numbers
+    assert(got2.values.maxBy(_._1) === got(2L),
+      "interrupted and uninterrupted runs diverged")
+  }
+}
