@@ -48,9 +48,14 @@ object Graphs {
     * `adj` the symmetrized (v, n) adjacency; `deg` its (v, d) degree
     * table; `oriented` the edges re-directed by ascending (degree, id)
     * — the Σ outdeg²-minimizing orientation triangle enumeration wants.
+    * `pieces`: persisted frames EMBEDDED in the four top-level plans
+    * after [[applyDelta]] layering (the top-level frames become lazy
+    * unions then, so their own `unpersist` is a no-op — [[clear]]
+    * releases the pieces instead).
     */
   final case class GraphIndex(edges: DataFrame, adj: DataFrame,
-                              deg: DataFrame, oriented: DataFrame)
+                              deg: DataFrame, oriented: DataFrame,
+                              pieces: Seq[DataFrame] = Nil)
 
   /** One materialized WEIGHTED graph: `edges` canonical (a, b, w);
     * `sym` the symmetrized (v, n, w) adjacency WITHOUT self-loops (the
@@ -124,6 +129,113 @@ object Graphs {
       WeightedIndex(e, sym)
     }
 
+  /** Merge new edges into the session's cached graph for `tag` WITHOUT
+    * a full rebuild (round-16 verdict #4 — the batch twin of what
+    * shortestPathSink does incrementally): at 100 TB you don't re-scan
+    * the corpus because a day of edges arrived. `delta` is raw (a, b)
+    * rows in any orientation, duplicates and already-present edges
+    * welcome — it is canonicalized, self-loops dropped, and
+    * anti-joined against the cached edge relation, so only genuinely
+    * NEW edges flow through the update. Each frame updates in work
+    * proportional to the DELTA (plus the affected re-orientation):
+    *
+    *   - edges/adjacency: append-only unions over the cached frames;
+    *   - degrees: a full-outer merge against the delta's endpoint
+    *     counts — node-sized only in the delta's neighbourhood;
+    *   - orientation: an edge re-orients only if an ENDPOINT's
+    *     (degree, id) rank could have moved, i.e. only edges touching
+    *     the delta's endpoints — every other oriented row passes
+    *     through two anti-joins untouched (new edges always touch an
+    *     affected endpoint by construction, so the touched set covers
+    *     them too).
+    *
+    * The updated frames REPLACE the cache entry (same key — subsequent
+    * `graph_*_idx` calls serve the merged graph) and the superseded
+    * frames are unpersisted under the [[clear]] single-writer contract:
+    * quiesce queries on `s` before applying a delta. GraphsDeltaSpec
+    * pins frame-identity against the full rebuild on overlapping AND
+    * degree-rank-flipping deltas.
+    */
+  def applyDelta(tag: String, session: SparkSession,
+                 delta: DataFrame): GraphIndex = {
+    val key = s"graph|$tag"
+    val old = cache.synchronized(cache.get((session, key))) match {
+      case Some(g: GraphIndex) => g
+      case _ => throw new IllegalStateException(
+        s"applyDelta: no cached graph for tag '$tag' — build or load first")
+    }
+    val canon = delta
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+    // the delta side is small ⇒ the anti join broadcasts it and the
+    // cached edge blocks stream past — no edge shuffle anywhere in the
+    // merge (the one shuffle is the delta's own dropDuplicates)
+    val newE = materialized(
+      canon.join(old.edges, Seq("a", "b"), "left_anti"))
+    // edges/adjacency are APPEND-ONLY: lazy unions over the already-
+    // persisted old frames + the tiny persisted delta — deliberately
+    // NOT re-materialized (the first cut rewrote both frames per delta,
+    // an O(graph) copy that measured SLOWER than the full rebuild at
+    // sf0.1, 7.3 s vs 5.5 s; as lazy layers the merge does no edge-mass
+    // writes at all). Each applyDelta adds one union layer; a
+    // saveAll → loadAll round trip compacts the layers into plain
+    // parquet (the durable seam doubles as the compaction path).
+    val e2 = old.edges.unionAll(newE)
+    val deltaAdj = newE.select(col("a").as("v"), col("b").as("n"))
+      .unionAll(newE.select(col("b").as("v"), col("a").as("n")))
+    val adj2 = old.adj.unionAll(deltaAdj)
+    val degDelta = deltaAdj.groupBy(col("v")).agg(count(lit(1)).as("dd"))
+    // degrees DO rewrite (node-sized, the small table): every consumer
+    // joins it, so a lazy merge would re-run per serve
+    val deg2 = materialized(
+      old.deg.join(degDelta, Seq("v"), "full_outer")
+        .select(col("v"),
+          (coalesce(col("d"), lit(0L)) + coalesce(col("dd"), lit(0L))).as("d")))
+    // affected = the delta's endpoints: the only nodes whose (degree,
+    // id) rank moved, hence the only edges whose orientation can change
+    val aff = materialized(newE.select(col("a").as("v"))
+      .unionAll(newE.select(col("b").as("v"))).distinct())
+    // keep: two broadcast anti joins — per-serve cost is a row-local
+    // filter over the cached oriented blocks, never a shuffle
+    val keep = old.oriented
+      .join(broadcast(aff.select(col("v").as("a"))), Seq("a"), "left_anti")
+      .join(broadcast(aff.select(col("v").as("b"))), Seq("b"), "left_anti")
+      .select(col("a"), col("b"))
+    // ONE edge-scan pass (not a semi-join per endpoint + distinct):
+    // two broadcast left joins mark each endpoint, a disjunction keeps
+    // any marked edge — each canonical edge appears once in e2, so no
+    // dedup shuffle is needed either
+    val touched = e2
+      .join(broadcast(aff.select(col("v").as("a"), lit(1).as("ha"))),
+        Seq("a"), "left")
+      .join(broadcast(aff.select(col("v").as("b"), lit(1).as("hb"))),
+        Seq("b"), "left")
+      .filter(col("ha").isNotNull || col("hb").isNotNull)
+      .select(col("a"), col("b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    // touched is delta-neighbourhood-sized ⇒ materialize it (tiny) so
+    // serves don't re-run the semi joins
+    val reoriented = materialized(touched
+      .join(deg2.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg2.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("oa"),
+        when(aFirst, col("b")).otherwise(col("a")).as("ob"))
+      .select(col("oa").as("a"), col("ob").as("b")))
+    val oriented2 = keep.unionAll(reoriented)
+    // superseded for real: nothing in the new frames reads old.deg's
+    // BLOCKS once deg2 is materialized (recompute lineage stays valid)
+    old.deg.unpersist()
+    val next = GraphIndex(e2, adj2, deg2, oriented2,
+      pieces = old.pieces ++ Seq(old.edges, old.adj, old.oriented,
+        newE, aff, reoriented))
+    cache.synchronized { cache.put((session, key), next); () }
+    next
+  }
+
   /** Persist every graph this session built as a parquet artifact under
     * `base` ([[Artifacts]] layout; round-16 verdict #1 — the durable
     * half of this cache). Returns the number of entries written. The
@@ -137,7 +249,9 @@ object Graphs {
     entries.count { case ((_, key), v) =>
       val d = s"$base/${Artifacts.slug(key)}"
       v match {
-        case GraphIndex(e, adj, deg, o) =>
+        case GraphIndex(e, adj, deg, o, _) =>
+          // a delta-layered graph compacts here for free: the parquet
+          // write flattens the lazy union/anti layers into plain files
           Artifacts.write(s, d, key, "graph", "",
             Seq("edges" -> e, "adj" -> adj, "deg" -> deg, "oriented" -> o))
           true
@@ -200,8 +314,8 @@ object Graphs {
   def clear(s: SparkSession): Unit = cache.synchronized {
     cache.keys.filter(_._1 eq s).foreach { k =>
       cache.remove(k).foreach {
-        case GraphIndex(e, adj, deg, o) =>
-          Seq(e, adj, deg, o).foreach(_.unpersist())
+        case GraphIndex(e, adj, deg, o, pieces) =>
+          (Seq(e, adj, deg, o) ++ pieces).foreach(_.unpersist())
         case WeightedIndex(e, sym) =>
           Seq(e, sym).foreach(_.unpersist())
         case _ => ()
