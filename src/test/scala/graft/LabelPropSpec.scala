@@ -141,4 +141,48 @@ class LabelPropSpec extends AnyFunSuite {
     assert(got.values.toSet.size > 1, "diffusion collapsed to one label")
     assert(got.keySet.size > seedPairs.size, "no non-seed node was labeled")
   }
+
+  test("modularity: a planted two-clique graph scores near the known optimum") {
+    // two K4s bridged by one edge: m = 13; each community (after
+    // propagation from one seed per clique) holds its whole K4, so
+    // e_c = 6 and d_c = 4·3 + 1 (the bridge endpoint's extra degree)
+    // = 13 → q_c = 6/13 − (13/26)² = 0.2115384615, Q = 2·q_c ≈ 0.423 —
+    // the textbook near-optimum for this geometry (hand-derived, not
+    // fit to the implementation).
+    import spark.implicits._
+    import graft.operators.Graphs
+    val k4a = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))
+    val k4b = Seq((5L,6L),(5L,7L),(5L,8L),(6L,7L),(6L,8L),(7L,8L))
+    val edges = k4a ++ k4b ++ Seq((4L,5L))
+    val s = spark.newSession()
+    val g = Graphs.index(edges.toDF("a","b"), "mod-clique", s)
+    val labels = LabelProp.propagateOnAdj(g.adj,
+      Seq((1L,"L"),(8L,"R")).toDF("v","label"), rounds = 3)
+    val mRow = g.edges.agg(count(lit(1)).as("m"))
+    val ein = g.edges
+      .join(labels.select(col("node").as("a"), col("label").as("la")), "a")
+      .join(labels.select(col("node").as("b"), col("label").as("lb")), "b")
+      .filter(col("la") === col("lb"))
+      .select(col("la").as("label"))
+      .groupBy(col("label")).agg(count(lit(1)).as("e_in"))
+    val dc = labels.join(g.deg, labels("node") === g.deg("v"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(coalesce(col("d"), lit(0L))).as("d_tot"))
+    val dm = col("d_tot").cast("double") / (lit(2.0) * col("m"))
+    val q = dc.join(ein, Seq("label"), "left")
+      .crossJoin(broadcast(mRow))
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_tot"),
+        round(coalesce(col("e_in"), lit(0L)).cast("double") / col("m")
+          - dm * dm, 10).as("q"))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(q.keySet === Set("L", "R"))
+    for ((_, (n, ein2, dtot, qc)) <- q) {
+      assert(n === 4L); assert(ein2 === 6L); assert(dtot === 13L)
+      assert(math.abs(qc - 0.2115384615) < 1e-9)
+    }
+    assert(math.abs(q.values.map(_._4).sum - 0.4230769231) < 1e-8)
+    Graphs.clear(s)
+  }
 }
