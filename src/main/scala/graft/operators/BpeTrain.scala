@@ -52,9 +52,14 @@ object BpeTrain {
   /** Learn `merges` merges from a (w, c) distinct-word frequency table.
     * Fails loudly if the corpus exhausts before `merges` rounds (no
     * adjacent pair left — a fixture problem, not a data condition to
-    * silently absorb).
+    * silently absorb). `roundHook`, when set, receives (step, state
+    * rows after the merge) — the SweepBpe measurement seam for the
+    * state-shrinks-per-round claim; the count reads the freshly
+    * snapped blocks, so it costs one cached scan per round and nothing
+    * when unset.
     */
-  def trainMerges(words: DataFrame, merges: Int): DataFrame = {
+  def trainMerges(words: DataFrame, merges: Int,
+                  roundHook: (Int, Long) => Unit = null): DataFrame = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
     val spark = words.sparkSession
     val wOrder = Window.partitionBy(col("w")).orderBy(col("p"))
@@ -82,6 +87,7 @@ object BpeTrain {
       val nextSnap = Checkpoints.snap(applyMerge(st._1, l, r))
       Checkpoints.free(st._2)
       st = nextSnap
+      if (roundHook != null) roundHook(step, st._1.count())
     }
     Checkpoints.free(st._2)
     import spark.implicits._
@@ -134,6 +140,69 @@ object BpeTrain {
       .select(col("w"), col("p"), col("w").substr(col("p"), lit(1)).as("t"))
     merges.foldLeft(seed) { case (st, (l, r)) => applyMerge(st, l, r) }
       .groupBy(col("w")).agg(count(lit(1)).as("n_bpe"))
+  }
+
+  /** ENCODE by LONGEST MATCH against a broadcast vocabulary — the
+    * PRODUCTION tokenizer shape (round-16 verdict #6): a shipped
+    * tokenizer does not replay its 50k merges as 50k passes; it applies
+    * the learned vocabulary (all corpus characters + every merged
+    * symbol) greedily, taking the longest vocab symbol prefixing the
+    * remaining word at each position — ONE pass per distinct word, no
+    * chained plans, no driver actions. The vocabulary is tokenizer
+    * METADATA (vocab-sized strings) and ships to executors as one
+    * broadcast; the greedy scan is genuinely imperative (data-dependent
+    * advance), which is the one contract a UDF exists for here — it
+    * runs per DISTINCT word, never per corpus row. A position no vocab
+    * symbol matches falls back to consuming one character as its own
+    * token (the byte-fallback convention; on the training corpus every
+    * character is in the vocab, so the fallback is dead there — but
+    * defined, and mirrored in the SQL oracle's COALESCE).
+    *
+    * Longest-match and merge-order encoding are DIFFERENT functions in
+    * general (a longer symbol can win where the merge order would have
+    * split) — this is the standard serving trade, taken knowingly:
+    * BpeSpec pins this form against its own sequential longest-match
+    * reference, not against [[encodeWords]].
+    */
+  def encodeWordsVocab(words: DataFrame, vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty, "encodeWordsVocab: empty vocabulary")
+    val spark = words.sparkSession
+    val vset = vocab.toSet
+    val bc = spark.sparkContext.broadcast((vset, vset.map(_.length).max))
+    val countTokens = udf { (w: String) =>
+      val (vs, maxLen) = bc.value
+      var i = 0
+      var n = 0L
+      while (i < w.length) {
+        var l = math.min(maxLen, w.length - i)
+        var step = 1 // fallback: one character, even if unknown
+        while (l >= 1) {
+          if (vs.contains(w.substring(i, i + l))) { step = l; l = 0 }
+          else l -= 1
+        }
+        i += step
+        n += 1
+      }
+      n
+    }
+    words.select(col("w"), countTokens(col("w")).as("n_bpe"))
+  }
+
+  /** Sequential longest-match reference (spec oracle only): what
+    * [[encodeWordsVocab]]'s distributed form must reproduce.
+    */
+  private[graft] def referenceLongestMatch(words: Seq[String],
+                                           vocab: Set[String]): Map[String, Long] = {
+    val maxLen = vocab.map(_.length).max
+    words.map { w =>
+      var i = 0; var n = 0L
+      while (i < w.length) {
+        val l = (math.min(maxLen, w.length - i) to 1 by -1)
+          .find(k => vocab.contains(w.substring(i, i + k))).getOrElse(1)
+        i += l; n += 1
+      }
+      w -> n
+    }.toMap
   }
 
   /** Sequential reference implementation (spec oracle only — driver

@@ -98,6 +98,73 @@ object Extra10 {
         .orderBy(col("qid"), col("rn"))
     },
 
+    // -- BPE encoding by longest-match against the learned vocabulary -----
+    // text_bpe_encode's PRODUCTION sibling (round-16 verdict #6): the
+    // chained-merge encoder replays k merges as k lazy passes — honest,
+    // but a shipped tokenizer applies its ~50k-symbol VOCAB by greedy
+    // longest match in ONE pass. Standalone contract (the bpe family
+    // rule): re-train the 8 merges, derive the vocabulary (all corpus
+    // characters + the merged symbols — both vocab-sized driver values,
+    // the merge-table precedent), then encode every distinct word by
+    // longest match ([[graft.operators.BpeTrain.encodeWordsVocab]]) and
+    // roll up per doc. Longest-match ≠ merge-order encoding in general
+    // — deliberately: this row prices and checks the SERVING shape, and
+    // the oracle runs the SAME greedy longest match as a recursive CTE
+    // over the same derived vocab, so the hash pins both engines' greed.
+    "text_bpe_encode_vocab" -> { (s, dir) =>
+      import graft.operators.BpeTrain
+      val docw = graft.Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(org.apache.spark.sql.functions.filter(
+            split(lower(col("text")), " "),
+            (t: org.apache.spark.sql.Column) => t =!= "")).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val words = docw.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val merges = BpeTrain.trainMerges(words, Extra9.BpeMerges)
+          .orderBy(col("step"))
+          .collect().map(r => r.getString(3)).toSeq // merged symbols
+        val chars = words
+          .select(explode(sequence(lit(1), length(col("w")))).as("p"), col("w"))
+          .select(col("w").substr(col("p"), lit(1)).as("ch"))
+          .distinct().collect().map(_.getString(0)).toSeq // bounded alphabet
+        val wt = BpeTrain.encodeWordsVocab(words.select(col("w")),
+          chars ++ merges)
+        val perDoc = docw.join(wt, "w")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"), sum(col("n_bpe")).as("n_tokens_vocab"))
+        graft.Tables(s, dir, "documents").select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_words"), lit(0L)).as("n_words"),
+            coalesce(col("n_tokens_vocab"), lit(0L)).as("n_tokens_vocab"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+      } finally { docw.unpersist(false); () }
+    },
+
+    // -- hybrid retrieval served from the ANN index ------------------------
+    // search_hybrid_rrf's dense top-20 is the bounded brute-cosine
+    // baseline; this row (round-16 verdict #7) swaps that leg for the
+    // SERVED LSH index — sim_ann_idx's exact cached index, same dials
+    // (16×6 planes, nprobe 2) — through the IDENTICAL fusion body
+    // ([[Extra9.searchHybrid]]), so the two rows differ only in the
+    // dense leg's provenance: brute scan vs amortized index. Rows-only
+    // (the LSH recall contract — the dense list is approximate), with
+    // HybridIdxSpec pinning fused-rank overlap ≥ 0.9 vs the brute form
+    // at the fixture (the recall-floor precedent).
+    "search_hybrid_rrf_idx" -> { (s, dir) =>
+      import graft.operators.Ann
+      Extra9.searchHybrid(s, dir, n => {
+        val ix = SimIndexes.ann(n.select(col("vec_id"), col("e")),
+          s"$dir#raw", planesPerTable = 6)
+        Ann.lshTopK(n.filter(col("vec_id") < 10), n, k = 20,
+            planesPerTable = 6, nprobe = 2, index = Some(ix))
+          .select(col("qid"), col("vec_id").as("doc_id"),
+            col("rn").as("drank"))
+      })
+    },
+
     // -- community quality: modularity over the labelprop communities -----
     // Labelprop emits communities but nothing SCORES them (round-16
     // verdict #5): Newman-Girvan modularity Q = Σ_c (e_c/m − (d_c/2m)²)
@@ -199,7 +266,54 @@ object Extra10 {
       FROM dc LEFT JOIN ein ON dc.label = ein.label CROSS JOIN mm
       ORDER BY dc.label"""
 
+  /** text_bpe_encode_vocab's oracle: the shared unrolled training
+    * stages (both engines re-derive the merges — the standalone
+    * contract), the vocabulary as corpus characters ∪ merged symbols,
+    * then the SAME greedy longest match. The match lengths precompute
+    * as a plain (word, pos) × vocab join — `steplen` — and the
+    * recursion just WALKS them (a correlated subquery in the recursive
+    * part silently returned NULL mid-word on DuckDB 1.0: 'batch' @ pos
+    * 2 matched 'at' standalone but stepped 1 inside the recursion —
+    * the join formulation is also what the labelprop oracle already
+    * does). COALESCE(…, 1) is the byte-fallback mirror; dead on the
+    * training corpus where every character is in s0, but defined
+    * identically in both engines. pos strictly increases, so the
+    * recursion terminates.
+    */
+  private val bpeEncodeVocabSql: String = s"""
+      ${Extra9.bpeStagesSql},
+      vocab AS MATERIALIZED (
+        SELECT DISTINCT t AS sym FROM s0
+        UNION
+        ${(1 to Extra9.BpeMerges)
+          .map(k => s"SELECT l || r FROM best_$k").mkString("\n        UNION ")}
+      ),
+      positions AS (
+        SELECT w, unnest(generate_series(1, len(w))) AS pos FROM words),
+      steplen AS MATERIALIZED (
+        SELECT p.w, p.pos, CAST(COALESCE(MAX(len(v.sym)), 1) AS INT) AS step
+        FROM positions p LEFT JOIN vocab v
+          ON substr(p.w, p.pos, len(v.sym)) = v.sym
+        GROUP BY p.w, p.pos),
+      enc(w, pos, n) AS (
+        SELECT w, 1, CAST(0 AS BIGINT) FROM words
+        UNION ALL
+        SELECT e.w, e.pos + s.step, e.n + 1
+        FROM enc e JOIN steplen s ON s.w = e.w AND s.pos = e.pos
+        WHERE e.pos <= len(e.w)
+      ),
+      wt AS (SELECT w, n AS n_bpe FROM enc WHERE pos > len(w))
+      SELECT d.doc_id,
+             CAST(COALESCE(x.n_words, 0) AS BIGINT) AS n_words,
+             CAST(COALESCE(x.n_tokens_vocab, 0) AS BIGINT) AS n_tokens_vocab
+      FROM documents d LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS n_words, SUM(n_bpe) AS n_tokens_vocab
+        FROM docw JOIN wt USING (w) GROUP BY doc_id) x
+      USING (doc_id)
+      ORDER BY d.doc_id"""
+
   val oracle: Map[String, String] = Map(
+    "text_bpe_encode_vocab" -> bpeEncodeVocabSql,
     // the cold row is oracle-IDENTICAL to graph_bfs: same operator, same
     // dials — only the graph's provenance (parquet artifact in a fresh
     // session vs per-call build) differs, so the driver hash pins the

@@ -234,66 +234,21 @@ object Extra9 {
     // sim_ann is the unbounded dense path); both lists cap at 20 under
     // WindowGroupLimit, and the fuse join moves ≤ 40 rows per query.
     "search_hybrid_rrf" -> { (s, dir) =>
-      graft.functions.CosineSimilarity.register(s)
-      val toksCol = filter(split(lower(col("text")), " "),
-        (t: Column) => t =!= "")
-      val tok = Tables(s, dir, "documents").filter(col("text").isNotNull)
-        .select(col("doc_id"), toksCol.as("t"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val dl = tok.filter(size(col("t")) > 0)
-          .select(col("doc_id"), size(col("t")).as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n"),
-          avg(col("dl").cast("double")).as("avgdl"))
-        val qterms = tok.filter(col("doc_id") < 10)
-          .select(col("doc_id").as("qid"), explode(col("t")).as("term"))
-          .distinct()
-        val tf = tok.select(col("doc_id"), explode(col("t")).as("term"))
-          .join(broadcast(qterms.select(col("term")).distinct()), "term")
-          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-        val contrib = idf * col("tf") * Extra5.BmK1p1 /
-          (col("tf") + lit(Extra5.BmK1) *
-            (lit(Extra5.BmOneMinusB) + lit(Extra5.BmB) * col("dl") / col("avgdl")))
-        val lex = tf.join(broadcast(qterms), Seq("term"))
-          .filter(col("doc_id") =!= col("qid"))
-          .join(broadcast(dfr), "term")
-          .join(dl, "doc_id")
-          .crossJoin(broadcast(stats))
-          .groupBy(col("qid"), col("doc_id"))
-          .agg(round(sum(contrib), 4).as("bm25"))
-        val wl = Window.partitionBy(col("qid"))
-          .orderBy(col("bm25").desc, col("doc_id").asc)
-        val lexTop = lex.withColumn("lrank", row_number().over(wl))
-          .filter(col("lrank") <= 20)
-          .select(col("qid"), col("doc_id"), col("lrank"))
-        val n = ScaleOps.normalized(s, dir).select(col("vec_id"), col("e"))
+      // the dense leg: the bounded brute-cosine baseline (sim_topk's
+      // convention) — search_hybrid_rrf_idx (Extra10) swaps in the
+      // served ANN index through the same fusion body
+      searchHybrid(s, dir, n => {
         val q = broadcast(n.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("e").as("qe")))
         val wd = Window.partitionBy(col("qid"))
           .orderBy(col("c").desc, col("vec_id").asc)
-        val denseTop = q.join(n, col("vec_id") =!= col("qid"))
+        q.join(n, col("vec_id") =!= col("qid"))
           .withColumn("c",
             round(graft.functions.CosineSimilarity(col("qe"), col("e")), 5))
           .withColumn("drank", row_number().over(wd))
           .filter(col("drank") <= 20)
           .select(col("qid"), col("vec_id").as("doc_id"), col("drank"))
-        val fused = lexTop.join(denseTop, Seq("qid", "doc_id"), "full_outer")
-          .select(col("qid"), col("doc_id"), col("lrank"), col("drank"),
-            round(
-              coalesce(lit(1.0) / (lit(60) + col("lrank")), lit(0.0)) +
-                coalesce(lit(1.0) / (lit(60) + col("drank")), lit(0.0)),
-              6).as("rrf"))
-        val wf = Window.partitionBy(col("qid"))
-          .orderBy(col("rrf").desc, col("doc_id").asc)
-        fused.withColumn("rn", row_number().over(wf))
-          .filter(col("rn") <= 10)
-          .select(col("qid"), col("rn"), col("doc_id"), col("rrf"),
-            col("lrank"), col("drank"))
-          .orderBy(col("qid"), col("rn"))
-          .localCheckpoint()
-      } finally { tok.unpersist(false); () }
+      })
     },
 
     // -- point-in-time lookup against the SCD2 dimension -------------------
@@ -415,6 +370,70 @@ object Extra9 {
     }
   )
 
+  /** The hybrid-retrieval fusion body shared by `search_hybrid_rrf`
+    * (brute dense leg) and `search_hybrid_rrf_idx` (served ANN leg —
+    * round-16 verdict #7): `dense` receives the normalized embedding
+    * frame and must return the per-query dense top-20 as
+    * (qid, doc_id, drank). Everything else — the BM25 leg, the
+    * integer-rank RRF fuse, the output shape — is IDENTICAL by
+    * construction, so the two rows differ only in the dense leg's
+    * provenance.
+    */
+  private[queries] def searchHybrid(s: SparkSession, dir: String,
+                                    dense: DataFrame => DataFrame): DataFrame = {
+      graft.functions.CosineSimilarity.register(s)
+      val toksCol = filter(split(lower(col("text")), " "),
+        (t: Column) => t =!= "")
+      val tok = Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), toksCol.as("t"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val dl = tok.filter(size(col("t")) > 0)
+          .select(col("doc_id"), size(col("t")).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n"),
+          avg(col("dl").cast("double")).as("avgdl"))
+        val qterms = tok.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("qid"), explode(col("t")).as("term"))
+          .distinct()
+        val tf = tok.select(col("doc_id"), explode(col("t")).as("term"))
+          .join(broadcast(qterms.select(col("term")).distinct()), "term")
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+        val contrib = idf * col("tf") * Extra5.BmK1p1 /
+          (col("tf") + lit(Extra5.BmK1) *
+            (lit(Extra5.BmOneMinusB) + lit(Extra5.BmB) * col("dl") / col("avgdl")))
+        val lex = tf.join(broadcast(qterms), Seq("term"))
+          .filter(col("doc_id") =!= col("qid"))
+          .join(broadcast(dfr), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .groupBy(col("qid"), col("doc_id"))
+          .agg(round(sum(contrib), 4).as("bm25"))
+        val wl = Window.partitionBy(col("qid"))
+          .orderBy(col("bm25").desc, col("doc_id").asc)
+        val lexTop = lex.withColumn("lrank", row_number().over(wl))
+          .filter(col("lrank") <= 20)
+          .select(col("qid"), col("doc_id"), col("lrank"))
+        val n = ScaleOps.normalized(s, dir).select(col("vec_id"), col("e"))
+        val denseTop = dense(n)
+        val fused = lexTop.join(denseTop, Seq("qid", "doc_id"), "full_outer")
+          .select(col("qid"), col("doc_id"), col("lrank"), col("drank"),
+            round(
+              coalesce(lit(1.0) / (lit(60) + col("lrank")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60) + col("drank")), lit(0.0)),
+              6).as("rrf"))
+        val wf = Window.partitionBy(col("qid"))
+          .orderBy(col("rrf").desc, col("doc_id").asc)
+        fused.withColumn("rn", row_number().over(wf))
+          .filter(col("rn") <= 10)
+          .select(col("qid"), col("rn"), col("doc_id"), col("rrf"),
+            col("lrank"), col("drank"))
+          .orderBy(col("qid"), col("rn"))
+          .localCheckpoint()
+      } finally { tok.unpersist(false); () }
+  }
+
   /** The `_idx` rows are oracle-IDENTICAL to their siblings: same
     * operator, same dials, same deterministic iteration — only the
     * graph's provenance (session cache vs per-call build) differs, so
@@ -505,8 +524,8 @@ object Extra9 {
     * [[bpeEncodeSql]] reads the FINAL state (both engines re-derive the
     * merges inside the query: the standalone contract).
     */
-  private val bpeStagesSql: String = s"""
-      WITH docw AS MATERIALIZED (
+  private[queries] val bpeStagesSql: String = s"""
+      WITH RECURSIVE docw AS MATERIALIZED (
         SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
                                           x -> x <> '')) AS w
         FROM documents),

@@ -103,4 +103,58 @@ class BpeSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("exhausted"))
   }
+
+  test("encodeWordsVocab equals the sequential longest-match reference on the fixture") {
+    val words = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(explode(filter(split(lower(col("text")), " "),
+        (t: org.apache.spark.sql.Column) => t =!= "")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val merged = BpeTrain.trainMerges(words, 6)
+      .orderBy("step").collect().map(_.getString(3)).toSeq
+    val chars = words
+      .select(explode(sequence(lit(1), length(col("w")))).as("p"), col("w"))
+      .select(col("w").substr(col("p"), lit(1)).as("ch"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val vocab = (chars ++ merged).toSet
+    val got = BpeTrain.encodeWordsVocab(words.select(col("w")), vocab.toSeq)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === BpeTrain.referenceLongestMatch(got.keySet.toSeq, vocab))
+    assert(got.exists { case (w, n) => n < w.length },
+      "no word compressed below its character count — vacuous vocab")
+  }
+
+  test("longest-match is the SERVING trade: it can differ from merge-order encoding") {
+    // merges learned in order (a,b) then (ab,c): merge-order encodes
+    // "abc" as [abc] too — but on "xabc" both agree while a vocab
+    // containing "bc" (from some other merge path) would diverge. Build
+    // the canonical divergence directly: vocab {a, b, c, bc, ab, abc}
+    // with merge list ((b,c)) — merge-order gives a+[bc] = 2 tokens,
+    // longest-match takes [ab]+c = 2... use the textbook case instead:
+    // vocab {a, b, c, ab, bcc...}. Keep it concrete and assert the
+    // DOCUMENTED behavior: longest match takes the longest prefix even
+    // when the merge order would never have produced it.
+    val vocab = Seq("a", "b", "c", "bc", "abc")
+    val got = BpeTrain.encodeWordsVocab(Seq("abc", "bbc").toDF("w"), vocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "abc" -> [abc] (1 token): merge list ((b,c)) alone would give
+    // a+[bc] = 2 — the forms differ, and the vocab form is the one this
+    // operator ships
+    assert(got("abc") === 1L)
+    assert(got("bbc") === 2L) // b + [bc]
+    // byte-fallback: unknown characters consume one position each
+    val fb = BpeTrain.encodeWordsVocab(Seq("azb").toDF("w"), Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fb("azb") === 3L)
+  }
+
+  test("trainMerges roundHook reports a state that shrinks every round") {
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val sizes = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    BpeTrain.trainMerges(words.toDF("w", "c"), 4,
+      roundHook = (k, n) => sizes += ((k, n)))
+    assert(sizes.map(_._1).toSeq === Seq(1, 2, 3, 4))
+    val ns = sizes.toSeq.map(_._2)
+    assert(ns.sliding(2).forall(w => w(1) < w(0)),
+      s"state did not shrink monotonically: $sizes")
+  }
 }
