@@ -656,25 +656,38 @@ object StreamOps {
     * `onBatch` receives the CUMULATIVE (node, n_triangles) frame after
     * each batch — by construction equal to
     * [[graft.operators.Triangles.perNodeCounts]] over every edge seen
-    * so far (StreamingSpec pins the equality). SINGLE-RUN contract:
-    * the accumulators live in driver-local frames outside the
-    * streaming checkpoint, so a restart from `checkpoint` does not
-    * replay committed batches and the cumulative equality holds only
-    * within one query run (see [[editDistDedupSink]] for the full
-    * caveat).
+    * so far (StreamingSpec pins the equality). Restart contract:
+    * single-run WITHOUT `stateDir` (driver-local frames outside the
+    * streaming checkpoint — a restart does not replay committed
+    * batches; see [[editDistDedupSink]] for the full caveat);
+    * restart-CORRECT with it ([[scd2Sink]]'s [[StreamState]] protocol
+    * — O(seen-edges + nodes) committed per batch, the honest price of
+    * exact cumulative triangle state).
     */
   def triangleCountSink(edges: DataFrame, checkpoint: String,
-                        onBatch: (DataFrame, Long) => Unit)
+                        onBatch: (DataFrame, Long) => Unit,
+                        stateDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Checkpoints, Triangles}
     val spark = edges.sparkSession
     // accumulated state: (wrapped frame, checkpoint handle) pairs
     var acc: (DataFrame, DataFrame) = null     // oriented edge set
     var counts: (DataFrame, DataFrame) = null  // cumulative per-node
+    var restored = false
     edges.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!restored) {
+          restored = true
+          stateDir.foreach { sd =>
+            val sess = batch.sparkSession
+            StreamState.latest(sess, sd, batchId).foreach { v =>
+              acc = Checkpoints.snap(StreamState.frame(sess, sd, v, "edges"))
+              counts = Checkpoints.snap(StreamState.frame(sess, sd, v, "counts"))
+            }
+          }
+        }
         // canonicalize to the id order (the batch may carry either
         // orientation), drop self-loops and within-batch dupes, then
         // cross-batch dupes — newTriangleRows requires disjointness
@@ -707,6 +720,12 @@ object StreamOps {
         Checkpoints.free(freshChk)
         counts = newCounts
         acc = newAcc
+        // durable commit before the user sees the batch (the scd2Sink
+        // crash-window analysis)
+        stateDir.foreach { sd =>
+          StreamState.write(batch.sparkSession, sd, batchId,
+            Seq("edges" -> acc._1, "counts" -> counts._1))
+        }
         onBatch(counts._1, batchId)
       }
       .start()
@@ -850,18 +869,22 @@ object StreamOps {
     * convergence over every edge seen so far (StreamingSpec pins the
     * equality against [[graft.operators.Bfs.weightedDistances]] at a
     * convergence-sized round budget, with reversed, overlapping, and
-    * weight-improving batches). SINGLE-RUN contract: the accumulators
-    * live in driver-local frames outside the streaming checkpoint, so
-    * a restart from `checkpoint` does not replay committed batches and
-    * the cumulative equality holds only within one query run (see
-    * [[editDistDedupSink]] for the full caveat).
+    * weight-improving batches). Restart contract: single-run WITHOUT
+    * `stateDir` (driver-local accumulators outside the streaming
+    * checkpoint — see [[editDistDedupSink]] for the full caveat);
+    * restart-CORRECT with it ([[scd2Sink]]'s [[StreamState]] protocol,
+    * committing the adjacency + converged distances per batch). The
+    * seed set is a sink PARAMETER, not state — a restart must pass the
+    * same seeds (the restored distances embed them anyway).
     */
   def shortestPathSink(edges: DataFrame, seeds: DataFrame, checkpoint: String,
-                       onBatch: (DataFrame, Long) => Unit)
+                       onBatch: (DataFrame, Long) => Unit,
+                       stateDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Checkpoints
     var adj: (DataFrame, DataFrame) = null  // canonical (a, b, w), min weight
     var dist: (DataFrame, DataFrame) = null // converged (v, d); seeds at 0
+    var restored = false
     val seed = seeds.toDF("v").distinct()
       .select(col("v"), lit(0L).as("d"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -869,6 +892,22 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // restart-correct option (the scd2Sink StreamState protocol):
+        // restore the newest committed (adjacency, distances) strictly
+        // below the delivered batchId before processing it. The seed
+        // set must be the SAME across the restart — it is a sink
+        // parameter, not state (documented; the restored distances
+        // embed it anyway).
+        if (!restored) {
+          restored = true
+          stateDir.foreach { sd =>
+            val sess = batch.sparkSession
+            StreamState.latest(sess, sd, batchId).foreach { v =>
+              adj = Checkpoints.snap(StreamState.frame(sess, sd, v, "adj"))
+              dist = Checkpoints.snap(StreamState.frame(sess, sd, v, "dist"))
+            }
+          }
+        }
         // contract enforcement BEFORE the long cast: a fractional
         // weight would silently truncate (0.9 → 0: the sink would
         // converge distances the batch operator disagrees with) and a
@@ -957,6 +996,10 @@ object StreamOps {
         adj = newAdj
         if ((dist != null) && (cur ne dist)) Checkpoints.free(dist._2)
         dist = cur
+        stateDir.foreach { sd =>
+          StreamState.write(batch.sparkSession, sd, batchId,
+            Seq("adj" -> adj._1, "dist" -> dist._1))
+        }
         onBatch(dist._1, batchId)
       }
     // the accumulated adjacency/distance blocks and the cached seed
@@ -1012,14 +1055,19 @@ object StreamOps {
     * near-dup relevance, and a watermark would silently miss
     * duplicates of early docs.
     *
-    * SINGLE-RUN contract (shared with [[triangleCountSink]] and
-    * [[shortestPathSink]]): the cumulative state lives in driver-local
-    * frames OUTSIDE the streaming checkpoint. `checkpointLocation`
-    * makes re-DELIVERIES within one run idempotent, but a RESTART from
-    * the checkpoint does not replay committed batches, so the
-    * accumulator restarts empty and the cumulative-equality contract
-    * holds only within a single query run — a restartable deployment
-    * must rebuild the state from a durable pair/segment sink on open.
+    * Restart contract (shared with [[triangleCountSink]] and
+    * [[shortestPathSink]]): WITHOUT `stateDir`, single-run — the
+    * cumulative state lives in driver-local frames OUTSIDE the
+    * streaming checkpoint; `checkpointLocation` makes re-DELIVERIES
+    * within one run idempotent, but a RESTART from the checkpoint does
+    * not replay committed batches, so the accumulator restarts empty
+    * and the cumulative-equality contract holds only within a single
+    * query run. WITH `stateDir` (round-16 verdict #2, extended round
+    * 17 to all five accumulator sinks), restart-CORRECT: docs +
+    * segment index + cumulative pairs commit to [[StreamState]] as one
+    * version per batch and the first post-restart batch restores them
+    * — the durable pair/segment sink the single-run caveat asked for,
+    * built in.
     *
     * `docs` streams (id, t) with unique ids (re-deliveries of a seen
     * id are dropped); `onBatch` receives the CUMULATIVE canonical
@@ -1029,16 +1077,32 @@ object StreamOps {
     * far (spec-pinned, overlapping and reordered batches included).
     */
   def editDistDedupSink(docs: DataFrame, k: Int, checkpoint: String,
-                        onBatch: (DataFrame, Long) => Unit)
+                        onBatch: (DataFrame, Long) => Unit,
+                        stateDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Checkpoints, EditDistJoin}
     var accDocs: (DataFrame, DataFrame) = null  // (id, t) seen so far
     var accSegs: (DataFrame, DataFrame) = null  // their segment index
     var accPairs: (DataFrame, DataFrame) = null // cumulative result
+    var restored = false
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // restart-correct option (the scd2Sink StreamState protocol);
+        // all three accumulators restore together or not at all —
+        // they are one consistent version by construction
+        if (!restored) {
+          restored = true
+          stateDir.foreach { sd =>
+            val sess = batch.sparkSession
+            StreamState.latest(sess, sd, batchId).foreach { v =>
+              accDocs = Checkpoints.snap(StreamState.frame(sess, sd, v, "docs"))
+              accSegs = Checkpoints.snap(StreamState.frame(sess, sd, v, "segs"))
+              accPairs = Checkpoints.snap(StreamState.frame(sess, sd, v, "pairs"))
+            }
+          }
+        }
         val canon = batch.select(col("id"), col("t")).dropDuplicates("id")
         val fresh0 =
           if (accDocs == null) canon
@@ -1074,6 +1138,11 @@ object StreamOps {
         accPairs = newPairs
         accDocs = newDocs
         accSegs = newSegs
+        stateDir.foreach { sd =>
+          StreamState.write(batch.sparkSession, sd, batchId,
+            Seq("docs" -> accDocs._1, "segs" -> accSegs._1,
+              "pairs" -> accPairs._1))
+        }
         onBatch(accPairs._1, batchId)
       }
       .start()

@@ -146,4 +146,113 @@ class StreamRestartSpec extends AnyFunSuite {
     assert(got2.values.maxBy(_._1) === got(2L),
       "interrupted and uninterrupted runs diverged")
   }
+
+  test("triangleCountSink with stateDir: restart preserves exact cumulative counts") {
+    import spark.implicits._
+    val all = (for { a <- 1L to 6L; b <- (a + 1) to 6L } yield (a, b))
+    val (b1, rest) = all.splitAt(5); val (b2, b3) = rest.splitAt(5)
+    val in = tmp("tcr-in"); val ckpt = tmp("tcr-ckpt"); val state = tmp("tcr-state")
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType)))
+    def addFile(n: Int, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("a", "b").coalesce(1).write.parquet(s"$in/f$n")
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    val sA = spark.newSession()
+    var last: Seq[(Long, Long)] = Nil
+    addFile(1, b1)
+    val qA = graft.streaming.StreamOps.triangleCountSink(
+      sA.readStream.schema(schema).parquet(s"$in/f*"), ckpt,
+      onBatch = (df, _) => last = counts(df), stateDir = Some(state))
+    try { qA.processAllAvailable(); addFile(2, b2); qA.processAllAvailable() }
+    finally qA.stop()
+
+    val sB = spark.newSession()
+    addFile(3, b3)
+    val qB = graft.streaming.StreamOps.triangleCountSink(
+      sB.readStream.schema(schema).parquet(s"$in/f*"), ckpt,
+      onBatch = (df, _) => last = counts(df), stateDir = Some(state))
+    try qB.processAllAvailable() finally qB.stop()
+    // K6: every node is in C(5,2) = 10 triangles
+    assert(last === (1L to 6L).map(v => (v, 10L)),
+      s"restart lost triangle state: $last")
+  }
+
+  test("shortestPathSink with stateDir: restart preserves converged distances") {
+    import spark.implicits._
+    // path 1 -2- 2 -3- 3 -1- 4 delivered across a restart, plus a
+    // cheaper re-arrival for (1,2) AFTER the restart (weight-improving)
+    val b1 = Seq((1L, 2L, 5L))
+    val b2 = Seq((2L, 3L, 3L))
+    val b3 = Seq((3L, 4L, 1L), (1L, 2L, 2L))
+    val in = tmp("spr-in"); val ckpt = tmp("spr-ckpt"); val state = tmp("spr-state")
+    val schema = StructType(Seq(StructField("a", LongType),
+      StructField("b", LongType), StructField("w", LongType)))
+    def addFile(n: Int, rows: Seq[(Long, Long, Long)]): Unit =
+      rows.toDF("a", "b", "w").coalesce(1).write.parquet(s"$in/f$n")
+    def dists(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    val seedsA = Seq(1L)
+    val sA = spark.newSession()
+    var last: Seq[(Long, Long)] = Nil
+    addFile(1, b1)
+    val qA = graft.streaming.StreamOps.shortestPathSink(
+      sA.readStream.schema(schema).parquet(s"$in/f*"),
+      seedsA.toDF("v"), ckpt,
+      onBatch = (df, _) => last = dists(df), stateDir = Some(state))
+    try { qA.processAllAvailable(); addFile(2, b2); qA.processAllAvailable() }
+    finally qA.stop()
+    assert(last === Seq((1L, 0L), (2L, 5L), (3L, 8L)))
+
+    val sB = spark.newSession()
+    addFile(3, b3)
+    val qB = graft.streaming.StreamOps.shortestPathSink(
+      sB.readStream.schema(schema).parquet(s"$in/f*"),
+      seedsA.toDF("v"), ckpt,
+      onBatch = (df, _) => last = dists(df), stateDir = Some(state))
+    try qB.processAllAvailable() finally qB.stop()
+    // the improved (1,2)=2 must re-relax the whole downstream chain
+    assert(last === Seq((1L, 0L), (2L, 2L), (3L, 5L), (4L, 6L)),
+      s"restart lost shortest-path state: $last")
+  }
+
+  test("editDistDedupSink with stateDir: restart preserves docs, segments and pairs") {
+    import spark.implicits._
+    val b1 = Seq((1L, "kitten"), (2L, "sitten"))
+    val b2 = Seq((3L, "mitten"))
+    val b3 = Seq((4L, "sittin"), (5L, "unrelatedword"))
+    val in = tmp("edr-in"); val ckpt = tmp("edr-ckpt"); val state = tmp("edr-state")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("t", StringType)))
+    def addFile(n: Int, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("id", "t").coalesce(1).write.parquet(s"$in/f$n")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("d1", "d2", "dist").orderBy("d1", "d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    val sA = spark.newSession()
+    var last: Set[(Long, Long, Int)] = Set.empty
+    addFile(1, b1)
+    val qA = graft.streaming.StreamOps.editDistDedupSink(
+      sA.readStream.schema(schema).parquet(s"$in/f*"), k = 2, ckpt,
+      onBatch = (df, _) => last = pairs(df), stateDir = Some(state))
+    try { qA.processAllAvailable(); addFile(2, b2); qA.processAllAvailable() }
+    finally qA.stop()
+
+    val sB = spark.newSession()
+    addFile(3, b3)
+    val qB = graft.streaming.StreamOps.editDistDedupSink(
+      sB.readStream.schema(schema).parquet(s"$in/f*"), k = 2, ckpt,
+      onBatch = (df, _) => last = pairs(df), stateDir = Some(state))
+    try qB.processAllAvailable() finally qB.stop()
+    // equals the batch operator over ALL docs — pairs found across the
+    // restart boundary (4 vs 1/2/3) prove the segment index survived
+    val expected = pairs(graft.operators.EditDistJoin.pairs(
+      (b1 ++ b2 ++ b3).toDF("id", "t"), 2))
+    assert(last === expected, s"restart lost edit-dist state")
+    assert(last.exists { case (d1, d2, _) => d2 == 4L && d1 < 4L },
+      "no cross-restart pair found — the index did not survive")
+  }
 }
