@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.storage.StorageLevel
 
 /** Session-scoped prebuilt-index cache for the similarity menu — the
@@ -112,6 +113,84 @@ object SimIndexes {
       (cents, cb, materialized(coded))
     }
 
+  /** Persisted frames embedded in LAZY layers after [[annAppend]] /
+    * [[ivfAppend]] (the [[Graphs.GraphIndex]] pieces rule, carried in a
+    * side map because the sim entries are plain tuples): [[clear]]
+    * releases them with the entry.
+    */
+  private val pieces =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[DataFrame]]
+
+  private def addPieces(s: SparkSession, key: String,
+                        ps: Seq[DataFrame]): Unit = {
+    val k = (s, key)
+    pieces.put(k, pieces.getOrElse(k, Nil) ++ ps)
+    ()
+  }
+
+  /** Append newly-arrived vectors to the cached LSH index WITHOUT a
+    * rebuild ([[Graphs.applyDelta]]'s sim-family twin): hash the delta
+    * with the SAME recorded planes (tag + full configuration — the
+    * typed-carrier rule means appended keys are geometrically
+    * compatible by construction) and layer them onto the keys frame as
+    * a lazy union. Vectors whose `vec_id` is already indexed are
+    * skipped (append is idempotent under re-delivery). Work is
+    * delta-proportional: plane hashing is row-local over the delta,
+    * plus one cached-keys scan for the dedup anti-join (delta side
+    * broadcasts). Refuses a bucket-capped index: appending can push a
+    * bucket over `maxBucketSize`, and re-capping is a rebuild-shaped
+    * decision the caller must make explicitly.
+    */
+  def annAppend(delta: DataFrame, tag: String, tables: Int = 16,
+                planesPerTable: Int = 5, dim: Int = 64,
+                seed: Long = 42L): Ann.AnnIndex = {
+    val s = delta.sparkSession
+    val key = s"ann|$tag|$tables|$planesPerTable|$dim|$seed"
+    val old = cache.synchronized(cache.get((s, key))) match {
+      case Some(ix: Ann.AnnIndex) => ix
+      case _ => throw new IllegalStateException(
+        s"annAppend: no cached ann index for '$key' — build or load first")
+    }
+    require(old.maxBucketSize == Int.MaxValue,
+      "annAppend: appending to a bucket-capped index can overflow its " +
+        "cap — rebuild (or re-cap) explicitly instead")
+    val fresh = delta.join(old.keys.select(col("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
+    val newKeys = materialized(
+      Ann.bucketKeys(fresh, tables, planesPerTable, dim, seed)
+        .select(col("vec_id"), col("e"), col("table"), col("bucket")))
+    val next = old.copy(keys = old.keys.unionAll(newKeys))
+    cache.synchronized { cache.put((s, key), next); () }
+    addPieces(s, key, Seq(old.keys, newKeys))
+    next
+  }
+
+  /** Append newly-arrived vectors to the cached IVF index against
+    * FROZEN centroids — standard IVF practice (retraining is a rebuild
+    * decision made on drift evidence, not per arrival; the assignment
+    * is exact for the centroids as they stand, and the spec pins
+    * append ≡ `Ivf.assign` over the union with the SAME centroids).
+    * Already-assigned `vec_id`s are skipped (idempotent re-delivery).
+    */
+  def ivfAppend(delta: DataFrame, tag: String, nlist: Int = 8,
+                iters: Int = 2): (DataFrame, DataFrame) = {
+    val s = delta.sparkSession
+    val key = s"ivf|$tag|$nlist|$iters"
+    val old = cache.synchronized(cache.get((s, key))) match {
+      case Some((cents: DataFrame, assigned: DataFrame)) => (cents, assigned)
+      case _ => throw new IllegalStateException(
+        s"ivfAppend: no cached ivf index for '$key' — build or load first")
+    }
+    val (cents, assigned) = old
+    val fresh = delta.join(assigned.select(col("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
+    val newAssigned = materialized(Ivf.assign(fresh, cents))
+    val next = (cents, assigned.unionAll(newAssigned))
+    cache.synchronized { cache.put((s, key), next); () }
+    addPieces(s, key, Seq(assigned, newAssigned))
+    next
+  }
+
   /** Persist every index this session built as a parquet artifact under
     * `base` ([[Artifacts]] layout; round-16 verdict #1). The manifest
     * records the FULL cache key — tag AND configuration — so a loaded
@@ -221,6 +300,9 @@ object SimIndexes {
         case (_, _, df: DataFrame) => df.unpersist()
         case _ => ()
       }
+    }
+    pieces.keys.filter(_._1 eq s).foreach { k =>
+      pieces.remove(k).foreach(_.foreach(_.unpersist()))
     }
   }
 }

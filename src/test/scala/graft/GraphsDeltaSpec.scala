@@ -98,4 +98,39 @@ class GraphsDeltaSpec extends AnyFunSuite {
       Graphs.applyDelta("delta-missing", s, Seq((1L, 2L)).toDF("a", "b"))
     }
   }
+
+  test("applyDeltaWeighted: min-weight merge equals the weighted rebuild") {
+    val s = spark.newSession()
+    def w3(df: DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val base = Seq((1L, 2L, 5L), (2L, 3L, 3L), (3L, 4L, 7L))
+    Graphs.weighted(base.toDF("a", "b", "w"), "wdelta", s)
+    // (2,1,2): cheaper re-arrival (replaces 5); (3,2,9): costlier —
+    // no-op; (4,5,1): new; (1,2,4)+(2,1,2): same pair twice, min wins
+    val delta = Seq((2L, 1L, 4L), (2L, 1L, 2L), (3L, 2L, 9L), (4L, 5L, 1L))
+    val got = Graphs.applyDeltaWeighted("wdelta", s, delta.toDF("a", "b", "w"))
+    val expected = Set((1L, 2L, 2L), (2L, 3L, 3L), (3L, 4L, 7L), (4L, 5L, 1L))
+    assert(w3(got.edges) === expected)
+    assert(w3(got.sym) === expected.flatMap { case (a, b, w) =>
+      Set((a, b, w), (b, a, w)) })
+    // served under the original tag; sssp over the merged frames uses
+    // the cheaper (1,2) edge
+    val served = Graphs.weighted(
+      sys.error("must serve"): DataFrame, "wdelta", s)
+    assert(w3(served.edges) === expected)
+    import org.apache.spark.sql.functions.col
+    val d = graft.operators.Bfs.weightedDistancesOnSym(served.sym,
+      Seq(1L).toDF("v"), rounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(d === Map(1L -> 0L, 2L -> 2L, 3L -> 5L, 4L -> 12L, 5L -> 13L))
+    Graphs.clear(s)
+  }
+
+  test("applyDeltaWeighted without a cached weighted graph fails loudly") {
+    val s = spark.newSession()
+    intercept[IllegalStateException] {
+      Graphs.applyDeltaWeighted("wdelta-missing", s,
+        Seq((1L, 2L, 1L)).toDF("a", "b", "w"))
+    }
+  }
 }
