@@ -38,6 +38,23 @@ object Extra10 {
       sessions.getOrElseUpdate(s.sparkContext, s.newSession())
   }
 
+  /** Once-per-(session, key) guard for graph_bfs_delta's build+merge:
+    * a bench sweep calls the query repeatedly, and re-applying an
+    * already-merged delta is a semantic no-op but would stack empty
+    * union layers onto the serve plans — run the body exactly once and
+    * let later calls serve the merged cache entry.
+    */
+  private object DeltaApplied {
+    private val done =
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
+    def once(s: SparkSession, key: String)(body: => Unit): Boolean =
+      done.synchronized {
+        done.keys.filter(_._1.sparkContext.isStopped).foreach(done.remove)
+        if (done.contains((s, key))) false
+        else { body; done.put((s, key), true); true }
+      }
+  }
+
   /** Artifact root for a data directory: tmpdir + the SOURCE CONTENT
     * fingerprint, so a regenerated testdata tree can never serve a
     * stale artifact (new file mtimes/lengths ⇒ new base ⇒ rebuild).
@@ -66,6 +83,43 @@ object Extra10 {
           "loaded artifact did not serve"): DataFrame,
         Extra9.tag(dir), cold)
       Bfs.hopDistancesOnAdj(g.adj, Extra7.seedParts(cold, dir),
+          maxHops = Extra7.BfsHops)
+        .orderBy(col("node"))
+    },
+
+    // -- incremental delta-build under the driver hash --------------------
+    // applyDelta's registered face (the graph_bfs_cold rule: the path
+    // itself runs inside the correctness gate): the graph builds from
+    // 99% of orders, the held-out 1%'s co-purchase edges arrive as the
+    // delta, and bfs serves from the MERGED frames. The oracle is
+    // graph_bfs's SQL verbatim — sound because co-purchase pairs derive
+    // within single orders, so pairs(S₁) ∪ pairs(S₂) = pairs(S₁ ∪ S₂):
+    // the merged graph IS the full graph, and any divergence in the
+    // merge (lost edge, stale degree, wrong re-orientation) fails the
+    // driver hash. The delta applies once per (session, dir); later
+    // calls serve the merged entry (the error-thunk no-build guarantee).
+    "graph_bfs_delta" -> { (s, dir) =>
+      val dtag = s"copurchase-delta99|$dir"
+      def ordersEdges(pred: org.apache.spark.sql.Column) = {
+        val so = graft.Tables(s, dir, "lineitem").filter(pred)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("sk"))
+          .distinct()
+        so.alias("x")
+          .join(so.alias("y"),
+            col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+          .select(col("x.sk").as("a"), col("y.sk").as("b"))
+          .distinct()
+      }
+      DeltaApplied.once(s, dtag) {
+        Graphs.index(ordersEdges(pmod(col("l_orderkey"), lit(100)) =!= 0),
+          dtag, s)
+        Graphs.applyDelta(dtag, s,
+          ordersEdges(pmod(col("l_orderkey"), lit(100)) === 0))
+      }
+      val g = Graphs.index(
+        sys.error("graph_bfs_delta: merged entry missing"): DataFrame,
+        dtag, s)
+      Bfs.hopDistancesOnAdj(g.adj, Extra7.seedParts(s, dir),
           maxHops = Extra7.BfsHops)
         .orderBy(col("node"))
     },
@@ -319,6 +373,9 @@ object Extra10 {
     // session vs per-call build) differs, so the driver hash pins the
     // save→load→serve path at full strength
     "graph_bfs_cold" -> Extra7.oracle("graph_bfs"),
+    // sound because co-purchase pairs derive within single orders:
+    // pairs(99%) ∪ pairs(1%) = pairs(all) — see the query comment
+    "graph_bfs_delta" -> Extra7.oracle("graph_bfs"),
     "graph_modularity" -> modularitySql
   )
 }

@@ -255,4 +255,18 @@ class StreamRestartSpec extends AnyFunSuite {
     assert(last.exists { case (d1, d2, _) => d2 == 4L && d1 < 4L },
       "no cross-restart pair found — the index did not survive")
   }
+
+  test("StreamState prunes superseded versions: one version on disk after many batches") {
+    import spark.implicits._
+    val sd = tmp("prune-state")
+    val s = spark.newSession()
+    for (b <- 0L to 3L)
+      graft.streaming.StreamState.write(s, sd, b,
+        Seq("x" -> Seq((b, b)).toDF("a", "b")), Seq("t" -> b))
+    val vs = new java.io.File(sd).listFiles().map(_.getName).sorted.toSeq
+    assert(vs === Seq("v3"), s"superseded versions not pruned: $vs")
+    assert(graft.streaming.StreamState.latest(s, sd, Long.MaxValue) === Some(3L))
+    assert(graft.streaming.StreamState.latest(s, sd, 3L) === None,
+      "strictly-below restore must not see the version being recomputed")
+  }
 }
