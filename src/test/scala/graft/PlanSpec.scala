@@ -1287,4 +1287,43 @@ class PlanSpec extends AnyFunSuite {
         s"steady-state plan rescans lineitem:\n${rescans.mkString("\n")}")
     } finally graft.operators.Graphs.clear(spark)
   }
+
+  test("cold/delta/modularity serving plans: cached frames only, no lineitem rescan") {
+    // The round-17 serving rows' plan-level claim, the graph_*_idx gate
+    // extended: a WARM call must read graph frames from cache
+    // boundaries (the cold row's cache holds parquet-ARTIFACT scans,
+    // the delta row's holds the layered pieces) and must never rescan
+    // lineitem outside one — the part-table seed scan is the only
+    // legitimate file scan.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def flattenToCache(n: SparkPlan): Seq[SparkPlan] = {
+      val kids: Seq[SparkPlan] = n match {
+        case _: InMemoryTableScanExec => Nil
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec        => Seq(s.plan)
+        case r: ReusedExchangeExec    => Seq(r.child)
+        case o                        => o.children
+      }
+      n +: kids.flatMap(flattenToCache)
+    }
+    def gate(q: String): Unit = {
+      SparkEntry.queries(q)(spark, sf).collect() // warm-up: build/load/merge
+      val df = SparkEntry.queries(q)(spark, sf)  // steady-state shape
+      df.collect()
+      val nodes = flattenToCache(df.queryExecution.executedPlan)
+      assert(nodes.exists(_.isInstanceOf[InMemoryTableScanExec]),
+        s"$q: no cached scan in the warm plan - the serving seam is dead")
+      val rescans = nodes.collect { case f: FileSourceScanExec => f }
+        .filter(_.toString.contains("lineitem"))
+      assert(rescans.isEmpty, s"$q: warm plan rescans lineitem:\n" +
+        rescans.mkString("\n"))
+    }
+    graft.operators.Graphs.clear(spark)
+    try {
+      gate("graph_bfs_delta")
+      gate("graph_modularity")
+      gate("graph_bfs_cold") // serves in the cold session; the returned
+                             // frame's plan is the serve plan either way
+    } finally graft.operators.Graphs.clear(spark)
+  }
 }
