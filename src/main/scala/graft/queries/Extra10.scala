@@ -242,8 +242,14 @@ object Extra10 {
       val seeds = graft.Tables(s, dir, "part")
         .filter(col("p_size") === 50)
         .select(col("p_partkey").as("v"), col("p_brand").as("label"))
+      // the label relation feeds THREE consumers (both sides of the
+      // e_in join + the degree rollup) — un-checkpointed, each would
+      // re-run the 3-round propagation over the cached adjacency
+      // (measured isolated min-of-3 at sf0.1: 9.95 → 5.81 s); node-
+      // sized, so the eager checkpoint is cheap
       val labels = LabelProp.propagateOnAdj(g.adj, seeds,
-        rounds = Extra7.LpRounds)
+          rounds = Extra7.LpRounds)
+        .localCheckpoint()
       val mRow = g.edges.agg(count(lit(1)).as("m"))
       val ein = g.edges
         .join(labels.select(col("node").as("a"), col("label").as("la")), "a")
