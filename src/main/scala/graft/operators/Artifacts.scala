@@ -38,9 +38,18 @@ object Artifacts {
   /** Write `frames` under `dir`, then the manifest LAST (the commit
     * marker). `params` carries kind-specific configuration the loader
     * must re-validate (e.g. the LSH plane geometry).
+    *
+    * Re-saves UNCOMMIT first (round-18 ADVICE): overwriting component
+    * frames under a still-committed OLD manifest would let a crash
+    * mid-re-save leave a directory [[entries]] lists as committed but
+    * whose frames mix old and new data. Deleting the manifest before
+    * the first frame write restores the virgin-directory guarantee —
+    * a crash anywhere in the window leaves an uncommitted directory
+    * loaders never see (stale data loss, never mixed data).
     */
   def write(s: SparkSession, dir: String, key: String, kind: String,
             params: String, frames: Seq[(String, DataFrame)]): Unit = {
+    fs(s, dir).delete(new Path(s"$dir/manifest"), true)
     frames.foreach { case (n, df) =>
       df.write.mode("overwrite").parquet(s"$dir/$n") }
     import s.implicits._

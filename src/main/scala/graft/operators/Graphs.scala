@@ -350,6 +350,33 @@ object Graphs {
       cache.getOrElseUpdate((s, key), mk).asInstanceOf[T]
     }
 
+  /** Whether session `s` holds a cached unweighted graph for `tag` —
+    * the COHERENT "already built / already merged" signal for callers
+    * that run a build(+delta) body exactly when the entry is absent
+    * (round-17 verdict #1: graph_bfs_delta guarded its body with a
+    * side memo that survived [[clear]], so a cleared cache turned the
+    * query into a permanent hard error for the session; entry presence
+    * is invalidated by [[clear]] by construction, and [[applyDelta]]
+    * replaces the built entry under the same key, so presence is
+    * exactly the "applied" signal).
+    */
+  def cachedGraph(tag: String, s: SparkSession): Boolean =
+    cache.synchronized(cache.contains((s, s"graph|$tag")))
+
+  /** Drop and unpersist ONE unweighted graph entry — the failure-path
+    * cleanup for [[cachedGraph]]-guarded build+delta bodies: if the
+    * body dies between [[index]] and [[applyDelta]], the cache would
+    * hold the UNMERGED graph and later guarded calls would silently
+    * serve it; dropping on failure makes the next call rebuild.
+    */
+  def dropGraph(tag: String, s: SparkSession): Unit = cache.synchronized {
+    cache.remove((s, s"graph|$tag")).foreach {
+      case GraphIndex(e, adj, deg, o, pieces) =>
+        (Seq(e, adj, deg, o) ++ pieces).foreach(_.unpersist())
+      case _ => ()
+    }
+  }
+
   /** Drop and unpersist every graph this session built (test hygiene —
     * the bench and Verify let session teardown reclaim instead).
     *

@@ -38,23 +38,6 @@ object Extra10 {
       sessions.getOrElseUpdate(s.sparkContext, s.newSession())
   }
 
-  /** Once-per-(session, key) guard for graph_bfs_delta's build+merge:
-    * a bench sweep calls the query repeatedly, and re-applying an
-    * already-merged delta is a semantic no-op but would stack empty
-    * union layers onto the serve plans — run the body exactly once and
-    * let later calls serve the merged cache entry.
-    */
-  private object DeltaApplied {
-    private val done =
-      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
-    def once(s: SparkSession, key: String)(body: => Unit): Boolean =
-      done.synchronized {
-        done.keys.filter(_._1.sparkContext.isStopped).foreach(done.remove)
-        if (done.contains((s, key))) false
-        else { body; done.put((s, key), true); true }
-      }
-  }
-
   /** Artifact root for a data directory: tmpdir + the SOURCE CONTENT
     * fingerprint, so a regenerated testdata tree can never serve a
     * stale artifact (new file mtimes/lengths ⇒ new base ⇒ rebuild).
@@ -96,8 +79,14 @@ object Extra10 {
     // within single orders, so pairs(S₁) ∪ pairs(S₂) = pairs(S₁ ∪ S₂):
     // the merged graph IS the full graph, and any divergence in the
     // merge (lost edge, stale degree, wrong re-orientation) fails the
-    // driver hash. The delta applies once per (session, dir); later
-    // calls serve the merged entry (the error-thunk no-build guarantee).
+    // driver hash. The build+merge body runs exactly when the cache
+    // entry is ABSENT (Graphs.cachedGraph — entry presence IS the
+    // "applied" signal, because applyDelta replaces the built entry
+    // under the same key and Graphs.clear removes it: a cleared cache
+    // rebuilds instead of hard-failing, the round-17 verdict bug);
+    // later calls serve the merged entry (the error-thunk no-build
+    // guarantee), and a body that dies mid-way drops the entry so the
+    // unmerged graph can never be served silently.
     "graph_bfs_delta" -> { (s, dir) =>
       val dtag = s"copurchase-delta99|$dir"
       def ordersEdges(pred: org.apache.spark.sql.Column) = {
@@ -110,11 +99,15 @@ object Extra10 {
           .select(col("x.sk").as("a"), col("y.sk").as("b"))
           .distinct()
       }
-      DeltaApplied.once(s, dtag) {
-        Graphs.index(ordersEdges(pmod(col("l_orderkey"), lit(100)) =!= 0),
-          dtag, s)
-        Graphs.applyDelta(dtag, s,
-          ordersEdges(pmod(col("l_orderkey"), lit(100)) === 0))
+      if (!Graphs.cachedGraph(dtag, s)) {
+        try {
+          Graphs.index(ordersEdges(pmod(col("l_orderkey"), lit(100)) =!= 0),
+            dtag, s)
+          Graphs.applyDelta(dtag, s,
+            ordersEdges(pmod(col("l_orderkey"), lit(100)) === 0))
+        } catch {
+          case t: Throwable => Graphs.dropGraph(dtag, s); throw t
+        }
       }
       val g = Graphs.index(
         sys.error("graph_bfs_delta: merged entry missing"): DataFrame,

@@ -760,6 +760,15 @@ object StreamOps {
     * cross-batch dedup would need the O(edges) seen-set this sink
     * exists to avoid (use [[triangleCountSink]] when re-delivery is
     * possible; a Bloom front is the probabilistic middle ground).
+    * Under at-least-once re-delivery the sink degrades as far as O(m)
+    * state allows, no further: a re-delivered edge still RESIDENT in
+    * the reservoir is fully ignored (anti-joined before the t count
+    * and deduped in the merge — neither t nor the sample moves), but a
+    * re-delivery of an edge the reservoir already evicted is
+    * indistinguishable from a new edge, counts into t, and inflates
+    * the t(t−1)(t−2) scale factor accordingly. That residual is the
+    * price of bounded state, and it is part of this contract — not an
+    * implementation accident.
     *
     * Restart contract: WITHOUT `stateDir`, single-run
     * ([[editDistDedupSink]]). WITH `stateDir` (round-16 verdict #2),
@@ -803,13 +812,23 @@ object StreamOps {
           .filter(col("a") =!= col("b"))
           .dropDuplicates("a", "b")
           .withColumn("pri", xxhash64(col("a"), col("b")))
-        t += canon.count()
-        // partial guard for the once-per-edge contract (ADVICE r16): a
-        // cross-batch re-delivered edge carries the SAME deterministic
-        // priority, and two identical rows would both survive the limit
-        // — double-counting its triangles in the sample. Dedup the
-        // merged frame so a violation at worst skews t (the scale
-        // factor) but never corrupts the reservoir's triangle count.
+        // t counts DISTINCT edges seen, as far as bounded memory allows
+        // (ADVICE r16 + r18): edges still IN the m-row reservoir are the
+        // only cross-batch memory this sink keeps, so a re-delivered
+        // edge that is still resident is excluded exactly (one
+        // broadcast anti join against the bounded reservoir); a
+        // re-delivery of an edge the reservoir already EVICTED is
+        // indistinguishable from a new edge under O(m) state and still
+        // inflates t — the remaining once-per-edge delivery requirement
+        // is part of this sink's contract (see scaladoc), not silently
+        // assumed exact.
+        t +=
+          (if (reservoir == null) canon
+           else canon.join(reservoir._1.select(col("a"), col("b")),
+             Seq("a", "b"), "left_anti")).count()
+        // the same dedup guards the reservoir itself: two copies of a
+        // re-delivered resident edge would both survive the limit,
+        // double-counting its triangles in the sample
         val merged =
           if (reservoir == null) canon
           else reservoir._1.unionByName(canon).dropDuplicates("a", "b")

@@ -17,9 +17,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * exact: if batch N crashed after writing v(N) but before the
   * streaming commit, the engine re-delivers N, the sink restores
   * v(N−1), recomputes, and the `overwrite` writes make v(N)
-  * idempotent. Superseded versions are pruned after each commit (the
-  * next restart can only ever ask for the newest), so the store holds
-  * ONE version of the state, not a history.
+  * idempotent. Superseded versions are pruned after each commit —
+  * keeping the TWO newest committed versions, not one: the strictly-
+  * below restore rule means a re-delivered crash batch N asks for
+  * v(N−1), so pruning v(N−1) at v(N)'s commit would make the exact
+  * crash window this store exists for restart from EMPTY state
+  * (round-18 ADVICE high). A restart can therefore only ever ask for
+  * the newest or second-newest version, and the store holds TWO
+  * versions of the state, not a history.
   *
   * All IO is DataFrame parquet + the Hadoop FileSystem API — the same
   * cluster-portability argument as Artifacts.
@@ -34,7 +39,9 @@ object StreamState {
     else None
 
   /** Commit `frames` (+ scalar `meta`) as version `batchId`, then prune
-    * superseded versions.
+    * superseded versions — all but the two newest COMMITTED versions
+    * (v(batchId) and its predecessor: the crash-window restore target),
+    * plus any stale uncommitted (crashed) version dirs below `batchId`.
     */
   def write(s: SparkSession, stateDir: String, batchId: Long,
             frames: Seq[(String, DataFrame)],
@@ -46,8 +53,13 @@ object StreamState {
     (("batch_id" -> batchId) +: meta).toDF("k", "x")
       .coalesce(1).write.mode("overwrite").parquet(s"$v/commitmeta")
     val f = fs(s, stateDir)
+    val keep = f.listStatus(new Path(stateDir)).toSeq
+      .flatMap(st => versionOf(st.getPath.getName))
+      .filter(x => f.exists(new Path(s"$stateDir/v$x/commitmeta")))
+      .sorted.takeRight(2).toSet
     f.listStatus(new Path(stateDir)).foreach { st =>
-      versionOf(st.getPath.getName).filter(_ < batchId)
+      versionOf(st.getPath.getName)
+        .filter(x => x < batchId && !keep.contains(x))
         .foreach(_ => f.delete(st.getPath, true))
     }
   }

@@ -126,6 +126,27 @@ class GraphsDeltaSpec extends AnyFunSuite {
     Graphs.clear(s)
   }
 
+  test("graph_bfs_delta after Graphs.clear rebuilds instead of hard-failing (r17 verdict #1)") {
+    // The shipped r17 bug: a side memo ("delta already applied") survived
+    // Graphs.clear, so a cleared session's next graph_bfs_delta call
+    // skipped the build but found no cache entry — a permanent
+    // 'merged entry missing' error. The guard now keys on cache
+    // PRESENCE (Graphs.cachedGraph), so clear ⇒ rebuild, and the exact
+    // AllQueriesSpec-then-PlanSpec ordering reproduces in miniature here:
+    // serve, clear, serve again, same rows both times.
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("graph_bfs_delta")
+    val s = spark.newSession()
+    val first = q(s, dir).collect().toSeq
+    assert(first.nonEmpty)
+    Graphs.clear(s)
+    val second = q(s, dir).collect().toSeq // must rebuild, not throw
+    assert(second === first, "post-clear rebuild diverged from first serve")
+    assert(Graphs.cachedGraph(s"copurchase-delta99|$dir", s),
+      "the rebuilt merged entry is not cached")
+    Graphs.clear(s)
+  }
+
   test("applyDeltaWeighted without a cached weighted graph fails loudly") {
     val s = spark.newSession()
     intercept[IllegalStateException] {

@@ -256,17 +256,46 @@ class StreamRestartSpec extends AnyFunSuite {
       "no cross-restart pair found — the index did not survive")
   }
 
-  test("StreamState prunes superseded versions: one version on disk after many batches") {
+  test("StreamState prunes superseded versions: exactly TWO versions on disk after many batches") {
     import spark.implicits._
     val sd = tmp("prune-state")
     val s = spark.newSession()
     for (b <- 0L to 3L)
       graft.streaming.StreamState.write(s, sd, b,
         Seq("x" -> Seq((b, b)).toDF("a", "b")), Seq("t" -> b))
+    // two newest committed versions retained: v3 (current) and v2 (the
+    // crash-window restore target) — pruning down to one would orphan
+    // the strictly-below restore exactly when a crash re-delivers v3
     val vs = new java.io.File(sd).listFiles().map(_.getName).sorted.toSeq
-    assert(vs === Seq("v3"), s"superseded versions not pruned: $vs")
+    assert(vs === Seq("v2", "v3"), s"expected the two newest versions: $vs")
     assert(graft.streaming.StreamState.latest(s, sd, Long.MaxValue) === Some(3L))
-    assert(graft.streaming.StreamState.latest(s, sd, 3L) === None,
-      "strictly-below restore must not see the version being recomputed")
+    assert(graft.streaming.StreamState.latest(s, sd, 3L) === Some(2L),
+      "re-delivered batch 3 must restore v2, not start empty")
+  }
+
+  test("StreamState crash window: re-delivered last batch restores the predecessor state") {
+    import spark.implicits._
+    val sd = tmp("crash-state")
+    val s = spark.newSession()
+    // run: batches 1 and 2 commit state; then the engine crashes AFTER
+    // StreamState.write(v2) but BEFORE the streaming offset commit —
+    // nothing else happens on disk, so this sequence IS the crash
+    graft.streaming.StreamState.write(s, sd, 1L,
+      Seq("x" -> Seq((1L, 10L)).toDF("a", "b")), Seq("t" -> 1L))
+    graft.streaming.StreamState.write(s, sd, 2L,
+      Seq("x" -> Seq((2L, 20L)).toDF("a", "b")), Seq("t" -> 2L))
+    // restart: the engine re-delivers batch 2; the sink must restore
+    // v1 (strictly below), recompute, and overwrite v2 idempotently
+    val v = graft.streaming.StreamState.latest(s, sd, 2L)
+    assert(v === Some(1L),
+      s"crash-window restore lost state: latest(2) = $v (ADVICE r18 high)")
+    assert(graft.streaming.StreamState.meta(s, sd, 1L)("t") === 1L)
+    assert(graft.streaming.StreamState
+      .frame(s, sd, 1L, "x").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq === Seq((1L, 10L)))
+    // the idempotent re-commit of v2 then prunes nothing it needs
+    graft.streaming.StreamState.write(s, sd, 2L,
+      Seq("x" -> Seq((2L, 20L)).toDF("a", "b")), Seq("t" -> 2L))
+    assert(graft.streaming.StreamState.latest(s, sd, 3L) === Some(2L))
   }
 }
