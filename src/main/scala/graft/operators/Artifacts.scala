@@ -19,6 +19,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * their own fully-qualified key and a mismatched artifact is simply a
   * cache miss).
   *
+  * The manifest also records a REVISION (round-18 verdict #4): the
+  * builder's mutation counter for the entry (bumped by
+  * [[Graphs.applyDelta]] / [[SimIndexes.annAppend]] and friends), so a
+  * re-save can skip entries whose committed artifact already carries
+  * the same (key, rev) instead of rewriting every frame — (key, rev)
+  * identifies the CONTENT, because every mutation path bumps rev and
+  * everything else about an entry is immutable after build.
+  *
   * All IO goes through the DataFrame reader/writer and the Hadoop
   * FileSystem API, so the same artifact layout works on local disk,
   * HDFS, or an object store — at 100 TB the store is the object store,
@@ -27,6 +35,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * engine surface for the brief's production-serving face.
   */
 object Artifacts {
+  /** Format tag baked into [[defaultBase]] — bump when the SAVED frame
+    * semantics change (edge definition, orientation rule, index
+    * layout), so artifacts written by older code are abandoned, never
+    * served: a stale base simply stops being probed, and
+    * [[pruneBases]] ages it out.
+    */
+  val Format = "f18"
+
+  /** The shared artifact root (all default bases live under it — the
+    * retention unit [[pruneBases]] manages).
+    */
+  def root: String = s"${sys.props("java.io.tmpdir")}/graft_artifacts"
+
+  /** Default artifact base for a data directory: root + format + the
+    * SOURCE CONTENT fingerprint, so a regenerated testdata tree can
+    * never serve a stale artifact (new file mtimes/lengths ⇒ new base
+    * ⇒ rebuild), and neither can a new engine version (new Format ⇒
+    * new base).
+    */
+  def defaultBase(s: SparkSession, dir: String): String =
+    s"$root/${Format}_${fingerprint(s, dir)}"
+
   /** Filesystem-safe digest of a cache key (keys embed paths/config). */
   def slug(key: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -37,7 +67,8 @@ object Artifacts {
 
   /** Write `frames` under `dir`, then the manifest LAST (the commit
     * marker). `params` carries kind-specific configuration the loader
-    * must re-validate (e.g. the LSH plane geometry).
+    * must re-validate (e.g. the LSH plane geometry); `rev` the
+    * builder's mutation counter for skip-unchanged re-saves.
     *
     * Re-saves UNCOMMIT first (round-18 ADVICE): overwriting component
     * frames under a still-committed OLD manifest would let a crash
@@ -48,34 +79,84 @@ object Artifacts {
     * loaders never see (stale data loss, never mixed data).
     */
   def write(s: SparkSession, dir: String, key: String, kind: String,
-            params: String, frames: Seq[(String, DataFrame)]): Unit = {
+            params: String, frames: Seq[(String, DataFrame)],
+            rev: Long = 0L): Unit = {
     fs(s, dir).delete(new Path(s"$dir/manifest"), true)
     frames.foreach { case (n, df) =>
       df.write.mode("overwrite").parquet(s"$dir/$n") }
     import s.implicits._
-    Seq((key, kind, params)).toDF("key", "kind", "params")
+    Seq((key, kind, params, rev)).toDF("key", "kind", "params", "rev")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
   }
 
-  /** The committed manifest under `dir`, if any: (key, kind, params). */
-  def manifest(s: SparkSession, dir: String): Option[(String, String, String)] =
+  /** The committed manifest under `dir`, if any:
+    * (key, kind, params, rev).
+    */
+  def manifest(s: SparkSession, dir: String): Option[(String, String, String, Long)] =
     if (!fs(s, dir).exists(new Path(s"$dir/manifest"))) None
     else s.read.parquet(s"$dir/manifest")
-      .select("key", "kind", "params").collect().headOption
-      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .select("key", "kind", "params", "rev").collect().headOption
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
 
   /** Every COMMITTED artifact under `base`:
-    * (subdir, key, kind, params). Uncommitted (manifest-less) subdirs
-    * are invisible by design.
+    * (subdir, key, kind, params, rev). Uncommitted (manifest-less)
+    * subdirs are invisible by design.
     */
-  def entries(s: SparkSession, base: String): Seq[(String, String, String, String)] = {
+  def entries(s: SparkSession, base: String): Seq[(String, String, String, String, Long)] = {
     val f = fs(s, base)
     val bp = new Path(base)
     if (!f.exists(bp)) Nil
     else f.listStatus(bp).toSeq.filter(_.isDirectory).flatMap { st =>
-      manifest(s, st.getPath.toString).map { case (k, kind, p) =>
-        (st.getPath.toString, k, kind, p)
+      manifest(s, st.getPath.toString).map { case (k, kind, p, rev) =>
+        (st.getPath.toString, k, kind, p, rev)
       }
+    }
+  }
+
+  /** The committed artifact for one exact cache key under `base`, if
+    * any: (subdir, kind, params, rev) — the memo-miss probe
+    * [[Graphs.index]]/[[SimIndexes]] run before building. One manifest
+    * read (the slug names the subdir), not a base listing.
+    */
+  def lookup(s: SparkSession, base: String, key: String): Option[(String, String, String, Long)] = {
+    val d = s"$base/${slug(key)}"
+    manifest(s, d).collect { case (k, kind, p, rev) if k == key =>
+      (d, kind, p, rev)
+    }
+  }
+
+  /** Remove uncommitted (manifest-less) subdirs under `base` — crashed
+    * saves nothing will ever list or complete (writes go through
+    * `overwrite`, so a re-save never needs the leftovers). Returns the
+    * number removed.
+    */
+  def pruneUncommitted(s: SparkSession, base: String): Int = {
+    val f = fs(s, base)
+    val bp = new Path(base)
+    if (!f.exists(bp)) 0
+    else f.listStatus(bp).toSeq.filter(_.isDirectory).count { st =>
+      if (manifest(s, st.getPath.toString).isEmpty) {
+        f.delete(st.getPath, true); true
+      } else false
+    }
+  }
+
+  /** Retention over the shared [[root]]: keep the `keep`
+    * most-recently-modified bases (fingerprint dirs — one per
+    * (format, source-tree) pair), delete the rest. Stale bases accrue
+    * naturally — every regenerated source tree and every format bump
+    * abandons one — and nothing else ever revisits them. Returns the
+    * number removed.
+    */
+  def pruneBases(s: SparkSession, keep: Int): Int = {
+    require(keep >= 1, s"pruneBases: keep must be >= 1, got $keep")
+    val f = fs(s, root)
+    val rp = new Path(root)
+    if (!f.exists(rp)) 0
+    else {
+      val dirs = f.listStatus(rp).toSeq.filter(_.isDirectory)
+        .sortBy(-_.getModificationTime)
+      dirs.drop(keep).count { st => f.delete(st.getPath, true); true }
     }
   }
 

@@ -69,6 +69,20 @@ object Graphs {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), AnyRef]
 
+  /** Per-entry mutation counter (round-18 verdict #4): 1 at build,
+    * bumped by [[applyDelta]]/[[applyDeltaWeighted]], restored from the
+    * manifest on load — (key, rev) identifies an entry's CONTENT, so
+    * [[saveAll]] can skip entries whose committed artifact already
+    * matches. Maintained strictly alongside `cache` under the same
+    * lock (every install SETS it, [[clear]]/[[dropGraph]] remove it —
+    * the DeltaApplied lesson: no side state may outlive its entry).
+    */
+  private val revs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
+  private def revOf(s: SparkSession, key: String): Long =
+    revs.getOrElse((s, key), 1L)
+
   /** Build counter (diagnostic): specs assert reuse by watching it stay
     * flat across repeated calls, instead of poking cache internals.
     */
@@ -81,8 +95,32 @@ object Graphs {
       // already gone, so no unpersist). The coarse lock keeps `builds`
       // exact under concurrent first calls; builds are rare and
       // expensive, so serializing them driver-side costs nothing.
-      cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
-      cache.getOrElseUpdate((s, key), { builds += 1; build }).asInstanceOf[T]
+      evictDead()
+      cache.getOrElseUpdate((s, key),
+        { builds += 1; revs.put((s, key), 1L); build }).asInstanceOf[T]
+    }
+
+  private def evictDead(): Unit = {
+    cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
+    revs.keys.filter(_._1.sparkContext.isStopped).foreach(revs.remove)
+  }
+
+  /** The memo → ARTIFACT → build probe (round-17 verdict #2): when the
+    * session has no entry for `key` but `base` holds a committed
+    * artifact recorded under exactly that key and `kind`, install the
+    * artifact's frames (builds stay flat — serving off disk is a load,
+    * not a build) and skip the build entirely. Returns None on a clean
+    * miss (caller builds).
+    */
+  private def loadIfCommitted[T <: AnyRef](s: SparkSession, key: String,
+                                           base: String, kind: String)
+                                          (mk: String => T): Option[T] =
+    Artifacts.lookup(s, base, key).collect { case (d, k, _, rev) if k == kind =>
+      cache.synchronized {
+        evictDead()
+        cache.getOrElseUpdate((s, key), { revs.put((s, key), rev); mk(d) })
+          .asInstanceOf[T]
+      }
     }
 
   private def materialized(df: DataFrame): DataFrame = {
@@ -94,9 +132,43 @@ object Graphs {
   /** Prebuilt unweighted graph over `edges` (must carry (a, b),
     * canonical a < b, deduped — the [[Triangles]]/[[KCore]]/[[Bfs]]
     * contract; the frame is consumed LAZILY, only on first build).
+    *
+    * With `artifact`, the lookup order is memo → artifact → build
+    * (round-17 verdict #2 — artifact-backed serving as the default
+    * `_idx` path): a memo miss first probes `artifact` for a committed
+    * entry under this exact key and installs its frames off disk
+    * (builds stay flat; r17 measured the parquet-served graph as the
+    * FASTEST bfs row in mixed sweeps — artifact-backed blocks evict to
+    * a cheap re-scan, never to a lineitem-self-join rebuild), and a
+    * genuine build writes the artifact back, so the NEXT driver loads
+    * instead of rebuilding. Callers that mutate the entry after build
+    * (the delta flow) must NOT pass `artifact` here — the saved base
+    * would freeze the pre-mutation frames under the serving key.
     */
-  def index(edges: => DataFrame, tag: String, session: SparkSession): GraphIndex =
-    memo(session, s"graph|$tag") {
+  def index(edges: => DataFrame, tag: String, session: SparkSession,
+            artifact: Option[String] = None): GraphIndex = {
+    val key = s"graph|$tag"
+    cache.synchronized { evictDead(); cache.get((session, key)) } match {
+      case Some(g: GraphIndex) => g
+      case _ =>
+        artifact.flatMap(base =>
+          loadIfCommitted[GraphIndex](session, key, base, "graph") { d =>
+            GraphIndex(
+              materialized(Artifacts.frame(session, d, "edges")),
+              materialized(Artifacts.frame(session, d, "adj")),
+              materialized(Artifacts.frame(session, d, "deg")),
+              materialized(Artifacts.frame(session, d, "oriented")))
+          }).getOrElse {
+          val g = buildIndex(edges, key, session)
+          artifact.foreach(base => writeEntry(session, base, key, g))
+          g
+        }
+    }
+  }
+
+  private def buildIndex(edges: => DataFrame, key: String,
+                         session: SparkSession): GraphIndex =
+    memo(session, key) {
       val e = materialized(edges)
       val adj = materialized(
         e.select(col("a").as("v"), col("b").as("n"))
@@ -119,17 +191,33 @@ object Graphs {
 
   /** Prebuilt weighted graph over `edges` (must carry (a, b, w),
     * canonical, w ≥ 0 integral — the [[Bfs.weightedDistances]]
-    * contract).
+    * contract). `artifact` follows the [[index]] memo → artifact →
+    * build rule.
     */
-  def weighted(edges: => DataFrame, tag: String,
-               session: SparkSession): WeightedIndex =
-    memo(session, s"wgraph|$tag") {
-      val e = materialized(edges)
-      val sym = materialized(
-        e.select(col("a").as("v"), col("b").as("n"), col("w"))
-          .unionAll(e.select(col("b").as("v"), col("a").as("n"), col("w"))))
-      WeightedIndex(e, sym)
+  def weighted(edges: => DataFrame, tag: String, session: SparkSession,
+               artifact: Option[String] = None): WeightedIndex = {
+    val key = s"wgraph|$tag"
+    cache.synchronized { evictDead(); cache.get((session, key)) } match {
+      case Some(g: WeightedIndex) => g
+      case _ =>
+        artifact.flatMap(base =>
+          loadIfCommitted[WeightedIndex](session, key, base, "wgraph") { d =>
+            WeightedIndex(
+              materialized(Artifacts.frame(session, d, "edges")),
+              materialized(Artifacts.frame(session, d, "sym")))
+          }).getOrElse {
+          val g = memo(session, key) {
+            val e = materialized(edges)
+            val sym = materialized(
+              e.select(col("a").as("v"), col("b").as("n"), col("w"))
+                .unionAll(e.select(col("b").as("v"), col("a").as("n"), col("w"))))
+            WeightedIndex(e, sym)
+          }
+          artifact.foreach(base => writeEntry(session, base, key, g))
+          g
+        }
     }
+  }
 
   /** Merge new edges into the session's cached graph for `tag` WITHOUT
     * a full rebuild (round-16 verdict #4 — the batch twin of what
@@ -234,7 +322,11 @@ object Graphs {
     val next = GraphIndex(e2, adj2, deg2, oriented2,
       pieces = old.pieces ++ Seq(old.edges, old.adj, old.oriented,
         newE, aff, reoriented))
-    cache.synchronized { cache.put((session, key), next); () }
+    cache.synchronized {
+      cache.put((session, key), next)
+      revs.put((session, key), revOf(session, key) + 1)
+      ()
+    }
     next
   }
 
@@ -282,7 +374,11 @@ object Graphs {
     old.sym.unpersist()
     val next = WeightedIndex(e2, sym2,
       pieces = old.pieces ++ Seq(old.edges, changed))
-    cache.synchronized { cache.put((session, key), next); () }
+    cache.synchronized {
+      cache.put((session, key), next)
+      revs.put((session, key), revOf(session, key) + 1)
+      ()
+    }
     next
   }
 
@@ -296,21 +392,36 @@ object Graphs {
     */
   def saveAll(s: SparkSession, base: String): Int = {
     val entries = cache.synchronized(cache.toSeq.filter(_._1._1 eq s))
-    entries.count { case ((_, key), v) =>
-      val d = s"$base/${Artifacts.slug(key)}"
-      v match {
-        case GraphIndex(e, adj, deg, o, _) =>
-          // a delta-layered graph compacts here for free: the parquet
-          // write flattens the lazy union/anti layers into plain files
+    entries.count { case ((_, key), v) => writeEntry(s, base, key, v) }
+  }
+
+  /** Write one cache entry as an artifact — UNLESS the target dir
+    * already holds a committed manifest with the same (key, rev)
+    * (round-18 verdict #4: an unchanged entry is not rewritten, so a
+    * second saveAll to the same base leaves file mtimes untouched).
+    * A delta-layered graph compacts on write: the parquet write
+    * flattens the lazy union/anti layers into plain files. Returns
+    * true when the entry is an artifact kind (written or already
+    * current).
+    */
+  private def writeEntry(s: SparkSession, base: String, key: String,
+                         v: AnyRef): Boolean = {
+    val d = s"$base/${Artifacts.slug(key)}"
+    val rev = revOf(s, key)
+    val current = Artifacts.manifest(s, d)
+      .exists { case (k, _, _, r) => k == key && r == rev }
+    v match {
+      case GraphIndex(e, adj, deg, o, _) =>
+        if (!current)
           Artifacts.write(s, d, key, "graph", "",
-            Seq("edges" -> e, "adj" -> adj, "deg" -> deg, "oriented" -> o))
-          true
-        case WeightedIndex(e, sym, _) =>
+            Seq("edges" -> e, "adj" -> adj, "deg" -> deg, "oriented" -> o), rev)
+        true
+      case WeightedIndex(e, sym, _) =>
+        if (!current)
           Artifacts.write(s, d, key, "wgraph", "",
-            Seq("edges" -> e, "sym" -> sym))
-          true
-        case _ => false
-      }
+            Seq("edges" -> e, "sym" -> sym), rev)
+        true
+      case _ => false
     }
   }
 
@@ -323,17 +434,17 @@ object Graphs {
     * Returns the number of graph entries installed or already present.
     */
   def loadAll(s: SparkSession, base: String): Int =
-    Artifacts.entries(s, base).count { case (d, key, kind, _) =>
+    Artifacts.entries(s, base).count { case (d, key, kind, _, rev) =>
       kind match {
         case "graph" =>
-          installLoaded(s, key)(GraphIndex(
+          installLoaded(s, key, rev)(GraphIndex(
             materialized(Artifacts.frame(s, d, "edges")),
             materialized(Artifacts.frame(s, d, "adj")),
             materialized(Artifacts.frame(s, d, "deg")),
             materialized(Artifacts.frame(s, d, "oriented"))))
           true
         case "wgraph" =>
-          installLoaded(s, key)(WeightedIndex(
+          installLoaded(s, key, rev)(WeightedIndex(
             materialized(Artifacts.frame(s, d, "edges")),
             materialized(Artifacts.frame(s, d, "sym"))))
           true
@@ -342,12 +453,16 @@ object Graphs {
     }
 
   /** [[memo]] minus the build counter: loads must leave `builds` flat —
-    * that flatness is exactly what the cold-session spec pins.
+    * that flatness is exactly what the cold-session spec pins. The
+    * manifest's rev installs with the entry, so a later [[saveAll]] to
+    * the same base skips the unchanged rewrite.
     */
-  private def installLoaded[T <: AnyRef](s: SparkSession, key: String)(mk: => T): T =
+  private def installLoaded[T <: AnyRef](s: SparkSession, key: String,
+                                         rev: Long)(mk: => T): T =
     cache.synchronized {
-      cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
-      cache.getOrElseUpdate((s, key), mk).asInstanceOf[T]
+      evictDead()
+      cache.getOrElseUpdate((s, key), { revs.put((s, key), rev); mk })
+        .asInstanceOf[T]
     }
 
   /** Whether session `s` holds a cached unweighted graph for `tag` —
@@ -370,6 +485,7 @@ object Graphs {
     * serve it; dropping on failure makes the next call rebuild.
     */
   def dropGraph(tag: String, s: SparkSession): Unit = cache.synchronized {
+    revs.remove((s, s"graph|$tag"))
     cache.remove((s, s"graph|$tag")).foreach {
       case GraphIndex(e, adj, deg, o, pieces) =>
         (Seq(e, adj, deg, o) ++ pieces).foreach(_.unpersist())
@@ -389,6 +505,7 @@ object Graphs {
     * single-writer contract the specs follow.
     */
   def clear(s: SparkSession): Unit = cache.synchronized {
+    revs.keys.filter(_._1 eq s).foreach(revs.remove)
     cache.keys.filter(_._1 eq s).foreach { k =>
       cache.remove(k).foreach {
         case GraphIndex(e, adj, deg, o, pieces) =>

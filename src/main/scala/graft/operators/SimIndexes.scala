@@ -48,6 +48,18 @@ object SimIndexes {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), AnyRef]
 
+  /** Per-entry mutation counter (the [[Graphs]] revs rule): 1 at build,
+    * bumped by [[annAppend]]/[[ivfAppend]], restored from the manifest
+    * on load — (key, rev) identifies an entry's CONTENT so [[saveAll]]
+    * can skip committed-current entries. Lives and dies with the cache
+    * entry under the same lock.
+    */
+  private val revs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
+  private def revOf(s: SparkSession, key: String): Long =
+    revs.getOrElse((s, key), 1L)
+
   /** Build counter (diagnostic): specs assert reuse by watching it stay
     * flat across repeated calls, instead of poking cache internals.
     */
@@ -62,8 +74,44 @@ object SimIndexes {
       // keeps `builds` exact: TrieMap.getOrElseUpdate may run its thunk
       // more than once under concurrent first calls. Builds are rare and
       // expensive; serializing them driver-side costs nothing.
-      cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
-      cache.getOrElseUpdate((s, key), { builds += 1; build }).asInstanceOf[T]
+      evictDead()
+      cache.getOrElseUpdate((s, key),
+        { builds += 1; revs.put((s, key), 1L); build }).asInstanceOf[T]
+    }
+
+  private def evictDead(): Unit = {
+    cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
+    revs.keys.filter(_._1.sparkContext.isStopped).foreach(revs.remove)
+  }
+
+  /** The memo → ARTIFACT → build probe (the [[Graphs.index]] rule,
+    * sim-family side): on a memo miss with an `artifact` base, a
+    * committed entry under exactly (key, kind) installs off disk with
+    * builds flat; a clean miss builds and [[writeEntry]]s the result
+    * back so the next driver loads. `reload` reconstructs the typed
+    * entry from its artifact dir.
+    */
+  private def serveOrBuild[T <: AnyRef](s: SparkSession, key: String,
+                                        kind: String, artifact: Option[String])
+                                       (reload: (String, String) => T)
+                                       (build: => T): T =
+    cache.synchronized { evictDead(); cache.get((s, key)) } match {
+      case Some(v) => v.asInstanceOf[T]
+      case None =>
+        artifact.flatMap { base =>
+          Artifacts.lookup(s, base, key).collect {
+            case (d, k, params, rev) if k == kind =>
+              cache.synchronized {
+                evictDead()
+                cache.getOrElseUpdate((s, key),
+                  { revs.put((s, key), rev); reload(d, params) }).asInstanceOf[T]
+              }
+          }
+        }.getOrElse {
+          val v = memo(s, key)(build)
+          artifact.foreach(base => writeEntry(s, base, key, v))
+          v
+        }
     }
 
   private def materialized(df: DataFrame): DataFrame = {
@@ -72,29 +120,51 @@ object SimIndexes {
     p
   }
 
-  /** Prebuilt LSH bucket index over `data` (must carry (vec_id, e)). */
+  /** Prebuilt LSH bucket index over `data` (must carry (vec_id, e)).
+    * `artifact` follows the [[Graphs.index]] memo → artifact → build
+    * rule; the recorded plane parameters re-validate on load (the
+    * typed-carrier rule).
+    */
   def ann(data: DataFrame, tag: String, tables: Int = 16,
-          planesPerTable: Int = 5, dim: Int = 64, seed: Long = 42L): Ann.AnnIndex =
-    memo(data.sparkSession, s"ann|$tag|$tables|$planesPerTable|$dim|$seed") {
+          planesPerTable: Int = 5, dim: Int = 64, seed: Long = 42L,
+          artifact: Option[String] = None): Ann.AnnIndex =
+    serveOrBuild[Ann.AnnIndex](data.sparkSession,
+      s"ann|$tag|$tables|$planesPerTable|$dim|$seed", "ann", artifact)(
+      (d, params) => {
+        val Array(t, ppt, dm, sd, maxB) = params.split('|')
+        Ann.AnnIndex(materialized(Artifacts.frame(data.sparkSession, d, "keys")),
+          t.toInt, ppt.toInt, dm.toInt, sd.toLong, maxB.toInt)
+      }) {
       val ix = Ann.dataIndex(data, tables, planesPerTable, dim, seed)
       ix.copy(keys = materialized(ix.keys))
     }
 
-  /** Prebuilt IVF index: (trained centroids, persisted cell assignment). */
-  def ivf(data: DataFrame, tag: String, nlist: Int = 8,
-          iters: Int = 2): (DataFrame, DataFrame) =
-    memo(data.sparkSession, s"ivf|$tag|$nlist|$iters") {
+  /** Prebuilt IVF index: (trained centroids, persisted cell
+    * assignment). `artifact`: the [[Graphs.index]] rule.
+    */
+  def ivf(data: DataFrame, tag: String, nlist: Int = 8, iters: Int = 2,
+          artifact: Option[String] = None): (DataFrame, DataFrame) =
+    serveOrBuild[(DataFrame, DataFrame)](data.sparkSession,
+      s"ivf|$tag|$nlist|$iters", "ivf", artifact)(
+      (d, _) => (
+        materialized(Artifacts.frame(data.sparkSession, d, "cents")),
+        materialized(Artifacts.frame(data.sparkSession, d, "assigned")))) {
       val cents = Ivf.centroids(data, nlist, iters)
       (cents, materialized(Ivf.assign(data, cents)))
     }
 
   /** Prebuilt flat-PQ index: (codebooks, persisted encoded corpus).
     * `data` must be unit-normalized ([[Pq.unitNormalized]]) — ADC L2 only
-    * ranks like cosine on the unit sphere.
+    * ranks like cosine on the unit sphere. `artifact`: the
+    * [[Graphs.index]] rule.
     */
-  def pq(data: DataFrame, tag: String, m: Int = 16,
-         ksub: Int = 256): (Pq.Codebooks, DataFrame) =
-    memo(data.sparkSession, s"pq|$tag|$m|$ksub") {
+  def pq(data: DataFrame, tag: String, m: Int = 16, ksub: Int = 256,
+         artifact: Option[String] = None): (Pq.Codebooks, DataFrame) =
+    serveOrBuild[(Pq.Codebooks, DataFrame)](data.sparkSession,
+      s"pq|$tag|$m|$ksub", "pq", artifact)(
+      (d, _) => (
+        codebooksOf(Artifacts.frame(data.sparkSession, d, "codebooks")),
+        materialized(Artifacts.frame(data.sparkSession, d, "encoded")))) {
       val cb = Pq.train(data, m, ksub)
       (cb, materialized(Pq.encode(data, cb)))
     }
@@ -103,12 +173,19 @@ object SimIndexes {
     * assignment) — the [[Pq.ivfPqTopK]] `index` triple. Reuses [[ivf]]'s
     * cached assignment when present (same corpus, same nlist/iters): the
     * coded frame is one more projection over it, not a second corpus scan.
+    * `artifact` threads through to the nested [[ivf]]/[[pq]] builds.
     */
   def ivfPq(data: DataFrame, tag: String, nlist: Int = 8, iters: Int = 2,
-            m: Int = 16, ksub: Int = 256): (DataFrame, Pq.Codebooks, DataFrame) =
-    memo(data.sparkSession, s"ivfpq|$tag|$nlist|$iters|$m|$ksub") {
-      val (cents, assigned) = ivf(data, tag, nlist, iters)
-      val (cb, _) = pq(data, tag, m, ksub)
+            m: Int = 16, ksub: Int = 256,
+            artifact: Option[String] = None): (DataFrame, Pq.Codebooks, DataFrame) =
+    serveOrBuild[(DataFrame, Pq.Codebooks, DataFrame)](data.sparkSession,
+      s"ivfpq|$tag|$nlist|$iters|$m|$ksub", "ivfpq", artifact)(
+      (d, _) => (
+        materialized(Artifacts.frame(data.sparkSession, d, "cents")),
+        codebooksOf(Artifacts.frame(data.sparkSession, d, "codebooks")),
+        materialized(Artifacts.frame(data.sparkSession, d, "coded")))) {
+      val (cents, assigned) = ivf(data, tag, nlist, iters, artifact)
+      val (cb, _) = pq(data, tag, m, ksub, artifact)
       val coded = Pq.encodeAssigned(assigned, cb)
       (cents, cb, materialized(coded))
     }
@@ -160,7 +237,11 @@ object SimIndexes {
       Ann.bucketKeys(fresh, tables, planesPerTable, dim, seed)
         .select(col("vec_id"), col("e"), col("table"), col("bucket")))
     val next = old.copy(keys = old.keys.unionAll(newKeys))
-    cache.synchronized { cache.put((s, key), next); () }
+    cache.synchronized {
+      cache.put((s, key), next)
+      revs.put((s, key), revOf(s, key) + 1)
+      ()
+    }
     addPieces(s, key, Seq(old.keys, newKeys))
     next
   }
@@ -186,7 +267,11 @@ object SimIndexes {
       Seq("vec_id"), "left_anti")
     val newAssigned = materialized(Ivf.assign(fresh, cents))
     val next = (cents, assigned.unionAll(newAssigned))
-    cache.synchronized { cache.put((s, key), next); () }
+    cache.synchronized {
+      cache.put((s, key), next)
+      revs.put((s, key), revOf(s, key) + 1)
+      ()
+    }
     addPieces(s, key, Seq(assigned, newAssigned))
     next
   }
@@ -202,31 +287,47 @@ object SimIndexes {
     */
   def saveAll(s: SparkSession, base: String): Int = {
     val entries = cache.synchronized(cache.toSeq.filter(_._1._1 eq s))
-    entries.count { case ((_, key), v) =>
-      val d = s"$base/${Artifacts.slug(key)}"
-      v match {
-        case ix: Ann.AnnIndex =>
+    entries.count { case ((_, key), v) => writeEntry(s, base, key, v) }
+  }
+
+  /** Write one cache entry as an artifact — UNLESS the target dir
+    * already holds a committed manifest with the same (key, rev) (the
+    * [[Graphs]] skip-unchanged rule: a second saveAll to the same base
+    * leaves file mtimes untouched). Returns true when the entry is an
+    * artifact kind (written or already current).
+    */
+  private def writeEntry(s: SparkSession, base: String, key: String,
+                         v: AnyRef): Boolean = {
+    val d = s"$base/${Artifacts.slug(key)}"
+    val rev = revOf(s, key)
+    val current = Artifacts.manifest(s, d)
+      .exists { case (k, _, _, r) => k == key && r == rev }
+    v match {
+      case ix: Ann.AnnIndex =>
+        if (!current)
           Artifacts.write(s, d, key, "ann",
             s"${ix.tables}|${ix.planesPerTable}|${ix.dim}|${ix.seed}|${ix.maxBucketSize}",
-            Seq("keys" -> ix.keys))
-          true
-        case (cents: DataFrame, assigned: DataFrame) =>
+            Seq("keys" -> ix.keys), rev)
+        true
+      case (cents: DataFrame, assigned: DataFrame) =>
+        if (!current)
           Artifacts.write(s, d, key, "ivf", "",
-            Seq("cents" -> cents, "assigned" -> assigned))
-          true
-        case (cb: Array[_], encoded: DataFrame) =>
+            Seq("cents" -> cents, "assigned" -> assigned), rev)
+        true
+      case (cb: Array[_], encoded: DataFrame) =>
+        if (!current)
           Artifacts.write(s, d, key, "pq", "",
             Seq("codebooks" -> codebooksDF(s, cb.asInstanceOf[Pq.Codebooks]),
-              "encoded" -> encoded))
-          true
-        case (cents: DataFrame, cb: Array[_], coded: DataFrame) =>
+              "encoded" -> encoded), rev)
+        true
+      case (cents: DataFrame, cb: Array[_], coded: DataFrame) =>
+        if (!current)
           Artifacts.write(s, d, key, "ivfpq", "",
             Seq("cents" -> cents,
               "codebooks" -> codebooksDF(s, cb.asInstanceOf[Pq.Codebooks]),
-              "coded" -> coded))
-          true
-        case _ => false
-      }
+              "coded" -> coded), rev)
+        true
+      case _ => false
     }
   }
 
@@ -238,26 +339,26 @@ object SimIndexes {
     * Entries the session already holds are left untouched.
     */
   def loadAll(s: SparkSession, base: String): Int =
-    Artifacts.entries(s, base).count { case (d, key, kind, params) =>
+    Artifacts.entries(s, base).count { case (d, key, kind, params, rev) =>
       kind match {
         case "ann" =>
           val Array(tables, ppt, dim, seed, maxB) = params.split('|')
-          installLoaded(s, key)(Ann.AnnIndex(
+          installLoaded(s, key, rev)(Ann.AnnIndex(
             materialized(Artifacts.frame(s, d, "keys")),
             tables.toInt, ppt.toInt, dim.toInt, seed.toLong, maxB.toInt))
           true
         case "ivf" =>
-          installLoaded(s, key)((
+          installLoaded(s, key, rev)((
             materialized(Artifacts.frame(s, d, "cents")),
             materialized(Artifacts.frame(s, d, "assigned"))))
           true
         case "pq" =>
-          installLoaded(s, key)((
+          installLoaded(s, key, rev)((
             codebooksOf(Artifacts.frame(s, d, "codebooks")),
             materialized(Artifacts.frame(s, d, "encoded"))))
           true
         case "ivfpq" =>
-          installLoaded(s, key)((
+          installLoaded(s, key, rev)((
             materialized(Artifacts.frame(s, d, "cents")),
             codebooksOf(Artifacts.frame(s, d, "codebooks")),
             materialized(Artifacts.frame(s, d, "coded"))))
@@ -266,11 +367,15 @@ object SimIndexes {
       }
     }
 
-  /** [[memo]] minus the build counter (the [[Graphs.loadAll]] rule). */
-  private def installLoaded[T <: AnyRef](s: SparkSession, key: String)(mk: => T): T =
+  /** [[memo]] minus the build counter (the [[Graphs.loadAll]] rule);
+    * the manifest's rev installs with the entry.
+    */
+  private def installLoaded[T <: AnyRef](s: SparkSession, key: String,
+                                         rev: Long)(mk: => T): T =
     cache.synchronized {
-      cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
-      cache.getOrElseUpdate((s, key), mk).asInstanceOf[T]
+      evictDead()
+      cache.getOrElseUpdate((s, key), { revs.put((s, key), rev); mk })
+        .asInstanceOf[T]
     }
 
   private def codebooksDF(s: SparkSession, cb: Pq.Codebooks): DataFrame = {
@@ -293,6 +398,7 @@ object SimIndexes {
     * Same single-writer contract as [[Graphs.clear]].
     */
   def clear(s: SparkSession): Unit = cache.synchronized {
+    revs.keys.filter(_._1 eq s).foreach(revs.remove)
     cache.keys.filter(_._1 eq s).foreach { k =>
       cache.remove(k).foreach {
         case ix: Ann.AnnIndex => ix.keys.unpersist()

@@ -38,12 +38,28 @@ object Extra10 {
       sessions.getOrElseUpdate(s.sparkContext, s.newSession())
   }
 
-  /** Artifact root for a data directory: tmpdir + the SOURCE CONTENT
-    * fingerprint, so a regenerated testdata tree can never serve a
-    * stale artifact (new file mtimes/lengths ⇒ new base ⇒ rebuild).
+  /** Artifact root for a data directory ([[Artifacts.defaultBase]]:
+    * tmpdir + format version + the SOURCE CONTENT fingerprint, so
+    * neither a regenerated testdata tree nor an engine-format change
+    * can ever serve a stale artifact) — shared with the `graph_*_idx` /
+    * `sim_*_idx` rows' memo → artifact → build path, so a cold row and
+    * an `_idx` row serve the SAME committed artifact.
     */
-  private def artifactBase(s: SparkSession, dir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_artifacts/${Artifacts.fingerprint(s, dir)}"
+  private[queries] def artifactBase(s: SparkSession, dir: String): String =
+    Artifacts.defaultBase(s, dir)
+
+  /** Retention after a cold-row save (round-17 verdict #4): drop
+    * crashed (manifest-less) save dirs under this base and age out
+    * stale fingerprint bases — each regenerated source tree or format
+    * bump abandons one, and nothing else ever revisits them. keep=6
+    * covers the fixtures a test/verify/bench cycle touches (sf0.001,
+    * sf0.01, sf0.1, scale dirs) with headroom.
+    */
+  private def pruneArtifacts(s: SparkSession, base: String): Unit = {
+    Artifacts.pruneUncommitted(s, base)
+    Artifacts.pruneBases(s, keep = 6)
+    ()
+  }
 
   val queries: Map[String, Q] = Map(
     // -- cold-session graph serving (parquet artifact, fresh session) ----
@@ -58,6 +74,7 @@ object Extra10 {
       if (!Artifacts.entries(s, base).exists(_._3 == "graph")) {
         Graphs.index(Extra7.coPurchaseEdgesPlan(s, dir), Extra9.tag(dir), s)
         Graphs.saveAll(s, base)
+        pruneArtifacts(s, base)
       }
       val cold = ColdServe.session(s)
       Graphs.loadAll(cold, base)
@@ -130,13 +147,14 @@ object Extra10 {
           ScaleOps.normalized(s, dir).select(col("vec_id"), col("e")),
           s"$dir#raw", planesPerTable = 6)
         SimIndexes.saveAll(s, base)
+        pruneArtifacts(s, base)
       }
       val cold = ColdServe.session(s)
       SimIndexes.loadAll(cold, base)
       val n = ScaleOps.normalized(cold, dir)
       val b0 = SimIndexes.builds
       val ix = SimIndexes.ann(n.select(col("vec_id"), col("e")),
-        s"$dir#raw", planesPerTable = 6)
+        s"$dir#raw", planesPerTable = 6, artifact = Some(base))
       require(SimIndexes.builds == b0,
         "sim_ann_cold: cold session BUILT instead of serving the loaded artifact")
       Ann.lshTopK(n.filter(col("vec_id") < 10), n, k = 5,
@@ -204,7 +222,8 @@ object Extra10 {
       import graft.operators.Ann
       Extra9.searchHybrid(s, dir, n => {
         val ix = SimIndexes.ann(n.select(col("vec_id"), col("e")),
-          s"$dir#raw", planesPerTable = 6)
+          s"$dir#raw", planesPerTable = 6,
+          artifact = Some(s"${artifactBase(s, dir)}/sim"))
         Ann.lshTopK(n.filter(col("vec_id") < 10), n, k = 20,
             planesPerTable = 6, nprobe = 2, index = Some(ix))
           .select(col("qid"), col("vec_id").as("doc_id"),

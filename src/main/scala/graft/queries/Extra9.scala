@@ -54,8 +54,22 @@ object Extra9 {
     */
   private[graft] def tag(dir: String) = s"copurchase|$dir"
 
+  /** The graph `_idx` rows' lookup: memo → committed parquet artifact →
+    * build(+save back) — round-17 verdict #2. r17 measured the
+    * artifact-served graph as the FASTEST bfs row in mixed sweeps
+    * (3.07 s vs 4.22 `_idx` / 5.29 build-included; 37.5 vs 69.8/90.7
+    * at scale100): artifact-backed blocks evict to a cheap parquet
+    * re-scan instead of competing with every other cached frame for
+    * block-manager memory, so serving from the committed artifact is
+    * now the DEFAULT `_idx` path, with the build (then save, so the
+    * next driver loads) only on a true cold start.
+    */
+  private[queries] def artifactDir(s: SparkSession, dir: String): Option[String] =
+    Some(s"${Extra10.artifactBase(s, dir)}/graph")
+
   private def graph(s: SparkSession, dir: String): Graphs.GraphIndex =
-    Graphs.index(Extra7.coPurchaseEdgesPlan(s, dir), tag(dir), s)
+    Graphs.index(Extra7.coPurchaseEdgesPlan(s, dir), tag(dir), s,
+      artifact = artifactDir(s, dir))
 
   /** Personalized PageRank from the graph family's shared seed set —
     * the DIFFUSION serving shape completing graph_linkpred's structural
@@ -139,7 +153,7 @@ object Extra9 {
 
     "graph_sssp_idx" -> { (s, dir) =>
       val wg = Graphs.weighted(Extra7.coPurchaseWeightedPlan(s, dir),
-        tag(dir), s)
+        tag(dir), s, artifact = artifactDir(s, dir))
       Bfs.weightedDistancesOnSym(wg.sym, Extra7.seedParts(s, dir),
           rounds = Extra7.SsspRounds)
         .orderBy(col("node"))

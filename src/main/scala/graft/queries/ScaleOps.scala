@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
 object ScaleOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** The sim `_idx` rows' artifact base — the [[Extra9.artifactDir]]
+    * memo → artifact → build rationale, sim-family side; shared with
+    * sim_ann_cold so the cold row and the `_idx` rows serve the same
+    * committed artifact.
+    */
+  private def simArtifact(s: SparkSession, dir: String): Option[String] =
+    Some(s"${Extra10.artifactBase(s, dir)}/sim")
+
   private def tokens(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
@@ -193,7 +201,10 @@ object ScaleOps {
     // -- steady-state (prebuilt-index) similarity siblings ---------------
     // Same operators, same dials, same results (spec-gated equal to the
     // build-included forms) — but the index comes from the SimIndexes
-    // session cache: built+persisted on first call, reused after. In the
+    // session cache via memo → committed parquet artifact → build
+    // (round-17 verdict #2; the Extra9.artifactDir rationale): built+
+    // persisted+saved on a true cold start, loaded off disk by every
+    // later driver, memo-served within a session. In the
     // bench's two time-separated sweeps, sweep 1 pays the build and sweep
     // 2 is steady state, so the min-of-2 official number IS the amortized
     // production cost, reported next to the build-included sibling's
@@ -202,7 +213,7 @@ object ScaleOps {
     "sim_ann_idx" -> { (s, dir) =>
       val n = normalized(s, dir)
       val ix = SimIndexes.ann(n.select(col("vec_id"), col("e")), s"$dir#raw",
-        planesPerTable = 6)
+        planesPerTable = 6, artifact = simArtifact(s, dir))
       Ann.lshTopK(n.filter(col("vec_id") < 10), n, k = 5,
           planesPerTable = 6, nprobe = 2, index = Some(ix))
         // eager checkpoint before the oracle orderBy (round-14 audit):
@@ -214,7 +225,7 @@ object ScaleOps {
 
     "sim_ivf_idx" -> { (s, dir) =>
       val n = normalized(s, dir).select(col("vec_id"), col("e"))
-      val ix = SimIndexes.ivf(n, s"$dir#raw")
+      val ix = SimIndexes.ivf(n, s"$dir#raw", artifact = simArtifact(s, dir))
       Ivf.topK(n.filter(col("vec_id") < 10), n, k = 5, index = Some(ix))
         // eager checkpoint before the oracle orderBy (round-14 audit):
         // the top-k result is ~50 rows, but un-checkpointed the sort's
@@ -226,7 +237,8 @@ object ScaleOps {
     "sim_pq_idx" -> { (s, dir) =>
       val n = Pq.unitNormalized(
         normalized(s, dir).select(col("vec_id"), col("e")))
-      val (cb, encoded) = SimIndexes.pq(n, s"$dir#unit")
+      val (cb, encoded) = SimIndexes.pq(n, s"$dir#unit",
+        artifact = simArtifact(s, dir))
       Pq.topK(n.filter(col("vec_id") < 10), encoded, cb, k = 5)
         // eager checkpoint before the oracle orderBy (round-14 audit):
         // the top-k result is ~50 rows, but un-checkpointed the sort's
@@ -238,7 +250,8 @@ object ScaleOps {
     "sim_ivf_pq_idx" -> { (s, dir) =>
       val n = Pq.unitNormalized(
         normalized(s, dir).select(col("vec_id"), col("e")))
-      val ix = SimIndexes.ivfPq(n, s"$dir#unit")
+      val ix = SimIndexes.ivfPq(n, s"$dir#unit",
+        artifact = simArtifact(s, dir))
       Pq.ivfPqTopK(n.filter(col("vec_id") < 10), n, k = 5, index = Some(ix))
         // eager checkpoint before the oracle orderBy (round-14 audit):
         // the top-k result is ~50 rows, but un-checkpointed the sort's

@@ -83,9 +83,11 @@ class ColdServeSpec extends AnyFunSuite {
     val sA = spark.newSession()
     val expected = idx.map(q => q -> rows(q, sA)).toMap
     val saved = SimIndexes.saveAll(sA, base)
-    // 5 entries: ann#raw, ivf#raw, pq#unit, ivfpq#unit + its nested
-    // ivf#unit (ivfPq reuses ivf()'s cache, which creates its own entry)
-    assert(saved == 5, s"expected 5 sim entries saved, got $saved")
+    // 4 or 5 entries: ann#raw, ivf#raw, pq#unit, ivfpq#unit — plus a
+    // nested ivf#unit only when ivfPq BUILT in this session (the build
+    // path populates ivf()'s cache; an artifact-served ivfpq reloads
+    // the finished triple and never touches the nested entry)
+    assert(saved >= 4, s"expected the 4 sim index kinds saved, got $saved")
     SimIndexes.clear(sA)
 
     val sB = spark.newSession()
@@ -106,6 +108,55 @@ class ColdServeSpec extends AnyFunSuite {
       "sim_ann_cold diverged from sim_ann_idx")
     Graphs.clear(spark)
     SimIndexes.clear(spark)
+  }
+
+  test("artifact lifecycle: unchanged entries skip the rewrite, mutations rewrite, crashed dirs prune, stale bases age out") {
+    import spark.implicits._
+    val base = tmp("graft_lifecycle")
+    val sA = spark.newSession()
+    Graphs.index(Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), "spec-life", sA)
+    assert(Graphs.saveAll(sA, base) == 1)
+    def mtimes(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(base)).map(f => f.getPath -> f.lastModified).toMap
+    }
+    val m1 = mtimes()
+    // skip-unchanged (r17 verdict #4): a second saveAll counts the entry
+    // but rewrites NOTHING — every file mtime is stable
+    assert(Graphs.saveAll(sA, base) == 1, "skipped entry must still count")
+    assert(mtimes() === m1, "unchanged entry was rewritten")
+    // a mutation bumps the rev, so the next save DOES rewrite
+    Graphs.applyDelta("spec-life", sA, Seq((3L, 4L)).toDF("a", "b"))
+    assert(Graphs.saveAll(sA, base) == 1)
+    assert(mtimes() !== m1, "mutated entry was not rewritten")
+    // and the rewritten artifact round-trips the merged graph
+    val sB = spark.newSession()
+    Graphs.loadAll(sB, base)
+    val g = Graphs.index(sys.error("must serve"): org.apache.spark.sql.DataFrame,
+      "spec-life", sB)
+    assert(g.edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 2L), (2L, 3L), (3L, 4L)))
+    // crashed (manifest-less) save dirs prune away
+    Seq((9L, 9L)).toDF("a", "b").write.parquet(s"$base/deadbeef/edges")
+    assert(Artifacts.pruneUncommitted(spark, base) == 1)
+    assert(!new java.io.File(s"$base/deadbeef").exists(),
+      "crashed save dir survived pruneUncommitted")
+    assert(Artifacts.pruneUncommitted(spark, base) == 0)
+    // stale BASES age out of the shared root: plant three ancient fake
+    // bases, keep as many as the root currently holds — exactly the
+    // three oldest (the fakes) go, every real base survives
+    val root = new java.io.File(Artifacts.root)
+    root.mkdirs()
+    val before = root.listFiles().count(_.isDirectory)
+    val fakes = (1 to 3).map { i =>
+      val d = new java.io.File(root, s"stale_spec_$i")
+      d.mkdirs(); d.setLastModified(1000L * i); d
+    }
+    assert(Artifacts.pruneBases(spark, keep = before) == 3)
+    assert(fakes.forall(!_.exists()), "stale bases survived pruneBases")
+    Graphs.clear(sB)
+    Graphs.clear(sA)
   }
 
   test("a save that never wrote its manifest is invisible") {

@@ -22,8 +22,9 @@ class GraphsSpec extends AnyFunSuite {
     .getOrCreate()
 
   test("steady-state graph_*_idx queries equal their build-included siblings and reuse the graph") {
-    def rows(q: String): Seq[org.apache.spark.sql.Row] =
-      SparkEntry.queries(q)(spark, sf).collect().toSeq
+    def rowsIn(s: SparkSession, q: String): Seq[org.apache.spark.sql.Row] =
+      SparkEntry.queries(q)(s, sf).collect().toSeq
+    def rows(q: String): Seq[org.apache.spark.sql.Row] = rowsIn(spark, q)
     Graphs.clear(spark)
     val siblings = Seq(
       "graph_triangles" -> "graph_triangles_idx",
@@ -37,17 +38,32 @@ class GraphsSpec extends AnyFunSuite {
       val expected = rows(build)
       val before = Graphs.builds
       val first = rows(steady)
-      // the unweighted index is shared by five rows and the weighted
-      // one by sssp, so only the FIRST steady call of each kind builds
       val second = rows(steady)
-      assert(Graphs.builds == (if (build == "graph_triangles" ||
-          build == "graph_sssp") before + 1 else before),
-        s"$steady: expected cache behavior broke (builds=${Graphs.builds})")
+      // memo → artifact → build (round-17 verdict #2): the FIRST steady
+      // call of each kind installs the shared graph — by building on a
+      // true cold start, or with builds FLAT when a committed artifact
+      // from a previous run serves it off disk; either way never more
+      // than one install per kind, and never a rebuild on the second call
       assert(Graphs.builds <= before + 1,
-        s"$steady: second call must reuse the cached graph, not rebuild")
+        s"$steady: repeated calls must reuse the cached graph, not rebuild")
       assert(first === expected, s"$steady diverged from $build")
       assert(second === first, s"$steady unstable across cached calls")
     }
+    // whichever path the loop took, both graph kinds are now COMMITTED
+    // artifacts (a build saves back) — so a brand-new session must
+    // serve every row off disk with builds flat: the new default path
+    val base = s"${graft.operators.Artifacts.defaultBase(spark, sf)}/graph"
+    val kinds = graft.operators.Artifacts.entries(spark, base).map(_._3).toSet
+    assert(Set("graph", "wgraph").subsetOf(kinds),
+      s"expected both graph kinds committed under $base, got $kinds")
+    val sB = spark.newSession()
+    val b0 = Graphs.builds
+    for ((build, steady) <- siblings)
+      assert(rowsIn(sB, steady) === rows(build),
+        s"$steady diverged when artifact-served in a fresh session")
+    assert(Graphs.builds == b0,
+      "fresh session BUILT instead of serving the committed artifact")
+    Graphs.clear(sB)
     Graphs.clear(spark)
   }
 

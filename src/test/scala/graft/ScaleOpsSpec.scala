@@ -834,13 +834,14 @@ class ScaleOpsSpec extends AnyFunSuite {
       "sim_pq" -> "sim_pq_idx", "sim_ivf_pq" -> "sim_ivf_pq_idx")
     for ((build, steady) <- siblings) {
       val expected = rows(build)
-      val before = SimIndexes.builds
       val first = rows(steady)
-      assert(SimIndexes.builds > before,
-        s"$steady: first call after clear() must build the index")
-      val afterBuild = SimIndexes.builds
+      val afterFirst = SimIndexes.builds
       val second = rows(steady)
-      assert(SimIndexes.builds == afterBuild,
+      // memo → artifact → build (round-17 verdict #2): the first call
+      // after clear() installs the index by building on a true cold
+      // start OR by loading a committed artifact from a previous run
+      // (builds flat) — either way the second call serves the memo
+      assert(SimIndexes.builds == afterFirst,
         s"$steady: second call must reuse the cached index, not rebuild")
       // Same operator, same dials, same deterministic training — the
       // prebuilt path must not change a single row.
@@ -850,6 +851,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     // ivfPq shares ivf/pq cache entries only within the SAME tag — the
     // raw-vs-unit frames must have landed under distinct keys, or one of
     // the assertions above would already have caught the geometry mixup.
+    // Whichever path ran, the artifacts are now committed: a fresh
+    // session must serve every row off disk with builds flat.
+    val base = s"${graft.operators.Artifacts.defaultBase(spark, sf)}/sim"
+    val kinds = graft.operators.Artifacts.entries(spark, base).map(_._3).toSet
+    assert(Set("ann", "ivf", "pq", "ivfpq").subsetOf(kinds),
+      s"expected all four index kinds committed under $base, got $kinds")
+    val sB = spark.newSession()
+    val b0 = SimIndexes.builds
+    for ((build, steady) <- siblings)
+      assert(SparkEntry.queries(steady)(sB, sf).collect().toSeq === rows(build),
+        s"$steady diverged when artifact-served in a fresh session")
+    assert(SimIndexes.builds == b0,
+      "fresh session BUILT instead of serving the committed artifact")
+    SimIndexes.clear(sB)
     SimIndexes.clear(spark)
   }
 
