@@ -60,6 +60,34 @@ object ProfileGraphDelta {
       f"speedup=${rebuildT / deltaT}%.1fx " +
       f"edgesAfterDelta=$nEdges edgesRebuild=$nFull " +
       s"identical=${nEdges == nFull}")
+
+    // -- the RETRACTION lane (round-18): full graph minus the 1%-orders'
+    // pairs via applyDeltaRemove, vs rebuilding over the EXCEPT set.
+    // Same discipline: removal set materialized outside the timed
+    // window, rebuild priced first.
+    val s3 = spark.newSession()
+    val fullT = timed(Graphs.index(edgesFor(s3, lit(true)), "rm-base", s3))
+    val rm = edgesFor(s3, pmod(col("l_orderkey"), lit(100)) === 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRm = rm.count()
+    val s4 = spark.newSession()
+    val rebuildRmT = timed(Graphs.index(
+      edgesFor(s4, lit(true)).join(edgesFor(s4,
+          pmod(col("l_orderkey"), lit(100)) === 0),
+        Seq("a", "b"), "left_anti"), "rm-rebuild", s4))
+    val nRebuildRm = Graphs.index(
+      sys.error("served"): org.apache.spark.sql.DataFrame, "rm-rebuild", s4)
+      .edges.count()
+    val removeT = timed(Graphs.applyDeltaRemove("rm-base", s3, rm))
+    val nAfterRm = Graphs.index(
+      sys.error("served"): org.apache.spark.sql.DataFrame, "rm-base", s3)
+      .edges.count()
+    rm.unpersist(false)
+    println(f"[graphdelta] fullSec=$fullT%.1f removeRows=$nRm " +
+      f"applyRemoveSec=$removeT%.1f rebuildExceptSec=$rebuildRmT%.1f " +
+      f"speedup=${rebuildRmT / removeT}%.1fx " +
+      f"edgesAfterRemove=$nAfterRm edgesRebuild=$nRebuildRm " +
+      s"identical=${nAfterRm == nRebuildRm}")
     spark.stop()
   }
 }

@@ -330,6 +330,102 @@ object Graphs {
     next
   }
 
+  /** [[applyDelta]]'s RETRACTION twin (round-17 verdict #3 — real CDC
+    * deletes as well as inserts): remove edges from the session's
+    * cached graph for `tag` in work proportional to the REMOVAL's
+    * neighbourhood, never the graph. `removals` is raw (a, b) rows in
+    * any orientation, duplicates and absent pairs welcome — it is
+    * canonicalized and semi-joined against the cached edge relation,
+    * so only edges actually PRESENT drive the update (removing a
+    * non-edge is a no-op, exactly as a rebuild over the subtracted set
+    * would make it). Frame by frame, the [[applyDelta]] design run in
+    * reverse:
+    *
+    *   - edges/adjacency: broadcast ANTI-join layers over the cached
+    *     frames (no edge-mass writes — the lazy-layer rule; a
+    *     saveAll → loadAll round trip compacts);
+    *   - degrees: decrement by the removal's endpoint counts, and a
+    *     node whose degree reaches 0 LEAVES the table (a rebuild's
+    *     adjacency groupBy would never emit it);
+    *   - orientation: removed edges vanish with the anti layer
+    *     (they touch an affected endpoint by construction), and the
+    *     survivors touching an affected endpoint — the only nodes
+    *     whose (degree, id) rank moved, possibly FLIPPING an edge the
+    *     removal never named — re-derive from the merged degrees while
+    *     every other row passes through untouched.
+    *
+    * Same single-writer contract and cache-replacement semantics as
+    * [[applyDelta]]; GraphsDeltaSpec pins frame-identity against the
+    * full rebuild over the subtracted edge set, including a
+    * degree-rank flip BY removal.
+    */
+  def applyDeltaRemove(tag: String, session: SparkSession,
+                       removals: DataFrame): GraphIndex = {
+    val key = s"graph|$tag"
+    val old = cache.synchronized(cache.get((session, key))) match {
+      case Some(g: GraphIndex) => g
+      case _ => throw new IllegalStateException(
+        s"applyDeltaRemove: no cached graph for tag '$tag' — build or load first")
+    }
+    val canon = removals
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+    // only PRESENT pairs matter; the removal side is small ⇒ broadcast
+    // it through every layer below (the applyDelta shuffle argument)
+    val gone = materialized(
+      canon.join(old.edges, Seq("a", "b"), "left_semi"))
+    val e2 = old.edges.join(broadcast(gone), Seq("a", "b"), "left_anti")
+    val goneAdj = gone.select(col("a").as("v"), col("b").as("n"))
+      .unionAll(gone.select(col("b").as("v"), col("a").as("n")))
+    val adj2 = old.adj.join(broadcast(goneAdj), Seq("v", "n"), "left_anti")
+    val degDelta = goneAdj.groupBy(col("v")).agg(count(lit(1)).as("dd"))
+    // decrement, and DROP isolated nodes — deg derives from the
+    // adjacency groupBy on a rebuild, so a node with no surviving
+    // edges has no row there either
+    val deg2 = materialized(
+      old.deg.join(degDelta, Seq("v"), "left")
+        .select(col("v"),
+          (col("d") - coalesce(col("dd"), lit(0L))).as("d"))
+        .filter(col("d") > 0))
+    val aff = materialized(gone.select(col("a").as("v"))
+      .unionAll(gone.select(col("b").as("v"))).distinct())
+    val keep = old.oriented
+      .join(broadcast(aff.select(col("v").as("a"))), Seq("a"), "left_anti")
+      .join(broadcast(aff.select(col("v").as("b"))), Seq("b"), "left_anti")
+      .select(col("a"), col("b"))
+    // survivors touching an affected endpoint, off the POST-removal
+    // edge relation (one scan, the applyDelta disjunction shape)
+    val touched = e2
+      .join(broadcast(aff.select(col("v").as("a"), lit(1).as("ha"))),
+        Seq("a"), "left")
+      .join(broadcast(aff.select(col("v").as("b"), lit(1).as("hb"))),
+        Seq("b"), "left")
+      .filter(col("ha").isNotNull || col("hb").isNotNull)
+      .select(col("a"), col("b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val reoriented = materialized(touched
+      .join(deg2.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg2.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("oa"),
+        when(aFirst, col("b")).otherwise(col("a")).as("ob"))
+      .select(col("oa").as("a"), col("ob").as("b")))
+    val oriented2 = keep.unionAll(reoriented)
+    old.deg.unpersist()
+    val next = GraphIndex(e2, adj2, deg2, oriented2,
+      pieces = old.pieces ++ Seq(old.edges, old.adj, old.oriented,
+        gone, aff, reoriented))
+    cache.synchronized {
+      cache.put((session, key), next)
+      revs.put((session, key), revOf(session, key) + 1)
+      ()
+    }
+    next
+  }
+
   /** [[applyDelta]]'s WEIGHTED twin (the graph_sssp affinity frames):
     * merge arriving (a, b, w) rows into the cached weighted graph under
     * MIN-WEIGHT semantics — the [[graft.streaming.StreamOps.shortestPathSink]]

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, col}
 import org.apache.spark.storage.StorageLevel
 
 /** Session-scoped prebuilt-index cache for the similarity menu — the
@@ -273,6 +273,66 @@ object SimIndexes {
       ()
     }
     addPieces(s, key, Seq(assigned, newAssigned))
+    next
+  }
+
+  /** Remove vectors from the cached LSH index ([[annAppend]]'s
+    * retraction twin — round-17 verdict #3): tombstone the given
+    * `vec_id`s by filtering the keys frame as a lazy broadcast
+    * anti-join layer, so every later probe simply never sees them.
+    * Exactly a rebuild minus the removed vectors, because LSH keys are
+    * row-local (each key row depends only on its own vector and the
+    * frozen planes — dropping rows IS dropping vectors). Removing an
+    * unindexed id is a no-op; work is one cached-keys scan per serve
+    * with the tombstone set broadcast. `ids` must carry `vec_id`.
+    */
+  def annRemove(ids: DataFrame, tag: String, tables: Int = 16,
+                planesPerTable: Int = 5, dim: Int = 64,
+                seed: Long = 42L): Ann.AnnIndex = {
+    val s = ids.sparkSession
+    val key = s"ann|$tag|$tables|$planesPerTable|$dim|$seed"
+    val old = cache.synchronized(cache.get((s, key))) match {
+      case Some(ix: Ann.AnnIndex) => ix
+      case _ => throw new IllegalStateException(
+        s"annRemove: no cached ann index for '$key' — build or load first")
+    }
+    val gone = materialized(ids.select(col("vec_id")).distinct())
+    val next = old.copy(keys =
+      old.keys.join(broadcast(gone), Seq("vec_id"), "left_anti"))
+    cache.synchronized {
+      cache.put((s, key), next)
+      revs.put((s, key), revOf(s, key) + 1)
+      ()
+    }
+    addPieces(s, key, Seq(old.keys, gone))
+    next
+  }
+
+  /** [[annRemove]]'s IVF twin: tombstone vectors out of the cached cell
+    * assignment (assignment rows are row-local against the frozen
+    * centroids, the [[ivfAppend]] argument reversed). Centroids stay
+    * frozen — retraining on shrink is the same drift-evidence rebuild
+    * decision as on growth.
+    */
+  def ivfRemove(ids: DataFrame, tag: String, nlist: Int = 8,
+                iters: Int = 2): (DataFrame, DataFrame) = {
+    val s = ids.sparkSession
+    val key = s"ivf|$tag|$nlist|$iters"
+    val old = cache.synchronized(cache.get((s, key))) match {
+      case Some((cents: DataFrame, assigned: DataFrame)) => (cents, assigned)
+      case _ => throw new IllegalStateException(
+        s"ivfRemove: no cached ivf index for '$key' — build or load first")
+    }
+    val (cents, assigned) = old
+    val gone = materialized(ids.select(col("vec_id")).distinct())
+    val next = (cents,
+      assigned.join(broadcast(gone), Seq("vec_id"), "left_anti"))
+    cache.synchronized {
+      cache.put((s, key), next)
+      revs.put((s, key), revOf(s, key) + 1)
+      ()
+    }
+    addPieces(s, key, Seq(assigned, gone))
     next
   }
 

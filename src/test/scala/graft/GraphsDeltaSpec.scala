@@ -126,6 +126,81 @@ class GraphsDeltaSpec extends AnyFunSuite {
     Graphs.clear(s)
   }
 
+  private def checkRemoveAgainstRebuild(base: Seq[(Long, Long)],
+                                        removals: Seq[(Long, Long)],
+                                        tag: String): Unit = {
+    val s = spark.newSession()
+    Graphs.index(base.toDF("a", "b"), tag, s)
+    val got = Graphs.applyDeltaRemove(tag, s, removals.toDF("a", "b"))
+    // full rebuild over the subtracted canonical set, independent tag
+    val rmCanon = removals.map { case (a, b) =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    val canon = base.filterNot(rmCanon.contains)
+    val want = Graphs.index(canon.toDF("a", "b"), s"$tag-rebuild", s)
+    assert(pairs(got.edges) === pairs(want.edges), s"$tag: edges diverged")
+    assert(pairs(got.adj) === pairs(want.adj), s"$tag: adjacency diverged")
+    assert(pairs(got.deg) === pairs(want.deg), s"$tag: degrees diverged")
+    assert(pairs(got.oriented) === pairs(want.oriented),
+      s"$tag: orientation diverged")
+    val served = Graphs.index(
+      sys.error("must serve, not build"): DataFrame, tag, s)
+    assert(pairs(served.edges) === pairs(want.edges))
+    Graphs.clear(s)
+  }
+
+  test("removal delta (absent pairs, reversed, duplicates) equals the subtracted rebuild") {
+    checkRemoveAgainstRebuild(
+      base = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)),
+      // (3,2) reversed form of a present edge; (4,5) present; (7,8)
+      // absent (no-op); (2,3) duplicate of the reversed removal
+      removals = Seq((3L, 2L), (2L, 3L), (4L, 5L), (7L, 8L)),
+      tag = "rm-mixed")
+  }
+
+  test("degree-rank-flipping removal re-orients exactly the touched survivors") {
+    // base: deg(5)=5 > deg(1)=4, so (1,5) orients 1->5. Removing three
+    // of 5's spokes drops deg(5) to 2 < deg(1)=4: the SURVIVING edge
+    // (1,5) — which the removal never names — must flip back to 5->1,
+    // caught only because 5 is an affected endpoint.
+    val base = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 1L), (5L, 6L),
+      (5L, 7L), (5L, 8L), (5L, 9L))
+    val removals = Seq((5L, 7L), (5L, 8L), (5L, 9L))
+    checkRemoveAgainstRebuild(base, removals, "rm-flip")
+
+    val s = spark.newSession()
+    Graphs.index(base.toDF("a", "b"), "rm-flip2", s)
+    val got = Graphs.applyDeltaRemove("rm-flip2", s, removals.toDF("a", "b"))
+    assert(pairs(got.oriented).contains((5L, 1L)) &&
+      !pairs(got.oriented).contains((1L, 5L)),
+      "degree-rank flip BY removal was not re-oriented")
+    // node 9 lost its only edge: it must leave the degree table, as a
+    // rebuild's adjacency groupBy would never emit it
+    assert(!got.deg.collect().map(_.getLong(0)).contains(9L),
+      "isolated node survived in the degree table")
+    Graphs.clear(s)
+  }
+
+  test("add then remove round-trips to the original graph") {
+    val s = spark.newSession()
+    val base = Seq((1L, 2L), (2L, 3L))
+    val extra = Seq((3L, 4L), (4L, 5L))
+    val before = Graphs.index(base.toDF("a", "b"), "rm-roundtrip", s)
+    val b4 = (pairs(before.edges), pairs(before.adj), pairs(before.deg),
+      pairs(before.oriented))
+    Graphs.applyDelta("rm-roundtrip", s, extra.toDF("a", "b"))
+    val after = Graphs.applyDeltaRemove("rm-roundtrip", s, extra.toDF("a", "b"))
+    assert((pairs(after.edges), pairs(after.adj), pairs(after.deg),
+      pairs(after.oriented)) === b4)
+    Graphs.clear(s)
+  }
+
+  test("applyDeltaRemove without a cached graph fails loudly") {
+    val s = spark.newSession()
+    intercept[IllegalStateException] {
+      Graphs.applyDeltaRemove("rm-missing", s, Seq((1L, 2L)).toDF("a", "b"))
+    }
+  }
+
   test("graph_bfs_delta after Graphs.clear rebuilds instead of hard-failing (r17 verdict #1)") {
     // The shipped r17 bug: a side memo ("delta already applied") survived
     // Graphs.clear, so a cleared session's next graph_bfs_delta call

@@ -72,6 +72,51 @@ class IndexAppendSpec extends AnyFunSuite {
     assert(e.getMessage.contains("build or load first"))
   }
 
+  test("annRemove equals dataIndex minus the removed vectors; topK identical") {
+    val s = spark.newSession()
+    val n = normalized(s)
+    val gone = n.filter(col("vec_id") % 5 === 0).select(col("vec_id"))
+    SimIndexes.ann(n, "remove-spec", planesPerTable = 6)
+    val removed = SimIndexes.annRemove(
+      // half the tombstones name unindexed ids — must be no-ops
+      gone.unionAll(gone.select((col("vec_id") + 1000000L).as("vec_id"))),
+      "remove-spec", planesPerTable = 6)
+    val survivors = n.filter(col("vec_id") % 5 =!= 0)
+    val rebuilt = Ann.dataIndex(survivors, planesPerTable = 6)
+    def keyset(ix: Ann.AnnIndex) = ix.keys
+      .select(col("vec_id"), col("table"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(keyset(removed) === keyset(rebuilt),
+      "tombstoned keys diverged from the rebuild minus removed vectors")
+    def top(ix: Ann.AnnIndex) = Ann.lshTopK(
+        survivors.filter(col("vec_id") < 10), survivors, k = 5,
+        planesPerTable = 6, nprobe = 2, index = Some(ix))
+      .orderBy(col("qid"), col("rn")).collect().toSeq
+    assert(top(removed) === top(rebuilt),
+      "probe through the tombstoned index diverged from the rebuild")
+    // the cache serves the tombstoned index under the same key
+    val b0 = SimIndexes.builds
+    val served = SimIndexes.ann(n, "remove-spec", planesPerTable = 6)
+    assert(SimIndexes.builds == b0, "remove must not reset the cache entry")
+    assert(keyset(served) === keyset(rebuilt))
+    SimIndexes.clear(s)
+  }
+
+  test("ivfRemove equals assign minus the removed vectors at frozen centroids") {
+    val s = spark.newSession()
+    val n = normalized(s)
+    val (cents, _) = SimIndexes.ivf(n, "remove-spec")
+    val gone = n.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    val (_, removed) = SimIndexes.ivfRemove(gone, "remove-spec")
+    val expected = Ivf.assign(n.filter(col("vec_id") % 7 =!= 0), cents)
+    def cells(df: DataFrame) = df.select(col("vec_id"),
+        col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cells(removed) === cells(expected),
+      "tombstoned assignment diverged from assign-minus-removed")
+    SimIndexes.clear(s)
+  }
+
   test("ivfAppend equals assign over the union with frozen centroids") {
     val s = spark.newSession()
     val n = normalized(s)
