@@ -28,6 +28,27 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Layout-adaptive scan spreader (round-18; the optimization guide's
+    * §2.5 unsplittable-input rule: "one huge unsplittable file …
+    * repartition immediately after the read"). The driver fixtures are
+    * SINGLE-ROW-GROUP parquet files, so a scan plans at most one task
+    * per file — byte-range splits of a one-row-group file yield one
+    * non-empty split — and a row-local-compute-heavy first stage
+    * (tokenize / shingle / explode / hash) serializes on one core no
+    * matter how many the session has. Repartition to the session's
+    * default parallelism exactly when the PLANNED scan parallelism is
+    * below it: on a production layout (many splittable files) the
+    * condition is false and no shuffle is added — which is why this is
+    * not a local-only tuning constant but the layout-adaptive form of
+    * the rule. Call it AFTER projecting the needed columns, so the
+    * added exchange (when it fires at all) carries only those bytes.
+    * The getNumPartitions probe is plan-time only (no job runs).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** events with `ts` already converted to a µs-precision timestamp. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

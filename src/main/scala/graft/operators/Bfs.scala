@@ -69,13 +69,28 @@ object Bfs {
   /** [[hopDistances]] over a PRE-SYMMETRIZED (v, n) adjacency — the
     * [[Graphs.GraphIndex]] serving form (one persisted adjacency feeds
     * every hop instead of a per-call symmetrize-union).
+    *
+    * `broadcastFrontier` (the [[KCore.coreEstimateOnAdj]]
+    * `broadcastState` discipline, round-18 guide §3.1): the per-hop
+    * frontier is node-sized but sits above joins/distincts whose size
+    * ESTIMATES Catalyst gets wrong, so without the explicit hint the
+    * initial plan picks a shuffle join and the ADJACENCY — the big
+    * side — is exchanged once per hop (AQE converts the join to
+    * broadcast at runtime, but only after the adjacency shuffle has
+    * already run; measured in plans/r18: 3 adjacency-sized exchanges
+    * in graph_bfs_idx's final plan). True by default — right up to
+    * tens of millions of frontier nodes; pass false on billion-node
+    * graphs and the hop joins shuffle node-keyed.
     */
   def hopDistancesOnAdj(adj: DataFrame, seeds: DataFrame,
-                        maxHops: Int): DataFrame = {
+                        maxHops: Int,
+                        broadcastFrontier: Boolean = true): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val seed = seeds.toDF("v").distinct()
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastFrontier) broadcast(df) else df
     val levels = Iterator.iterate(seed)(frontier =>
-      frontier.join(adj, "v").select(col("n").as("v")).distinct()
+      bc(frontier).join(adj, "v").select(col("n").as("v")).distinct()
     ).take(maxHops + 1).zipWithIndex.map { case (lvl, h) =>
       lvl.select(col("v"), lit(h.toLong).as("d"))
     }.reduce(_.union(_))
@@ -126,15 +141,25 @@ object Bfs {
     * the caller's seed set, so they cannot live in the cached frame).
     */
   def weightedDistancesOnSym(sym: DataFrame, seeds: DataFrame,
-                             rounds: Int): DataFrame = {
+                             rounds: Int,
+                             broadcastState: Boolean = true): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val seed = seeds.toDF("v").distinct()
     val nodes = sym.select(col("v")).union(seed).distinct()
     val adj = sym.union(
       nodes.select(col("v"), col("v").as("n"), lit(0L).as("w")))
+    // broadcastState: the [[hopDistancesOnAdj]] broadcastFrontier rule —
+    // the running-minimum state is node-sized, but its post-aggregation
+    // size estimate makes the initial plan shuffle the ADJACENCY per
+    // round (measured in plans/r18: graph_sssp_idx shuffled the full
+    // 2.41M-row adjacency union in rounds 2–4, 73.6 MiB each, before
+    // AQE's too-late broadcast conversion). False = node-keyed shuffle
+    // joins, the billion-node escape.
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastState) broadcast(df) else df
     var state = seed.select(col("v"), lit(0L).as("d"))
     for (_ <- 1 to rounds) {
-      state = state.join(adj, "v")
+      state = bc(state).join(adj, "v")
         .select(col("n").as("v"), (col("d") + col("w")).as("d"))
         .groupBy(col("v")).agg(min(col("d")).as("d"))
     }

@@ -27,7 +27,9 @@ import org.apache.spark.sql.functions._
   * Scale shape (the 100 TB lens): both sides are map-side expansions —
   * k+1 segment rows per indexed string, O(k²) windowed probe
   * substrings per probed string per plausible source length — meeting
-  * in ONE equi hash join on (source length, slot, segment bytes)
+  * in ONE equi hash join on xxhash64(source length, slot, segment
+  * bytes) — the three-part key folded into one 8-byte column, round-18
+  * guide §2.3; collisions only widen the VERIFIED candidate set —
   * pinned SHUFFLE_HASH (the exploded probe relation's size is
   * invisible to the planner — Generate breaks stats — and a mis-chosen
   * broadcast of the large side builds the whole expansion as one
@@ -67,6 +69,16 @@ object EditDistJoin {
     * [floor(iL/(k+1))+1, floor((i+1)L/(k+1))] — the deterministic even
     * partition the probe generator mirrors. Requires len > k (every
     * segment non-empty).
+    *
+    * The emitted join key is `keyh = xxhash64(srclen, slot, seg)` — the
+    * whole three-part equality folded into ONE 8-byte column (round-18,
+    * guide §2.3: shuffle keys, not payloads; the probe expansion is the
+    * join's dominant shuffle and its variable-length substring column
+    * was most of every row). A hash COLLISION only ever widens the
+    * candidate set, and every candidate is verified with the banded
+    * levenshtein before anything is emitted, so the operator's output
+    * is identical — the blocking stays exact-recall by pigeonhole, and
+    * precision is restored by the verify either way.
     */
   private def segRelation(longs: DataFrame, k: Int): DataFrame =
     longs.select(
@@ -77,8 +89,8 @@ object EditDistJoin {
         struct(i.cast("int").as("slot"),
           col("t").substr(st, en - st + 1).as("seg"))
       })).as("sg"))
-      .select(col("sid"), col("srclen"), col("sg.slot").as("slot"),
-        col("sg.seg").as("seg"))
+      .select(col("sid"), col("srclen"),
+        xxhash64(col("srclen"), col("sg.slot"), col("sg.seg")).as("keyh"))
 
   /** Probe side: for every source length that EXISTS in the indexed
     * relation (broadcast of the distinct-length relation — bounded by
@@ -110,8 +122,12 @@ object EditDistJoin {
       .select(col("tid"), col("plen"), col("srclen"), col("slot"),
         col("t"), col("slen"),
         explode(sequence(col("lo"), col("hi"))).as("p"))
-      .select(col("tid"), col("plen"), col("srclen"), col("slot"),
-        col("t").substr(col("p"), col("slen")).as("sub"))
+      // keyh mirrors [[segRelation]]'s folded key — the probe expansion
+      // is the join's dominant shuffle, and one 8-byte hash replaces
+      // (srclen int, slot int, variable-length substring) per row
+      .select(col("tid"), col("plen"),
+        xxhash64(col("srclen"), col("slot"),
+          col("t").substr(col("p"), col("slen"))).as("keyh"))
   }
 
   private def prepared(docs: DataFrame): DataFrame =
@@ -138,8 +154,7 @@ object EditDistJoin {
     // orientation finds it exactly once per matching key); short probes
     // keep both (only the long side can index).
     val cand = segs.hint("shuffle_hash").join(probes,
-        segs("srclen") === probes("srclen") && segs("slot") === probes("slot") &&
-          segs("seg") === probes("sub") &&
+        segs("keyh") === probes("keyh") &&
           (probes("plen") <= k || segs("sid") < probes("tid")) &&
           segs("sid") =!= probes("tid"))
       .select(least(col("sid"), col("tid")).as("d1"),
@@ -197,8 +212,9 @@ object EditDistJoin {
       .unionByName(within).unionByName(cross)
   }
 
-  /** The reusable index half: (sid, srclen, slot, seg) segment rows for
-    * every `docs` string longer than k — what [[pairsAgainstIndex]]
+  /** The reusable index half: (sid, srclen, keyh) segment rows —
+    * keyh = xxhash64(srclen, slot, segment bytes), see [[segRelation]] —
+    * for every `docs` string longer than k: what [[pairsAgainstIndex]]
     * joins probes against, and what an INCREMENTAL consumer (the
     * streaming dedup sink) accumulates batch over batch instead of
     * rebuilding: the index is append-only under document arrivals.
@@ -232,9 +248,7 @@ object EditDistJoin {
       ibase.filter(col("len") > k)
         .select(col("len").as("srclen")).distinct(), k)
     val cand = index.hint("shuffle_hash").join(probes,
-        index("srclen") === probes("srclen") &&
-          index("slot") === probes("slot") &&
-          index("seg") === probes("sub") &&
+        index("keyh") === probes("keyh") &&
           // self-pair guard: shared id = same document (one namespace)
           col("sid") =!= probes("tid"))
       .select(col("sid").as("d1"), col("tid").as("d2"))

@@ -71,7 +71,8 @@ object LabelProp {
     * caller's seed set, so it cannot live in the cached frame).
     */
   def propagateOnAdj(symAdj: DataFrame, seeds: DataFrame,
-                     rounds: Int): DataFrame = {
+                     rounds: Int,
+                     broadcastState: Boolean = true): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val seed = seeds.toDF("v", "label")
       .groupBy(col("v")).agg(min(col("label")).as("label"))
@@ -79,9 +80,16 @@ object LabelProp {
       .union(seed.select(col("v"), col("v").as("n"), lit(ClampWeight).as("wt")))
     val w = Window.partitionBy(col("v"))
       .orderBy(col("wt").desc, col("label").asc)
+    // broadcastState: the Bfs/KCore rule (guide §3.1) — the label state
+    // is node-sized, but its post-vote size estimate makes the initial
+    // plan shuffle the ADJACENCY per round (plans/r18: two
+    // adjacency-sized exchanges in graph_labelprop_idx before the fix).
+    // False = node-keyed shuffle joins, the billion-node escape.
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastState) broadcast(df) else df
     var cur = seed
     for (_ <- 1 to rounds) {
-      cur = cur.join(adj, "v")
+      cur = bc(cur).join(adj, "v")
         .select(col("n").as("v"), col("label"), col("wt"))
         .groupBy(col("v"), col("label")).agg(sum(col("wt")).as("wt"))
         .withColumn("rn", row_number().over(w))

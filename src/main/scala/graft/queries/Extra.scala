@@ -268,7 +268,9 @@ object Extra {
 
     // -- top character trigrams ---------------------------------------------
     "text_ngram" -> { (s, dir) =>
-      Tables(s, dir, "documents")
+      // spread: the trigram explode + partial count is ~the whole query
+      // and the fixture scan plans one task (round-18, Tables.spread)
+      graft.Tables.spread(Tables(s, dir, "documents").select(col("text")))
         .select(lower(col("text")).as("t"))
         .filter(length(col("t")) >= 3)
         .select(explode(transform(

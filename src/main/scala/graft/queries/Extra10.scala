@@ -214,7 +214,10 @@ object Extra10 {
     // over the same derived vocab, so the hash pins both engines' greed.
     "text_bpe_encode_vocab" -> { (s, dir) =>
       import graft.operators.BpeTrain
-      val docw = graft.Tables(s, dir, "documents")
+      // spread before the word explode (round-18, Tables.spread — the
+      // text_bpe_encode rule)
+      val docw = graft.Tables.spread(graft.Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
         .select(col("doc_id"),
           explode(org.apache.spark.sql.functions.filter(
             split(lower(col("text")), " "),
@@ -299,9 +302,18 @@ object Extra10 {
           rounds = Extra7.LpRounds)
         .localCheckpoint()
       val mRow = g.edges.agg(count(lit(1)).as("m"))
+      // labels is node-sized and checkpointed — EXPLICITLY broadcast
+      // into the two e_in joins (guide §3.1, the Bfs/KCore
+      // broadcastState rule): the checkpointed frame's size estimate
+      // otherwise planned both joins sort-merge, shuffling the cached
+      // EDGE relation twice (plans/r18: graph_modularity's initial plan
+      // before the fix; AQE converted to broadcast only after the edge
+      // exchanges had run).
       val ein = g.edges
-        .join(labels.select(col("node").as("a"), col("label").as("la")), "a")
-        .join(labels.select(col("node").as("b"), col("label").as("lb")), "b")
+        .join(broadcast(labels.select(col("node").as("a"),
+          col("label").as("la"))), "a")
+        .join(broadcast(labels.select(col("node").as("b"),
+          col("label").as("lb"))), "b")
         .filter(col("la") === col("lb"))
         .select(col("la").as("label"))
         .groupBy(col("label")).agg(count(lit(1)).as("e_in"))

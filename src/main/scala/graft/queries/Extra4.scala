@@ -211,7 +211,11 @@ object Extra4 {
     // consumers) and released after the eager checkpoint — the
     // nearDupPairs try/finally discipline.
     "text_boilerplate" -> { (s, dir) =>
-      boilerplateSignals(Tables(s, dir, "documents"))
+      // spread: the 5-gram instance explode is the dominant row-local
+      // stage and the fixture scan plans one task (round-18,
+      // Tables.spread)
+      boilerplateSignals(Tables.spread(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text"))))
         .orderBy(col("doc_id"))
     },
 
@@ -304,8 +308,11 @@ object Extra4 {
     // on the fingerprint key → map-side pair explode (groups above the
     // cap would drop WHOLE; fixture max group is 5).
     "dedup_winnow" -> { (s, dir) =>
+      // spread: the fingerprint explode is the dominant row-local stage
+      // and the fixture scan plans one task (round-18, Tables.spread)
       graft.operators.SubstringDedup
-        .candidates(Tables(s, dir, "documents"), mode = "winnow",
+        .candidates(Tables.spread(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"))), mode = "winnow",
           gramLen = 20, minShared = 2L, window = 8)
         .orderBy(col("d1"), col("d2"))
     },

@@ -218,10 +218,16 @@ object Extra6 {
           .select(col("src").as("node"), round(lit(1.0 / nNodes), 10).as("pr"))
         for (_ <- 1 to PrIters) {
           // contribution weight per SOURCE first (node-sized join), then
-          // one edge join fans it out — never pr/outdeg per edge twice
+          // one edge join fans it out — never pr/outdeg per edge twice.
+          // w is EXPLICITLY broadcast (guide §3.1, the Bfs/KCore
+          // broadcastState rule): its post-aggregation size estimate
+          // otherwise makes the initial plan shuffle the cached EDGE
+          // relation by src once per round — the exchange the dst
+          // pre-partition comment below already conceded; the explicit
+          // hint removes it instead of only keeping it cheap.
           val w = ranks.join(deg, ranks("node") === deg("src"))
             .select(col("node"), (col("pr") / col("outdeg")).as("w"))
-          ranks = edges.join(w, edges("src") === w("node"))
+          ranks = edges.join(broadcast(w), edges("src") === w("node"))
             .groupBy(col("dst"))
             .agg(round(lit(teleport) + lit(PrDamping) * sum(col("w")), 10)
               .as("pr"))

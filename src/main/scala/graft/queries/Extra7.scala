@@ -158,9 +158,11 @@ object Extra7 {
     * the query uses.
     */
   private[graft] def canonDocs(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+    // spread before the md5 pass (round-18, Tables.spread): the
+    // fixture's one-task scan otherwise serializes stage 1's hashing
+    Tables.spread(Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("text")))
       .withColumn("ch", md5(col("text")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("ch")).orderBy(col("doc_id"))))
@@ -482,14 +484,20 @@ object Extra7 {
     // precedent) — both sides run the identical refinement count, so
     // the hash can only match when every step matches.
     "graph_kcore" -> { (s, dir) =>
-      // the adjacency feeds the degree seed + every refinement step →
-      // persist once ([[coPurchaseEdges]]), release after the eager
-      // checkpoint
+      // the adjacency feeds the degree seed + every refinement step —
+      // persist the SYMMETRIZED adjacency itself (round-18, the
+      // graph_ppr pattern): with the per-step state join now an
+      // explicit broadcast, nothing re-materializes the adjacency
+      // between steps, so an unpersisted union would re-derive it from
+      // the edge blocks five times; released after the eager checkpoint
       val e = coPurchaseEdges(s, dir)
-      try graft.operators.KCore.coreEstimate(e, steps = KCoreSteps)
+      val adj = e.select(col("a").as("v"), col("b").as("n"))
+        .unionAll(e.select(col("b").as("v"), col("a").as("n")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try graft.operators.KCore.coreEstimateOnAdj(adj, steps = KCoreSteps)
         .orderBy(col("node"))
         .localCheckpoint()
-      finally { e.unpersist(false); () }
+      finally { adj.unpersist(false); e.unpersist(false); () }
     },
 
     // -- multi-source hop distance (frontier expansion) -----------------------
@@ -506,13 +514,20 @@ object Extra7 {
     // see [[graft.operators.Bfs]] for why min-over-levels beats the
     // textbook visited-set anti-join in a lazily chained plan).
     "graph_bfs" -> { (s, dir) =>
-      // the edge build feeds one symmetrize-union per hop → persist
-      // once ([[coPurchaseEdges]]), release after the eager checkpoint
+      // persist the SYMMETRIZED adjacency, not just the edges (round-18,
+      // the graph_ppr pattern): the hop joins now broadcast the frontier
+      // explicitly, so no shuffle materializes the adjacency between
+      // hops — an unpersisted union would re-derive it per hop; released
+      // after the eager checkpoint
       val e = coPurchaseEdges(s, dir)
-      try graft.operators.Bfs.hopDistances(e, seedParts(s, dir), maxHops = BfsHops)
+      val adj = e.select(col("a").as("v"), col("b").as("n"))
+        .unionAll(e.select(col("b").as("v"), col("a").as("n")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try graft.operators.Bfs.hopDistancesOnAdj(adj, seedParts(s, dir),
+          maxHops = BfsHops)
         .orderBy(col("node"))
         .localCheckpoint()
-      finally { e.unpersist(false); () }
+      finally { adj.unpersist(false); e.unpersist(false); () }
     },
 
     // -- semi-supervised label propagation (categorical diffusion) -----------
@@ -525,14 +540,20 @@ object Extra7 {
     // and the oracle's recursive CTE references the iteration exactly
     // once ([[graft.operators.LabelProp]]).
     "graph_labelprop" -> { (s, dir) =>
+      // persist the symmetrized adjacency (round-18, the graph_bfs/
+      // graph_kcore rule above — the vote join broadcasts the label
+      // state, so the adjacency is never materialized by a shuffle)
       val e = coPurchaseEdges(s, dir)
+      val adj = e.select(col("a").as("v"), col("b").as("n"))
+        .unionAll(e.select(col("b").as("v"), col("a").as("n")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val seeds = Tables(s, dir, "part")
         .filter(col("p_size") === 50)
         .select(col("p_partkey").as("v"), col("p_brand").as("label"))
-      try graft.operators.LabelProp.propagate(e, seeds, rounds = LpRounds)
+      try graft.operators.LabelProp.propagateOnAdj(adj, seeds, rounds = LpRounds)
         .orderBy(col("node"))
         .localCheckpoint()
-      finally { e.unpersist(false); () }
+      finally { adj.unpersist(false); e.unpersist(false); () }
     },
 
     // -- weighted shortest path (bounded Bellman-Ford) ------------------------
@@ -548,11 +569,19 @@ object Extra7 {
     // Integer weights throughout: exact min arithmetic, no
     // cross-engine float drift on path-cost ties.
     "graph_sssp" -> { (s, dir) =>
+      // persist the symmetrized weighted adjacency (round-18, the
+      // graph_bfs rule above): the relaxation joins broadcast the state,
+      // so the adjacency never materializes via a shuffle — unpersisted,
+      // each of the four rounds would re-derive it from the edge blocks
       val e = coPurchaseWeighted(s, dir)
-      try graft.operators.Bfs.weightedDistances(e, seedParts(s, dir), rounds = SsspRounds)
+      val sym = e.select(col("a").as("v"), col("b").as("n"), col("w"))
+        .unionAll(e.select(col("b").as("v"), col("a").as("n"), col("w")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try graft.operators.Bfs.weightedDistancesOnSym(sym, seedParts(s, dir),
+          rounds = SsspRounds)
         .orderBy(col("node"))
         .localCheckpoint()
-      finally { e.unpersist(false); () }
+      finally { sym.unpersist(false); e.unpersist(false); () }
     },
 
     // -- the production pipeline at 100 TB shape -----------------------------

@@ -52,15 +52,21 @@ object Extra8 {
     */
   private[queries] def linkpredTopK(adj: DataFrame, deg: DataFrame,
                                     seeds: DataFrame): DataFrame = {
+    // sn is seed-neighbourhood-sized (|seeds| × avg degree) — EXPLICITLY
+    // broadcast into the wedge fan and the known-link anti join (guide
+    // §3.1, the Bfs/KCore broadcastState rule): its post-join size
+    // estimate otherwise makes the initial plan shuffle the ADJACENCY
+    // (plans/r18: one adjacency-sized exchange in graph_linkpred_idx
+    // before the fix, with AQE's broadcast conversion landing after it).
     val sn = seeds.join(adj, col("seed") === col("v"))
       .select(col("seed"), col("n"))
-    val wedge = sn.join(adj.select(col("v").as("n"), col("n").as("cand")),
-        Seq("n"))
+    val wedge = broadcast(sn)
+      .join(adj.select(col("v").as("n"), col("n").as("cand")), Seq("n"))
       .filter(col("cand") =!= col("seed"))
       .groupBy(col("seed"), col("cand"))
       .agg(count(lit(1)).as("common"))
       // NEW links only: drop candidates already adjacent to the seed
-      .join(sn.select(col("seed"), col("n").as("cand")),
+      .join(broadcast(sn.select(col("seed"), col("n").as("cand"))),
         Seq("seed", "cand"), "left_anti")
     val scored = wedge
       .join(deg.select(col("v").as("seed"), col("d").as("ds")), "seed")
@@ -88,8 +94,11 @@ object Extra8 {
     // map-side expansions meeting in one equi hash join — linear where
     // the oracle form is quadratic.
     "text_editdist_blocked" -> { (s, dir) =>
-      val p = Tables(s, dir, "documents")
-        .select(col("doc_id").as("id"), substring(col("text"), 1, 120).as("t"))
+      // spread: the segment/probe expansions are the dominant row-local
+      // stages and the fixture scan plans one task (round-18,
+      // Tables.spread)
+      val p = Tables.spread(Tables(s, dir, "documents")
+        .select(col("doc_id").as("id"), substring(col("text"), 1, 120).as("t")))
       graft.operators.EditDistJoin.pairs(p, k = EditDistK)
         .orderBy(col("d1"), col("d2"))
     },
@@ -103,8 +112,9 @@ object Extra8 {
     // (the quadratic pair CTE feeds the reach closure, so the hash pins
     // both the blocking's exactness AND the clustering).
     "dedup_editdist_cluster" -> { (s, dir) =>
-      val p = Tables(s, dir, "documents")
-        .select(col("doc_id").as("id"), substring(col("text"), 1, 120).as("t"))
+      // spread: the text_editdist_blocked rule (the pair stage is shared)
+      val p = Tables.spread(Tables(s, dir, "documents")
+        .select(col("doc_id").as("id"), substring(col("text"), 1, 120).as("t")))
       val edges = graft.operators.EditDistJoin.pairs(p, EditDistK)
         .select(col("d1").as("src"), col("d2").as("dst"))
       graft.operators.ConnectedComponents.clusterLabels(
@@ -150,9 +160,11 @@ object Extra8 {
     // discipline as text_editdist_blocked — the quadratic cross
     // product is the truth the blocking must reproduce exactly.
     "text_editdist_cross" -> { (s, dir) =>
-      val p = Tables(s, dir, "documents")
+      // spread: the text_editdist_blocked rule (probe generation is the
+      // dominant row-local stage)
+      val p = Tables.spread(Tables(s, dir, "documents")
         .select(col("doc_id").as("id"), col("source"),
-          substring(col("text"), 1, 120).as("t"))
+          substring(col("text"), 1, 120).as("t")))
       val isLeft = col("source").isin("src0", "src1", "src2", "src3", "src4")
       graft.operators.EditDistJoin.pairsAcross(
           p.filter(isLeft).drop("source"),

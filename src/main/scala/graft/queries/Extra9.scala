@@ -104,10 +104,15 @@ object Extra9 {
     for (_ <- 1 to PprIters) {
       // contribution weight per SOURCE first (node-sized join), then one
       // edge join fans it out — never pr/deg per edge twice (the
-      // graph_pagerank shape)
+      // graph_pagerank shape). w is EXPLICITLY broadcast (guide §3.1,
+      // the Bfs/KCore broadcastState rule): its post-aggregation size
+      // estimate otherwise makes the initial plan shuffle the ADJACENCY
+      // per round, and AQE's runtime broadcast conversion lands only
+      // after that exchange has run (plans/r18: 4 adjacency-sized
+      // exchanges in graph_ppr_idx before the fix).
       val w = ranks.join(deg, ranks("node") === deg("v"))
         .select(col("node"), (lit(1.0 - PprAlpha) * col("pr") / col("d")).as("w"))
-      val fan = adj.join(w, adj("v") === w("node"))
+      val fan = adj.join(broadcast(w), adj("v") === w("node"))
         .select(adj("n").as("node"), col("w").as("c"))
       ranks = fan.unionAll(restart)
         .groupBy(col("node"))
@@ -328,7 +333,10 @@ object Extra9 {
     // and one broadcast-ish join back; everything between is
     // vocab-sized ([[graft.operators.BpeTrain.encodeWords]]).
     "text_bpe_encode" -> { (s, dir) =>
-      val docw = Tables(s, dir, "documents")
+      // spread before the word explode (round-18, Tables.spread): the
+      // tokenize pass otherwise serializes on the fixture's one-task scan
+      val docw = Tables.spread(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
         .select(col("doc_id"), explode(filter(split(lower(col("text")), " "),
           (t: Column) => t =!= "")).as("w"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

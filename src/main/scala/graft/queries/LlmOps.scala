@@ -35,7 +35,12 @@ object LlmOps {
     */
   private[queries] def shingleRowsRaw(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables(s, dir, "documents")
+    // spread BEFORE the tokenize/flatMap (round-18, Tables.spread): the
+    // single-row-group fixture scan plans one task, so the shingle
+    // stage — every consumer's dominant row-local compute — would
+    // otherwise serialize on one core; on a many-file layout spread is
+    // a no-op
+    Tables.spread(Tables(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
       .as[(Long, Seq[String])]
       .flatMap { case (id, t) =>
@@ -570,8 +575,12 @@ object LlmOps {
     // (Lee et al. 2022) in its k-gram relational form; see
     // [[graft.operators.SubstringDedup]] for the sort-free plan shape.
     "dedup_substring" -> { (s, dir) =>
+      // spread: the gram explode + capped collect is the dominant
+      // row-local stage and the fixture scan plans one task (round-18,
+      // Tables.spread)
       graft.operators.SubstringDedup
-        .candidates(Tables(s, dir, "documents"), mode = "exact")
+        .candidates(Tables.spread(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"))), mode = "exact")
         .orderBy(col("d1"), col("d2"))
     }
   )

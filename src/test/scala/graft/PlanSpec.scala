@@ -687,17 +687,19 @@ class PlanSpec extends AnyFunSuite {
       "an unexpected join appeared in the scoring path")
   }
 
-  test("graph_pagerank: every per-round exchange is post-combine (node-sized)") {
-    // What keeps the rounds O(edges) COMPUTE but only O(nodes) NETWORK:
-    // each round's groupBy(dst) must map-side combine BEFORE its
-    // exchange, so the per-round shuffle carries ≤ nodes×partitions
-    // rows, never the edge relation. (The cached edges are also
-    // pre-partitioned by dst, but an AQE-wrapped cached plan does not
-    // expose its partitioning to consumers — EnsureRequirements still
-    // inserts the exchange, and the partial aggregate is what makes it
-    // cheap. This gate pins the partial aggregate, the property that
-    // actually bounds the wire.) Propagate joins must broadcast the
-    // node-sized side, never sort-merge the edges.
+  test("graph_pagerank: rounds reuse the cached dst-partitioning — zero per-round exchanges") {
+    // Round-18 strengthening of the old "every per-round exchange is
+    // post-combine" gate. The contribution side is now EXPLICITLY
+    // broadcast into the fan join (guide §3.1), so the join preserves
+    // the cached edge relation's dst hash-partitioning and each round's
+    // groupBy(dst) rides it with NO exchange at all — the per-round
+    // wire is the node-sized broadcast, nothing else. The old gate's
+    // "AQE-wrapped cached plans don't expose partitioning" caveat
+    // applied to the sort-merge-by-src plan this replaced; with the
+    // stream side untouched, the cached partitioning carries through.
+    // Regression direction: a dst-keyed ENSURE_REQUIREMENTS exchange
+    // reappearing means the rounds shuffle again (the initial-plan SMJ
+    // pathology); sort-merge/cartesian joins stay forbidden.
     val nodes = executedPlans("graph_pagerank").flatMap(p => flattenPlan(p._2))
     val roundExchanges = nodes.collect {
       case e: ShuffleExchangeExec
@@ -707,14 +709,12 @@ class PlanSpec extends AnyFunSuite {
             .expressions.head.toString.contains("dst") &&
           e.shuffleOrigin.toString == "ENSURE_REQUIREMENTS" => e
     }
-    assert(roundExchanges.nonEmpty, "no round exchanges captured — vacuous")
-    roundExchanges.foreach { e =>
-      assert(flattenPlan(e.child).exists {
-        case a: BaseAggregateExec =>
-          a.aggregateExpressions.exists(_.mode.toString.contains("Partial"))
-        case _ => false
-      }, s"a round's exchange carries un-combined edge rows:\n$e")
-    }
+    assert(roundExchanges.isEmpty,
+      s"a per-round dst exchange reappeared — the fan join stopped " +
+        s"preserving the cached dst-partitioning:\n${roundExchanges.mkString("\n")}")
+    assert(nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "no broadcast join captured — the contribution side lost its hint (vacuous)")
     assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
       "a propagate join degenerated to sort-merge — node-sized sides must broadcast")
     assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]), "cartesian appeared")
