@@ -72,7 +72,7 @@ object LabelProp {
     */
   def propagateOnAdj(symAdj: DataFrame, seeds: DataFrame,
                      rounds: Int,
-                     broadcastState: Boolean = true): DataFrame = {
+                     broadcastState: Boolean = false): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val seed = seeds.toDF("v", "label")
       .groupBy(col("v")).agg(min(col("label")).as("label"))
@@ -80,11 +80,20 @@ object LabelProp {
       .union(seed.select(col("v"), col("v").as("n"), lit(ClampWeight).as("wt")))
     val w = Window.partitionBy(col("v"))
       .orderBy(col("wt").desc, col("label").asc)
-    // broadcastState: the Bfs/KCore rule (guide §3.1) — the label state
-    // is node-sized, but its post-vote size estimate makes the initial
-    // plan shuffle the ADJACENCY per round (plans/r18: two
-    // adjacency-sized exchanges in graph_labelprop_idx before the fix).
-    // False = node-keyed shuffle joins, the billion-node escape.
+    // broadcastState: OFF by default — the forced broadcast MEASURED
+    // SLOWER in round-18's full-surface close lane where it counts
+    // most, the steady-state serving row: graph_labelprop_idx read
+    // 6.63/8.48 s (passes) with the broadcast forced vs a stable
+    // 4.17/3.99 across two full runs without it (same boot, artifact-
+    // warm both times); the build-included row read equal (6.3 vs
+    // 6.4/6.6). Mechanically: each vote round's widest relation (the
+    // join fan-out) is re-keyed to n and exchanged for the (v, label)
+    // weight sum REGARDLESS of join strategy, so the broadcast saves no
+    // edge movement — the shuffle plan's identical per-round adjacency
+    // exchange is planned once and REUSED (ReusedExchange) — while the
+    // forced build adds an eager per-round broadcast job over the
+    // chained state plan. True remains available for layouts where the
+    // adjacency exchange cannot be reused.
     def bc(df: DataFrame): DataFrame =
       if (broadcastState) broadcast(df) else df
     var cur = seed

@@ -302,18 +302,17 @@ object Extra10 {
           rounds = Extra7.LpRounds)
         .localCheckpoint()
       val mRow = g.edges.agg(count(lit(1)).as("m"))
-      // labels is node-sized and checkpointed — EXPLICITLY broadcast
-      // into the two e_in joins (guide §3.1, the Bfs/KCore
-      // broadcastState rule): the checkpointed frame's size estimate
-      // otherwise planned both joins sort-merge, shuffling the cached
-      // EDGE relation twice (plans/r18: graph_modularity's initial plan
-      // before the fix; AQE converted to broadcast only after the edge
-      // exchanges had run).
+      // labels is node-sized and checkpointed; the two e_in joins take
+      // it UNHINTED — forcing the broadcast was tried in round-18 and
+      // measured SLOWER in the full-surface close lane (8.2 → 11.4 s vs
+      // a 1.16× window): the checkpointed node-sized frame broadcasts
+      // under AQE's runtime conversion anyway when small, and the forced
+      // build added two eager broadcast jobs over the label plan.
       val ein = g.edges
-        .join(broadcast(labels.select(col("node").as("a"),
-          col("label").as("la"))), "a")
-        .join(broadcast(labels.select(col("node").as("b"),
-          col("label").as("lb"))), "b")
+        .join(labels.select(col("node").as("a"),
+          col("label").as("la")), "a")
+        .join(labels.select(col("node").as("b"),
+          col("label").as("lb")), "b")
         .filter(col("la") === col("lb"))
         .select(col("la").as("label"))
         .groupBy(col("label")).agg(count(lit(1)).as("e_in"))

@@ -540,20 +540,21 @@ object Extra7 {
     // and the oracle's recursive CTE references the iteration exactly
     // once ([[graft.operators.LabelProp]]).
     "graph_labelprop" -> { (s, dir) =>
-      // persist the symmetrized adjacency (round-18, the graph_bfs/
-      // graph_kcore rule above — the vote join broadcasts the label
-      // state, so the adjacency is never materialized by a shuffle)
+      // persist the EDGES only and let the vote rounds run node-keyed
+      // shuffle joins (round-18 A/B, full close lane: the forced
+      // per-round state broadcast + symmetrized-adjacency persist read
+      // equal here and 40% SLOWER on the shared-operator
+      // graph_labelprop_idx row — the rounds' identical adjacency
+      // exchange is planned once and REUSED, so the broadcast saves no
+      // edge movement; see LabelProp.propagateOnAdj)
       val e = coPurchaseEdges(s, dir)
-      val adj = e.select(col("a").as("v"), col("b").as("n"))
-        .unionAll(e.select(col("b").as("v"), col("a").as("n")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
       val seeds = Tables(s, dir, "part")
         .filter(col("p_size") === 50)
         .select(col("p_partkey").as("v"), col("p_brand").as("label"))
-      try graft.operators.LabelProp.propagateOnAdj(adj, seeds, rounds = LpRounds)
+      try graft.operators.LabelProp.propagate(e, seeds, rounds = LpRounds)
         .orderBy(col("node"))
         .localCheckpoint()
-      finally { adj.unpersist(false); e.unpersist(false); () }
+      finally { e.unpersist(false); () }
     },
 
     // -- weighted shortest path (bounded Bellman-Ford) ------------------------
