@@ -87,10 +87,23 @@ object Bfs {
                         broadcastFrontier: Boolean = true): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val seed = seeds.toDF("v").distinct()
+    // true defers to the session conf ([[Hints.nodeState]], round-19):
+    // one switch turns every per-round state broadcast off at
+    // billion-node scale; false stays a hard off.
     def bc(df: DataFrame): DataFrame =
-      if (broadcastFrontier) broadcast(df) else df
+      if (broadcastFrontier) Hints.nodeState(df) else df
+    // Probe the broadcast frontier against the adjacency's n side and
+    // KEEP v (round-19, guide §2.4): on a SYMMETRIC adjacency,
+    // {v : (v, n) ∈ adj, n ∈ F} ≡ {n : (v, n) ∈ adj, v ∈ F} — the same
+    // level set — but the broadcast join preserves the STREAM side's
+    // partitioning, so when the caller persisted adj hash-partitioned
+    // by v (the graph_kcore / Graphs.index layout) each level's
+    // `distinct` clusters on an already-partitioned column and plans NO
+    // per-hop exchange (3 exchanges → 0 in plans/r19's graph_bfs).
     val levels = Iterator.iterate(seed)(frontier =>
-      bc(frontier).join(adj, "v").select(col("n").as("v")).distinct()
+      adj.join(bc(frontier.withColumnRenamed("v", "_f")),
+          col("n") === col("_f"))
+        .select(adj("v")).distinct()
     ).take(maxHops + 1).zipWithIndex.map { case (lvl, h) =>
       lvl.select(col("v"), lit(h.toLong).as("d"))
     }.reduce(_.union(_))
@@ -156,7 +169,7 @@ object Bfs {
     // AQE's too-late broadcast conversion). False = node-keyed shuffle
     // joins, the billion-node escape.
     def bc(df: DataFrame): DataFrame =
-      if (broadcastState) broadcast(df) else df
+      if (broadcastState) Hints.nodeState(df) else df
     var state = seed.select(col("v"), lit(0L).as("d"))
     for (_ <- 1 to rounds) {
       state = bc(state).join(adj, "v")

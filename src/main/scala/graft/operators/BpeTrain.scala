@@ -63,8 +63,24 @@ object BpeTrain {
     require(merges >= 1, s"merges must be >= 1, got $merges")
     val spark = words.sparkSession
     val wOrder = Window.partitionBy(col("w")).orderBy(col("p"))
-    // character seed: one row per (word, position), weighted by count
-    var st = Checkpoints.snap(words
+    // Round-19 (guide §2.4): checkpoint DIRECTLY, without
+    // [[Checkpoints.snap]]'s stats-resetting wrapper — the wrapper's
+    // raw-RDD re-wrap DROPS the physical (w)-hash partitioning, so
+    // every round's first (w) window re-exchanged the symbol state
+    // (plans/r19: 36 hashpartitioning(w) exchanges across one
+    // text_bpe_encode run; ~2 per training round). A bare
+    // localCheckpoint keeps the partitioning in its LogicalRDD leaf and
+    // each round's windows ride it. snap's stats-squaring rationale
+    // does not apply here: every round's plan references the state
+    // exactly ONCE (best-pair and applyMerge are separate actions), so
+    // the size estimate carries, never compounds.
+    def snapped(df: DataFrame): (DataFrame, DataFrame) = {
+      val chk = df.localCheckpoint()
+      (chk, chk)
+    }
+    // character seed: one row per (word, position), weighted by count —
+    // already (w)-clustered by the caller's word-count aggregate
+    var st = snapped(words
       .select(col("w"), col("c"),
         explode(sequence(lit(1), length(col("w")))).as("p"))
       .select(col("w"), col("c"), col("p"),
@@ -84,7 +100,7 @@ object BpeTrain {
       val (l, r, f) = (best(0).getString(0), best(0).getString(1),
         best(0).getLong(2))
       learned += ((step, l, r, l + r, f))
-      val nextSnap = Checkpoints.snap(applyMerge(st._1, l, r))
+      val nextSnap = snapped(applyMerge(st._1, l, r))
       Checkpoints.free(st._2)
       st = nextSnap
       if (roundHook != null) roundHook(step, st._1.count())
@@ -127,19 +143,39 @@ object BpeTrain {
 
   /** ENCODE with a learned merge table: apply `merges` (ordered (l, r)
     * pairs, driver-side — a merge table is tokenizer metadata, k rows)
-    * to every distinct word and return (w, n_bpe) token counts. The
-    * per-word application is the trainer's [[applyMerge]] chained
-    * LAZILY k times — encoding has no per-round data dependence, so
-    * unlike training it is ONE plan with no driver actions, and the
-    * whole encode is vocab-sized (the corpus pays only the word-count
-    * pass and the final join back).
+    * to every distinct word and return (w, n_bpe) token counts.
+    *
+    * Round-19 shape (optimization guide §1.2 "per-task work" after the
+    * round-18 plans showed the cost was STRUCTURE, not bytes): the old
+    * form chained the trainer's [[applyMerge]] k times — k × 3 window
+    * partition keys = up to 3k exchanges + sorts over the symbol state
+    * for ~1 MB of data (BENCH_DETAIL r18: text_bpe_encode moved 1.1 MB
+    * in 99 tasks and still cost 5.5 s — pure stage latency). Encoding
+    * has no per-round data dependence, so the merge table (tokenizer
+    * METADATA, k rows) broadcasts and each DISTINCT word replays the k
+    * merges in one row-local pass — zero exchanges, zero sorts, the
+    * [[encodeWordsVocab]] per-distinct-word-UDF precedent. The replay
+    * is the textbook left-to-right scan ([[referenceEncode]]'s exact
+    * loop; BpeSpec pins equality, and the relational [[applyMerge]]
+    * was itself spec-pinned to the same reference).
     */
   def encodeWords(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    val seed = words
-      .select(col("w"), explode(sequence(lit(1), length(col("w")))).as("p"))
-      .select(col("w"), col("p"), col("w").substr(col("p"), lit(1)).as("t"))
-    merges.foldLeft(seed) { case (st, (l, r)) => applyMerge(st, l, r) }
-      .groupBy(col("w")).agg(count(lit(1)).as("n_bpe"))
+    val bc = words.sparkSession.sparkContext.broadcast(merges.toArray)
+    val nBpe = udf { (w: String) =>
+      var toks: Vector[String] = w.map(_.toString).toVector
+      bc.value.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        toks = out.toVector
+      }
+      toks.length.toLong
+    }
+    words.select(col("w"), nBpe(col("w")).as("n_bpe"))
   }
 
   /** ENCODE by LONGEST MATCH against a broadcast vocabulary — the

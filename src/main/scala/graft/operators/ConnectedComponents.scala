@@ -57,7 +57,12 @@ object ConnectedComponents {
       sym.join(m, "src")
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
-        .distinct()
+      // Round-19: NO distinct here (one exchange per round saved,
+      // guide §2.4). Output is ≤ one row per sym row, duplicates only
+      // where several sources hook the same (v → m); smallStar's
+      // per-source MIN is duplicate-insensitive and its own closing
+      // distinct canonicalizes the round's edge set, so the iterate is
+      // unchanged (CcSpec pins componentsStar ≡ components).
     }
     def smallStar(e: DataFrame): DataFrame = {
       // orient every edge big→small, then hook small neighbours + self
@@ -114,8 +119,16 @@ object ConnectedComponents {
   }
 
   def components(edges: DataFrame, maxIterations: Int = 20): DataFrame = {
+    // Round-19 (guide §2.4): checkpoint the symmetrized edge relation
+    // PRE-PARTITIONED on dst — the per-round propagate join's key.
+    // localCheckpoint preserves the physical partitioning in its
+    // LogicalRDD leaf, so every round's join sees the EDGE side already
+    // clustered and only exchanges the node-sized label state; before,
+    // each round's fresh job re-shuffled the edge relation (rounds are
+    // separate actions — ReusedExchange never applies across them).
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
       .localCheckpoint()
     var labels = sym.select(col("src").as("v")).distinct()
       .withColumn("c", col("v"))

@@ -129,6 +129,15 @@ object Graphs {
     p
   }
 
+  /** Layout-adaptive spread for corpus-sized artifact frames on reload
+    * (the [[graft.Tables.spread]] rule, round-19): a small saved frame
+    * loads as one scan task and would serialize every map-side pass
+    * over the persisted blocks; production-sized artifacts (many
+    * splittable files) are untouched. Node-sized frames (deg) stay
+    * as-is; adj takes the v-repartition instead.
+    */
+  private def spread(df: DataFrame): DataFrame = graft.Tables.spread(df)
+
   /** Prebuilt unweighted graph over `edges` (must carry (a, b),
     * canonical a < b, deduped — the [[Triangles]]/[[KCore]]/[[Bfs]]
     * contract; the frame is consumed LAZILY, only on first build).
@@ -155,7 +164,12 @@ object Graphs {
           loadIfCommitted[GraphIndex](session, key, base, "graph") { d =>
             GraphIndex(
               materialized(Artifacts.frame(session, d, "edges")),
-              materialized(Artifacts.frame(session, d, "adj")),
+              // same v-partitioning as the built form ([[buildIndex]]):
+              // parquet loses partitioning, so re-establish it here —
+              // one load-time shuffle buys zero per-round exchanges in
+              // every serving consumer
+              materialized(Artifacts.frame(session, d, "adj")
+                .repartition(col("v"))),
               materialized(Artifacts.frame(session, d, "deg")),
               materialized(Artifacts.frame(session, d, "oriented")))
           }).getOrElse {
@@ -170,9 +184,16 @@ object Graphs {
                          session: SparkSession): GraphIndex =
     memo(session, key) {
       val e = materialized(edges)
+      // adjacency PRE-PARTITIONED BY v (round-19, guide §2.4 — the
+      // graph_pagerank zero-per-round-exchange pattern): every serving
+      // consumer (kcore's h-steps, bfs's level distincts, the degree
+      // seed below) clusters on v, and their per-round state joins are
+      // broadcasts that preserve the stream side's partitioning — so
+      // the per-round exchanges ride this ONE build-time shuffle.
       val adj = materialized(
         e.select(col("a").as("v"), col("b").as("n"))
-          .unionAll(e.select(col("b").as("v"), col("a").as("n"))))
+          .unionAll(e.select(col("b").as("v"), col("a").as("n")))
+          .repartition(col("v")))
       val deg = materialized(adj.groupBy(col("v")).agg(count(lit(1)).as("d")))
       // orientation from the persisted degree table (not a third degree
       // pass): point each edge at its higher-(degree, id) endpoint —
@@ -535,7 +556,10 @@ object Graphs {
         case "graph" =>
           installLoaded(s, key, rev)(GraphIndex(
             materialized(Artifacts.frame(s, d, "edges")),
-            materialized(Artifacts.frame(s, d, "adj")),
+            // re-establish the built form's v-partitioning (the
+            // [[index]] reload rule): parquet loses it
+            materialized(Artifacts.frame(s, d, "adj")
+              .repartition(col("v"))),
             materialized(Artifacts.frame(s, d, "deg")),
             materialized(Artifacts.frame(s, d, "oriented"))))
           true

@@ -98,7 +98,7 @@ object KCore {
     val s = state.select(col("v").as("n"), col("c").as("nc"))
     val w = Window.partitionBy(col("v")).orderBy(col("nc").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    adj.join(if (bcastState) broadcast(s) else s, Seq("n"))
+    adj.join(if (bcastState) Hints.nodeState(s) else s, Seq("n"))
       .groupBy(col("v"), col("nc")).agg(count(lit(1)).as("k"))
       .select(col("v"), least(col("nc"), sum(col("k")).over(w)).as("m"))
       .groupBy(col("v")).agg(max(col("m")).cast("int").as("c"))

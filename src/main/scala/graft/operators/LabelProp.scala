@@ -95,7 +95,7 @@ object LabelProp {
     // chained state plan. True remains available for layouts where the
     // adjacency exchange cannot be reused.
     def bc(df: DataFrame): DataFrame =
-      if (broadcastState) broadcast(df) else df
+      if (broadcastState) Hints.nodeState(df) else df
     var cur = seed
     for (_ <- 1 to rounds) {
       cur = bc(cur).join(adj, "v")

@@ -59,6 +59,49 @@ object Triangles {
   def triangleRows(edges: DataFrame): DataFrame =
     triangleRowsAcross(edges, edges, edges)
 
+  /** [[triangleRows]] with a Bloom-filter WEDGE PRUNE (optimization
+    * guide §3.2 — pre-filter the big side before shuffling it): the
+    * wedge relation (Σ outdeg² rows) is the plan's dominant exchange,
+    * yet only wedges whose closing edge (u, w) EXISTS survive the
+    * second join — a tiny fraction on sparse graphs. A Bloom filter
+    * over the closing-edge keys, broadcast and applied BETWEEN the two
+    * joins (map-side, in the wedge join's own stage), drops
+    * definitely-non-closing wedges before they cross the wire. False
+    * positives only cost their own shuffle bytes — the exact closing
+    * equi join re-checks every survivor, so the output is IDENTICAL
+    * (no false negatives; TrianglesSpec pins pruned ≡ unpruned).
+    *
+    * `expectedEdges` sizes the filter (callers hold the edge relation
+    * persisted, so a count is one cached scan; ≥ true count keeps the
+    * fpp honest). Scale note: the filter costs ~10 bits/edge at 1% fpp
+    * — ~1.2 GB per 10⁹ edges — so at extreme edge counts callers
+    * should fall back to [[triangleRows]] (the broadcast must fit every
+    * executor, the guide's §3.2 cost paragraph); the query call sites
+    * gate on [[BloomPruneMaxEdges]].
+    */
+  def triangleRowsPruned(edges: DataFrame, expectedEdges: Long,
+                         fpp: Double = 0.01): DataFrame = {
+    val bf = edges.select(xxhash64(col("a"), col("b")).as("k"))
+      .stat.bloomFilter("k", math.max(expectedEdges, 1L), fpp)
+    val bfB = edges.sparkSession.sparkContext.broadcast(bf)
+    val mightClose = udf((k: Long) => bfB.value.mightContainLong(k))
+    edges.alias("e1")
+      .join(edges.alias("e2").hint("shuffle_hash"),
+        col("e1.b") === col("e2.a"))
+      // the prune sits ABOVE the wedge join and BELOW the closing
+      // join's exchange — plan-checked in plans/r19
+      .filter(mightClose(xxhash64(col("e1.a"), col("e2.b"))))
+      .join(edges.alias("e3").hint("shuffle_hash"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("u"), col("e1.b").as("v"), col("e2.b").as("w"))
+  }
+
+  /** Edge-count ceiling for the wedge-prune Bloom filter (~10 bits per
+    * edge at 1% fpp ⇒ ~600 MB at this cap — a broadcast every executor
+    * can hold). Above it, callers run the unpruned enumeration.
+    */
+  val BloomPruneMaxEdges: Long = 500000000L
+
   /** Triangles containing ≥ 1 edge of `fresh`, given `olds` DISJOINT
     * from it (both oriented by the same total order) — the exact
     * INCREMENTAL delta Δtri(olds ∪ fresh) − tri(olds), enumerated once
@@ -82,7 +125,21 @@ object Triangles {
     * partial count) rows cross the wire.
     */
   def perNodeCounts(edges: DataFrame): DataFrame =
-    triangleRows(edges)
+    countCorners(triangleRows(edges))
+
+  /** [[perNodeCounts]] over the Bloom-pruned enumeration — identical
+    * output (the prune has no false negatives and the closing join
+    * verifies every candidate); the query call sites pass the persisted
+    * edge relation's count.
+    */
+  def perNodeCountsPruned(edges: DataFrame, expectedEdges: Long): DataFrame =
+    countCorners(
+      if (expectedEdges <= BloomPruneMaxEdges)
+        triangleRowsPruned(edges, expectedEdges)
+      else triangleRows(edges))
+
+  private def countCorners(tris: DataFrame): DataFrame =
+    tris
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_triangles"))

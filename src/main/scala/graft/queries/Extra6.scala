@@ -219,15 +219,18 @@ object Extra6 {
         for (_ <- 1 to PrIters) {
           // contribution weight per SOURCE first (node-sized join), then
           // one edge join fans it out — never pr/outdeg per edge twice.
-          // w is EXPLICITLY broadcast (guide §3.1, the Bfs/KCore
-          // broadcastState rule): its post-aggregation size estimate
-          // otherwise makes the initial plan shuffle the cached EDGE
-          // relation by src once per round — the exchange the dst
+          // w is broadcast via Hints.nodeState (guide §3.1, the
+          // Bfs/KCore broadcastState rule): its post-aggregation size
+          // estimate otherwise makes the initial plan shuffle the cached
+          // EDGE relation by src once per round — the exchange the dst
           // pre-partition comment below already conceded; the explicit
-          // hint removes it instead of only keeping it cheap.
+          // hint removes it instead of only keeping it cheap. The conf
+          // escape (round-19, verdict #2) is the billion-node form: a
+          // node-sized w no longer broadcasts at that scale.
           val w = ranks.join(deg, ranks("node") === deg("src"))
             .select(col("node"), (col("pr") / col("outdeg")).as("w"))
-          ranks = edges.join(broadcast(w), edges("src") === w("node"))
+          ranks = edges.join(graft.operators.Hints.nodeState(w),
+              edges("src") === w("node"))
             .groupBy(col("dst"))
             .agg(round(lit(teleport) + lit(PrDamping) * sum(col("w")), 10)
               .as("pr"))

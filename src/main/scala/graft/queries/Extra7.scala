@@ -457,7 +457,13 @@ object Extra7 {
       // id-ordered SQL.
       val oriented = graft.operators.Triangles.orientByDegree(e)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      try graft.operators.Triangles.perNodeCounts(oriented)
+      // Round-19 (guide §3.2): Bloom-prune the wedge stream against the
+      // closing-edge key set before its exchange — the count below
+      // materializes the persisted orientation (paid anyway) and sizes
+      // the filter; output is identical (the closing join verifies
+      // every candidate), plan-diffed in plans/r19.
+      try graft.operators.Triangles.perNodeCountsPruned(oriented,
+          oriented.count())
         .orderBy(col("node"))
         .localCheckpoint()
       finally { oriented.unpersist(false); e.unpersist(false); () }
@@ -489,10 +495,18 @@ object Extra7 {
       // graph_ppr pattern): with the per-step state join now an
       // explicit broadcast, nothing re-materializes the adjacency
       // between steps, so an unpersisted union would re-derive it from
-      // the edge blocks five times; released after the eager checkpoint
+      // the edge blocks five times; released after the eager checkpoint.
+      // Round-19 (guide §2.4, the graph_pagerank zero-per-round-
+      // exchange pattern): persist PRE-PARTITIONED BY v — each h-index
+      // step's (v, nc) pre-count, (v) cumulative window, and (v) max
+      // all cluster on v, and the state join is a broadcast that
+      // preserves the stream side's partitioning, so EVERY per-step
+      // exchange (2 × KCoreSteps before, plans/r19) rides the one
+      // up-front adjacency shuffle instead.
       val e = coPurchaseEdges(s, dir)
       val adj = e.select(col("a").as("v"), col("b").as("n"))
         .unionAll(e.select(col("b").as("v"), col("a").as("n")))
+        .repartition(col("v"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       try graft.operators.KCore.coreEstimateOnAdj(adj, steps = KCoreSteps)
         .orderBy(col("node"))
@@ -518,10 +532,15 @@ object Extra7 {
       // the graph_ppr pattern): the hop joins now broadcast the frontier
       // explicitly, so no shuffle materializes the adjacency between
       // hops — an unpersisted union would re-derive it per hop; released
-      // after the eager checkpoint
+      // after the eager checkpoint. Round-19 (guide §2.4, the
+      // graph_pagerank pattern): PRE-PARTITIONED BY v — the hop join
+      // probes the frontier against n and keeps v (symmetric adjacency,
+      // same level sets), so each level's distinct rides this
+      // partitioning with no per-hop exchange (plans/r19).
       val e = coPurchaseEdges(s, dir)
       val adj = e.select(col("a").as("v"), col("b").as("n"))
         .unionAll(e.select(col("b").as("v"), col("a").as("n")))
+        .repartition(col("v"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       try graft.operators.Bfs.hopDistancesOnAdj(adj, seedParts(s, dir),
           maxHops = BfsHops)

@@ -52,21 +52,25 @@ object Extra8 {
     */
   private[queries] def linkpredTopK(adj: DataFrame, deg: DataFrame,
                                     seeds: DataFrame): DataFrame = {
-    // sn is seed-neighbourhood-sized (|seeds| × avg degree) — EXPLICITLY
-    // broadcast into the wedge fan and the known-link anti join (guide
-    // §3.1, the Bfs/KCore broadcastState rule): its post-join size
-    // estimate otherwise makes the initial plan shuffle the ADJACENCY
-    // (plans/r18: one adjacency-sized exchange in graph_linkpred_idx
-    // before the fix, with AQE's broadcast conversion landing after it).
+    // sn is seed-neighbourhood-sized (|seeds| × avg degree) — broadcast
+    // via Hints.nodeState into the wedge fan and the known-link anti
+    // join (guide §3.1, the Bfs/KCore broadcastState rule): its
+    // post-join size estimate otherwise makes the initial plan shuffle
+    // the ADJACENCY (plans/r18: one adjacency-sized exchange in
+    // graph_linkpred_idx before the fix, with AQE's broadcast
+    // conversion landing after it). The conf escape (round-19, verdict
+    // #2) is the billion-node form — |seeds|×avg-degree can exceed the
+    // broadcast cap there.
     val sn = seeds.join(adj, col("seed") === col("v"))
       .select(col("seed"), col("n"))
-    val wedge = broadcast(sn)
+    val wedge = graft.operators.Hints.nodeState(sn)
       .join(adj.select(col("v").as("n"), col("n").as("cand")), Seq("n"))
       .filter(col("cand") =!= col("seed"))
       .groupBy(col("seed"), col("cand"))
       .agg(count(lit(1)).as("common"))
       // NEW links only: drop candidates already adjacent to the seed
-      .join(broadcast(sn.select(col("seed"), col("n").as("cand"))),
+      .join(graft.operators.Hints.nodeState(
+          sn.select(col("seed"), col("n").as("cand"))),
         Seq("seed", "cand"), "left_anti")
     val scored = wedge
       .join(deg.select(col("v").as("seed"), col("d").as("ds")), "seed")

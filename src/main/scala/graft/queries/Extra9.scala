@@ -104,15 +104,17 @@ object Extra9 {
     for (_ <- 1 to PprIters) {
       // contribution weight per SOURCE first (node-sized join), then one
       // edge join fans it out — never pr/deg per edge twice (the
-      // graph_pagerank shape). w is EXPLICITLY broadcast (guide §3.1,
-      // the Bfs/KCore broadcastState rule): its post-aggregation size
-      // estimate otherwise makes the initial plan shuffle the ADJACENCY
-      // per round, and AQE's runtime broadcast conversion lands only
-      // after that exchange has run (plans/r18: 4 adjacency-sized
-      // exchanges in graph_ppr_idx before the fix).
+      // graph_pagerank shape). w is broadcast via Hints.nodeState
+      // (guide §3.1, the Bfs/KCore broadcastState rule): its
+      // post-aggregation size estimate otherwise makes the initial plan
+      // shuffle the ADJACENCY per round, and AQE's runtime broadcast
+      // conversion lands only after that exchange has run (plans/r18: 4
+      // adjacency-sized exchanges in graph_ppr_idx before the fix). The
+      // conf escape (round-19, verdict #2) is the billion-node form.
       val w = ranks.join(deg, ranks("node") === deg("v"))
         .select(col("node"), (lit(1.0 - PprAlpha) * col("pr") / col("d")).as("w"))
-      val fan = adj.join(broadcast(w), adj("v") === w("node"))
+      val fan = adj.join(graft.operators.Hints.nodeState(w),
+          adj("v") === w("node"))
         .select(adj("n").as("node"), col("w").as("c"))
       ranks = fan.unionAll(restart)
         .groupBy(col("node"))
@@ -136,8 +138,11 @@ object Extra9 {
     "graph_triangles_idx" -> { (s, dir) =>
       // the cached orientation is derived from the cached degree table,
       // so the wedge stream starts immediately — the two node-sized
-      // orientation joins the sibling pays per call are build-time here
-      Triangles.perNodeCounts(graph(s, dir).oriented)
+      // orientation joins the sibling pays per call are build-time here.
+      // Round-19 (guide §3.2): Bloom-prune the wedge stream against the
+      // closing-edge keys; the sizing count is one cached-scan job.
+      val o = graph(s, dir).oriented
+      Triangles.perNodeCountsPruned(o, o.count())
         .orderBy(col("node"))
     },
 

@@ -59,14 +59,69 @@ object Windows {
     },
 
     // -- distribution functions ----------------------------------------------
+    // Round-19 (verdict #3, guide §2): the direct form is a GLOBAL
+    // window — `WindowExec: Moving all data to a single partition`, one
+    // task for the whole table, serial at any scale. Rewritten as the
+    // repo's banded two-pass shape (the BandedWindow / sample_mix_dynamic
+    // sharded-cumsum precedent): partition by a value BAND (a monotone
+    // function of the leading sort key, so band order ≡ global order and
+    // tie groups never straddle bands), rank within bands in parallel,
+    // and broadcast per-band row counts as prefix offsets. ntile /
+    // percent_rank / cume_dist are then ARITHMETIC over the exact global
+    // row number / rank / ≤-count and the total — bit-identical to the
+    // window functions they replace (same integer operands, same
+    // divisions), so the oracle SQL and hash are unchanged.
     "win_ntile" -> { (s, dir) =>
-      val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-      Tables(s, dir, "customer")
-        .select(col("c_custkey"),
+      val bandW = 500 // acctbal spans ~[-1k, 10k] ⇒ ~22 bands; at 100 TB
+                      // size the band width to the value domain / cores
+      val wB = Window.partitionBy(col("_b"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      val wBd = Window.partitionBy(col("_b"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").desc)
+      val local = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .withColumn("_b", floor(col("c_acctbal") / bandW).cast("long"))
+        .withColumn("_rn", row_number().over(wB))   // band row number
+        .withColumn("_rk", rank().over(wB))         // band rank (ties)
+        .withColumn("_rkd", rank().over(wBd))       // 1 + rows strictly after
+      // per-band counts → prefix offsets via a bounded triangular self
+      // join (band-count² pairs, ~22² — no global window, no single
+      // partition anywhere in this plan)
+      val bc = local.groupBy(col("_b")).agg(count(lit(1)).as("_bc"))
+      val offs = bc.alias("x")
+        .join(bc.alias("y"), col("y._b") < col("x._b"), "left")
+        .groupBy(col("x._b").as("_b"), col("x._bc").as("_bc"))
+        .agg(coalesce(sum(col("y._bc")), lit(0L)).as("_off"))
+      val tot = bc.agg(sum(col("_bc")).as("_n"))
+      val g = local
+        .join(broadcast(offs), "_b")
+        .crossJoin(broadcast(tot))
+        .withColumn("_grn", col("_off") + col("_rn"))  // global row_number
+        .withColumn("_grk", col("_off") + col("_rk"))  // global rank
+        // rows ≤ mine = offset + (band size − rows strictly after me)
+        .withColumn("_gle", col("_off") + col("_bc") - (col("_rkd") - lit(1L)))
+      // ntile(4) from the global row number — Spark's NTile bucket
+      // arithmetic verbatim: the first (n % 4) buckets hold ⌊n/4⌋+1
+      // rows. `div` (not `/`): Spark's `/` is double division.
+      val g2 = g
+        .withColumn("_bsz", expr("_n div 4"))
+        .withColumn("_rem", col("_n") % lit(4L))
+        .withColumn("_big", (col("_bsz") + lit(1L)) * col("_rem"))
+      val quartile = when(col("_grn") <= col("_big"),
+          expr("(_grn + _bsz) div (_bsz + 1)"))          // ⌈grn/(bsz+1)⌉
+        .otherwise(col("_rem") +
+          expr("(_grn - _big + _bsz - 1) div _bsz"))
+      g2.select(col("c_custkey"),
           Oracle.out(Oracle.dec(col("c_acctbal"))).as("acctbal"),
-          ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cume"))
+          quartile.cast("int").as("quartile"),
+          // PercentRank/CumeDist formulas verbatim: same integer
+          // operands, same double divisions, same rounding
+          round(when(col("_n") > 1,
+              (col("_grk") - lit(1L)).cast("double") /
+                (col("_n") - lit(1L)).cast("double"))
+            .otherwise(lit(0.0)), 6).as("pct_rank"),
+          round(col("_gle").cast("double") / col("_n").cast("double"), 6)
+            .as("cume"))
         .orderBy(col("c_custkey"))
     },
 

@@ -1326,4 +1326,72 @@ class PlanSpec extends AnyFunSuite {
                              // frame's plan is the serve plan either way
     } finally graft.operators.Graphs.clear(spark)
   }
+
+  test("broadcastNodeState escape: off ⇒ no state-side broadcast planned; on ⇒ broadcast (round-19 verdict #2)") {
+    // The billion-node escape for the per-round node-sized broadcasts
+    // in graph_pagerank / graph_ppr / graph_linkpred (and the
+    // Bfs/KCore operator params, which defer to the same conf). Checked
+    // on the INITIAL plan with auto-broadcast disabled, so the only
+    // possible broadcast source is the explicit hint — both directions
+    // asserted, so the gate can never pass vacuously.
+    val targets = Seq("graph_pagerank", "graph_ppr", "graph_linkpred",
+      "graph_kcore", "graph_bfs")
+    // executed plans (several queries end in localCheckpoint, whose
+    // returned frame is an ExistingRDD stub); auto-broadcast disabled
+    // on BOTH the static and the AQE runtime knob, so the only possible
+    // broadcast source is the explicit hint.
+    def hasBroadcast(name: String): Boolean =
+      executedPlans(name).flatMap(p => flattenPlan(p._2)).exists {
+        case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => true
+        case _: BroadcastHashJoinExec => true
+        case _ => false
+      }
+    val autoKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prevAuto = autoKeys.map(k => k -> spark.conf.getOption(k))
+    autoKeys.foreach(spark.conf.set(_, "-1"))
+    try {
+      spark.conf.set(graft.operators.Hints.BroadcastNodeStateKey, "false")
+      targets.foreach { q =>
+        assert(!hasBroadcast(q),
+          s"$q: state broadcast executed with the escape OFF")
+      }
+      spark.conf.set(graft.operators.Hints.BroadcastNodeStateKey, "true")
+      targets.foreach { q =>
+        assert(hasBroadcast(q),
+          s"$q: no state broadcast with the escape ON (vacuous gate)")
+      }
+    } finally {
+      spark.conf.unset(graft.operators.Hints.BroadcastNodeStateKey)
+      prevAuto.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      graft.operators.Graphs.clear(spark)
+    }
+  }
+
+  test("graph_kcore: zero per-step exchanges — every h-index step rides the adjacency's v-partitioning (round-19)") {
+    // The graph_pagerank zero-per-round-exchange discipline applied to
+    // the peel: the adjacency persists PRE-PARTITIONED by v, the state
+    // join is a broadcast that preserves the stream side's
+    // partitioning, and the per-step (v, nc) pre-count, (v) window and
+    // (v) max all cluster on v — so the 2-exchanges-per-step shape
+    // (16 total in plans/r19's before dump) must never come back.
+    // Regression direction: any ENSURE_REQUIREMENTS exchange keyed on
+    // the estimate value nc means a step re-shuffled its pre-count.
+    val nodes = executedPlans("graph_kcore").flatMap(p => flattenPlan(p._2))
+    val stepExchanges = nodes.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[HashPartitioning] &&
+          e.shuffleOrigin.toString == "ENSURE_REQUIREMENTS" &&
+          e.outputPartitioning.asInstanceOf[HashPartitioning]
+            .expressions.exists(_.toString.contains("nc#")) => e
+    }
+    assert(stepExchanges.isEmpty,
+      s"h-index steps re-shuffle their pre-count again:\n${stepExchanges.mkString("\n")}")
+    // non-vacuous: the one REPARTITION_BY_COL adjacency exchange exists
+    assert(nodes.exists {
+      case e: ShuffleExchangeExec => e.shuffleOrigin.toString.startsWith("REPARTITION_BY_COL")
+      case _ => false
+    }, "the up-front adjacency repartition disappeared — gate vacuous")
+  }
 }

@@ -63,6 +63,36 @@ class TrianglesSpec extends AnyFunSuite {
       s"degree orientation must collapse the hub's wedge mass: $before -> $after")
   }
 
+  test("bloom-pruned enumeration equals the unpruned per-node counts (round-19)") {
+    // The wedge prune has no false negatives (Bloom) and the closing
+    // equi join verifies every surviving candidate, so the counts must
+    // be IDENTICAL — on both orientations, and regardless of the
+    // expectedEdges sizing (an undersized filter only raises fpp).
+    val byId = counts(hubEdges)
+    def pruned(e: org.apache.spark.sql.DataFrame, n: Long): Map[Long, Long] =
+      Triangles.perNodeCountsPruned(e, n).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pruned(hubEdges, hubEdges.count()) === byId)
+    assert(pruned(Triangles.orientByDegree(hubEdges), 1L) === byId,
+      "undersized filter changed results — fpp must only cost bytes")
+    // above the broadcast ceiling the prune must fall back, not build
+    // a filter that cannot broadcast
+    assert(pruned(hubEdges, Triangles.BloomPruneMaxEdges + 1L) === byId)
+  }
+
+  test("bloom prune drops non-closing wedges before the closing join (row budget)") {
+    // On the fixture some wedges do not close (e.g. (0, i, i+1) wedges
+    // close but (i−1, i, i+1) rim wedges mostly don't) — the prune must
+    // keep the enumeration exact while having real rows to drop.
+    val wedgesAll = hubEdges.alias("e1")
+      .join(hubEdges.alias("e2"), col("e1.b") === col("e2.a")).count()
+    val survivors = Triangles
+      .triangleRowsPruned(hubEdges, hubEdges.count(), fpp = 0.01)
+    assert(wedgesAll > 40L, s"fixture has no non-closing wedges: $wedgesAll")
+    // 39 hub triangles (0, i, i+1) + the isolated (100, 101, 102)
+    assert(survivors.count() == 40L, "triangle multiset changed under the prune")
+  }
+
   test("orientByDegree emits each edge exactly once, as a valid orientation") {
     val e = Triangles.orientByDegree(hubEdges)
     assert(e.count() == hubEdges.count(), "edge multiplicity changed")
