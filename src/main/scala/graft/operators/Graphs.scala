@@ -129,15 +129,6 @@ object Graphs {
     p
   }
 
-  /** Layout-adaptive spread for corpus-sized artifact frames on reload
-    * (the [[graft.Tables.spread]] rule, round-19): a small saved frame
-    * loads as one scan task and would serialize every map-side pass
-    * over the persisted blocks; production-sized artifacts (many
-    * splittable files) are untouched. Node-sized frames (deg) stay
-    * as-is; adj takes the v-repartition instead.
-    */
-  private def spread(df: DataFrame): DataFrame = graft.Tables.spread(df)
-
   /** Prebuilt unweighted graph over `edges` (must carry (a, b),
     * canonical a < b, deduped — the [[Triangles]]/[[KCore]]/[[Bfs]]
     * contract; the frame is consumed LAZILY, only on first build).

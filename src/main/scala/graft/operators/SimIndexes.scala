@@ -120,18 +120,6 @@ object SimIndexes {
     p
   }
 
-  /** Layout-adaptive spread for CORPUS-SIZED artifact frames on reload
-    * (round-19, verdict #3 of the sim family: the r18 artifact switch
-    * made sim_ivf_idx/sim_pq_idx ~2× slower — a tiny saved index loads
-    * as one scan task, so every probe against the persisted frame ran
-    * single-stream). [[graft.Tables.spread]]'s rule: repartition to the
-    * session default parallelism only when the PLANNED scan parallelism
-    * is below it; a production-sized artifact (many splittable files)
-    * is untouched. Bounded frames (centroids, codebooks) stay as-is —
-    * spreading 8 rows over 32 tasks is pure overhead.
-    */
-  private def spread(df: DataFrame): DataFrame = graft.Tables.spread(df)
-
   /** Prebuilt LSH bucket index over `data` (must carry (vec_id, e)).
     * `artifact` follows the [[Graphs.index]] memo → artifact → build
     * rule; the recorded plane parameters re-validate on load (the

@@ -329,4 +329,29 @@ class PropertySpec extends AnyFunSuite {
     // 97 = 4*24 + 1: bucket 1 gets 25, buckets 2-4 get 24
     assert(nt === Map(1 -> 25L, 2 -> 24L, 3 -> 24L, 4 -> 24L))
   }
+
+  test("win_ntile bucket arithmetic matches Spark's NTile in every remainder class") {
+    // The fixtures' customer counts are all divisible by 4, so the
+    // oracle alone never exercises the remainder>0 branch (or n<4,
+    // where bucketSize=0 and the otherwise-branch must stay
+    // unevaluated) — pin the exact expressions the registered query
+    // uses against Spark's own ntile on synthetic cardinalities.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("id"))
+    Seq(1L, 2L, 3L, 4L, 5L, 7L, 97L, 100L, 101L, 1502L).foreach { n =>
+      val df = spark.range(n)
+        .withColumn("_grn", row_number().over(w).cast("long"))
+        .withColumn("_n", lit(n))
+        .withColumn("_bsz", expr("_n div 4"))
+        .withColumn("_rem", col("_n") % lit(4L))
+        .withColumn("_big", (col("_bsz") + lit(1L)) * col("_rem"))
+        .withColumn("mine", when(col("_grn") <= col("_big"),
+            expr("(_grn + _bsz) div (_bsz + 1)"))
+          .otherwise(col("_rem") + expr("(_grn - _big + _bsz - 1) div _bsz"))
+          .cast("int"))
+        .withColumn("direct", ntile(4).over(w))
+      assert(df.filter(col("mine") =!= col("direct")).count() == 0,
+        s"ntile arithmetic diverged at n=$n")
+    }
+  }
 }
